@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Replicates the driver's t1 smoke: SparkEntry.entry must return >0 rows
+  * on sf0.001. Run: sbt "runMain graft.Smoke" */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    println(s"ENTRY_ROWS=$n COLS=${df.columns.mkString(",")}")
+    assert(n > 0, "entry returned 0 rows")
+    spark.stop()
+  }
+}

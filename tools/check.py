@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local pre-check mirroring the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify, runs the oracle SQL from
+oracle_sql.json in DuckDB over the same parquet tables and compares
+schema + values (columns sorted by name, rows sorted by all columns).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True) if len(df.columns) else df
+    return df.reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            continue
+        want = con.execute(oracle[name]).df()
+        g, w = norm(got.copy()), norm(want.copy())
+        status = []
+        if list(g.columns) != list(w.columns):
+            status.append(f"schema cols {list(g.columns)} != {list(w.columns)}")
+        elif len(g) != len(w):
+            status.append(f"rowcount {len(g)} != {len(w)}")
+        else:
+            for c in g.columns:
+                a, b = g[c], w[c]
+                try:
+                    eq = a.equals(b) or (a.astype("float64").sub(b.astype("float64")).abs().max() == 0.0)
+                except Exception:
+                    eq = a.astype(str).equals(b.astype(str))
+                if not eq:
+                    diff = (a != b) & ~(a.isna() & b.isna())
+                    idx = diff[diff].index[:3].tolist()
+                    status.append(f"col {c} differs at rows {idx}: got {a.iloc[idx].tolist() if idx else '?'} want {b.iloc[idx].tolist() if idx else '?'}")
+        # dtype check (pyarrow schema-level)
+        if not status:
+            gd = {c: str(got.dtypes[c]) for c in got.columns}
+            wd = {c: str(want.dtypes[c]) for c in want.columns}
+            if gd != wd:
+                status.append(f"dtype mismatch (non-fatal?): got {gd} want {wd}")
+        if status:
+            n_fail += 1
+            print(f"[FAIL] {name}: " + "; ".join(status))
+        else:
+            n_pass += 1
+            print(f"[pass] {name} ({len(g)} rows)")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
