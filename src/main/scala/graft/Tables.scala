@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the harness parquet tables (TESTDATA.md).
   *
@@ -16,4 +17,19 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by all graft
+    * sessions). This loader normalizes `ts` back to a TimestampType
+    * truncated to microseconds — the same floor-division DuckDB's
+    * epoch_us applies, keeping oracle comparisons exact. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division — epoch-nanos (~1.7e18) overflows double precision
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
 }

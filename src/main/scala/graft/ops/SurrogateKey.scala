@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** `number autoincrement` surrogate keys (SURVEY.md §1 + §7 hard parts;
+  * reference: customer-end-to-end-pipeline-script.sql:32, item-...sql:26,
+  * order-...sql:49).
+  *
+  * Contract: existing keys never change across merges; new rows continue
+  * the sequence above the current max.
+  *
+  * Scale: a naive `row_number() OVER ()` forces all inserts through one
+  * partition. Instead we use RDD `zipWithIndex` (one lightweight count
+  * job + a mapPartitions) over only the keyless slice, so assignment is
+  * fully distributed. Keys are dense but assignment order across
+  * partitions is an implementation detail (as in Snowflake, which only
+  * guarantees uniqueness/monotonicity per session, not gap-freeness).
+  */
+object SurrogateKey {
+
+  /** Fill `keyCol` (LongType, null = unassigned) continuing from the
+    * current max. */
+  def assign(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val maxExisting: Long = df.agg(max(col(keyCol))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    val keyed = df.filter(col(keyCol).isNotNull)
+    val unkeyed = df.filter(col(keyCol).isNull)
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val assignedRdd = unkeyed.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq.updated(keyIdx, maxExisting + i + 1L))
+    }
+    val assigned = spark.createDataFrame(assignedRdd, schema)
+    keyed.unionByName(assigned)
+  }
+
+  /** Convenience: add a key column named `keyCol` to `df` (which lacks it)
+    * starting after `startAfter`. */
+  def attach(df: DataFrame, keyCol: String, startAfter: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(StructField(keyCol, LongType, nullable = false) +: df.schema.fields)
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq((startAfter + i + 1L) +: row.toSeq)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -5,27 +5,38 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.ops.{DedupLatest, FactRebuild, Merge, TableOps}
 
 /** Driver-checkable queries covering the reference's relational surface
   * (SURVEY.md §2). Each entry has a DuckDB oracle with identical column
   * names and deterministic ordering.
   *
+  * Coverage: q1_agg A1/A2/A3+P1+O1 · s5_insert_append S5 · s6_fact_rebuild
+  * S6+J1+A1-A3+O1 · s7_truncate S7 · p2_select_star P2 · p4_null_residual
+  * P4+J2 · p5_filter_in P5 · p6_in_subquery P6+J5 · p7_update_rewrite P7 ·
+  * j3_merge_upsert J3+A-MERGE · j4_merge_composite J4+A-MERGE ·
+  * w1_dedup_latest W1+P3+O3 · f3_cast_coercion F3 · o2_sort_desc O2.
+  * (S1-S4, F1/F2/F4-F7, ST1-ST6 are non-SQL surfaces — exercised by the
+  * ScalaTest suites and the orchestrator e2e test.)
+  *
   * Determinism notes (these queries are hash-compared against DuckDB):
-  *  - money aggregates cast to decimal BEFORE summing (exact, order-
-  *    independent arithmetic in both engines), then cast to double for a
-  *    stable output schema;
+  *  - money aggregates cast RAW columns to decimal BEFORE any arithmetic
+  *    (exact, order-independent; a double *product* cast to decimal rounds
+  *    differently in Spark vs DuckDB), then cast to double for output;
+  *  - events.ts has nanosecond precision which Spark truncates to micros
+  *    on read — timestamps are compared as epoch-micros bigints
+  *    (unix_micros ⟷ DuckDB epoch_us);
   *  - every result ends in a total ORDER BY over a unique key prefix.
   */
 object ReferenceQueries {
 
-  /** sum over a varchar/double money column, exact-decimal then double —
-    * mirrors the reference's implicit varchar→number(20,2) coercion
-    * (customer-end-to-end-pipeline-script.sql:142-165 pattern). */
   private def moneySum(c: Column): Column =
     sum(c.cast(DecimalType(20, 2))).cast("double")
+  private def dec(c: Column): Column = c.cast(DecimalType(20, 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/A2/A3 + P1 + O1: hash GROUP BY with count(1) + 7 decimal sums,
+
+    // A1/A2/A3 + P1 + O1: hash GROUP BY with count(1) + decimal sums,
     // ordered insert-select (order-end-to-end-pipeline-script.sql:191-212).
     "q1_agg" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -34,21 +45,157 @@ object ReferenceQueries {
           count(lit(1)).as("order_count"),
           moneySum(col("l_quantity")).as("sum_qty"),
           moneySum(col("l_extendedprice")).as("sum_price"),
-          sum(col("l_extendedprice").cast(DecimalType(20, 2)) *
-              (lit(1).cast(DecimalType(20, 2)) - col("l_discount").cast(DecimalType(20, 2))))
+          sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
             .cast("double").as("sum_disc_price"),
           moneySum(col("l_discount")).as("sum_discount"),
           moneySum(col("l_tax")).as("sum_tax"),
-          // avg via exact-sum / count in double: both engines then perform
-          // the same single IEEE division (engine-native AVG over decimal
-          // accumulates differently between Spark and DuckDB).
           (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          // NOTE: cast raw columns to decimal BEFORE any arithmetic — casting
-          // a double product to decimal rounds differently in Spark vs DuckDB.
-          sum(col("l_extendedprice").cast(DecimalType(20, 2)) *
-              col("l_discount").cast(DecimalType(20, 2)))
+          sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
             .cast("double").as("sum_revenue_lost"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // S6 + J1 + A1-A3 + O1: the reference's star-schema fact rebuild
+    // (order-...sql:179-212) — fact side joined to broadcast dims, GROUP BY
+    // 3 keys, count + money sums, ordered overwrite.
+    "s6_fact_rebuild" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val p = Tables.load(s, dir, "part")
+      val fact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      FactRebuild.rebuild(
+        fact,
+        dims = Seq(
+          (c, col("o_custkey") === col("c_custkey"), true),
+          (p, col("l_partkey") === col("p_partkey"), true)),
+        groupCols = Seq(
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("c_mktsegment"), col("p_brand")),
+        aggs = Seq(
+          count(lit(1)).as("order_count"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount")))
+              * (dec(lit(1)) + dec(col("l_tax"))))
+            .cast("double").as("sum_charge")),
+        orderCols = Seq(col("order_date"), col("c_mktsegment"), col("p_brand")))
+    },
+
+    // P2: SELECT * passthrough (customer-...sql:212-216).
+    "p2_select_star" -> { (s, dir) =>
+      Tables.load(s, dir, "region").orderBy("r_regionkey")
+    },
+
+    // P4 + J2: inner join with an IS NULL residual on a (derived) nullable
+    // dim column (order-...sql:205-207 `di.end_date is null`).
+    "p4_null_residual" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+        .withColumn("discontinued", when(col("p_size") > 45, lit("y")))
+      li.join(broadcast(p),
+          col("l_partkey") === col("p_partkey") && col("discontinued").isNull)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+
+    // P5: IN (list) filter (customer-...sql:199).
+    "p5_filter_in" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
+    // P6 + J5: IN (subquery) → left-semi join (order-...sql:365-371).
+    "p6_in_subquery" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      c.join(o.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // P7: point UPDATE with WHERE as a conditional projection
+    // (order-...sql:377-387).
+    "p7_update_rewrite" -> { (s, dir) =>
+      TableOps.update(
+        Tables.load(s, dir, "orders"),
+        col("o_orderstatus") === "F",
+        Map("o_orderpriority" -> lit("0-REVIEWED")))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    },
+
+    // J3 + A-MERGE: single-key MERGE upsert (customer-...sql:77-114) —
+    // matched rows take source values, source-only rows are inserted,
+    // target-only rows pass through.
+    "j3_merge_upsert" -> { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+      val target = p.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey").as("item_id"), col("p_name").as("item_desc"),
+          col("p_retailprice").as("price"))
+      val source = p.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("item_id"), upper(col("p_name")).as("item_desc"),
+          (col("p_retailprice") * 2).as("price"))
+      Merge.upsert(target, source, Seq("item_id")).orderBy("item_id")
+    },
+
+    // J4 + A-MERGE: composite 4-column-key MERGE (order-...sql:112-116).
+    "j4_merge_composite" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice")
+      val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val target = li.filter(col("l_orderkey") % 2 === 0)
+      val source = li.filter(col("l_orderkey") % 3 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 100)
+      Merge.upsert(target, source, keys).orderBy(keys.map(col): _*)
+    },
+
+    // W1 + P3 + O3: row_number latest-wins dedup (item-...sql:72-75).
+    "w1_dedup_latest" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      DedupLatest.latestBy(ev, "user_id", "ts_us", "event_id")
+        .select("user_id", "event_id", "event_type", "value", "ts_us")
+        .orderBy("user_id")
+    },
+
+    // F3: varchar→typed implicit-coercion casts (customer-...sql:142-165).
+    "f3_cast_coercion" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("string").cast(DecimalType(12, 2)).cast("double")
+            .as("qty_roundtrip"),
+          col("l_orderkey").cast("string").as("orderkey_str"),
+          date_format(col("l_shipdate").cast("date"), "yyyy-MM-dd").as("ship_date_str"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // O2: ORDER BY ... DESC monitoring query (customer-...sql:201).
+    "o2_sort_desc" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+    },
+
+    // S5: INSERT INTO ... SELECT append (order-...sql:306-339).
+    "s5_insert_append" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "nation")
+      val extra = n.select((col("n_nationkey") + 100).as("n_nationkey"),
+        concat(col("n_name"), lit("_NEW")).as("n_name"), col("n_regionkey"))
+      TableOps.append(n, extra).orderBy("n_nationkey")
+    },
+
+    // S7: TRUNCATE — empty contents, schema preserved (customer-...sql:172).
+    "s7_truncate" -> { (s, dir) =>
+      TableOps.truncate(Tables.load(s, dir, "nation"))
     }
   )
 
@@ -65,6 +212,101 @@ object ReferenceQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) AS sum_revenue_lost
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s6_fact_rebuild" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date, c_mktsegment, p_brand,
+        |  count(1) AS order_count,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2))) * (CAST(1 AS DECIMAL(20,2)) + CAST(l_tax AS DECIMAL(20,2)))) AS DOUBLE) AS sum_charge
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "p2_select_star" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "p4_null_residual" ->
+      """SELECT p_brand, count(1) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND (CASE WHEN p_size > 45 THEN 'y' END) IS NULL
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "p5_filter_in" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "p6_in_subquery" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "p7_update_rewrite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN '0-REVIEWED' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "j3_merge_upsert" ->
+      """WITH t AS (SELECT p_partkey AS item_id, p_name AS item_desc, p_retailprice AS price
+        |           FROM part WHERE p_partkey % 2 = 0),
+        |     s AS (SELECT p_partkey AS item_id, upper(p_name) AS item_desc, p_retailprice * 2 AS price
+        |           FROM part WHERE p_partkey % 3 = 0)
+        |SELECT coalesce(t.item_id, s.item_id) AS item_id,
+        |  CASE WHEN s.item_id IS NOT NULL THEN s.item_desc ELSE t.item_desc END AS item_desc,
+        |  CASE WHEN s.item_id IS NOT NULL THEN s.price ELSE t.price END AS price
+        |FROM t FULL OUTER JOIN s ON t.item_id = s.item_id
+        |ORDER BY item_id""".stripMargin,
+
+    "j4_merge_composite" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice FROM lineitem),
+        |     t AS (SELECT * FROM li WHERE l_orderkey % 2 = 0),
+        |     s AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity + 100 AS l_quantity, l_extendedprice FROM li WHERE l_orderkey % 3 = 0)
+        |SELECT coalesce(t.l_orderkey, s.l_orderkey) AS l_orderkey,
+        |  coalesce(t.l_linenumber, s.l_linenumber) AS l_linenumber,
+        |  coalesce(t.l_partkey, s.l_partkey) AS l_partkey,
+        |  coalesce(t.l_suppkey, s.l_suppkey) AS l_suppkey,
+        |  CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_quantity ELSE t.l_quantity END AS l_quantity,
+        |  CASE WHEN s.l_orderkey IS NOT NULL THEN s.l_extendedprice ELSE t.l_extendedprice END AS l_extendedprice
+        |FROM t FULL OUTER JOIN s
+        |  ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+        | AND t.l_partkey = s.l_partkey AND t.l_suppkey = s.l_suppkey
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "w1_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "f3_cast_coercion" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(12,2)) AS DOUBLE) AS qty_roundtrip,
+        |  CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+        |  strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date_str
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "o2_sort_desc" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events
+        |ORDER BY ts_us DESC, event_id DESC""".stripMargin,
+
+    "s5_insert_append" ->
+      """SELECT * FROM (
+        |  SELECT * FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name || '_NEW', n_regionkey FROM nation
+        |) ORDER BY n_nationkey""".stripMargin,
+
+    "s7_truncate" ->
+      "SELECT * FROM nation WHERE false"
   )
 }
