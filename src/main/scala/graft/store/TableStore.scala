@@ -1,0 +1,260 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.ops.Merge
+
+/** Versioned, hash-bucketed parquet table store — the mutable-table
+  * substrate the reference gets from Snowflake (SURVEY.md §7 hard parts:
+  * update-in-place / truncate on immutable storage, stream-consumption
+  * transactionality).
+  *
+  * Layout per table (all paths via Hadoop FileSystem, so the same code
+  * runs on file://, hdfs:// or s3a://):
+  * {{{
+  *   <root>/<table>/_schema.json                   table schema
+  *   <root>/<table>/data/b<version>/__bucket=N/    parquet data, hash-bucketed on the
+  *                                                 table's merge keys (or round-robin)
+  *   <root>/<table>/_versions/v<version>           manifest: one "bucket\tpath" per line
+  *   <root>/<table>/_latest                        pointer file, atomically replaced
+  *   <root>/<table>/_changes/v<version>/           CDC batch (rows + __action)
+  *   <root>/<table>/_streams/<name>.offset         per-stream consumed version
+  * }}}
+  *
+  * Scale design:
+  *  - APPEND writes only the new batch and a new manifest — no data copy.
+  *  - MERGE rewrites only the hash buckets the source batch touches;
+  *    untouched buckets carry over at manifest level. With B buckets and a
+  *    source hitting k of them, a merge costs O(tableSize · k/B) IO instead
+  *    of a full rewrite — the same partition-pruning idea a cluster-scale
+  *    engine uses (Delta/Iceberg file pruning, Snowflake micro-partitions).
+  *  - the commit point is a single pointer-file swap (atomic on HDFS/local;
+  *    on S3 use a conditional PUT). Failed jobs leave orphan batch dirs,
+  *    never a corrupt table.
+  *  - readers of version N are unaffected by concurrent commits (MVCC-ish:
+  *    old files are never mutated).
+  */
+class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int = 16) {
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = new Path(root).getFileSystem(hconf)
+
+  private def tdir(t: String) = new Path(root, t)
+  private def latestPtr(t: String) = new Path(tdir(t), "_latest")
+  private def manifestPath(t: String, v: Long) = new Path(new Path(tdir(t), "_versions"), f"v$v%08d")
+  private def changesDir(t: String, v: Long) = new Path(new Path(tdir(t), "_changes"), f"v$v%08d")
+
+  // ---- small-file helpers -------------------------------------------------
+
+  private def writeFile(p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  private def readFile(p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  // ---- catalog ------------------------------------------------------------
+
+  def exists(table: String): Boolean = fs.exists(latestPtr(table))
+
+  def listTables(): Seq[String] =
+    if (!fs.exists(new Path(root))) Nil
+    else fs.listStatus(new Path(root)).toIndexedSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => fs.exists(latestPtr(t))).sorted
+
+  /** CREATE TABLE (SURVEY.md §2.1 S8). `keys` drive merge bucketing. */
+  def createTable(table: String, schema: StructType, keys: Seq[String] = Nil): Unit = {
+    require(!exists(table), s"table $table already exists")
+    fs.mkdirs(tdir(table))
+    writeFile(new Path(tdir(table), "_schema.json"), schema.json)
+    writeFile(new Path(tdir(table), "_keys"), keys.mkString(","))
+    writeFile(manifestPath(table, 0L), "")
+    writeFile(latestPtr(table), "0")
+  }
+
+  def dropTable(table: String): Unit = fs.delete(tdir(table), true)
+
+  def schemaOf(table: String): StructType =
+    DataType.fromJson(readFile(new Path(tdir(table), "_schema.json"))).asInstanceOf[StructType]
+
+  def keysOf(table: String): Seq[String] = {
+    val s = readFile(new Path(tdir(table), "_keys")).trim
+    if (s.isEmpty) Nil else s.split(",").toIndexedSeq
+  }
+
+  def currentVersion(table: String): Long = readFile(latestPtr(table)).trim.toLong
+
+  // ---- manifests ----------------------------------------------------------
+
+  private def readManifest(table: String, v: Long): Seq[(Int, String)] = {
+    val txt = readFile(manifestPath(table, v))
+    txt.split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+      val Array(b, p) = line.split("\t", 2)
+      (b.toInt, p)
+    }
+  }
+
+  private def commit(table: String, v: Long, entries: Seq[(Int, String)],
+      changes: Option[DataFrame]): Unit = {
+    changes.foreach { ch =>
+      ch.write.mode("overwrite").parquet(changesDir(table, v).toString)
+    }
+    writeFile(manifestPath(table, v), entries.map { case (b, p) => s"$b\t$p" }.mkString("\n"))
+    writeFile(latestPtr(table), v.toString) // <- the commit point
+  }
+
+  // ---- read ---------------------------------------------------------------
+
+  /** Read the latest table contents (optionally only the given buckets). */
+  def read(table: String, buckets: Option[Set[Int]] = None): DataFrame = {
+    val entries0 = readManifest(table, currentVersion(table))
+    val entries = buckets.map(bs => entries0.filter(e => bs(e._1))).getOrElse(entries0)
+    if (entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(table))
+    else
+      spark.read.schema(schemaOf(table)).parquet(entries.map(_._2): _*)
+  }
+
+  // ---- write paths --------------------------------------------------------
+
+  private def bucketCol(keys: Seq[String]): org.apache.spark.sql.Column =
+    if (keys.isEmpty) pmod(spark_partition_id(), lit(numBuckets))
+    else pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int")
+
+  /** Write df as a bucketed batch dir; returns manifest entries. */
+  private def writeBatch(table: String, v: Long, df: DataFrame): Seq[(Int, String)] = {
+    val keys = keysOf(table)
+    val dir = new Path(new Path(tdir(table), "data"), f"b$v%08d")
+    df.withColumn("__bucket", bucketCol(keys))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(dir.toString)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+      .map { st =>
+        val b = st.getPath.getName.stripPrefix("__bucket=").toInt
+        (b, st.getPath.toString)
+      }
+  }
+
+  private def withAction(df: DataFrame, action: String): DataFrame =
+    df.withColumn("__action", lit(action))
+
+  /** INSERT append (S5): writes only the new batch; old files carry over. */
+  def append(table: String, df: DataFrame): Unit = synchronized {
+    val v = currentVersion(table) + 1
+    val aligned = align(table, df)
+    val newEntries = writeBatch(table, v, aligned)
+    val old = readManifest(table, v - 1)
+    commit(table, v, old ++ newEntries, Some(withAction(readBack(table, newEntries), "insert")))
+  }
+
+  /** INSERT OVERWRITE (S6): full replace; change batch = new contents. */
+  def overwrite(table: String, df: DataFrame): Unit = synchronized {
+    val v = currentVersion(table) + 1
+    val aligned = align(table, df)
+    val newEntries = writeBatch(table, v, aligned)
+    commit(table, v, newEntries, Some(withAction(readBack(table, newEntries), "insert")))
+  }
+
+  /** TRUNCATE (S7): empty manifest, no data IO at all. */
+  def truncate(table: String): Unit = synchronized {
+    val v = currentVersion(table) + 1
+    commit(table, v, Nil, changes = None)
+  }
+
+  /** UPDATE ... SET ... WHERE (P7): conditional projection + full-version
+    * rewrite (bucket-pruned when `pred` binds the table keys is a future
+    * optimization; reference UPDATEs are fixture surgery, not hot path). */
+  def update(table: String, pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Unit = synchronized {
+    val v = currentVersion(table) + 1
+    val updated = graft.ops.TableOps.update(read(table), pred, set)
+    val newEntries = writeBatch(table, v, updated)
+    val changed = graft.ops.TableOps.update(read(table).filter(pred), pred, set)
+    commit(table, v, newEntries, Some(withAction(changed, "update")))
+  }
+
+  /** MERGE INTO (A-MERGE): bucket-pruned upsert. Only buckets containing
+    * source keys are rewritten; the rest of the table carries over at
+    * manifest level. Change batch = source rows labeled insert/update. */
+  def merge(table: String, source: DataFrame,
+      whenMatchedSet: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      whenNotMatchedInsert: Option[Map[String, org.apache.spark.sql.Column]] = None): Unit = synchronized {
+    val keys = keysOf(table)
+    require(keys.nonEmpty, s"merge into $table requires declared keys")
+    val v = currentVersion(table) + 1
+
+    val alignedSrc = align(table, source, padMissing = true)
+    val srcBuckets = alignedSrc.select(bucketCol(keys).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val touched = read(table, Some(srcBuckets))
+    val merged = Merge.upsert(touched, alignedSrc, keys, whenMatchedSet, whenNotMatchedInsert)
+
+    val newEntries = writeBatch(table, v, merged)
+    val untouched = readManifest(table, v - 1).filterNot(e => srcBuckets(e._1))
+
+    // CDC batch = the source rows, labeled by what the MERGE did to them
+    // (matches Snowflake: a stream on the target sees the merged values).
+    val tgtKeys = touched.select(keys.map(col): _*).withColumn("__m", lit(true))
+    val changes = alignedSrc
+      .join(tgtKeys, keys, "left_outer")
+      .withColumn("__action", when(col("__m").isNotNull, lit("update")).otherwise(lit("insert")))
+      .drop("__m")
+    commit(table, v, untouched ++ newEntries, Some(changes))
+  }
+
+  // ---- helpers ------------------------------------------------------------
+
+  private def readBack(table: String, entries: Seq[(Int, String)]): DataFrame =
+    if (entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(table))
+    else spark.read.schema(schemaOf(table)).parquet(entries.map(_._2): _*)
+
+  /** Align df to the table schema by name with casts (the permissive,
+    * schema-on-write landing behavior: missing cols → null). */
+  private def align(table: String, df: DataFrame, padMissing: Boolean = true): DataFrame = {
+    val present = df.columns.toSet
+    val cols = schemaOf(table).fields.map { f =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else {
+        require(padMissing, s"column ${f.name} missing for table $table")
+        lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  // ---- CDC ----------------------------------------------------------------
+
+  private[store] def offsetPath(table: String, stream: String) =
+    new Path(new Path(tdir(table), "_streams"), s"$stream.offset")
+
+  private[store] def readChanges(table: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val dirs = (fromExclusive + 1 to toInclusive)
+      .map(v => changesDir(table, v))
+      .filter(fs.exists(_))
+      .map(_.toString)
+    val schema = schemaOf(table).add("__action", org.apache.spark.sql.types.StringType)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  private[store] def readOffset(table: String, stream: String): Long = {
+    val p = offsetPath(table, stream)
+    if (fs.exists(p)) readFile(p).trim.toLong else 0L
+  }
+
+  private[store] def writeOffset(table: String, stream: String, v: Long): Unit =
+    writeFile(offsetPath(table, stream), v.toString)
+}
