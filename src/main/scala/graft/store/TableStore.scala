@@ -239,7 +239,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   private[store] def offsetPath(table: String, stream: String) =
     new Path(new Path(tdir(table), "_streams"), s"$stream.offset")
 
-  private[store] def readChanges(table: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
+  private[graft] def readChanges(table: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
     val dirs = (fromExclusive + 1 to toInclusive)
       .map(v => changesDir(table, v))
       .filter(fs.exists(_))
@@ -250,11 +250,11 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
-  private[store] def readOffset(table: String, stream: String): Long = {
+  private[graft] def readOffset(table: String, stream: String): Long = {
     val p = offsetPath(table, stream)
     if (fs.exists(p)) readFile(p).trim.toLong else 0L
   }
 
-  private[store] def writeOffset(table: String, stream: String, v: Long): Unit =
+  private[graft] def writeOffset(table: String, stream: String, v: Long): Unit =
     writeFile(offsetPath(table, stream), v.toString)
 }
