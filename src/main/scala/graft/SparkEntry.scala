@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.ReferenceQueries
+import graft.queries.{PipelineQueries, ReferenceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,12 +17,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (reference
+    * surface) plus the training-data-pipeline extensions (dedup /
+    * similarity / text analysis / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries
+    ReferenceQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracles
+    ReferenceQueries.oracles ++ PipelineQueries.oracles
 }

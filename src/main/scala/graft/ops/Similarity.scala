@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorAnalytics => VA}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder-prompt extension surface).
+  *
+  * Three tiers, trading recall for scan cost:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against
+  *    the full corpus; Q·N·dim flops, one shuffle for the per-query top-k.
+  *    The baseline and the verify oracle for the approximate tiers.
+  *  - [[ivfTopK]]: IVF-style — partition the corpus by a coarse assignment
+  *    (precomputed cluster / label column), probe only the `nprobe`
+  *    partitions whose centroids are nearest the query. Scan cost drops to
+  *    nprobe/K of the corpus; this is the 100 TB path (the coarse column
+  *    becomes the parquet partition key, so pruning happens at the scan).
+  *  - [[Dedup.minhashLshPairs]]-style SRP bucketing ([[srpBuckets]]):
+  *    hash-join candidates only, no distance to most of the corpus.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query row, the k nearest corpus rows
+    * (excluding self-matches by id). Query side is broadcast — it is the
+    * small side by construction. Ties broken by corpus id ascending. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VA.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Deterministic per-group centroids: fold the vectors in ascending
+    * id order (bit-exact across engines), divide by count. Returns
+    * (groupCol, centroid array<double>, n). */
+  def centroids(df: DataFrame, groupCol: String, idCol: String, vecCol: String): DataFrame = {
+    val dims = size(col(vecCol))
+    val sorted = df
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v")))).as("vs"))
+    val zero = transform(sequence(lit(1), size(element_at(col("vs"), 1)("v"))), _ => lit(0.0))
+    sorted.select(
+      col(groupCol),
+      VA.divide(
+        aggregate(col("vs"), zero, (acc, sv) =>
+          zip_with(acc, sv("v"), (x, y) => x + y.cast("double"))),
+        size(col("vs")).cast("double")).as("centroid"),
+      size(col("vs")).as("n"))
+  }
+
+  /** IVF-style ANN: probe the `nprobe` groups whose centroids are nearest
+    * each query (by cosine), then exact top-k within the probed groups.
+    * `groupCol` is the coarse quantization — a cluster id, label, or any
+    * partition key the corpus is laid out by. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, groupCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, groupCol, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("c_cos").desc, col(groupCol))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", VA.cosine(col("qv"), col("centroid")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col(groupCol))
+    val c = corpus.select(col(groupCol), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(probes)
+      .join(c, Seq(groupCol))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VA.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Signed-random-projection bucket per row — join rows on `bucket` to
+    * get cosine-similar candidate pairs without scanning the corpus. */
+  def srpBuckets(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
+    df.select(col(idCol).as("id"), VA.srpBucket(col(vecCol), planes).as("bucket"))
+}

@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity}
+import graft.functions.{TextAnalytics => TA, VectorAnalytics => VA}
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (builder-prompt extension surface, first-class alongside SURVEY.md §2):
+  * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute-force + IVF), text analysis
+  * (language-ID / quality / token stats / fingerprints), multimodal
+  * binary features.
+  *
+  * Every oracle reproduces the Spark computation EXACTLY: all reductions
+  * are left folds in index order, integers stay < 2^63, doubles are
+  * widened before arithmetic — so the driver's hash compare sees
+  * bit-identical values (see [[graft.functions.TextAnalytics]] /
+  * [[graft.functions.VectorAnalytics]] determinism notes).
+  */
+object PipelineQueries {
+
+  private val P = "1000000007"
+
+  /** DuckDB portable polynomial string hash of expression `e`; `sfx`
+    * uniquifies lambda variables under nesting. */
+  private def dPhash(e: String, sfx: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e)+1), ix$sfx -> CAST(ascii(($e)[ix$sfx]) AS BIGINT))), " +
+      s"(ha$sfx, co$sfx) -> (ha$sfx*31+co$sfx) % $P)"
+
+  /** DuckDB left-fold sum of a double list. */
+  private def dSumD(e: String, sfx: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $e), (sa$sfx, sv$sfx) -> sa$sfx + sv$sfx)"
+
+  /** DuckDB dot product of two pre-cast double list expressions. */
+  private def dDot(a: String, b: String, sfx: String): String =
+    dSumD(s"list_transform(range(1, len($a)+1), di$sfx -> ($a)[di$sfx] * ($b)[di$sfx])", sfx)
+
+  private def dNorm(a: String, sfx: String): String = s"sqrt(${dDot(a, a, sfx)})"
+
+  /** Shared CTE: whitespace tokens of documents. */
+  private val dToks =
+    """toks AS (SELECT doc_id, lang, source,
+      |  regexp_split_to_array(trim(text), '\s+') AS tk FROM documents)""".stripMargin
+
+  /** Shared CTE: embeddings as double lists + precomputed norms. */
+  private def dVecs(sfx: String): String =
+    s"""vecs AS (SELECT vec_id, label,
+       |  list_transform(embedding, cx$sfx -> CAST(cx$sfx AS DOUBLE)) AS v FROM embeddings),
+       |normed AS (SELECT vec_id, label, v, ${dNorm("v", s"n$sfx")} AS nrm FROM vecs)""".stripMargin
+
+  // =========================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deduplication ----------------------------------------------------
+
+    // Exact dedup: hash-groupBy on the content hash (one shuffle, map-side
+    // partial agg).
+    "d1_exact_dedup" -> { (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", TA.phash(col("text")))
+        .orderBy("content_hash")
+    },
+
+    // MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join.
+    "d2_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          k = 16, bands = 8, shingleN = 2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Per-document SimHash (24-bit) over token hashes; the pair scan is
+    // exercised in DedupSpec (simhashPairs) — this checks the signature.
+    "d3_simhash" -> { (s, dir) =>
+      Dedup.simhashes(Tables.load(s, dir, "documents"), "doc_id", "text", bits = 24)
+        .orderBy("id")
+    },
+
+    // Exact 2-gram Jaccard over (lang, source)-blocked pairs — the verify
+    // stage downstream of LSH candidates.
+    "d4_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          Seq("lang", "source"), n = 2, minJaccard = 0.02)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding-cosine near-dup pairs, blocked by the coarse label.
+    "d5_embed_neardup" -> { (s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          Seq("label"), minCosine = 0.2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search ------------------------------------------------
+
+    // Brute-force cosine top-5 for the first 10 vectors (exact baseline).
+    "n1_ann_topk" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-style ANN: label-partitioned corpus, probe the 2 nearest
+    // centroids, exact top-5 within the probed partitions.
+    "n2_ann_ivf" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- text analysis ----------------------------------------------------
+
+    // Stopword-list language-ID with per-language scores.
+    "e1_langid" -> { (s, dir) =>
+      val toks = TA.tokens(col("text"))
+      val scores = TA.stopwords.map { case (l, ws) =>
+        TA.stopwordCount(toks, ws).cast("long").as(s"c_$l") }
+      Tables.load(s, dir, "documents")
+        .select((col("doc_id") +: col("lang") +: scores) :+ TA.langId(toks).as("pred_lang"): _*)
+        .withColumn("correct", col("pred_lang") === col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: lexical diversity + stopword presence + length prior.
+    "e2_quality" -> { (s, dir) =>
+      val toks = TA.tokens(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TA.typeTokenRatio(toks).as("ttr"),
+          (TA.stopwordCount(toks, TA.stopwords.head._2).cast("double") /
+            size(toks).cast("double")).as("stop_ratio"),
+          TA.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace + BPE-ish subword estimate.
+    "e3_token_stats" -> { (s, dir) =>
+      val toks = TA.tokens(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          TA.subwordCountEst(toks).as("n_subwords_est"),
+          TA.sumTokenLen(toks).as("sum_token_len"),
+          (TA.sumTokenLen(toks).cast("double") / size(toks).cast("double")).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: whole-text rolling hash + winnowed minimum
+    // 3-gram shingle hash.
+    "e4_fingerprint" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(size(TA.tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          TA.fingerprint(col("text")).as("fingerprint"),
+          TA.minShingleHash(col("text"), 3).as("min_shingle_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal (binary) ---------------------------------------------
+
+    // Opaque-binary column plumbing: byte length, rolling checksum over
+    // bytes (decoded from hex pairs), head bytes — the deterministic stand-
+    // in for decode/feature-extract (graft.multimodal has the typed stubs).
+    "m1_media_features" -> { (s, dir) =>
+      val hx = hex(col("media"))
+      val codes = transform(sequence(lit(0), octet_length(col("media")) - 1),
+        i => conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("long"))
+      Tables.load(s, dir, "documents")
+        .withColumn("media", col("text").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("media")).as("media_len"),
+          aggregate(codes, lit(0L), (a, b) => (a * lit(31L) + b) % lit(P.toLong)).as("checksum"),
+          hx.substr(lit(1), lit(16)).as("head_hex"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // =========================================================================
+
+  val oracles: Map[String, String] = Map(
+
+    "d1_exact_dedup" ->
+      s"""WITH h AS (SELECT doc_id, ${dPhash("text", "a")} AS content_hash FROM documents)
+         |SELECT content_hash, min(doc_id) AS rep_id, count(1) AS n_copies
+         |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    "d2_minhash_lsh" ->
+      s"""WITH $dToks,
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+         |         si -> ${dPhash("tk[si] || ' ' || tk[si+1]", "b")})) AS hs
+         |       FROM toks WHERE len(tk) >= 2),
+         |sigs AS (SELECT doc_id, list_transform(range(0, 16), pi ->
+         |    list_min(list_transform(hs, hv ->
+         |      (((1103515245*pi + 12345) % $P) * hv + ((1234567891*pi + 987654321) % $P)) % $P))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, sig, bi AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[(bi*2+1):(bi*2+2)]),
+         |      (hb, vb) -> (hb*31+vb) % $P) AS bucket
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS bi)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_filter(range(1, 17), ki -> sa.sig[ki] = sb.sig[ki])) AS DOUBLE)
+         |    / CAST(16 AS DOUBLE) AS est_jaccard
+         |FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d3_simhash" ->
+      s"""WITH $dToks,
+         |th AS (SELECT doc_id, list_transform(tk, tx -> ${dPhash("tx", "c")}) AS hs FROM toks)
+         |SELECT doc_id AS id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, 24), bi ->
+         |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(hs, hv -> ((hv // CAST(pow(2, bi) AS BIGINT)) % 2) * 2 - 1)),
+         |          (aa, bb) -> aa + bb) > 0
+         |        THEN CAST(pow(2, bi) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |    (ac, bc) -> ac + bc) AS simhash
+         |FROM th ORDER BY id""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH $dToks,
+         |sh AS (SELECT doc_id, lang, source, list_distinct(list_transform(range(1, len(tk)),
+         |         si -> ${dPhash("tk[si] || ' ' || tk[si+1]", "d")})) AS hs
+         |       FROM toks WHERE len(tk) >= 2)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_filter(a.hs, xe -> list_contains(b.hs, xe))) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+         |    AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.02 ORDER BY id_a, id_b""".stripMargin,
+
+    "d5_embed_neardup" ->
+      s"""WITH ${dVecs("e")}
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${dDot("a.v", "b.v", "p")} / (a.nrm * b.nrm) AS cosine
+         |  FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "n1_ann_topk" ->
+      s"""WITH ${dVecs("f")},
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM normed WHERE vec_id < 10),
+         |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |    ${dDot("qv", "c.v", "q")} / (qn * c.nrm) AS cosine
+         |  FROM q JOIN normed c ON c.vec_id <> query_id)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "n2_ann_ivf" ->
+      s"""WITH ${dVecs("g")},
+         |cent AS (SELECT label,
+         |    list_transform(range(1, 65), dd ->
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(vs, wv -> wv[dd])), (ca, cb) -> ca + cb) / n) AS centroid
+         |  FROM (SELECT label, list(v ORDER BY vec_id) AS vs,
+         |          CAST(count(1) AS DOUBLE) AS n FROM vecs GROUP BY label) grp),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM normed WHERE vec_id < 10),
+         |probes AS (SELECT query_id, qv, qn, label FROM (
+         |    SELECT q.query_id, q.qv, q.qn, c.label,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dDot("q.qv", "c.centroid", "r")} / (q.qn * ${dNorm("c.centroid", "s")}) DESC,
+         |          c.label) AS cr
+         |    FROM q CROSS JOIN cent c) WHERE cr <= 2),
+         |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |    ${dDot("qv", "c.v", "t")} / (qn * c.nrm) AS cosine
+         |  FROM probes p JOIN normed c ON c.label = p.label AND c.vec_id <> p.query_id)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "e1_langid" -> {
+      val counts = TA.stopwords.map { case (l, ws) =>
+        val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(tk, t$l -> list_contains($list, t$l))) AS c_$l"
+      }.mkString(",\n|  ")
+      val best = TA.stopwords.map { case (l, _) => s"c_$l" }.mkString("greatest(", ", ", ")")
+      val pred = TA.stopwords.map { case (l, _) =>
+        s"WHEN c_$l = best AND c_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH $dToks,
+         |sc AS (SELECT doc_id, lang,
+         |  $counts
+         |  FROM toks),
+         |wb AS (SELECT *, $best AS best FROM sc)
+         |SELECT doc_id, lang, c_en, c_de, c_es, c_fr, c_zh,
+         |  CASE $pred ELSE 'und' END AS pred_lang,
+         |  (CASE $pred ELSE 'und' END) = lang AS correct
+         |FROM wb ORDER BY doc_id""".stripMargin
+    },
+
+    "e2_quality" -> {
+      val en = TA.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $dToks,
+         |m AS (SELECT doc_id,
+         |    len(tk) AS n_tokens,
+         |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr,
+         |    CAST(len(list_filter(tk, tq -> list_contains($en, tq))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) AS stop_ratio
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, ttr, stop_ratio,
+         |  CAST(0.4 AS DOUBLE) * ttr
+         |    + CAST(0.4 AS DOUBLE) * least(stop_ratio * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |    + CAST(0.2 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE),
+         |        CAST(1.0 AS DOUBLE)) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "e3_token_stats" ->
+      s"""WITH $dToks
+         |SELECT doc_id, len(tk) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(tk, tw -> greatest(CAST(ceil(length(tw) / CAST(4.0 AS DOUBLE)) AS BIGINT),
+         |      CAST(1 AS BIGINT)))), (sa, sv) -> sa + sv) AS n_subwords_est,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(tk, tl -> CAST(length(tl) AS BIGINT))), (la, lv) -> la + lv) AS sum_token_len,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(tk, tm -> CAST(length(tm) AS BIGINT))), (ma, mv) -> ma + mv) AS DOUBLE)
+         |    / CAST(len(tk) AS DOUBLE) AS avg_token_len
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "e4_fingerprint" ->
+      s"""WITH $dToks,
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+         |         si -> ${dPhash("tk[si] || ' ' || tk[si+1] || ' ' || tk[si+2]", "h")})) AS hs
+         |       FROM toks WHERE len(tk) >= 3)
+         |SELECT d.doc_id, ${dPhash("d.text", "w")} AS fingerprint,
+         |  list_min(sh.hs) AS min_shingle_hash
+         |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "m1_media_features" ->
+      s"""WITH m AS (SELECT doc_id, encode(text) AS media FROM documents),
+         |h AS (SELECT doc_id, octet_length(media) AS media_len, upper(hex(media)) AS hx FROM m)
+         |SELECT doc_id, CAST(media_len AS INTEGER) AS media_len,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, media_len),
+         |    bi -> CAST((strpos('0123456789ABCDEF', hx[CAST(bi*2+1 AS INTEGER)])-1)*16
+         |      + (strpos('0123456789ABCDEF', hx[CAST(bi*2+2 AS INTEGER)])-1) AS BIGINT))),
+         |    (ba, bv) -> (ba*31+bv) % $P) AS checksum,
+         |  substr(hx, 1, 16) AS head_hex
+         |FROM h ORDER BY doc_id""".stripMargin
+  )
+}
