@@ -1,0 +1,56 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media = {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06)
+    val wav = "RIFFxxxxWAVEfmt data".getBytes("UTF-8")
+    val other = "plain bytes payload here".getBytes("UTF-8")
+    Multimodal.toMediaTable(
+      Seq((1L, jpeg), (2L, wav), (3L, other)).toDF("id", "bin"), "id", "bin")
+  }
+
+  test("toMediaTable builds canonical schema and sniffs formats") {
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType.sql.replace(" NOT NULL", "")))
+    assert(shape(media.schema) == shape(Multimodal.mediaSchema))
+    val byId = media.collect().map(r => r.getLong(0) -> r.getStruct(2)).toMap
+    assert(byId(1L).getAs[String]("format") == "jpeg")
+    assert(byId(2L).getAs[String]("format") == "wav")
+    assert(byId(3L).getAs[String]("format") == "bin")
+    assert(byId(1L).getAs[Long]("byte_len") == 8L)
+  }
+
+  test("extractFeatures emits fixed-dim normalized vectors") {
+    val f = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f.values.forall(_.length == 8))
+    assert(f.values.forall(v => math.abs(v.sum - 1.0) < 1e-5)) // histogram sums to 1
+    // deterministic: rerun gives identical vectors
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f == f2)
+  }
+
+  test("resize preserves ids and reshapes bytes deterministically") {
+    val out = Multimodal.resize(media, 8, 8).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Array[Byte]]("media").length == 8)) // (8*8)/8
+    assert(out.forall(r => r.getAs[Long]("byte_len") == 8L))
+  }
+
+  test("frameSample is row-to-many with frame indices") {
+    val frames = Multimodal.frameSample(media, nFrames = 4)
+    assert(frames.filter(col("media_id") === 2).count() == 4)
+    val idx = frames.filter(col("media_id") === 2)
+      .orderBy("frame_no").collect().map(_.getInt(1)).toSeq
+    assert(idx == Seq(0, 1, 2, 3))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.{TextAnalytics => TA, VectorAnalytics => VA}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "a"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog", "en", "a"), // near dup of 1
+    (4L, "completely different content about spark engines", "en", "a"),
+    (5L, "der schnelle braune fuchs und der faule hund", "de", "b")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", TA.phash(col("text")))
+    assert(out.count() == 4)
+    val dup = out.filter(col("n_copies") === 2).collect()
+    assert(dup.length == 1 && dup(0).getAs[Long]("rep_id") == 1L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 8, shingleN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)), "exact dup pair missing")
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+    assert(ids.contains((1L, 3L)) || ids.contains((2L, 3L)), "near dup pair missing")
+    assert(!ids.exists { case (a, b) => Set(a, b).contains(4L) && Set(a, b).contains(5L) })
+  }
+
+  test("minhash LSH maxBucketSize drops degenerate buckets") {
+    val boiler = (1L to 20L).map(i => (i, "same same same same")).toDF("doc_id", "text")
+    val all = Dedup.minhashLshPairs(boiler, "doc_id", "text", k = 16, bands = 8, shingleN = 1)
+    val capped = Dedup.minhashLshPairs(boiler, "doc_id", "text", k = 16, bands = 8, shingleN = 1,
+      maxBucketSize = Some(5))
+    assert(all.count() == 190) // 20 choose 2 — quadratic blowup
+    assert(capped.count() == 0) // every bucket oversized → dropped
+  }
+
+  test("simhash: identical docs same hash, near dups close, distinct far") {
+    val s = Dedup.simhashes(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == s(2L))
+    val hamNear = java.lang.Long.bitCount(s(1L) ^ s(3L))
+    val hamFar = java.lang.Long.bitCount(s(1L) ^ s(4L))
+    assert(hamNear < hamFar, s"near=$hamNear far=$hamFar")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", Seq("lang"), maxHamming = hamNear)
+    assert(pairs.filter(col("id_a") === 1 && col("id_b") === 2).count() == 1)
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, blocked cross-lang") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), n = 2, minJaccard = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
+    assert(!pairs.keySet.exists { case (a, b) => b == 5L || a == 5L }) // other lang block
+  }
+
+  private def vecs = Seq(
+    (1L, Array(1f, 0f, 0f), 0), (2L, Array(0.99f, 0.1f, 0f), 0),
+    (3L, Array(0f, 1f, 0f), 0), (4L, Array(0f, 0f, 1f), 1),
+    (5L, Array(0f, 0.1f, 0.99f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("embedding near-dup pairs within label blocks") {
+    val out = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", Seq("label"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (4L, 5L)))
+  }
+
+  test("brute-force top-k exact, ranked, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+  }
+
+  test("IVF probes nearest partitions only") {
+    // query near label-1 axis: with nprobe=1 only label-1 vectors searched
+    val q = Seq((99L, Array(0f, 0f, 1f), -1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", "label", k = 3, nprobe = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(out == Set(4L, 5L)) // label-0 vectors never scanned
+  }
+
+  test("srp buckets put near-identical vectors together") {
+    val b = Similarity.srpBuckets(vecs, "vec_id", "embedding", planes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L))
+    assert(b(4L) == b(5L))
+  }
+
+  test("portable phash matches hand-computed fold") {
+    // 'abc': ((0*31+97)*31+98)*31+99 = 96354 (mod P no-ops at this size)
+    val out = docs.limit(1).select(TA.phash(lit("abc"))).head().getLong(0)
+    assert(out == 96354L)
+  }
+
+  test("cosine is exact on doubles") {
+    val c = vecs.filter(col("vec_id") === 1)
+      .select(VA.cosine(col("embedding"), col("embedding"))).head().getDouble(0)
+    assert(c == 1.0)
+  }
+}
