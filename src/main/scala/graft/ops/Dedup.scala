@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalytics => TA, VectorAnalytics => VA}
@@ -25,6 +26,54 @@ import graft.functions.{TextAnalytics => TA, VectorAnalytics => VA}
   */
 object Dedup {
 
+  /** 31^k mod P for k = 1..64 as a literal array (token lengths are
+    * bounded by 63 chars here; extend if longer tokens appear). */
+  private lazy val pow31: Column =
+    array((1 to 64).scanLeft(1L)((acc, _) => acc * 31L % TA.P).tail.map(lit(_)): _*)
+
+  /** One row per (id, word-n-gram shingle hash), NOT deduplicated.
+    *
+    * Plan note (hot path): array-HOF shingle building evaluates its
+    * lambda interpreted and — after projection collapse — re-runs the
+    * tokenizer per element access, going quadratic in tokens/doc.
+    * Instead: posexplode the token array (tokenized ONCE by the
+    * generator), hash each token with the native codegen'd graft_phash,
+    * and COMPOSE the n-gram hash arithmetically from per-token hashes
+    * using the polynomial identity
+    *   H(a ++ ' ' ++ b) = (H(a) · 31^(len(b)+1) + H(' ' ++ b)) mod P
+    * via window lead()s over token position. Everything after the
+    * explode is codegen'd row arithmetic; the only exchange is the
+    * per-doc window shuffle — linear, partition-parallel, skew-free.
+    * Values are bit-identical to hashing the joined shingle string. */
+  private def shingleHashRows(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      extra: Seq[Column] = Nil, portable: Boolean = true): DataFrame = {
+    val toks = df.select(
+      (col(idCol).as("id") +: extra) :+ posexplode(TA.tokens(col(textCol))): _*)
+      .withColumnRenamed("pos", "tokpos").withColumnRenamed("col", "tok")
+    val w = Window.partitionBy("id").orderBy("tokpos")
+    val out =
+      if (!portable) {
+        // production path: xxhash64 over the joined shingle string,
+        // reassembled from the window of tokens (still one tokenize pass)
+        val parts = (0 until n).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(w))
+        val last = if (n == 1) col("tok") else lead(col("tok"), n - 1).over(w)
+        toks
+          .withColumn("__last", last)
+          .withColumn("h", xxhash64(concat_ws(" ", parts: _*)))
+          .filter(col("__last").isNotNull)
+          .drop("__last")
+      } else {
+        val sh = (1 until n).foldLeft(call_function("graft_phash", col("tok"))) { (acc, j) =>
+          (acc * lead(element_at(pow31, (length(col("tok")) + 1).cast("int")), j).over(w)
+            + lead(call_function("graft_phash", concat(lit(" "), col("tok"))), j).over(w)) % lit(TA.P)
+        }
+        toks.withColumn("h", sh)
+          .filter(col("h").isNotNull) // docs shorter than n tokens emit nothing
+      }
+    out.drop("tok", "tokpos")
+  }
+
   /** Exact dedup on a content hash: one representative (min of `idCol`)
     * + multiplicity per distinct value of `keyExpr`. */
   def exact(df: DataFrame, idCol: String, keyExpr: Column): DataFrame =
@@ -48,12 +97,23 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, s"bands ($bands) must divide k ($k)")
-    val hashes =
-      if (portable) TA.shingleHashes(col(textCol), shingleN)
-      else array_distinct(transform(TA.shingles(TA.tokens(col(textCol)), shingleN), xxhash64(_)))
-    val sigs = df
-      .filter(size(TA.tokens(col(textCol))) >= shingleN)
-      .select(col(idCol).as("id"), TA.minhash(hashes, k).as("sig"))
+    // Plan note: the signature is NOT computed with nested array lambdas
+    // (array HOFs are interpreted and re-evaluate their input per outer-
+    // lambda iteration — k× re-hashing, and O(tokens²) tokenizer re-runs
+    // after projection collapse). Instead: one shingle-hash ROW per
+    // (doc, shingle) via [[shingleHashRows]], then the k permutation
+    // minima as codegen'd partial+final min() aggregates (duplicate
+    // shingles don't affect a min, so no dedup pass is needed). At
+    // cluster scale the heavy part (hashing) is a pure map stage with
+    // map-side combine on the doc key.
+    val hashed = shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
+    val minAggs = (0 until k).map { i =>
+      val a = (1103515245L * i + 12345L) % TA.P
+      val b = (1234567891L * i + 987654321L) % TA.P
+      min((lit(a) * col("h") + lit(b)) % lit(TA.P)).as(s"s_$i")
+    }
+    val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"s_$i")): _*).as("sig"))
     val buckets = sigs
       .select(col("id"), col("sig"), posexplode(TA.bandSigs(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -94,14 +154,31 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, minJaccard: Double): DataFrame = {
-    val s = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      TA.shingleHashes(col(textCol), n).as("sh"): _*)
-    val a = s.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
-    val b = s.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", inter / union)
+    // Set-similarity-join plan: explode distinct shingle hashes, equi-join
+    // on (block, hash) to COUNT intersections, and derive the union as
+    // |a|+|b|−|a∩b|. No per-pair array materialization or O(|a|·|b|)
+    // intersect — the heavy work is a hash-shuffle equi-join, which is
+    // how set-similarity joins scale out. Zero-intersection pairs never
+    // appear, which is exactly the minJaccard > 0 contract.
+    require(minJaccard > 0, "minJaccard must be > 0 (zero-overlap pairs are never emitted)")
+    // Blocks are disjoint per doc, so (id_a, id_b) implies the block —
+    // the block key is only needed in the pair join itself; everything
+    // downstream shuffles on compact long keys. A dense integer block id
+    // (hash of the block columns) replaces the string columns in the join.
+    val ex = shingleHashRows(df, idCol, textCol, n,
+        extra = Seq(xxhash64(blockCols.map(col): _*).as("blk")))
+      .dropDuplicates("id", "h") // jaccard is over DISTINCT shingle sets
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = ex.select(col("blk"), col("h"), col("id").as("id_a"))
+    val b = ex.select(col("blk"), col("h"), col("id").as("id_b"))
+    val inter = a.join(b, Seq("blk", "h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -111,11 +188,18 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       blockCols: Seq[String], minCosine: Double): DataFrame = {
-    val s = df.select((col(idCol).as("id") +: blockCols.map(col)) :+ col(vecCol).as("v"): _*)
-    val a = s.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("v").as("v_a"): _*)
-    val b = s.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("v").as("v_b"): _*)
+    // Norms are computed ONCE PER VECTOR before the pair join (per-pair
+    // work is just the dot fold) — same float→double→fold values, so
+    // bit-exactness vs the oracle is preserved.
+    val s = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
+        transform(col(vecCol), x => x.cast("double")).as("v"): _*)
+      .withColumn("nrm", VA.norm(col("v")))
+    val a = s.select(blockCols.map(col) :+ col("id").as("id_a")
+      :+ col("v").as("v_a") :+ col("nrm").as("n_a"): _*)
+    val b = s.select(blockCols.map(col) :+ col("id").as("id_b")
+      :+ col("v").as("v_b") :+ col("nrm").as("n_b"): _*)
     a.join(b, blockCols).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VA.cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine", VA.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

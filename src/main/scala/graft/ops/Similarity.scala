@@ -26,13 +26,21 @@ object Similarity {
   /** Exact cosine top-k: for each query row, the k nearest corpus rows
     * (excluding self-matches by id). Query side is broadcast — it is the
     * small side by construction. Ties broken by corpus id ascending. */
+  /** (id, v: array<double>, nrm) projection — norms computed once per
+    * vector, before any pair join (bit-exact: cast-then-fold, same as
+    * computing them per pair). */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), transform(col(vecCol), x => x.cast("double")).as(vAs))
+      .withColumn(nAs, VA.norm(col(vAs)))
+
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(normalized(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val c = normalized(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VA.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VA.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
@@ -65,19 +73,22 @@ object Similarity {
       idCol: String, vecCol: String, groupCol: String,
       k: Int, nprobe: Int): DataFrame = {
     val cents = centroids(corpus, groupCol, idCol, vecCol)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("c_nrm", VA.norm(col("centroid")))
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv", "qn")
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("c_cos").desc, col(groupCol))
     val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("c_cos", VA.cosine(col("qv"), col("centroid")))
+      .withColumn("c_cos", VA.dot(col("qv"), col("centroid")) / (col("qn") * col("c_nrm")))
       .withColumn("c_rank", row_number().over(probeW))
       .filter(col("c_rank") <= nprobe)
-      .select(col("query_id"), col("qv"), col(groupCol))
-    val c = corpus.select(col(groupCol), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col("query_id"), col("qv"), col("qn"), col(groupCol))
+    val c = corpus.select(col(groupCol), col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))
+      .withColumn("cn", VA.norm(col("cv")))
     val scored = broadcast(probes)
       .join(c, Seq(groupCol))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VA.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", VA.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")

@@ -167,15 +167,14 @@ object PipelineQueries {
     // bytes (decoded from hex pairs), head bytes — the deterministic stand-
     // in for decode/feature-extract (graft.multimodal has the typed stubs).
     "m1_media_features" -> { (s, dir) =>
-      val hx = hex(col("media"))
-      val codes = transform(sequence(lit(0), octet_length(col("media")) - 1),
-        i => conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("long"))
+      // checksum = native byte fold (graft_phash on binary) — identical to
+      // the oracle's hex-pair decode fold
       Tables.load(s, dir, "documents")
         .withColumn("media", col("text").cast("binary"))
         .select(col("doc_id"),
           octet_length(col("media")).as("media_len"),
-          aggregate(codes, lit(0L), (a, b) => (a * lit(31L) + b) % lit(P.toLong)).as("checksum"),
-          hx.substr(lit(1), lit(16)).as("head_hex"))
+          call_function("graft_phash", col("media")).as("checksum"),
+          hex(col("media")).substr(lit(1), lit(16)).as("head_hex"))
         .orderBy("doc_id")
     }
   )
