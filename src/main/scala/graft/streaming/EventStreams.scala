@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming event processing (SURVEY.md §2.9: the reference's
+  * streaming surface is file-arrival CDC micro-batching, covered by
+  * [[graft.ingest.Pipe]] + [[graft.cdc.ChangeStream]]; this module adds
+  * the standard event-time operators a production stream pipeline needs —
+  * watermarked tumbling/sliding windows and custom session state — over
+  * the `events` table shape (event_id, user_id, event_type, value, ts).
+  *
+  * Scale: windowed aggregation is partial+final HashAggregate per
+  * micro-batch with state kept in the state store keyed by (window,
+  * keys); the watermark bounds state size. Sessionization uses
+  * flatMapGroupsWithState — state per user_id, evicted on event-time
+  * timeout, so state is O(active users), not O(events).
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window counts+sums per event_type.
+    * Works identically on a batch DataFrame (windows computed directly)
+    * and a streaming one (late data beyond the watermark dropped). */
+  def windowedStats(
+      events: DataFrame,
+      windowDur: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Sliding-window variant (windowDur length, slide interval). */
+  def slidingStats(
+      events: DataFrame, windowDur: String, slide: String, watermark: String): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n_events"))
+  }
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: Timestamp)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, sumValue: Double)
+  final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Custom per-key state: gap-based sessionization via
+    * flatMapGroupsWithState. A session closes when no event arrives for
+    * `gapMs` of event time (enforced by event-time timeout against the
+    * watermark); closed sessions are emitted downstream. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      watermark: String = "2 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
+              s.nEvents, s.sumValue))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                case Some(s) => // gap exceeded: close the old session
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
+                    s.nEvents, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.cdc.ChangeStream
+import graft.store.TableStore
+
+/** CSV quirk handling (SURVEY.md §1 data quirks / FIXTURES.md §A) and the
+  * Pipe's exactly-once landing-file ingestion (S3/ST1/ST6). */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("a", StringType), StructField("b", StringType),
+    StructField("c", StringType)))
+
+  private def tmpFile(content: String): String = {
+    val p = Files.createTempFile("graft_csv", ".csv")
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("skip_header skips physical lines even on headerless files") {
+    // Snowflake skip_header=1 eats the first PHYSICAL line — here a blank
+    // line, so no data row is lost (customer_delta_1.csv shape)
+    val f = tmpFile("\n1,x,y\n2,p,q\n")
+    val out = CsvIngest.read(spark, Seq(f), schema).orderBy("a").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("1", "2"))
+  }
+
+  test("short rows are null-padded (error_on_column_count_mismatch=false)") {
+    val f = tmpFile("A,B,C\n1,x\n2,p,q\n")
+    val out = CsvIngest.read(spark, Seq(f), schema).orderBy("a").collect()
+    assert(out(0).getString(1) == "x" && out(0).isNullAt(2))
+    assert(out(1).getString(2) == "q")
+  }
+
+  test("quoted fields and \\N nulls parse per the reference file format") {
+    val f = tmpFile("A,B,C\n1,\"x, y\",\\N\n")
+    val r = CsvIngest.read(spark, Seq(f), schema).head()
+    assert(r.getString(1) == "x, y")
+    assert(r.isNullAt(2))
+  }
+
+  test("pipe runOnce ingests each landed file exactly once into the stage table") {
+    val landing = Files.createTempDirectory("graft_landing")
+    val storeDir = Files.createTempDirectory("graft_pipe_store")
+    val ckpt = Files.createTempDirectory("graft_pipe_ckpt")
+    val store = new TableStore(spark, storeDir.toString, numBuckets = 2)
+    store.createTable("stg", schema)
+    val stm = ChangeStream.create(store, "stg", "stg_stm")
+    val pipe = new Pipe(spark, "p1", landing.toString, "stg", schema, store, ckpt.toString)
+
+    Files.writeString(landing.resolve("f1.csv"), "A,B,C\n1,x,y\n2,p,q\n")
+    pipe.runOnce()
+    assert(store.read("stg").count() == 2)
+    assert(stm.hasData) // stage stream saw the append
+
+    // rerun with no new files: nothing double-ingested (file-source log)
+    pipe.runOnce()
+    assert(store.read("stg").count() == 2)
+
+    Files.writeString(landing.resolve("f2.csv"), "A,B,C\n3,m,n\n")
+    pipe.runOnce()
+    assert(store.read("stg").count() == 3)
+    assert(pipe.status == "PAUSED")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.cdc.ChangeStream
+
+class TableStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("graft_store").toString, numBuckets = 4)
+
+  test("create/append/overwrite/truncate lifecycle with version history") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    assert(st.read("t").count() == 0)
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(st.currentVersion("t") == 1 && st.read("t").count() == 2)
+    st.append("t", Seq((3L, "c")).toDF("id", "v"))
+    assert(st.read("t").count() == 3)
+    st.overwrite("t", Seq((9L, "z")).toDF("id", "v"))
+    assert(st.read("t").orderBy("id").as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    st.truncate("t")
+    assert(st.read("t").count() == 0)
+    assert(st.currentVersion("t") == 4) // every mutation committed a version
+  }
+
+  test("merge rewrites only touched buckets and applies upsert semantics") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+    st.merge("t", Seq((2L, "V2"), (100L, "V100")).toDF("id", "v"))
+    val out = st.read("t").orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out.length == 9)
+    assert(out.contains((2L, "V2")) && out.contains((100L, "V100")) && out.contains((1L, "v1")))
+  }
+
+  test("update rewrites matching rows in place") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    st.update("t", col("id") === 2, Map("v" -> lit("B!")))
+    assert(st.read("t").filter(col("id") === 2).head().getString(1) == "B!")
+    assert(st.read("t").filter(col("id") === 1).head().getString(1) == "a")
+  }
+
+  test("streams see appends once, merges as insert/update actions") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    val stm = ChangeStream.create(st, "t", "s1")
+    assert(!stm.hasData)
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    assert(stm.hasData)
+    val batch1 = stm.consume(df => df.collect())
+    assert(batch1.length == 1 && batch1.head.getAs[String]("__action") == "insert")
+    assert(!stm.hasData) // consumed
+
+    st.merge("t", Seq((1L, "A"), (2L, "b")).toDF("id", "v"))
+    val batch2 = stm.consume(df =>
+      df.select("id", "__action").as[(Long, String)].collect().toMap)
+    assert(batch2 == Map(1L -> "update", 2L -> "insert"))
+  }
+
+  test("two streams on one table advance independently") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    val s1 = ChangeStream.create(st, "t", "s1")
+    val s2 = ChangeStream.create(st, "t", "s2")
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    s1.consume(_.count())
+    assert(!s1.hasData && s2.hasData)
+    s2.markConsumed()
+    assert(!s2.hasData)
+  }
+
+  test("schema align casts and pads missing columns on write") {
+    val st = freshStore()
+    val typed = StructType(Seq(
+      StructField("id", LongType), StructField("amt", DecimalType(10, 2)),
+      StructField("note", StringType)))
+    st.createTable("t", typed, keys = Seq("id"))
+    // source has string id/amt and lacks note — permissive landing behavior
+    st.append("t", Seq(("1", "12.345")).toDF("id", "amt"))
+    val r = st.read("t").head()
+    assert(r.getLong(0) == 1L)
+    assert(r.getDecimal(1) == new java.math.BigDecimal("12.35")) // rounded to (10,2)
+    assert(r.isNullAt(2))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.EventStreams.{Event, Session}
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // offset from epoch: a row with ts == initial watermark (0) is 'late'
+  private def ts(sec: Long) = new Timestamp((3600 + sec) * 1000L)
+
+  test("windowedStats over a micro-batched stream honors windows and watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedStats(mem.toDF(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        Event(1, 1, "click", 1.0, ts(10)), Event(2, 1, "click", 2.0, ts(30)),
+        Event(3, 2, "view", 5.0, ts(70)))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").getTime / 1000 - 3600,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)))
+      assert(rows.contains((60L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("windowedStats works identically on a batch DataFrame") {
+    val batch = Seq(
+      Event(1, 1, "click", 1.0, ts(10)), Event(2, 1, "click", 2.0, ts(30)),
+      Event(3, 2, "view", 5.0, ts(70))).toDF()
+    val rows = EventStreams.windowedStats(batch, "1 minute").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+    assert(rows == Set(("click", 2L), ("view", 1L)))
+  }
+
+  test("sessionize closes sessions on gap timeout and emits totals") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 30_000L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: events at 0s and 10s; then silence
+      mem.addData(Event(1, 7, "click", 1.0, ts(0)), Event(2, 7, "click", 2.0, ts(10)))
+      q.processAllAvailable()
+      // advance the watermark far past the gap: event at 200s (other user)
+      mem.addData(Event(3, 8, "view", 9.0, ts(200)))
+      q.processAllAvailable()
+      // one more batch so the timed-out state is flushed
+      mem.addData(Event(4, 8, "view", 1.0, ts(210)))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+      val s7 = sessions.filter(_.user_id == 7L)
+      assert(s7.length == 1)
+      assert(s7.head.n_events == 2 && s7.head.sum_value == 3.0)
+      assert(s7.head.session_start == ts(0) && s7.head.session_end == ts(10))
+    } finally q.stop()
+  }
+
+  test("gap within session keeps one session; gap beyond splits") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 30_000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same user: 0s, 20s (within gap), 100s (beyond gap → split)
+      mem.addData(Event(1, 9, "a", 1.0, ts(0)), Event(2, 9, "a", 1.0, ts(20)),
+        Event(3, 9, "a", 1.0, ts(100)))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions2").as[Session].collect().filter(_.user_id == 9L)
+      assert(sessions.length == 1) // first session closed inline on the gap
+      assert(sessions.head.n_events == 2)
+      assert(sessions.head.session_end == ts(20))
+    } finally q.stop()
+  }
+}
