@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorAnalytics {
 
-  /** Σ a[i]·b[i] in index order, operands widened to double first. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ a[i]·b[i] in index order, operands widened to double first.
+    * Dispatches to the native codegen'd [[graft.spark.DotProduct]]
+    * (requires the GraftExtensions session config; both arrays must have
+    * the same float/double element type — identical values to [[dotHof]],
+    * ~100× faster on pair-scan hot paths). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The same fold as pure HOFs (no extension needed; interpreted). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (s, v) => s + v)
 

@@ -77,5 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_phash"),
       new ExpressionInfo(classOf[PortableHash].getName, "graft_phash"),
       (children: Seq[Expression]) => PortableHash(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
   }
 }
