@@ -45,7 +45,7 @@ object Dedup {
     * explode is codegen'd row arithmetic; the only exchange is the
     * per-doc window shuffle — linear, partition-parallel, skew-free.
     * Values are bit-identical to hashing the joined shingle string. */
-  private def shingleHashRows(
+  private[graft] def shingleHashRows(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       extra: Seq[Column] = Nil, portable: Boolean = true): DataFrame = {
     val toks = df.select(
@@ -130,17 +130,34 @@ object Dedup {
       .distinct()
   }
 
-  /** Per-document SimHash over token hashes (low `bits` bits). */
-  def simhashes(df: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame =
-    df.select(col(idCol).as("id"), TA.simhash(TA.tokenHashes(col(textCol)), bits).as("simhash"))
+  /** Per-document SimHash over token hashes (low `bits` bits).
+    *
+    * Plan note: computed as `bits` per-bit ±1 sum AGGREGATES over exploded
+    * token-hash rows (codegen'd partial+final agg, one shuffle on the doc
+    * id) rather than the nested-array-lambda fold, which re-evaluates the
+    * token hashing per bit when interpreted. Integer sums are exactly
+    * commutative, so values match the HOF/oracle definition bit-for-bit.
+    * Documents with zero tokens emit no row. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(TA.tokens(col(textCol))).as("tok"))
+      .select(col("id"), call_function("graft_phash", col("tok")).as("h"))
+    val bitSums = (0 until bits).map { b =>
+      val pw = 1L << b
+      sum(((col("h") / lit(pw.toDouble)).cast("long") % lit(2L)) * lit(2L) - lit(1L)).as(s"b_$b")
+    }
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b => when(col(s"b_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs within blocks: pairs whose Hamming distance is
     * ≤ maxHamming. Blocked (blockCols) to keep the pair space linear. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], maxHamming: Int, bits: Int = 24): DataFrame = {
-    val s = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      TA.simhash(TA.tokenHashes(col(textCol)), bits).as("simhash"): _*)
+    val s = simhashes(df, idCol, textCol, bits)
+      .join(df.select(col(idCol).as("id") +: blockCols.map(col): _*), Seq("id"))
     val a = s.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("simhash").as("sim_a"): _*)
     val b = s.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("simhash").as("sim_b"): _*)
     a.join(b, blockCols).filter(col("id_a") < col("id_b"))

@@ -151,13 +151,16 @@ object PipelineQueries {
     },
 
     // Document fingerprinting: whole-text rolling hash + winnowed minimum
-    // 3-gram shingle hash.
+    // 3-gram shingle hash (min over the row-based shingle hashes — docs
+    // with fewer than 3 tokens emit no shingle rows and drop out, same as
+    // the size(tokens) >= 3 filter).
     "e4_fingerprint" -> { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .filter(size(TA.tokens(col("text"))) >= 3)
-        .select(col("doc_id"),
-          TA.fingerprint(col("text")).as("fingerprint"),
-          TA.minShingleHash(col("text"), 3).as("min_shingle_hash"))
+      val docs = Tables.load(s, dir, "documents")
+      val minSh = graft.ops.Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+        .groupBy("id").agg(min(col("h")).as("min_shingle_hash"))
+      docs.select(col("doc_id"), TA.fingerprint(col("text")).as("fingerprint"))
+        .join(minSh, col("doc_id") === col("id"))
+        .select("doc_id", "fingerprint", "min_shingle_hash")
         .orderBy("doc_id")
     },
 
