@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-based checks (SURVEY.md §5): merge idempotence, latest-wins
+  * dedup, salted-join/agg equivalence. Uses plain ScalaCheck generators
+  * with fixed seeds (deterministic; no scalatestplus bridge needed). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOf(for {
+      id <- Gen.choose(0L, 20L)
+      name <- Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(5))
+      bal <- Gen.choose(-100, 100).map(_.toDouble)
+    } yield (id, name, bal))
+
+  private def sample(seed: Long): List[(Long, String, Double)] =
+    rowsGen.apply(Gen.Parameters.default.withSize(30), Seed(seed)).getOrElse(Nil)
+
+  private def dedupById(rows: List[(Long, String, Double)]) =
+    rows.groupBy(_._1).map(_._2.head).toList
+
+  test("merge is idempotent: merge(merge(t,s),s) == merge(t,s)") {
+    for (seed <- 1L to 5L) {
+      val (t0, s0) = (sample(seed), sample(seed + 100))
+      val t = dedupById(t0).toDF("id", "name", "bal")
+      val s = dedupById(s0).toDF("id", "name", "bal")
+      val once = Merge.upsert(t, s, Seq("id"))
+      val twice = Merge.upsert(once, s, Seq("id"))
+      assert(once.orderBy("id", "name").collect().toSeq ==
+        twice.orderBy("id", "name").collect().toSeq, s"seed=$seed")
+    }
+  }
+
+  test("merge result keys = union of target and source keys") {
+    for (seed <- 10L to 14L) {
+      val (t0, s0) = (sample(seed), sample(seed + 100))
+      val t = dedupById(t0).toDF("id", "name", "bal")
+      val s = dedupById(s0).toDF("id", "name", "bal")
+      val out = Merge.upsert(t, s, Seq("id"))
+      val keys = out.select("id").as[Long].collect().toSet
+      assert(keys == (dedupById(t0).map(_._1).toSet ++ dedupById(s0).map(_._1).toSet))
+      assert(out.count() == keys.size, s"seed=$seed")
+    }
+  }
+
+  test("DedupLatest picks the max (order, tiebreak) per key") {
+    for (seed <- 20L to 24L) {
+      val rows = sample(seed)
+      if (rows.nonEmpty) {
+        val df = rows.toDF("id", "name", "bal")
+        val out = DedupLatest(df, Seq("id"), Seq(col("bal").desc, col("name").desc))
+          .as[(Long, String, Double)].collect()
+        val expect = rows.groupBy(_._1).map { case (_, g) =>
+          g.maxBy(r => (r._3, r._2))
+        }.toSet
+        assert(out.toSet == expect, s"seed=$seed")
+      }
+    }
+  }
+
+  test("salted join equals plain join") {
+    for (seed <- 30L to 34L) {
+      val l = sample(seed).toDF("id", "name", "bal")
+      val r = dedupById(sample(seed + 100)).toDF("id", "name2", "bal2").drop("bal2")
+      val plain = l.join(r, Seq("id")).orderBy("id", "name", "name2").collect().toSeq
+      val salted = SkewJoin.salted(l, r, Seq("id"), saltFactor = 4)
+        .orderBy("id", "name", "name2").collect().toSeq
+      assert(salted == plain, s"seed=$seed")
+    }
+  }
+
+  test("saltedAgg count/sum equals plain aggregation") {
+    for (seed <- 40L to 44L) {
+      val rows = sample(seed)
+      if (rows.nonEmpty) {
+        val df = rows.toDF("id", "name", "bal")
+        val plain = df.groupBy("id").agg(count(lit(1)).as("n"), sum("bal").as("s"))
+          .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        val salted = SkewJoin.saltedAgg(df, Seq("id"), 4,
+          partials = Seq(count(lit(1)).as("pn"), sum("bal").as("ps")),
+          finals = Seq(sum("pn").as("n"), sum("ps").as("s")))
+          .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(plain.keySet == salted.keySet, s"seed=$seed")
+        plain.foreach { case (k, (n, s)) =>
+          val (n2, s2) = salted(k)
+          assert(n == n2 && math.abs(s - s2) < 1e-9, s"seed=$seed key=$k")
+        }
+      }
+    }
+  }
+}
