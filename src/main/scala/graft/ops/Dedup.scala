@@ -200,6 +200,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph: groups transitive
+    * duplicate candidates into clusters labeled by their minimum member
+    * id (the canonical representative a dedup pipeline keeps).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in O(graph diameter) rounds, which is tiny for near-dup graphs
+    * (dup clusters are dense and small). Each round is one shuffle join +
+    * aggregate. For 100 TB graphs with long chains, swap in the
+    * large-star/small-star variant (same join shape, fewer rounds).
+    *
+    * @return (id, cluster) — every id that appears in a pair, labeled. */
+  def clusterPairs(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min("cluster").as("nbr_min"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep one representative (min id) per duplicate cluster: rows whose
+    * id is not a non-representative member of any pair cluster. */
+  def dropDuplicateClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val toDrop = clusterPairs(pairs).filter(col("id") =!= col("cluster")).select("id")
+    df.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs within blocks (e.g. an LSH bucket or
     * coarse-cluster assignment): pairs with cosine ≥ threshold. */
   def embeddingNearDupPairs(

@@ -64,14 +64,16 @@ object ReferenceQueries {
       val c = Tables.load(s, dir, "customer")
       val p = Tables.load(s, dir, "part")
       val fact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // group on the native date (compact, comparable key) and format to
+      // string AFTER aggregation — one format per group, not per input
+      // row; 'yyyy-MM-dd' lexical order == chronological so the ORDER BY
+      // is unchanged
       FactRebuild.rebuild(
         fact,
         dims = Seq(
           (c, col("o_custkey") === col("c_custkey"), true),
           (p, col("l_partkey") === col("p_partkey"), true)),
-        groupCols = Seq(
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-          col("c_mktsegment"), col("p_brand")),
+        groupCols = Seq(col("o_orderdate"), col("c_mktsegment"), col("p_brand")),
         aggs = Seq(
           count(lit(1)).as("order_count"),
           moneySum(col("l_quantity")).as("sum_qty"),
@@ -81,7 +83,10 @@ object ReferenceQueries {
           sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount")))
               * (dec(lit(1)) + dec(col("l_tax"))))
             .cast("double").as("sum_charge")),
-        orderCols = Seq(col("order_date"), col("c_mktsegment"), col("p_brand")))
+        orderCols = Seq(col("o_orderdate"), col("c_mktsegment"), col("p_brand")))
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("c_mktsegment"), col("p_brand"), col("order_count"), col("sum_qty"),
+          col("sum_price"), col("sum_disc_price"), col("sum_charge"))
     },
 
     // P2: SELECT * passthrough (customer-...sql:212-216).

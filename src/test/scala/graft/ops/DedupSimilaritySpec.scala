@@ -97,6 +97,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(b(4L) == b(5L))
   }
 
+  test("clusterPairs groups transitive duplicates under the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L), (7L, 8L), (3L, 9L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L && clusters(9L) == 1L)
+    assert(clusters(4L) == 4L && clusters(5L) == 4L)
+    assert(clusters(7L) == 7L && clusters(8L) == 7L)
+  }
+
+  test("dropDuplicateClusters keeps one representative per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropDuplicateClusters(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L)) // 2,3 dropped (cluster rep = 1)
+  }
+
   test("portable phash matches hand-computed fold") {
     // 'abc': ((0*31+97)*31+98)*31+99 = 96354 (mod P no-ops at this size)
     val out = docs.limit(1).select(TA.phash(lit("abc"))).head().getLong(0)
