@@ -104,6 +104,26 @@ object Multimodal {
 
   // ---- dataset-level operators -------------------------------------------
 
+  /** STUB kernel variant with exact integer output (oracle-checkable):
+    * histogram of byte values mod dim, as counts. */
+  private[multimodal] def byteHistogramKernel(media: Array[Byte], dim: Int): Array[Long] = {
+    val hist = new Array[Long](dim)
+    var i = 0
+    while (i < media.length) { hist((media(i) & 0xff) % dim) += 1L; i += 1 }
+    hist
+  }
+
+  /** Byte-histogram counts via the batched mapPartitions path —
+    * (media_id, h: array<long> of length dim). */
+  def byteHistogram(media: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, byteHistogramKernel(bytes, dim)) })
+      .toDF("media_id", "h")
+  }
+
   /** Feature-extract: media table → (media_id, features array<float>).
     * Batched per partition; decoder init happens once per partition. */
   def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {

@@ -166,6 +166,19 @@ object PipelineQueries {
 
     // ---- multimodal (binary) ---------------------------------------------
 
+    // Batched mapPartitions kernel path (the JVM analogue of mapInPandas):
+    // byte histogram counts from the typed media table — checks the
+    // Dataset encoder/batch plumbing end-to-end against a SQL oracle.
+    "m2_media_histogram" -> { (s, dir) =>
+      val media = graft.multimodal.Multimodal.toMediaTable(
+        Tables.load(s, dir, "documents").withColumn("bin", col("text").cast("binary")),
+        "doc_id", "bin")
+      graft.multimodal.Multimodal.byteHistogram(media, 8)
+        .select(col("media_id").as("doc_id") +:
+          (0 until 8).map(b => element_at(col("h"), b + 1).as(s"h$b")): _*)
+        .orderBy("doc_id")
+    },
+
     // Opaque-binary column plumbing: byte length, rolling checksum over
     // bytes (decoded from hex pairs), head bytes — the deterministic stand-
     // in for decode/feature-extract (graft.multimodal has the typed stubs).
@@ -342,6 +355,15 @@ object PipelineQueries {
          |  list_min(sh.hs) AS min_shingle_hash
          |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "m2_media_histogram" -> {
+      val cols = (0 until 8).map { b =>
+        s"len(list_filter(range(1, length(text)+1), i$b -> ascii((text)[i$b]) % 8 = $b)) AS h$b"
+      }.mkString(",\n|  ")
+      s"""SELECT doc_id,
+         |  $cols
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "m1_media_features" ->
       s"""WITH m AS (SELECT doc_id, encode(text) AS media FROM documents),

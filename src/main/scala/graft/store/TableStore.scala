@@ -94,6 +94,15 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   def currentVersion(table: String): Long = readFile(latestPtr(table)).trim.toLong
 
+  /** Register the CURRENT version of `table` as a temp view so `spark.sql`
+    * can query it (a snapshot, like reading a version: re-register after
+    * mutations to see newer commits). */
+  def registerView(table: String, viewName: String = null): Unit =
+    read(table).createOrReplaceTempView(Option(viewName).getOrElse(table))
+
+  /** Register snapshots of every table (SQL-surface catalog listing). */
+  def registerAllViews(): Unit = listTables().foreach(t => registerView(t))
+
   // ---- manifests ----------------------------------------------------------
 
   private def readManifest(table: String, v: Long): Seq[(Int, String)] = {

@@ -82,6 +82,17 @@ class TableStoreSpec extends AnyFunSuite {
     assert(!s2.hasData)
   }
 
+  test("registered views expose store tables to spark.sql") {
+    val st = freshStore()
+    st.createTable("accounts", schema, keys = Seq("id"))
+    st.append("accounts", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    st.registerAllViews()
+    assert(spark.sql("SELECT v FROM accounts WHERE id = 2").head().getString(0) == "b")
+    st.merge("accounts", Seq((2L, "B!")).toDF("id", "v"))
+    st.registerView("accounts") // refresh the snapshot
+    assert(spark.sql("SELECT v FROM accounts WHERE id = 2").head().getString(0) == "B!")
+  }
+
   test("schema align casts and pads missing columns on write") {
     val st = freshStore()
     val typed = StructType(Seq(
