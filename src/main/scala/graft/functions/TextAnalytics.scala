@@ -142,16 +142,20 @@ object TextAnalytics {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
 
-  /** Language-ID: per-language stopword counts; winner = highest count,
-    * ties broken by the fixed order of [[stopwords]]. Returns the
-    * predicted language code. */
-  def langId(toks: Column): Column = {
-    val scored = stopwords.map { case (lang, words) => (lang, stopwordCount(toks, words)) }
+  /** Winner from per-language scores: highest count, ties broken by the
+    * fixed order of `scored`; 'und' when every score is zero. */
+  def langIdFromCounts(scored: Seq[(String, Column)]): Column = {
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
       when(c === best && c > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Language-ID: per-language stopword counts; winner = highest count,
+    * ties broken by the fixed order of [[stopwords]]. Returns the
+    * predicted language code. */
+  def langId(toks: Column): Column =
+    langIdFromCounts(stopwords.map { case (lang, words) => (lang, stopwordCount(toks, words)) })
 
   /** Sum of token lengths (exact int; mean = cast(double)/n). */
   def sumTokenLen(toks: Column): Column =

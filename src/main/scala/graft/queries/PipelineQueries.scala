@@ -114,39 +114,43 @@ object PipelineQueries {
 
     // ---- text analysis ----------------------------------------------------
 
-    // Stopword-list language-ID with per-language scores.
+    // Stopword-list language-ID with per-language scores (explode+agg
+    // plan via TextStats; values identical to the column-function form).
     "e1_langid" -> { (s, dir) =>
-      val toks = TA.tokens(col("text"))
-      val scores = TA.stopwords.map { case (l, ws) =>
-        TA.stopwordCount(toks, ws).cast("long").as(s"c_$l") }
-      Tables.load(s, dir, "documents")
-        .select((col("doc_id") +: col("lang") +: scores) :+ TA.langId(toks).as("pred_lang"): _*)
+      val docs = Tables.load(s, dir, "documents")
+      val stats = graft.ops.TextStats.perDoc(docs, "doc_id", "text")
+      val scored = TA.stopwords.map { case (l, _) => (l, col(s"c_$l")) }
+      docs.select(col("doc_id"), col("lang"))
+        .join(stats, col("doc_id") === col("id"))
+        .withColumn("pred_lang", TA.langIdFromCounts(scored))
         .withColumn("correct", col("pred_lang") === col("lang"))
+        .select((col("doc_id") +: col("lang") +: TA.stopwords.map { case (l, _) => col(s"c_$l") })
+          ++ Seq(col("pred_lang"), col("correct")): _*)
         .orderBy("doc_id")
     },
 
     // Quality scoring: lexical diversity + stopword presence + length prior.
     "e2_quality" -> { (s, dir) =>
-      val toks = TA.tokens(col("text"))
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          TA.typeTokenRatio(toks).as("ttr"),
-          (TA.stopwordCount(toks, TA.stopwords.head._2).cast("double") /
-            size(toks).cast("double")).as("stop_ratio"),
-          TA.qualityScore(col("text")).as("quality"))
+      val docs = Tables.load(s, dir, "documents")
+      val stats = graft.ops.TextStats.perDoc(docs, "doc_id", "text")
+      val n = col("n_tokens").cast("double")
+      val ttr = col("n_distinct").cast("double") / n
+      val stop = col("c_en").cast("double") / n
+      stats
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          ttr.as("ttr"), stop.as("stop_ratio"),
+          (lit(0.4) * ttr + lit(0.4) * least(stop * lit(5.0), lit(1.0))
+            + lit(0.2) * least(n / lit(100.0), lit(1.0))).as("quality"))
         .orderBy("doc_id")
     },
 
     // Token counting: whitespace + BPE-ish subword estimate.
     "e3_token_stats" -> { (s, dir) =>
-      val toks = TA.tokens(col("text"))
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          TA.subwordCountEst(toks).as("n_subwords_est"),
-          TA.sumTokenLen(toks).as("sum_token_len"),
-          (TA.sumTokenLen(toks).cast("double") / size(toks).cast("double")).as("avg_token_len"))
+      val stats = graft.ops.TextStats.perDoc(Tables.load(s, dir, "documents"), "doc_id", "text")
+      stats.select(col("id").as("doc_id"), col("n_tokens"), col("n_subwords_est"),
+          col("sum_token_len"),
+          (col("sum_token_len").cast("double") / col("n_tokens").cast("double"))
+            .as("avg_token_len"))
         .orderBy("doc_id")
     },
 
