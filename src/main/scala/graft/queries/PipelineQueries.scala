@@ -168,6 +168,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- event-time windows ----------------------------------------------
+
+    // Tumbling 1-minute event-time windows over the events table — the
+    // batch shape of EventStreams.windowedStats with decimal-exact sums
+    // (order-independent, so the hash compare holds).
+    "st1_windowed_stats" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy(expr("ts_us div 60000000").cast("long").as("minute"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+            .cast("double").as("sum_value"))
+        .orderBy("minute", "event_type")
+    },
+
     // ---- multimodal (binary) ---------------------------------------------
 
     // Batched mapPartitions kernel path (the JVM analogue of mapInPandas):
@@ -359,6 +374,12 @@ object PipelineQueries {
          |  list_min(sh.hs) AS min_shingle_hash
          |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "st1_windowed_stats" ->
+      """SELECT epoch_us(ts) // 60000000 AS minute, event_type,
+        |  count(1) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin,
 
     "m2_media_histogram" -> {
       val cols = (0 until 8).map { b =>

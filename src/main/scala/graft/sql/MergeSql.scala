@@ -1,0 +1,140 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.ops.Merge
+import graft.store.TableStore
+
+/** SQL surface for the reference's MERGE INTO dialect (SURVEY.md §7
+  * optional stretch; reference: customer-end-to-end-pipeline-script
+  * .sql:77-114 etc.) so reference-shaped statements run verbatim against
+  * a [[TableStore]]:
+  *
+  * {{{
+  *   MERGE INTO raw_item AS t USING stg_item_stream AS s
+  *   ON t.item_id = s.item_id [AND t.k2 = s.k2 ...]
+  *   WHEN MATCHED THEN UPDATE SET t.c = <expr>, ...
+  *   WHEN NOT MATCHED THEN INSERT (c1, c2, ...) VALUES (<expr>, ...)
+  * }}}
+  *
+  * The ON clause must be a conjunction of t.<col> = s.<col> equalities
+  * (the only shape the reference uses — its composite-key merge is four
+  * AND'ed equalities). UPDATE/INSERT value expressions are parsed by
+  * Spark's own expression parser (`expr`), with `t.`/`s.` qualifiers
+  * rewritten to the merge-internal aliases, so any Spark SQL scalar
+  * expression works (casts, current_timestamp(), arithmetic, …).
+  *
+  * Execution delegates to [[Merge.upsert]] (full-outer join rewrite) and
+  * the store's bucket-pruned atomic commit ([[TableStore.merge]] handles
+  * storage when the target is a store table).
+  */
+object MergeSql {
+
+  final case class ParsedMerge(
+      target: String, source: String,
+      targetAlias: String, sourceAlias: String,
+      keys: Seq[String],
+      matchedSet: Option[Map[String, String]],     // col -> raw expr text
+      insertCols: Option[(Seq[String], Seq[String])]) // (cols, raw expr texts)
+
+  private val MergePattern =
+    ("""(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+""" +
+      """USING\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+""" +
+      """ON\s+(.*?)\s*""" +
+      """(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s*)?""" +
+      """(?:WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*;?\s*)?$""").r
+
+  def parse(sql: String): ParsedMerge = sql match {
+    case MergePattern(target, tAlias, source, sAlias, onClause, setClause, insCols, insVals) =>
+      val keys = onClause.split("(?i)\\s+AND\\s+").toIndexedSeq.map { eq =>
+        val sides = eq.split("=").map(_.trim)
+        require(sides.length == 2, s"ON clause must be equalities: $eq")
+        val (l, r) = (sides(0), sides(1))
+        val lcol = stripQualifier(l, tAlias, sAlias)
+        val rcol = stripQualifier(r, tAlias, sAlias)
+        require(lcol == rcol,
+          s"ON equality must join the same column name on both sides, got $l = $r")
+        lcol
+      }
+      val matched = Option(setClause).map(splitTopLevel(_, ',').map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"bad SET assignment: $a")
+        stripQualifier(a.take(i).trim, tAlias, sAlias) -> a.drop(i + 1).trim
+      }.toMap)
+      val insert = (Option(insCols), Option(insVals)) match {
+        case (Some(cs), Some(vs)) =>
+          val cols = cs.split(",").toIndexedSeq.map(c => stripQualifier(c.trim, tAlias, sAlias))
+          val vals = splitTopLevel(vs, ',').map(_.trim)
+          require(cols.length == vals.length,
+            s"INSERT has ${cols.length} columns but ${vals.length} values")
+          Some((cols, vals))
+        case _ => None
+      }
+      ParsedMerge(target, source, tAlias, sAlias, keys, matched, insert)
+    case _ => throw new IllegalArgumentException(s"unsupported MERGE shape:\n$sql")
+  }
+
+  /** Split on `sep` ignoring separators inside parentheses or quotes. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' => quote = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += ch
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  private def stripQualifier(c: String, tAlias: String, sAlias: String): String = {
+    val p = c.split("\\.")
+    if (p.length == 2 && (p(0).equalsIgnoreCase(tAlias) || p(0).equalsIgnoreCase(sAlias))) p(1)
+    else if (p.length == 1) p(0)
+    else c
+  }
+
+  /** Rewrite t./s. qualifiers to the Merge-internal aliases and parse
+    * with Spark's expression parser. */
+  private def toColumn(raw: String, pm: ParsedMerge): Column = {
+    val rewritten = raw
+      .replaceAll(s"(?i)\\b${pm.targetAlias}\\.", s"${Merge.T}.")
+      .replaceAll(s"(?i)\\b${pm.sourceAlias}\\.", s"${Merge.S}.")
+    expr(rewritten)
+  }
+
+  /** Execute against DataFrames (target/source resolved by caller).
+    * Returns the post-merge target contents. Snowflake branch semantics:
+    * a missing WHEN MATCHED leaves matched target rows unchanged; a
+    * missing WHEN NOT MATCHED drops source-only rows. */
+  def execute(target: DataFrame, source: DataFrame, pm: ParsedMerge): DataFrame = {
+    val matchedSet = Some(pm.matchedSet
+      .map(_.map { case (c, raw) => c -> toColumn(raw, pm) })
+      .getOrElse(Map.empty[String, Column])) // no branch: keep target values
+    val insertSet = pm.insertCols.map { case (cols, vals) =>
+      cols.zip(vals.map(toColumn(_, pm))).toMap
+    }
+    val src = if (pm.insertCols.isDefined) source
+      else source.join(target.select(pm.keys.map(col): _*).distinct(), pm.keys, "left_semi")
+    Merge.upsert(target, src, pm.keys, matchedSet, insertSet)
+  }
+
+  /** Execute a MERGE INTO statement against store tables: target must be
+    * a store table; source may be a store table or a registered temp
+    * view/table resolvable by `spark.table`. Commits atomically. */
+  def run(spark: SparkSession, store: TableStore, sql: String): Unit = {
+    val pm = parse(sql)
+    val source =
+      if (store.exists(pm.source)) store.read(pm.source) else spark.table(pm.source)
+    val merged = execute(store.read(pm.target), source, pm)
+    store.overwrite(pm.target, merged)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.store.TableStore
+
+/** Reference-shaped MERGE INTO statements running verbatim (SURVEY.md §7
+  * optional SQL surface; shapes mirror customer-...sql:77-114 and the
+  * composite-key order-...sql:111-168 — our own statements, same dialect). */
+class MergeSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("single-key merge with UPDATE SET + INSERT VALUES and casts") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sql").toString, 2)
+    store.createTable("raw_item", Seq((1L, "old", 10.0)).toDF("item_id", "item_desc", "price").schema,
+      keys = Seq("item_id"))
+    store.append("raw_item", Seq((1L, "old", 10.0), (2L, "keep", 20.0)).toDF("item_id", "item_desc", "price"))
+    Seq((1L, "NEW", "15.5"), (3L, "ins", "30.0")).toDF("item_id", "item_desc", "price")
+      .createOrReplaceTempView("stg_item_stream")
+
+    MergeSql.run(spark, store,
+      """MERGE INTO raw_item AS t USING stg_item_stream AS s
+        |ON t.item_id = s.item_id
+        |WHEN MATCHED THEN UPDATE SET t.item_desc = s.item_desc,
+        |  t.price = cast(s.price as double) + 1.0
+        |WHEN NOT MATCHED THEN INSERT (item_id, item_desc, price)
+        |VALUES (s.item_id, lower(s.item_desc), cast(s.price as double))""".stripMargin)
+
+    val out = store.read("raw_item").orderBy("item_id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "NEW", 16.5), (2L, "keep", 20.0), (3L, "ins", 30.0)))
+  }
+
+  test("composite 4-column key merge (order-pipeline shape)") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sql2").toString, 2)
+    val t = Seq(("2024-01-01", "08:00", "I1", "desc1", 5L))
+      .toDF("order_date", "order_time", "item_id", "item_desc", "qty")
+    store.createTable("raw_order", t.schema,
+      keys = Seq("order_date", "order_time", "item_id", "item_desc"))
+    store.append("raw_order", t)
+    Seq(("2024-01-01", "08:00", "I1", "desc1", 9L), ("2024-01-02", "09:00", "I2", "desc2", 4L))
+      .toDF("order_date", "order_time", "item_id", "item_desc", "qty")
+      .createOrReplaceTempView("stg_order_stream")
+
+    MergeSql.run(spark, store,
+      """MERGE INTO raw_order t USING stg_order_stream s
+        |ON t.order_date = s.order_date AND t.order_time = s.order_time
+        |  AND t.item_id = s.item_id AND t.item_desc = s.item_desc
+        |WHEN MATCHED THEN UPDATE SET t.qty = s.qty
+        |WHEN NOT MATCHED THEN INSERT (order_date, order_time, item_id, item_desc, qty)
+        |VALUES (s.order_date, s.order_time, s.item_id, s.item_desc, s.qty)""".stripMargin)
+
+    val out = store.read("raw_order").orderBy("order_date")
+      .as[(String, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", "08:00", "I1", "desc1", 9L),
+      ("2024-01-02", "09:00", "I2", "desc2", 4L)))
+  }
+
+  test("update-only merge leaves unmatched source rows out") {
+    val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val s = Seq((2L, "B"), (9L, "X")).toDF("id", "v")
+    val pm = MergeSql.parse(
+      "MERGE INTO tgt t USING src s ON t.id = s.id WHEN MATCHED THEN UPDATE SET t.v = s.v")
+    val out = MergeSql.execute(t, s, pm).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"))) // no INSERT branch -> 9 not added
+  }
+
+  test("malformed statements are rejected") {
+    intercept[IllegalArgumentException](MergeSql.parse("MERGE INTO a USING b"))
+    intercept[IllegalArgumentException](MergeSql.parse(
+      "MERGE INTO a t USING b s ON t.x = s.y WHEN MATCHED THEN UPDATE SET t.x = s.x"))
+  }
+}
