@@ -98,4 +98,48 @@ object Similarity {
     * get cosine-similar candidate pairs without scanning the corpus. */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
     df.select(col(idCol).as("id"), VA.srpBucket(col(vecCol), planes).as("bucket"))
+
+  /** Deterministic Lloyd's k-means over the embedding column — trains the
+    * coarse quantizer for [[ivfTopK]] when no natural partition column
+    * exists. Initialization is the first k vectors by ascending id (no
+    * RNG — reproducible across runs); distance is squared L2.
+    *
+    * Scale: each iteration is one broadcast of k centroids + a map-side
+    * nearest-centroid assignment + one hash-aggregate for the new means —
+    * no quadratic work, no driver-side data beyond k×dim centroids.
+    *
+    * @return (id, cluster) assignments; cluster ∈ [0, k). */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val v = df.select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+    var cents: Array[Seq[Double]] = v.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](1))
+    for (_ <- 1 to iters) {
+      val centArr = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+      val assigned = v.withColumn("cluster", nearestIdx(col("v"), centArr))
+      val dims = cents.head.length
+      val sums = assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          (0 until dims).map(d => sum(element_at(col("v"), d + 1)).as(s"s_$d")): _*)
+        .collect()
+      val byCluster = sums.map(r => r.getAs[Int]("cluster") -> r).toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCluster.get(i) match {
+          case Some(r) =>
+            val n = r.getAs[Long]("n").toDouble
+            (0 until old.length).map(d => r.getAs[Double](s"s_$d") / n)
+          case None => old // empty cluster keeps its centroid
+        }
+      }
+    }
+    val centArr = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    v.select(col("id"), nearestIdx(col("v"), centArr).as("cluster"))
+  }
+
+  /** Index of the nearest centroid (squared L2, first-wins ties). */
+  private def nearestIdx(v: Column, centArr: Column): Column = {
+    val dists = transform(centArr, c =>
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0), (s, d) => s + d))
+    array_position(dists, array_min(dists)).cast("int") - 1
+  }
 }

@@ -90,6 +90,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Set(4L, 5L)) // label-0 vectors never scanned
   }
 
+  test("kmeans separates well-separated blobs and feeds ivfTopK") {
+    val blobs = (
+      (1L to 10L).map(i => (i, Array(10f + i * 0.01f, 0f, 0f), 0)) ++
+      (11L to 20L).map(i => (i, Array(0f, 10f + i * 0.01f, 0f), 0))
+    ).toDF("vec_id", "embedding", "label")
+    val assign = Similarity.kmeans(blobs, "vec_id", "embedding", k = 2, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c1 = (1L to 10L).map(assign).toSet
+    val c2 = (11L to 20L).map(assign).toSet
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2, s"blobs must split: $assign")
+
+    // trained clusters work as the IVF coarse quantizer
+    val clustered = blobs.join(
+      Similarity.kmeans(blobs, "vec_id", "embedding", 2, 5)
+        .withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+    val q = Seq((99L, Array(0f, 10f, 0f), -1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopK(clustered, q, "vec_id", "embedding", "cluster", k = 3, nprobe = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(out.subsetOf((11L to 20L).toSet), s"probe must stay in the y-axis blob: $out")
+  }
+
   test("srp buckets put near-identical vectors together") {
     val b = Similarity.srpBuckets(vecs, "vec_id", "embedding", planes = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
