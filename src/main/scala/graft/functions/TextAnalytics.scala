@@ -186,6 +186,20 @@ object TextAnalytics {
     lit(0.4) * ttr + lit(0.4) * least(stop * lit(5.0), lit(1.0)) + lit(0.2) * lenPrior
   }
 
+  // ---- PII redaction ------------------------------------------------------
+
+  /** (pattern, replacement) pairs applied in order. Conservative,
+    * dialect-portable regexes (no \d / lookaround) so DuckDB's
+    * regexp_replace(…, 'g') computes the identical result. */
+  val redactionRules: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}" -> "<PHONE>",
+    "[0-9]{9,}" -> "<ID>")
+
+  /** Scrub PII-looking spans (emails, phone shapes, long digit runs). */
+  def redact(text: Column): Column =
+    redactionRules.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   // ---- fingerprinting -----------------------------------------------------
 
   /** Document fingerprint: portable hash of the whole text (content id)

@@ -168,6 +168,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // PII redaction: emails / phone shapes / long digit runs scrubbed.
+    // The corpus has no PII, so the query synthesizes a contaminated
+    // column first (deterministically from doc_id) and redacts it.
+    "e5_pii_redact" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("contaminated",
+          concat(substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id"), lit("@example.com or 555-123-4567 ref 9"),
+            col("doc_id"), lit("88776655")))
+        .select(col("doc_id"), TA.redact(col("contaminated")).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // Distinct-count sketch: exact distinct tokens vs the used-bucket
+    // count of a 1024-bucket linear-counting sketch over the portable
+    // hash — both exact integers, so the sketch mechanics are
+    // oracle-checked without floating-point estimate formulas.
+    "e6_distinct_sketch" -> { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+        .select(col("source"), call_function("graft_phash", col("tok")).as("h"))
+      toks.groupBy("source")
+        .agg(countDistinct(col("h")).as("n_distinct_hashes"),
+          countDistinct(pmod(col("h"), lit(1024L))).as("n_buckets_used"))
+        .orderBy("source")
+    },
+
     // ---- event-time windows ----------------------------------------------
 
     // Tumbling 1-minute event-time windows over the events table — the
@@ -374,6 +401,27 @@ object PipelineQueries {
          |  list_min(sh.hs) AS min_shingle_hash
          |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "e5_pii_redact" -> {
+      // the runtime pattern strings are already the regex text; DuckDB
+      // single-quoted strings take backslashes literally, same as Java
+      val redacted = TA.redactionRules.foldLeft(
+        "substring(text, 1, 40) || ' contact user' || doc_id || '@example.com or 555-123-4567 ref 9' || doc_id || '88776655'") {
+        case (e, (p, r)) => s"regexp_replace($e, '$p', '$r', 'g')"
+      }
+      s"""SELECT doc_id, $redacted AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "e6_distinct_sketch" -> {
+      val ph = dPhash("tk2[ti]", "k")
+      s"""WITH toks2 AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tk2 FROM documents),
+         |hs AS (SELECT source, unnest(list_transform(range(1, len(tk2)+1), ti -> $ph)) AS h
+         |       FROM toks2)
+         |SELECT source, count(DISTINCT h) AS n_distinct_hashes,
+         |  count(DISTINCT h % 1024) AS n_buckets_used
+         |FROM hs GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "st1_windowed_stats" ->
       """SELECT epoch_us(ts) // 60000000 AS minute, event_type,
