@@ -125,13 +125,58 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   // ---- read ---------------------------------------------------------------
 
   /** Read the latest table contents (optionally only the given buckets). */
-  def read(table: String, buckets: Option[Set[Int]] = None): DataFrame = {
-    val entries0 = readManifest(table, currentVersion(table))
+  def read(table: String, buckets: Option[Set[Int]] = None): DataFrame =
+    readVersion(table, currentVersion(table), buckets)
+
+  /** Time travel: read the table as of version `v` (manifests are never
+    * mutated, so any retained version is reconstructable). */
+  def readVersion(table: String, v: Long, buckets: Option[Set[Int]] = None): DataFrame = {
+    val entries0 = readManifest(table, v)
     val entries = buckets.map(bs => entries0.filter(e => bs(e._1))).getOrElse(entries0)
     if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(table))
     else
       spark.read.schema(schemaOf(table)).parquet(entries.map(_._2): _*)
+  }
+
+  /** Garbage-collect: drop manifests, change batches, and data-batch dirs
+    * not referenced by the `keepVersions` most recent versions. Readers
+    * of retained versions are unaffected (their files are untouched). */
+  def vacuum(table: String, keepVersions: Int = 1): Unit = synchronized {
+    require(keepVersions >= 1)
+    val cur = currentVersion(table)
+    val keepFrom = math.max(0L, cur - keepVersions + 1)
+    val keptDirs: Set[String] = (keepFrom to cur)
+      .flatMap(v => readManifest(table, v).map(e => new Path(e._2).getParent.toString))
+      .toSet
+    val dataRoot = new Path(tdir(table), "data")
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).foreach { st =>
+        if (!keptDirs.contains(st.getPath.toString)) fs.delete(st.getPath, true)
+      }
+    val verRoot = new Path(tdir(table), "_versions")
+    if (fs.exists(verRoot))
+      fs.listStatus(verRoot).foreach { st =>
+        val v = st.getPath.getName.stripPrefix("v").toLong
+        if (v < keepFrom) fs.delete(st.getPath, false)
+      }
+    // change batches are retained while ANY stream still has them pending
+    // (offset < v means version v is unconsumed by that stream)
+    val streamsRoot = new Path(tdir(table), "_streams")
+    val minConsumed: Long =
+      if (!fs.exists(streamsRoot)) cur
+      else {
+        val offs = fs.listStatus(streamsRoot).toIndexedSeq
+          .filter(_.getPath.getName.endsWith(".offset"))
+          .map(st => readFile(st.getPath).trim.toLong)
+        if (offs.isEmpty) cur else offs.min
+      }
+    val chRoot = new Path(tdir(table), "_changes")
+    if (fs.exists(chRoot))
+      fs.listStatus(chRoot).foreach { st =>
+        val v = st.getPath.getName.stripPrefix("v").toLong
+        if (v < keepFrom && v <= minConsumed) fs.delete(st.getPath, true)
+      }
   }
 
   // ---- write paths --------------------------------------------------------

@@ -82,6 +82,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(!s2.hasData)
   }
 
+  test("time travel reads and vacuum retention") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))               // v1
+    st.append("t", Seq((2L, "b")).toDF("id", "v"))               // v2
+    st.overwrite("t", Seq((9L, "z")).toDF("id", "v"))            // v3
+    assert(st.readVersion("t", 1).count() == 1)
+    assert(st.readVersion("t", 2).count() == 2)
+    assert(st.read("t").count() == 1)
+
+    // an unconsumed stream protects its pending change batches
+    val stm = ChangeStream.create(st, "t", "s")
+    st.append("t", Seq((3L, "c")).toDF("id", "v"))               // v4
+    st.vacuum("t", keepVersions = 1)
+    assert(st.read("t").count() == 2)                            // current intact
+    val pending = stm.consume(_.count())
+    assert(pending == 1, "pending change batch must survive vacuum")
+  }
+
   test("registered views expose store tables to spark.sql") {
     val st = freshStore()
     st.createTable("accounts", schema, keys = Seq("id"))
