@@ -100,6 +100,19 @@ class Orchestrator(spark: SparkSession, store: TableStore, runLogTable: String =
     states.toMap
   }
 
+  /** The reference's `schedule = '1 minute'` root-task loop (ST4): run
+    * `cycles` scheduler ticks `intervalMs` apart (next tick waits for the
+    * previous cycle to finish, as Snowflake skips overlapping runs).
+    * Returns the per-cycle states. */
+  def runLoop(root: String, intervalMs: Long, cycles: Int): Seq[Map[String, String]] =
+    (1 to cycles).map { i =>
+      val t0 = System.currentTimeMillis()
+      val states = runCycle(root)
+      val elapsed = System.currentTimeMillis() - t0
+      if (i < cycles && elapsed < intervalMs) Thread.sleep(intervalMs - elapsed)
+      states
+    }
+
   /** Children-of-`root` subgraph in topological (creation-refined) order. */
   private def topoFrom(root: String): Seq[String] = {
     val reach = mutable.LinkedHashSet(root)

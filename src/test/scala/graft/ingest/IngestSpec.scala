@@ -46,6 +46,34 @@ class IngestSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("pipe continuous mode ingests landed files until paused") {
+    val landing = Files.createTempDirectory("graft_landing_c")
+    val storeDir = Files.createTempDirectory("graft_pipe_store_c")
+    val ckpt = Files.createTempDirectory("graft_pipe_ckpt_c")
+    val store = new TableStore(spark, storeDir.toString, numBuckets = 2)
+    store.createTable("stg_c", schema)
+    val pipe = new Pipe(spark, "pc", landing.toString, "stg_c", schema, store, ckpt.toString)
+    pipe.start(intervalMs = 200L)
+    try {
+      assert(pipe.isRunning && pipe.status.startsWith("RUNNING"))
+      Files.writeString(landing.resolve("a.csv"), "A,B,C\n1,x,y\n")
+      val deadline = System.currentTimeMillis() + 30000
+      while (store.read("stg_c").count() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(store.read("stg_c").count() == 1, "continuous pipe must ingest the landed file")
+    } finally pipe.pause()
+    assert(!pipe.isRunning && pipe.status == "PAUSED")
+    // resume picks up files landed while paused (checkpoint preserved)
+    Files.writeString(landing.resolve("b.csv"), "A,B,C\n2,p,q\n")
+    pipe.resume(intervalMs = 200L)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (store.read("stg_c").count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(store.read("stg_c").count() == 2)
+    } finally pipe.pause()
+  }
+
   test("pipe runOnce ingests each landed file exactly once into the stage table") {
     val landing = Files.createTempDirectory("graft_landing")
     val storeDir = Files.createTempDirectory("graft_pipe_store")

@@ -95,10 +95,13 @@ class FactPipelineSpec extends AnyFunSuite {
     assert(f2(1).getAs[Long]("order_count") == 1)
     assert(store.read("raw_order").count() == 3) // composite upsert, not append
 
-    // cycle 3: idle — everything gated off, overwrite idempotent
-    val s3 = orch.runCycle("pause_pipe")
-    assert(s3("pause_pipe") == "SKIPPED" && s3("fact_order_tsk") == "SKIPPED")
-    assert(s3("play_pipe") == "SUCCEEDED") // negated gate true when idle
+    // cycles 3-4: scheduled loop while idle — everything gated off,
+    // overwrite idempotent (the reference's 1-minute schedule, compressed)
+    val loopStates = orch.runLoop("pause_pipe", intervalMs = 50L, cycles = 2)
+    loopStates.foreach { s3 =>
+      assert(s3("pause_pipe") == "SKIPPED" && s3("fact_order_tsk") == "SKIPPED")
+      assert(s3("play_pipe") == "SUCCEEDED") // negated gate true when idle
+    }
     assert(store.read("fact_order").count() == 2)
   }
 }
