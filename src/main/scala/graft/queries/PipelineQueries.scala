@@ -94,6 +94,36 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- beyond-reference relational completeness ------------------------
+
+    // ROLLUP hierarchy totals (Catalyst Expand-based grouping sets).
+    "a4_rollup" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+    },
+
+    // Distinct aggregates alongside plain ones.
+    "a5_distinct_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("o_orderpriority")
+    },
+
+    // min / max / exact avg (decimal-sum / count).
+    "a6_minmax" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          (sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+            .cast("double") / count(lit(1)).cast("double")).as("avg_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- similarity search ------------------------------------------------
 
     // Brute-force cosine top-5 for the first 10 vectors (exact baseline).
@@ -401,6 +431,21 @@ object PipelineQueries {
          |  list_min(sh.hs) AS min_shingle_hash
          |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "a4_rollup" ->
+      """SELECT lang, source, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+
+    "a5_distinct_agg" ->
+      """SELECT o_orderpriority, count(1) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a6_minmax" ->
+      """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / count(1) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "e5_pii_redact" -> {
       // the runtime pattern strings are already the regex text; DuckDB
