@@ -124,6 +124,36 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // Backward as-of join: each click joined to the latest preceding view
+    // by the same user (union + one window pass — no per-key arrays).
+    "j6_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts_us")
+      val views = graft.ops.DedupLatest(
+        ev.filter(col("event_type") === "view")
+          .select("user_id", "event_id", "ts_us", "value"),
+        Seq("user_id", "ts_us"), Seq(col("event_id").desc))
+      graft.ops.TemporalJoins.asofBackward(clicks, views, Seq("user_id"), "ts_us",
+          Map("event_id" -> "view_event_id", "value" -> "view_value"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // Range (interval-overlap) join without an equi key: global hour-long
+    // windows vs all events, executed as a binned equi-join + post-filter.
+    "j7_range_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val iv = ev.groupBy(col("user_id").as("interval_id"))
+        .agg(min(col("ts_us")).as("start_us"))
+        .filter(col("interval_id") < 20)
+        .withColumn("end_us", col("start_us") + lit(3600000000L))
+      graft.ops.TemporalJoins.pointInRange(
+          ev.select("event_id", "ts_us"), iv, "ts_us", "start_us", "end_us",
+          binWidth = 600000000L)
+        .groupBy("interval_id").agg(count(lit(1)).as("n_events"))
+        .orderBy("interval_id")
+    },
+
     // ---- similarity search ------------------------------------------------
 
     // Brute-force cosine top-5 for the first 10 vectors (exact baseline).
@@ -431,6 +461,26 @@ object PipelineQueries {
          |  list_min(sh.hs) AS min_shingle_hash
          |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "j6_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+        |clicks AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+        |views AS (SELECT user_id, event_id, ts_us, value FROM ev WHERE event_type = 'view'
+        |          QUALIFY row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) = 1)
+        |SELECT c.user_id, c.event_id, c.ts_us,
+        |  v.event_id AS view_event_id, v.value AS view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+        |ORDER BY c.user_id, c.ts_us, c.event_id""".stripMargin,
+
+    "j7_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |iv AS (SELECT user_id AS interval_id, min(ts_us) AS start_us,
+        |         min(ts_us) + 3600000000 AS end_us
+        |       FROM ev GROUP BY user_id HAVING user_id < 20)
+        |SELECT interval_id, count(1) AS n_events
+        |FROM ev JOIN iv ON ts_us >= start_us AND ts_us < end_us
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
 
     "a4_rollup" ->
       """SELECT lang, source, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
