@@ -154,6 +154,57 @@ object PipelineQueries {
         .orderBy("interval_id")
     },
 
+    // Exact interpolated percentiles (Catalyst `percentile`).
+    "a7_percentiles" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // Set operations: INTERSECT / EXCEPT / UNION with distinct semantics.
+    "s8_setops" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_regionkey")
+      val a = n.filter(col("n_nationkey") < 15)
+      val b = n.filter(col("n_nationkey") >= 10)
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("only_a")))
+        .orderBy("op", "n_nationkey")
+    },
+
+    // Scalar string-function surface (concat/substr/case/trim/pad/replace/
+    // split/locate/translate) — exact string outputs.
+    "e7_string_funcs" -> { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("u"),
+          lower(col("c_mktsegment")).as("l"),
+          substring(col("c_name"), 1, 8).as("sub"),
+          length(col("c_name")).cast("long").as("len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("digits_masked"),
+          reverse(col("c_mktsegment")).as("rev"),
+          instr(col("c_name"), "Customer").cast("long").as("pos"))
+        .orderBy("c_custkey")
+    },
+
+    // Date/time function surface (year/month/day/dow/trunc/add/diff).
+    "e8_datetime" -> { (s, dir) =>
+      val d = col("o_orderdate").cast("date")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(d).cast("long").as("y"),
+          month(d).cast("long").as("m"),
+          dayofmonth(d).cast("long").as("dom"),
+          date_format(date_trunc("month", d), "yyyy-MM-dd").as("month_start"),
+          date_format(date_add(d, 30), "yyyy-MM-dd").as("plus30"),
+          datediff(lit("1998-12-31").cast("date"), d).cast("long").as("days_to_end"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- similarity search ------------------------------------------------
 
     // Brute-force cosine top-5 for the first 10 vectors (exact baseline).
@@ -461,6 +512,45 @@ object PipelineQueries {
          |  list_min(sh.hs) AS min_shingle_hash
          |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "a7_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "s8_setops" ->
+      """WITH n AS (SELECT n_nationkey, n_regionkey FROM nation),
+        |a AS (SELECT * FROM n WHERE n_nationkey < 15),
+        |b AS (SELECT * FROM n WHERE n_nationkey >= 10)
+        |SELECT *, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT *, 'only_a' AS op FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |ORDER BY op, n_nationkey""".stripMargin,
+
+    "e7_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS u,
+        |  lower(c_mktsegment) AS l,
+        |  substring(c_name, 1, 8) AS sub,
+        |  length(c_name) AS len,
+        |  c_mktsegment || '|' || c_name AS joined,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS digits_masked,
+        |  reverse(c_mktsegment) AS rev,
+        |  strpos(c_name, 'Customer') AS pos
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "e8_datetime" ->
+      """SELECT o_orderkey,
+        |  year(CAST(o_orderdate AS DATE)) AS y,
+        |  month(CAST(o_orderdate AS DATE)) AS m,
+        |  day(CAST(o_orderdate AS DATE)) AS dom,
+        |  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "j6_asof_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
