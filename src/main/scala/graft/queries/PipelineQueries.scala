@@ -124,6 +124,33 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // Left-outer join + anti-join semantics: customers with their order
+    // counts, unmatched customers flagged (anti set = no_orders true).
+    "j8_outer_anti" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val oc = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("n_orders").isNull.as("no_orders"))
+        .orderBy("c_custkey")
+    },
+
+    // Full-outer join with side indicators and key coalescing.
+    "j9_full_outer" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+      val a = n.filter(col("n_nationkey") < 15)
+        .select(col("n_nationkey").as("ka"), col("n_name").as("name_a"))
+      val b = n.filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey").as("kb"), upper(col("n_name")).as("name_b"))
+      a.join(b, col("ka") === col("kb"), "full_outer")
+        .select(coalesce(col("ka"), col("kb")).as("k"),
+          col("name_a"), col("name_b"),
+          col("ka").isNotNull.as("in_a"), col("kb").isNotNull.as("in_b"))
+        .orderBy("k")
+    },
+
     // Backward as-of join: each click joined to the latest preceding view
     // by the same user (union + one window pass — no per-key arrays).
     "j6_asof_join" -> { (s, dir) =>
@@ -512,6 +539,24 @@ object PipelineQueries {
          |  list_min(sh.hs) AS min_shingle_hash
          |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "j8_outer_anti" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  n_orders IS NULL AS no_orders
+        |FROM customer LEFT JOIN
+        |  (SELECT o_custkey, count(1) AS n_orders FROM orders GROUP BY o_custkey) oc
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j9_full_outer" ->
+      """WITH n AS (SELECT n_nationkey, n_name FROM nation),
+        |a AS (SELECT n_nationkey AS ka, n_name AS name_a FROM n WHERE n_nationkey < 15),
+        |b AS (SELECT n_nationkey AS kb, upper(n_name) AS name_b FROM n WHERE n_nationkey >= 10)
+        |SELECT coalesce(ka, kb) AS k, name_a, name_b,
+        |  ka IS NOT NULL AS in_a, kb IS NOT NULL AS in_b
+        |FROM a FULL OUTER JOIN b ON ka = kb
+        |ORDER BY k""".stripMargin,
 
     "a7_percentiles" ->
       """SELECT l_returnflag,

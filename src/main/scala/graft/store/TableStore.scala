@@ -139,6 +139,17 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       spark.read.schema(schemaOf(table)).parquet(entries.map(_._2): _*)
   }
 
+  /** Compaction (OPTIMIZE analogue): rewrite the current contents as one
+    * fresh bucketed batch — after many small appends/merges a table
+    * accumulates many small files per bucket; compaction restores one
+    * file set per bucket without changing contents. Commits as a new
+    * version with NO change batch (streams see no phantom changes). */
+  def compact(table: String): Unit = synchronized {
+    val v = currentVersion(table) + 1
+    val entries = writeBatch(table, v, read(table))
+    commit(table, v, entries, changes = None)
+  }
+
   /** Garbage-collect: drop manifests, change batches, and data-batch dirs
     * not referenced by the `keepVersions` most recent versions. Readers
     * of retained versions are unaffected (their files are untouched). */

@@ -82,6 +82,19 @@ class TableStoreSpec extends AnyFunSuite {
     assert(!s2.hasData)
   }
 
+  test("compact collapses batches without changing contents or streams") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    (1L to 5L).foreach(i => st.append("t", Seq((i, s"v$i")).toDF("id", "v")))
+    val stm = ChangeStream.create(st, "t", "s")
+    val before = st.read("t").orderBy("id").collect().toSeq
+    st.compact("t")
+    assert(st.read("t").orderBy("id").collect().toSeq == before)
+    assert(!stm.hasData, "compaction must not surface phantom CDC changes")
+    st.vacuum("t", keepVersions = 1)
+    assert(st.read("t").orderBy("id").collect().toSeq == before)
+  }
+
   test("time travel reads and vacuum retention") {
     val st = freshStore()
     st.createTable("t", schema, keys = Seq("id"))
