@@ -181,6 +181,47 @@ object PipelineQueries {
         .orderBy("interval_id")
     },
 
+    // Pivot (conditional aggregation with an explicit value list).
+    "a8_pivot" -> { (s, dir) =>
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios)
+        .count()
+        .select(col("o_orderstatus") +:
+          prios.map(p => coalesce(col(s"`$p`"), lit(0L)).as("p" + p.take(1))): _*)
+        .orderBy("o_orderstatus")
+    },
+
+    // Generator/lateral surface: posexplode with ordinality.
+    "e9_explode" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // Window-function suite: lag/lead/rank/dense_rank/ntile + running
+    // decimal sum (exact, frame-order independent across engines).
+    "w2_window_suite" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          lag(col("event_id"), 1).over(w).as("prev_event"),
+          lead(col("event_id"), 1).over(w).as("next_event"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6))).over(wf)
+            .cast("double").as("running_value"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     // Exact interpolated percentiles (Catalyst `percentile`).
     "a7_percentiles" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -539,6 +580,38 @@ object PipelineQueries {
          |  list_min(sh.hs) AS min_shingle_hash
          |FROM documents d JOIN sh ON sh.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "a8_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "e9_explode" ->
+      """SELECT doc_id, pos, tk[CAST(pos AS INTEGER)] AS tok
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |      FROM documents WHERE doc_id < 50),
+        |  unnest(range(1, len(tk)+1)) AS t(pos)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "w2_window_suite" ->
+      """WITH ev AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+        |            FROM events WHERE user_id < 20)
+        |SELECT user_id, event_id, ts_us,
+        |  lag(event_id, 1) OVER w AS prev_event,
+        |  lead(event_id, 1) OVER w AS next_event,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "j8_outer_anti" ->
       """SELECT c_custkey, c_mktsegment,
