@@ -245,6 +245,44 @@ object Dedup {
     df.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** The complete text near-dup pipeline in one call:
+    * LSH candidate generation → exact n-gram-Jaccard verification →
+    * transitive clustering → keep the min-id representative per cluster.
+    * This is the shape a 100 TB dedup job runs: every stage is one of
+    * the operators above, so cost is LSH-linear plus pairwise work only
+    * on candidates.
+    *
+    * @param minJaccard exact-similarity threshold for a verified dup pair.
+    */
+  def nearDupFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.8,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 2,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    val candidates = minhashLshPairs(df, idCol, textCol, k, bands, shingleN,
+      portable = true, maxBucketSize = maxBucketSize)
+    // exact verify only on candidate ids (semi-join prune), blocked by a
+    // constant since candidate generation already did the blocking
+    val candidateIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val pruned = df.join(candidateIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+      .withColumn("__all", lit(1))
+    val verified = ngramJaccardPairs(pruned, idCol, textCol, Seq("__all"), shingleN, minJaccard)
+      .join(candidates.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+    dropDuplicateClusters(df, idCol, verified)
+  }
+
+  /** The embedding near-dup pipeline: SRP-LSH bucket candidates → exact
+    * cosine verification → transitive clustering → representative filter. */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, planes: Int = 12): DataFrame = {
+    val buckets = graft.ops.Similarity.srpBuckets(df, idCol, vecCol, planes)
+    val withBucket = df.join(buckets.withColumnRenamed("id", idCol), Seq(idCol))
+    val verified = embeddingNearDupPairs(withBucket, idCol, vecCol, Seq("bucket"), minCosine)
+    dropDuplicateClusters(df, idCol, verified)
+  }
+
   /** Embedding-cosine near-dup pairs within blocks (e.g. an LSH bucket or
     * coarse-cluster assignment): pairs with cosine ≥ threshold. */
   def embeddingNearDupPairs(

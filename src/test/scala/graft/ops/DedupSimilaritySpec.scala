@@ -135,6 +135,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 5L)) // 2,3 dropped (cluster rep = 1)
   }
 
+  test("nearDupFilter end-to-end: drops verified dups, keeps distinct docs") {
+    val kept = Dedup.nearDupFilter(docs, "doc_id", "text",
+        minJaccard = 0.5, shingleN = 1)
+      .select("doc_id").as[Long].collect().toSet
+    // 1,2 exact dups and 3 near-dup of them -> one representative (1);
+    // 4 and 5 unrelated -> kept
+    assert(kept == Set(1L, 4L, 5L), s"got $kept")
+  }
+
+  test("semanticDedup keeps one representative per embedding cluster") {
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding", minCosine = 0.9, planes = 8)
+      .select("vec_id").as[Long].collect().toSet
+    // (1,2) cosine≈0.995 and (4,5) cosine≈0.995 collapse; 3 distinct
+    assert(kept == Set(1L, 3L, 4L), s"got $kept")
+  }
+
   test("portable phash matches hand-computed fold") {
     // 'abc': ((0*31+97)*31+98)*31+99 = 96354 (mod P no-ops at this size)
     val out = docs.limit(1).select(TA.phash(lit("abc"))).head().getLong(0)
