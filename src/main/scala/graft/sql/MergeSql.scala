@@ -76,7 +76,7 @@ object MergeSql {
   }
 
   /** Split on `sep` ignoring separators inside parentheses or quotes. */
-  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+  private[sql] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
