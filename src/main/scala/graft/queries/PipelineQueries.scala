@@ -124,6 +124,21 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // Three-level snowflake-dimension join (supplier→nation→region) with
+    // a per-region rollup — exercises the last untouched harness table.
+    "j10_snowflake_dims" -> { (s, dir) =>
+      val su = Tables.load(s, dir, "supplier")
+      val na = Tables.load(s, dir, "nation")
+      val re = Tables.load(s, dir, "region")
+      su.join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+            .cast("double").as("sum_acctbal"))
+        .orderBy("r_name", "n_name")
+    },
+
     // Left-outer join + anti-join semantics: customers with their order
     // counts, unmatched customers flagged (anti set = no_orders true).
     "j8_outer_anti" -> { (s, dir) =>
@@ -612,6 +627,14 @@ object PipelineQueries {
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "j10_snowflake_dims" ->
+      """SELECT r_name, n_name, count(1) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
     "j8_outer_anti" ->
       """SELECT c_custkey, c_mktsegment,
