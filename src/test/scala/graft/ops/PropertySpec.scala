@@ -77,6 +77,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofBackward equals brute-force as-of over random data") {
+    for (seed <- 50L to 54L) {
+      val quotes = dedupByKeyTs(sample(seed))
+      val trades = sample(seed + 100).map(r => (r._1, r._3.toLong * 3 + r._1))
+      if (quotes.nonEmpty && trades.nonEmpty) {
+        val qDf = quotes.toDF("k", "name", "ts").withColumn("ts", col("ts").cast("long"))
+          .select(col("k"), col("ts"), col("name").as("px"))
+        val tDf = trades.toDF("k", "ts")
+        val got = TemporalJoins.asofBackward(tDf, qDf, Seq("k"), "ts", Map("px" -> "px"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) null else r.getString(2))).toSet
+        val expect = trades.map { case (k, ts) =>
+          val best = quotes.filter(q => q._1 == k && q._3.toLong <= ts)
+            .sortBy(q => (q._3, q._2)).lastOption
+          (k, ts, best.map(_._2).orNull)
+        }.toSet
+        assert(got == expect, s"seed=$seed")
+      }
+    }
+  }
+
+  /** unique (key, ts) pairs, keeping the max name as tiebreak winner. */
+  private def dedupByKeyTs(rows: List[(Long, String, Double)]) =
+    rows.map(r => (r._1, r._2, r._3.toLong))
+      .groupBy(r => (r._1, r._3)).map(_._2.maxBy(_._2)).toList
+
   test("saltedAgg count/sum equals plain aggregation") {
     for (seed <- 40L to 44L) {
       val rows = sample(seed)
