@@ -389,6 +389,18 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Approximate sketches (HLL++ distinct, quantile sketch) — these are
+    // engine-specific sketch implementations, so there is deliberately NO
+    // DuckDB oracle (the driver records a rows-only check); exact
+    // counterparts are oracle-checked in a5/e6/a7.
+    "x1_approx_sketches" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(approx_count_distinct(col("text"), 0.02).as("approx_docs"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("approx_median_chars"))
+        .orderBy("source")
+    },
+
     // ---- event-time windows ----------------------------------------------
 
     // Tumbling 1-minute event-time windows over the events table — the
