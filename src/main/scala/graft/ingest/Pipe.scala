@@ -38,7 +38,10 @@ class Pipe(
     schema: StructType,
     store: TableStore,
     checkpointDir: String,
-    fmt: CsvFormat = CsvFormat()) {
+    fmt: CsvFormat = CsvFormat(),
+    format: String = "csv") {
+
+  require(format == "csv" || format == "jsonl", s"unsupported pipe format $format")
 
   import spark.implicits._
 
@@ -47,7 +50,7 @@ class Pipe(
   private def buildStream(trigger: Trigger): StreamingQuery =
     spark.readStream
       .format("binaryFile")
-      .option("pathGlobFilter", "*.csv")
+      .option("pathGlobFilter", if (format == "jsonl") "*.jsonl" else "*.csv")
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
@@ -62,7 +65,15 @@ class Pipe(
         val contents = batch
           .select(col("path"), col("content").cast("string"))
           .as[(String, String)]
-        val parsed = CsvIngest.parseFileContents(spark, contents, schema, fmt)
+        val parsed =
+          if (format == "jsonl") {
+            // JSONL: one JSON object per line; schema-projected permissive
+            // parse (missing fields null, as with the CSV path)
+            val lines = contents.flatMap { case (_, text) =>
+              text.split("\n", -1).iterator.map(_.trim).filter(_.nonEmpty)
+            }
+            spark.read.schema(schema).option("mode", "PERMISSIVE").json(lines)
+          } else CsvIngest.parseFileContents(spark, contents, schema, fmt)
         if (!parsed.isEmpty) store.append(stageTable, parsed)
         ()
       }

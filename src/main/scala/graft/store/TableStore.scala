@@ -37,7 +37,8 @@ import graft.ops.Merge
   *  - readers of version N are unaffected by concurrent commits (MVCC-ish:
   *    old files are never mutated).
   */
-class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int = 16) {
+class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int = 16,
+    val compression: String = "zstd") {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
@@ -201,7 +202,9 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val keys = keysOf(table)
     val dir = new Path(new Path(tdir(table), "data"), f"b$v%08d")
     df.withColumn("__bucket", bucketCol(keys))
-      .write.partitionBy("__bucket").mode("overwrite").parquet(dir.toString)
+      .write.partitionBy("__bucket").mode("overwrite")
+      .option("compression", compression) // zstd: ~2× smaller cold data at 100 TB
+      .parquet(dir.toString)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toIndexedSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))

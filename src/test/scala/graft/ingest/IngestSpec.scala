@@ -74,6 +74,25 @@ class IngestSpec extends AnyFunSuite {
     } finally pipe.pause()
   }
 
+  test("jsonl pipe parses one object per line with schema projection") {
+    val landing = Files.createTempDirectory("graft_landing_j")
+    val storeDir = Files.createTempDirectory("graft_pipe_store_j")
+    val ckpt = Files.createTempDirectory("graft_pipe_ckpt_j")
+    val store = new TableStore(spark, storeDir.toString, numBuckets = 2)
+    store.createTable("stg_j", schema)
+    val pipe = new Pipe(spark, "pj", landing.toString, "stg_j", schema, store,
+      ckpt.toString, format = "jsonl")
+    Files.writeString(landing.resolve("f1.jsonl"),
+      """{"a":"1","b":"x","c":"y"}
+        |{"a":"2","b":"p"}
+        |""".stripMargin)
+    pipe.runOnce()
+    val rows = store.read("stg_j").orderBy("a").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(2) == "y")
+    assert(rows(1).isNullAt(2)) // missing field -> null (permissive)
+  }
+
   test("pipe runOnce ingests each landed file exactly once into the stage table") {
     val landing = Files.createTempDirectory("graft_landing")
     val storeDir = Files.createTempDirectory("graft_pipe_store")
