@@ -54,6 +54,34 @@ object TemporalJoins {
       .select(leftCols.map(col) ++ payload.map { case (_, out) => col(s"__p_$out").as(out) }: _*)
   }
 
+  /** Forward as-of join: the single right row with the SMALLEST `tsCol`
+    * ≥ the left row's `tsCol`, per key (mirror of [[asofBackward]]:
+    * ordered descending, right rows still winning ties). */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      rightPayload: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = rightPayload.toSeq
+    val l = left
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) :+ col("__side")) ++
+        payload.map { case (_, out) => lit(null).as(s"__p_$out") }: _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select((leftCols.map(c => (if (keyCols.contains(c) || c == tsCol) col(c)
+        else lit(null)).as(c)) :+ col("__side")) ++
+        payload.map { case (in, out) => right(in).as(s"__p_$out") }: _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(l.unionByName(r)) { case (df, (_, out)) =>
+      df.withColumn(s"__p_$out", last(col(s"__p_$out"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map { case (_, out) => col(s"__p_$out").as(out) }: _*)
+  }
+
   /** Range (interval-overlap) join: pairs (point, interval) with
     * `start ≤ point < end`, without an equi key.
     *

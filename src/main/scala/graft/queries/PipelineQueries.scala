@@ -389,6 +389,27 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Corpus n-gram frequency analytics: top-5 2-gram shingles per
+    // language (count desc, shingle asc ties — fully deterministic).
+    "e10_top_ngrams" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      // per-doc 2-grams: token + next token WITHIN the doc (window lead)
+      val toks2 = docs.select(col("lang"), col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      val wd = Window.partitionBy("doc_id").orderBy("p")
+      val ngrams = toks2
+        .withColumn("nxt", lead(col("tok"), 1).over(wd))
+        .filter(col("nxt").isNotNull)
+        .select(col("lang"), concat_ws(" ", col("tok"), col("nxt")).as("ngram"))
+      val counts = ngrams.groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
+      val wr = Window.partitionBy("lang").orderBy(col("n").desc, col("ngram"))
+      counts.withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("lang", "rank", "ngram", "n")
+        .orderBy("lang", "rank")
+    },
+
     // Approximate sketches (HLL++ distinct, quantile sketch) — these are
     // engine-specific sketch implementations, so there is deliberately NO
     // DuckDB oracle (the driver records a rows-only check); exact
@@ -766,6 +787,18 @@ object PipelineQueries {
         |  count(1) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin,
+
+    "e10_top_ngrams" ->
+      s"""WITH $dToks,
+         |ngr AS (SELECT lang, unnest(list_transform(range(1, len(tk)),
+         |          gi -> tk[gi] || ' ' || tk[gi+1])) AS ngram
+         |        FROM toks WHERE len(tk) >= 2),
+         |cnt AS (SELECT lang, ngram, count(1) AS n FROM ngr GROUP BY lang, ngram)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rank, ngram, n FROM (
+         |  SELECT lang, ngram, n,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rnk
+         |  FROM cnt) WHERE rnk <= 5
+         |ORDER BY lang, rank""".stripMargin,
 
     "m2_media_histogram" -> {
       val cols = (0 until 8).map { b =>
