@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,15 +23,33 @@ object Bench {
     // reflect steady state rather than first-query startup cost
     try SparkEntry.queries.get("p2_select_star").foreach(run)
     catch { case _: Throwable => () }
+    // Each query runs `iterations` times; we report the min so one-off
+    // JIT/codegen warm-up for a query's unique operators doesn't get
+    // attributed to the query itself. A failure is reported, not swallowed:
+    // the failing query times as the wall cost of the attempt and its error
+    // message lands in the "errors" map (and errCount > 0 flags the run).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iterations).map { _ =>
+        val t0 = System.nanoTime()
+        try run(fn)
+        catch {
+          case e: Throwable =>
+            if (!errors.contains(name))
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errCount":${errors.size},"errors":$errs,"iters":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

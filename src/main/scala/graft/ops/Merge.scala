@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   *  - a source with duplicate keys is nondeterministic in Snowflake; the
   *    reference dedups first (item-...sql:72-75). Callers should apply
   *    [[DedupLatest]] — we follow the same contract.
-  *  - delete rows are applied as updates (the reference MERGE has no
-  *    WHEN MATCHED DELETE branch; SURVEY.md §0 known-bugs).
+  *  - `whenMatchedDelete` implements WHEN MATCHED [AND cond] THEN DELETE
+  *    (Snowflake semantics the reference's acceptance note names,
+  *    item-...sql:220 — the reference's own MERGEs never use it).
   */
 object Merge {
 
@@ -52,22 +53,33 @@ object Merge {
     * @param whenNotMatchedInsert per-column expression for source-only rows
     *                          (default: keys + shared columns from source,
     *                          null for the rest).
+    * @param whenMatchedDelete matched rows where this condition holds are
+    *                          DROPPED (WHEN MATCHED AND cond THEN DELETE);
+    *                          remaining matched rows take the UPDATE branch.
     */
   def upsert(
       target: DataFrame,
       source: DataFrame,
       keys: Seq[String],
       whenMatchedSet: Option[Map[String, Column]] = None,
-      whenNotMatchedInsert: Option[Map[String, Column]] = None): DataFrame = {
+      whenNotMatchedInsert: Option[Map[String, Column]] = None,
+      whenMatchedDelete: Option[Column] = None): DataFrame = {
 
     val srcCols = source.columns.toSet
     val t = target.withColumn("__t_exists", lit(true)).as(T)
     val s = source.withColumn("__s_exists", lit(true)).as(S)
 
     val cond = keys.map(k => tgt(k) === src(k)).reduce(_ && _)
-    val joined = t.join(s, cond, "full_outer")
+    val joined0 = t.join(s, cond, "full_outer")
 
-    val matched = col(s"$T.__t_exists").isNotNull && col(s"$S.__s_exists").isNotNull
+    val matchedPred = col(s"$T.__t_exists").isNotNull && col(s"$S.__s_exists").isNotNull
+    // the DELETE branch is a plain filter over the same join — no extra
+    // shuffle; null-valued conditions don't delete (SQL three-valued logic)
+    val joined = whenMatchedDelete match {
+      case Some(d) => joined0.filter(!(matchedPred && coalesce(d, lit(false))))
+      case None => joined0
+    }
+    val matched = matchedPred
     val insertOnly = col(s"$T.__t_exists").isNull
 
     val matchedSet: Map[String, Column] = whenMatchedSet.getOrElse {

@@ -36,7 +36,8 @@ object MergeSql {
       targetAlias: String, sourceAlias: String,
       keys: Seq[String],
       matchedSet: Option[Map[String, String]],     // col -> raw expr text
-      insertCols: Option[(Seq[String], Seq[String])]) // (cols, raw expr texts)
+      insertCols: Option[(Seq[String], Seq[String])], // (cols, raw expr texts)
+      matchedDelete: Option[String] = None)        // raw cond ("true" if bare)
 
   private val MergePattern =
     ("""(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+""" +
@@ -45,7 +46,21 @@ object MergeSql {
       """(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s*)?""" +
       """(?:WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*;?\s*)?$""").r
 
-  def parse(sql: String): ParsedMerge = sql match {
+  private val DeleteBranch =
+    """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE""".r
+
+  /** The DELETE branch can appear anywhere among the WHEN clauses
+    * (Snowflake allows any order); pull it out first, then parse the
+    * remaining UPDATE/INSERT shape with the main pattern. */
+  def parse(sql: String): ParsedMerge = DeleteBranch.findFirstMatchIn(sql) match {
+    case Some(m) =>
+      val cond = Option(m.group(1)).map(_.trim).getOrElse("true")
+      val rest = sql.substring(0, m.start) + sql.substring(m.end)
+      parseNoDelete(rest).copy(matchedDelete = Some(cond))
+    case None => parseNoDelete(sql)
+  }
+
+  private def parseNoDelete(sql: String): ParsedMerge = sql match {
     case MergePattern(target, tAlias, source, sAlias, onClause, setClause, insCols, insVals) =>
       val keys = onClause.split("(?i)\\s+AND\\s+").toIndexedSeq.map { eq =>
         val sides = eq.split("=").map(_.trim)
@@ -124,17 +139,43 @@ object MergeSql {
     }
     val src = if (pm.insertCols.isDefined) source
       else source.join(target.select(pm.keys.map(col): _*).distinct(), pm.keys, "left_semi")
-    Merge.upsert(target, src, pm.keys, matchedSet, insertSet)
+    Merge.upsert(target, src, pm.keys, matchedSet, insertSet,
+      pm.matchedDelete.map(toColumn(_, pm)))
   }
 
   /** Execute a MERGE INTO statement against store tables: target must be
     * a store table; source may be a store table or a registered temp
-    * view/table resolvable by `spark.table`. Commits atomically. */
+    * view/table resolvable by `spark.table`. Commits atomically.
+    *
+    * When the ON keys are exactly the target's declared bucket keys (the
+    * reference's invariant — every MERGE joins on the table's key), the
+    * statement routes through [[TableStore.merge]]: only the hash buckets
+    * containing source keys are rewritten, untouched buckets carry over at
+    * manifest level (O(tableSize·k/B) IO, not a full rewrite — this is what
+    * keeps SQL MERGE viable at 100 TB). Falls back to full
+    * compute-and-overwrite only when the ON keys differ from the declared
+    * keys (a shape the reference never produces). */
   def run(spark: SparkSession, store: TableStore, sql: String): Unit = {
     val pm = parse(sql)
     val source =
       if (store.exists(pm.source)) store.read(pm.source) else spark.table(pm.source)
-    val merged = execute(store.read(pm.target), source, pm)
-    store.overwrite(pm.target, merged)
+    val storeKeys = if (store.exists(pm.target)) store.keysOf(pm.target) else Nil
+    if (storeKeys.nonEmpty && storeKeys.toSet == pm.keys.toSet) {
+      val matchedSet = Some(pm.matchedSet
+        .map(_.map { case (c, raw) => c -> toColumn(raw, pm) })
+        .getOrElse(Map.empty[String, Column])) // no branch: keep target values
+      val insertSet = pm.insertCols.map { case (cols, vals) =>
+        cols.zip(vals.map(toColumn(_, pm))).toMap
+      }
+      // no WHEN NOT MATCHED branch: drop source-only rows up front (the
+      // anti-rows never reach the merge; scan is pruned to the key columns)
+      val src = if (pm.insertCols.isDefined) source
+        else source.join(store.read(pm.target).select(pm.keys.map(col): _*).distinct(), pm.keys, "left_semi")
+      store.merge(pm.target, src, matchedSet, insertSet, alignSource = false,
+        whenMatchedDelete = pm.matchedDelete.map(toColumn(_, pm)))
+    } else {
+      val merged = execute(store.read(pm.target), source, pm)
+      store.overwrite(pm.target, merged)
+    }
   }
 }

@@ -240,44 +240,114 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     commit(table, v, Nil, changes = None)
   }
 
-  /** UPDATE ... SET ... WHERE (P7): conditional projection + full-version
-    * rewrite (bucket-pruned when `pred` binds the table keys is a future
-    * optimization; reference UPDATEs are fixture surgery, not hot path). */
+  /** UPDATE ... SET ... WHERE (P7): bucket-pruned rewrite. Touched buckets
+    * are discovered from the rows matching `pred` (a column-pruned scan of
+    * only the predicate + key columns — no predicate analysis needed, and
+    * correct for ANY predicate since unmatched rows never change); only
+    * those buckets are rewritten, the rest carry over at manifest level.
+    * At 100 TB a key-bound UPDATE costs O(tableSize·k/B) IO, same as MERGE. */
   def update(table: String, pred: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Unit = synchronized {
     val v = currentVersion(table) + 1
-    val updated = graft.ops.TableOps.update(read(table), pred, set)
+    val touchedBuckets = matchingBuckets(table, pred)
+    val updated = graft.ops.TableOps.update(read(table, touchedBuckets), pred, set)
     val newEntries = writeBatch(table, v, updated)
-    val changed = graft.ops.TableOps.update(read(table).filter(pred), pred, set)
-    commit(table, v, newEntries, Some(withAction(changed, "update")))
+    val untouched = touchedBuckets.map(bs => readManifest(table, v - 1).filterNot(e => bs(e._1)))
+      .getOrElse(Nil)
+    val changed = graft.ops.TableOps.update(read(table, touchedBuckets).filter(pred), pred, set)
+    commit(table, v, untouched ++ newEntries, Some(withAction(changed, "update")))
+  }
+
+  /** DELETE FROM ... WHERE: bucket-pruned like [[update]]. The change
+    * batch carries the deleted rows with `__action='delete'` (Snowflake
+    * METADATA$ACTION='DELETE' analogue — the reference's item acceptance
+    * note names delete propagation, item-...sql:220). */
+  def delete(table: String, pred: org.apache.spark.sql.Column): Unit = synchronized {
+    val v = currentVersion(table) + 1
+    val touchedBuckets = matchingBuckets(table, pred)
+    val kept = read(table, touchedBuckets).filter(!pred)
+    val newEntries = writeBatch(table, v, kept)
+    val untouched = touchedBuckets.map(bs => readManifest(table, v - 1).filterNot(e => bs(e._1)))
+      .getOrElse(Nil)
+    val deleted = read(table, touchedBuckets).filter(pred)
+    commit(table, v, untouched ++ newEntries, Some(withAction(deleted, "delete")))
+  }
+
+  /** Buckets containing rows matching `pred` (column-pruned scan), or None
+    * (= all buckets, full rewrite) for keyless tables whose bucket
+    * assignment is write-time round-robin and not re-derivable from rows. */
+  private def matchingBuckets(table: String,
+      pred: org.apache.spark.sql.Column): Option[Set[Int]] = {
+    val keys = keysOf(table)
+    if (keys.isEmpty) None
+    else Some(read(table).filter(pred)
+      .select(bucketCol(keys).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet)
   }
 
   /** MERGE INTO (A-MERGE): bucket-pruned upsert. Only buckets containing
     * source keys are rewritten; the rest of the table carries over at
-    * manifest level. Change batch = source rows labeled insert/update. */
+    * manifest level. Change batch = source rows labeled insert/update.
+    *
+    * `alignSource = false` keeps extra (non-target-schema) source columns
+    * visible to custom `whenMatchedSet` / `whenNotMatchedInsert`
+    * expressions (the SQL MERGE path, where value exprs may reference any
+    * source column); key columns are still cast to the target types so the
+    * bucket hash matches the table's bucketing. */
   def merge(table: String, source: DataFrame,
       whenMatchedSet: Option[Map[String, org.apache.spark.sql.Column]] = None,
-      whenNotMatchedInsert: Option[Map[String, org.apache.spark.sql.Column]] = None): Unit = synchronized {
+      whenNotMatchedInsert: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      alignSource: Boolean = true,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None): Unit = synchronized {
     val keys = keysOf(table)
     require(keys.nonEmpty, s"merge into $table requires declared keys")
     val v = currentVersion(table) + 1
 
-    val alignedSrc = align(table, source, padMissing = true)
+    val alignedSrc =
+      if (alignSource) align(table, source, padMissing = true)
+      else {
+        val keyTypes = schemaOf(table).fields
+          .filter(f => keys.contains(f.name)).map(f => f.name -> f.dataType).toMap
+        keyTypes.foldLeft(source) { case (df, (k, dt)) => df.withColumn(k, col(k).cast(dt)) }
+      }
     val srcBuckets = alignedSrc.select(bucketCol(keys).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val touched = read(table, Some(srcBuckets))
-    val merged = Merge.upsert(touched, alignedSrc, keys, whenMatchedSet, whenNotMatchedInsert)
+    val merged = Merge.upsert(touched, alignedSrc, keys, whenMatchedSet,
+      whenNotMatchedInsert, whenMatchedDelete)
 
     val newEntries = writeBatch(table, v, merged)
     val untouched = readManifest(table, v - 1).filterNot(e => srcBuckets(e._1))
 
-    // CDC batch = the source rows, labeled by what the MERGE did to them
+    // CDC batch, labeled by what the MERGE did to each source key
     // (matches Snowflake: a stream on the target sees the merged values).
     val tgtKeys = touched.select(keys.map(col): _*).withColumn("__m", lit(true))
-    val changes = alignedSrc
-      .join(tgtKeys, keys, "left_outer")
-      .withColumn("__action", when(col("__m").isNotNull, lit("update")).otherwise(lit("insert")))
-      .drop("__m")
+    val upserts =
+      if (alignSource)
+        alignedSrc
+          .join(tgtKeys, keys, "left_outer")
+          .withColumn("__action", when(col("__m").isNotNull, lit("update")).otherwise(lit("insert")))
+          .drop("__m")
+      else {
+        // custom exprs: source values ≠ merged values, so emit the merged
+        // rows (already target schema) for keys present in the source
+        val srcKeys = alignedSrc.select(keys.map(col): _*).distinct()
+        merged
+          .join(srcKeys, keys, "left_semi")
+          .join(tgtKeys, keys, "left_outer")
+          .withColumn("__action", when(col("__m").isNotNull, lit("update")).otherwise(lit("insert")))
+          .drop("__m")
+      }
+    val changes = whenMatchedDelete match {
+      case None => upserts
+      case Some(_) =>
+        // keys removed by the DELETE branch: pre-merge values, action=delete;
+        // they also must not appear as phantom "update" rows
+        val survivors = merged.select(keys.map(col): _*)
+        val deletedRows = touched.join(survivors, keys, "left_anti")
+        upserts.join(survivors, keys, "left_semi")
+          .unionByName(withAction(align(table, deletedRows), "delete"))
+    }
     commit(table, v, untouched ++ newEntries, Some(changes))
   }
 

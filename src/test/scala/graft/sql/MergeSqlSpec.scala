@@ -70,6 +70,74 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(out == Seq((1L, "a"), (2L, "B"))) // no INSERT branch -> 9 not added
   }
 
+  test("SQL merge is bucket-pruned: untouched-bucket files carry over by path") {
+    val root = Files.createTempDirectory("graft_sql3").toString
+    val store = new TableStore(spark, root, 8)
+    store.createTable("big", Seq((1L, "x")).toDF("id", "v").schema, keys = Seq("id"))
+    store.append("big", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    def manifest(v: Long): Map[Int, String] =
+      new String(Files.readAllBytes(java.nio.file.Paths.get(root, "big", "_versions", f"v$v%08d")), "UTF-8")
+        .split("\n").filter(_.nonEmpty)
+        .map { l => val Array(b, p) = l.split("\t", 2); b.toInt -> p }.toMap
+    val before = manifest(1)
+    assert(before.size == 8, "seed batch should populate every bucket")
+
+    Seq((2L, "V2")).toDF("id", "v").createOrReplaceTempView("one_row_src")
+    MergeSql.run(spark, store,
+      """MERGE INTO big t USING one_row_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+
+    val after = manifest(2)
+    val rewritten = after.filter { case (b, p) => before(b) != p }
+    assert(rewritten.size == 1, s"a 1-key merge must rewrite exactly 1 bucket, got ${rewritten.keys}")
+    val carried = after.filter { case (b, p) => before(b) == p }
+    assert(carried.size == 7, "untouched buckets must carry over as the identical files")
+    val out = store.read("big").orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out.length == 100 && out.contains((2L, "V2")) && out.contains((1L, "v1")))
+  }
+
+  test("SQL merge value exprs may reference source columns absent from the target") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sql4").toString, 2)
+    store.createTable("t", Seq((1L, "a")).toDF("id", "v").schema, keys = Seq("id"))
+    store.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // `suffix` exists only in the source
+    Seq((1L, "A", "!"), (3L, "c", "?")).toDF("id", "v", "suffix")
+      .createOrReplaceTempView("extra_col_src")
+    MergeSql.run(spark, store,
+      """MERGE INTO t AS tg USING extra_col_src AS s ON tg.id = s.id
+        |WHEN MATCHED THEN UPDATE SET tg.v = concat(s.v, s.suffix)
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, concat(s.v, s.suffix))""".stripMargin)
+    val out = store.read("t").orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "A!"), (2L, "b"), (3L, "c?")))
+  }
+
+  test("update-only SQL merge against a store table drops unmatched source rows") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sql5").toString, 2)
+    store.createTable("t", Seq((1L, "a")).toDF("id", "v").schema, keys = Seq("id"))
+    store.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Seq((2L, "B"), (9L, "X")).toDF("id", "v").createOrReplaceTempView("upd_src")
+    MergeSql.run(spark, store,
+      "MERGE INTO t AS tg USING upd_src AS s ON tg.id = s.id WHEN MATCHED THEN UPDATE SET tg.v = s.v")
+    val out = store.read("t").orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"))) // 9 not inserted
+  }
+
+  test("WHEN MATCHED AND cond THEN DELETE branch (any clause order)") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_sql6").toString, 2)
+    store.createTable("t", Seq((1L, "a", 0L)).toDF("id", "v", "del").schema, keys = Seq("id"))
+    store.append("t", Seq((1L, "keep", 0L), (2L, "kill", 0L), (3L, "upd", 0L)).toDF("id", "v", "del"))
+    Seq((2L, "x", 1L), (3L, "UPD", 0L), (9L, "new", 0L)).toDF("id", "v", "del")
+      .createOrReplaceTempView("del_src")
+    MergeSql.run(spark, store,
+      """MERGE INTO t AS tg USING del_src AS s ON tg.id = s.id
+        |WHEN MATCHED AND s.del = 1 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET tg.v = s.v, tg.del = s.del
+        |WHEN NOT MATCHED THEN INSERT (id, v, del) VALUES (s.id, s.v, s.del)""".stripMargin)
+    val out = store.read("t").orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "keep", 0L), (3L, "UPD", 0L), (9L, "new", 0L)))
+  }
+
   test("malformed statements are rejected") {
     intercept[IllegalArgumentException](MergeSql.parse("MERGE INTO a USING b"))
     intercept[IllegalArgumentException](MergeSql.parse(

@@ -53,6 +53,58 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.read("t").filter(col("id") === 1).head().getString(1) == "a")
   }
 
+  private def manifest(st: TableStore, table: String, v: Long): Map[Int, String] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(st.root, table, "_versions", f"v$v%08d")), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+      .map { l => val Array(b, p) = l.split("\t", 2); b.toInt -> p }.toMap
+
+  test("update rewrites only buckets containing matching rows") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val before = manifest(st, "t", 1)
+    assert(before.size == 4)
+    st.update("t", col("id") === 7, Map("v" -> lit("SEVEN")))
+    val after = manifest(st, "t", 2)
+    assert(after.count { case (b, p) => before(b) == p } == 3,
+      "a single-key update must carry 3 of 4 buckets over untouched")
+    assert(st.read("t").filter(col("id") === 7).head().getString(1) == "SEVEN")
+    assert(st.read("t").count() == 40)
+  }
+
+  test("delete removes rows bucket-pruned and emits delete change rows") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val stm = ChangeStream.create(st, "t", "s")
+    stm.markConsumed()
+    val before = manifest(st, "t", 1)
+    st.delete("t", col("id") === 5)
+    val after = manifest(st, "t", 2)
+    assert(after.count { case (b, p) => before(b) == p } == 3,
+      "a single-key delete must carry 3 of 4 buckets over untouched")
+    assert(st.read("t").count() == 39)
+    assert(st.read("t").filter(col("id") === 5).count() == 0)
+    val ch = stm.consume(df => df.select("id", "__action").as[(Long, String)].collect().toSeq)
+    assert(ch == Seq((5L, "delete")), "stream must surface the deleted row with action=delete")
+  }
+
+  test("merge WHEN MATCHED DELETE drops rows and streams them as deletes") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", Seq((1L, "keep"), (2L, "kill"), (3L, "upd")).toDF("id", "v"))
+    val stm = ChangeStream.create(st, "t", "s")
+    stm.markConsumed()
+    // source: id=2 flagged for delete, id=3 update, id=9 insert
+    st.merge("t", Seq((2L, "x"), (3L, "UPD"), (9L, "new")).toDF("id", "v"),
+      whenMatchedDelete = Some(col(s"${graft.ops.Merge.S}.v") === "x"))
+    val out = st.read("t").orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "keep"), (3L, "UPD"), (9L, "new")))
+    val ch = stm.consume(df => df.select("id", "__action").as[(Long, String)].collect().toMap)
+    assert(ch == Map(2L -> "delete", 3L -> "update", 9L -> "insert"))
+  }
+
   test("streams see appends once, merges as insert/update actions") {
     val st = freshStore()
     st.createTable("t", schema, keys = Seq("id"))
