@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -23,8 +25,15 @@ import graft.store.TableStore
   * }}}
   *
   * Mirrors the reference's object model 1:1 (database → store root,
-  * table/stream/pipe/task → the four create methods, SQL scripts →
-  * [[sql]]/[[sqlScript]]), SURVEY.md §1-§3.
+  * table/stream/pipe/task/stage → the create methods, SQL scripts →
+  * [[sql]]/[[sqlScript]]), SURVEY.md §1-§3. The SQL surface covers the
+  * reference scripts' statements (CREATE STREAM/PIPE/TASK/STAGE, ALTER
+  * TASK/PIPE, SHOW, system$ functions) — see [[graft.sql.GraftSql]].
+  *
+  * Snowflake-style schema-qualified names (`stg.stg_customer`) are
+  * accepted everywhere and normalized to their last segment (the store's
+  * flat namespace), recorded in [[nameMap]] so later statements can use
+  * either form — the reference's own scripts mix both.
   */
 class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) {
 
@@ -33,39 +42,95 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
 
   private var checkpointSeq = 0
 
+  private val streamsReg = mutable.LinkedHashMap.empty[String, ChangeStream]
+  private val pipesReg = mutable.LinkedHashMap.empty[String, Pipe]
+  private val stagesReg = mutable.LinkedHashMap.empty[String, String]
+  /** full qualified name (lowercased) → flat name, for SQL normalization. */
+  private[graft] val nameMap = mutable.LinkedHashMap.empty[String, String]
+
+  /** Record `full` (e.g. stg.stg_customer) → its flat last segment. */
+  private[graft] def recordName(full: String): String = {
+    val flat = full.split("\\.").last
+    if (full.contains(".")) {
+      nameMap.get(full.toLowerCase) match {
+        case Some(f) if f != flat => sys.error(s"name clash: $full vs $f")
+        case _ => nameMap(full.toLowerCase) = flat
+      }
+    }
+    flat
+  }
+
   // ---- DDL / catalog ------------------------------------------------------
 
   def createTable(name: String, schema: StructType, keys: Seq[String] = Nil): Unit =
-    store.createTable(name, schema, keys)
+    store.createTable(recordName(name), schema, keys)
 
-  def dropTable(name: String): Unit = store.dropTable(name)
+  def dropTable(name: String): Unit = store.dropTable(recordName(name))
 
-  def table(name: String): DataFrame = store.read(name)
+  def table(name: String): DataFrame = store.read(recordName(name))
 
   def listTables(): Seq[String] = store.listTables()
 
   // ---- CDC / ingestion ----------------------------------------------------
 
-  def createStream(onTable: String, name: String): ChangeStream =
-    ChangeStream.create(store, onTable, name)
+  def createStream(onTable: String, name: String): ChangeStream = {
+    val flat = recordName(name)
+    val s = ChangeStream.create(store, recordName(onTable), flat)
+    streamsReg(flat) = s
+    s
+  }
+
+  def stream(name: String): ChangeStream = streamsReg(recordName(name))
+  def streamOpt(name: String): Option[ChangeStream] = streamsReg.get(recordName(name))
+  def dropStream(name: String): Unit = streamsReg.remove(recordName(name))
+  private[graft] def allStreams: Seq[ChangeStream] = streamsReg.values.toSeq
+
+  /** SHOW STREAMS (F7): name, source table, consumed-through version,
+    * pending version count (cheap — no data IO). */
+  def listStreams(): Seq[(String, String, Long, Long)] =
+    streamsReg.values.toSeq.map { s =>
+      (s.name, s.table, s.offset, store.currentVersion(s.table) - s.offset)
+    }
 
   def createPipe(name: String, landingDir: String, stageTable: String,
-      schema: StructType, fmt: CsvFormat = CsvFormat()): Pipe = {
+      schema: StructType, fmt: CsvFormat = CsvFormat(), format: String = "csv"): Pipe = {
     checkpointSeq += 1
-    new Pipe(spark, name, landingDir, stageTable, schema, store,
-      s"$root/_checkpoints/pipe_${name}_$checkpointSeq", fmt)
+    val flat = recordName(name)
+    val p = new Pipe(spark, flat, landingDir, recordName(stageTable), schema, store,
+      s"$root/_checkpoints/pipe_${flat}_$checkpointSeq", fmt, format)
+    pipesReg(flat) = p
+    p
   }
+
+  def pipe(name: String): Pipe = pipesReg(recordName(name))
+  def pipeOpt(name: String): Option[Pipe] = pipesReg.get(recordName(name))
+  def dropPipe(name: String): Unit = {
+    pipesReg.remove(recordName(name)).foreach(_.pause())
+  }
+
+  /** SHOW PIPES (F7): name, status. */
+  def listPipes(): Seq[(String, String)] =
+    pipesReg.values.toSeq.map(p => (p.name, p.status))
+
+  /** CREATE STAGE name URL='dir' — a named external location; `@name/sub`
+    * in COPY INTO resolves against it (reference: `@landing/landing/
+    * customer`, customer-...sql:54). */
+  def createStage(name: String, dir: String): Unit =
+    stagesReg(recordName(name)) = dir.stripSuffix("/")
+
+  def stageDir(name: String): String = stagesReg(recordName(name))
+  def listStages(): Seq[(String, String)] = stagesReg.toSeq
 
   // ---- SQL ----------------------------------------------------------------
 
   /** One statement of the reference dialect (DDL/DML → None, query →
     * rows). */
   def sql(statement: String): Option[DataFrame] =
-    GraftSql.execute(spark, store, statement)
+    GraftSql.execute(spark, store, statement, Some(this))
 
-  /** A `;`-separated script. */
+  /** A `;`-separated script (`--` comments stripped). */
   def sqlScript(script: String): Option[DataFrame] =
-    GraftSql.executeScript(spark, store, script)
+    GraftSql.executeScript(spark, store, script, Some(this))
 }
 
 object GraftSession {

@@ -56,6 +56,10 @@ object Merge {
     * @param whenMatchedDelete matched rows where this condition holds are
     *                          DROPPED (WHEN MATCHED AND cond THEN DELETE);
     *                          remaining matched rows take the UPDATE branch.
+    * @param insertFallback    per-column value for inserted rows when the
+    *                          insert branch doesn't set the column (column
+    *                          DEFAULT exprs / autoincrement placeholders);
+    *                          without an entry the fallback stays null.
     */
   def upsert(
       target: DataFrame,
@@ -63,7 +67,8 @@ object Merge {
       keys: Seq[String],
       whenMatchedSet: Option[Map[String, Column]] = None,
       whenNotMatchedInsert: Option[Map[String, Column]] = None,
-      whenMatchedDelete: Option[Column] = None): DataFrame = {
+      whenMatchedDelete: Option[Column] = None,
+      insertFallback: Map[String, Column] = Map.empty): DataFrame = {
 
     val srcCols = source.columns.toSet
     val t = target.withColumn("__t_exists", lit(true)).as(T)
@@ -94,7 +99,7 @@ object Merge {
       val c = f.name
       val keep = tgt(c)
       val onMatch = matchedSet.getOrElse(c, keep)
-      val onInsert = insertSet.getOrElse(c, lit(null)).cast(f.dataType)
+      val onInsert = insertSet.getOrElse(c, insertFallback.getOrElse(c, lit(null))).cast(f.dataType)
       when(matched, onMatch.cast(f.dataType))
         .when(insertOnly, onInsert)
         .otherwise(keep)

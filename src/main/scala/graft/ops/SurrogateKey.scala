@@ -23,17 +23,24 @@ object SurrogateKey {
   /** Fill `keyCol` (LongType, null = unassigned) continuing from the
     * current max. */
   def assign(df: DataFrame, keyCol: String): DataFrame = {
-    val spark = df.sparkSession
     val maxExisting: Long = df.agg(max(col(keyCol))).head() match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
     }
+    assignFrom(df, keyCol, maxExisting)
+  }
+
+  /** Fill null `keyCol` values with base+1, base+2, … . `base` must be ≥
+    * the table-wide max (callers with a pruned slice — e.g. a bucket-pruned
+    * merge — pass the global max, not the slice max). */
+  def assignFrom(df: DataFrame, keyCol: String, base: Long): DataFrame = {
+    val spark = df.sparkSession
     val keyed = df.filter(col(keyCol).isNotNull)
     val unkeyed = df.filter(col(keyCol).isNull)
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val assignedRdd = unkeyed.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq.updated(keyIdx, maxExisting + i + 1L))
+      Row.fromSeq(row.toSeq.updated(keyIdx, base + i + 1L))
     }
     val assigned = spark.createDataFrame(assignedRdd, schema)
     keyed.unionByName(assigned)

@@ -66,6 +66,19 @@ class Orchestrator(spark: SparkSession, store: TableStore, runLogTable: String =
     tasks += t.name -> t
   }
 
+  /** CREATE OR REPLACE TASK: replacement keeps the suspended state of a
+    * fresh create (Snowflake: replaced tasks come back suspended). */
+  def createOrReplaceTask(t: Task): Unit = {
+    require(t.after.forall(tasks.contains), s"unknown parent in ${t.after}")
+    tasks += t.name -> t
+  }
+
+  /** SHOW TASKS (F7): name, started/suspended, AFTER parents. */
+  def listTasks(): Seq[(String, String, String)] =
+    tasks.values.toSeq.map { t =>
+      (t.name, if (t.enabled) "started" else "suspended", t.after.mkString(","))
+    }
+
   /** alter task <name> resume / suspend (ST5). */
   def resume(name: String): Unit = tasks += name -> tasks(name).copy(enabled = true)
   def suspend(name: String): Unit = tasks += name -> tasks(name).copy(enabled = false)

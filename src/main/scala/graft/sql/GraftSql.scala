@@ -4,46 +4,232 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.StructType
 
+import graft.GraftSession
+import graft.orchestrate.Task
 import graft.store.TableStore
 
-/** SQL statement surface over a [[TableStore]] — enough dialect to run
-  * the reference scripts' statement shapes end-to-end (SURVEY.md §2.1 S7/
-  * S8, §2.2 P7, A-MERGE via [[MergeSql]]):
+/** SQL statement surface over a [[TableStore]] (+ optional
+  * [[GraftSession]] for streams/pipes/tasks/stages) — the reference
+  * scripts' full statement set, so the three pipeline scripts run
+  * end-to-end through [[executeScript]] (SURVEY.md §2.1 S7/S8, §2.2 P7,
+  * §2.9 ST1-ST6, A-MERGE via [[MergeSql]]; reference:
+  * customer-end-to-end-pipeline-script.sql:1-220 and siblings):
   *
-  *  - `CREATE TABLE t (c1 type1, ...) [KEYS (k1, ...)]`
-  *  - `TRUNCATE [TABLE] t`
+  *  - `CREATE [OR REPLACE] TABLE t (c1 type1 [default e] [autoincrement],
+  *    ...) [KEYS (k1, ...)]` — Snowflake column types (number, varchar(n),
+  *    autoincrement, default) are translated; KEYS is our extension that
+  *    enables bucket-pruned MERGE/UPDATE/DELETE
+  *  - `CREATE [OR REPLACE] STREAM s ON TABLE t`
+  *  - `CREATE [OR REPLACE] STAGE s URL = '<dir>'`
+  *  - `CREATE [OR REPLACE] PIPE p [AUTO_INGEST=true] AS COPY INTO t FROM
+  *    @stage/path FILE_FORMAT = (TYPE='CSV', SKIP_HEADER=1, ...)`
+  *  - `CREATE [OR REPLACE] TASK name [WAREHOUSE=w] [SCHEDULE='1 minute']
+  *    [AFTER p1, p2] [WHEN [NOT] system$stream_has_data('s')] AS <stmt>`
+  *  - `ALTER TASK name RESUME|SUSPEND`; `ALTER PIPE p SET
+  *    PIPE_EXECUTION_PAUSED = true|false`; `ALTER PIPE p REFRESH`
+  *  - `SHOW TABLES|STREAMS|PIPES|TASKS|STAGES`; `LIST @stage`
+  *  - `SELECT SYSTEM$PIPE_STATUS('p') | SYSTEM$PIPE_FORCE_RESUME('p') |
+  *    SYSTEM$STREAM_HAS_DATA('s')`
+  *  - `TRUNCATE [TABLE] [IF EXISTS] t`; `DELETE FROM t [WHERE pred]`
   *  - `UPDATE t SET c = expr, ... [WHERE pred]`
-  *  - `INSERT INTO t <select…>` / `INSERT OVERWRITE t <select…>`
-  *  - `MERGE INTO ...` (delegated to [[MergeSql]])
+  *  - `INSERT INTO|OVERWRITE [INTO] t [(cols)] <select…|values…>`
+  *  - `MERGE INTO ...` (delegated to [[MergeSql]]; a stream source is
+  *    consumed transactionally — offset advances only if the merge
+  *    commits, the reference's exactly-once contract)
+  *  - `USE ...` → no-op; `--` comments are stripped
   *  - any other statement → registered-view `spark.sql` passthrough
-  *    (SELECT monitoring queries, E3)
+  *    (SELECT monitoring queries, E3), with
+  *    `table(information_schema.task_history())` rewritten to the
+  *    orchestrator's run-log table and streams readable as views
   *
-  * SELECT subqueries run through Spark's full SQL stack against snapshot
-  * views of the store tables, so all of Catalyst's SQL surface is
-  * available inside INSERT bodies.
+  * Snowflake-style qualified names (`stg.stg_customer`) are normalized to
+  * their flat last segment via the session's name map. SELECT subqueries
+  * run through Spark's full SQL stack against snapshot views of the store
+  * tables, so all of Catalyst's SQL surface is available inside INSERT
+  * bodies.
   */
 object GraftSql {
 
-  private val CreateRe =
-    """(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s*\((.+?)\)\s*(?:KEYS\s*\(([^)]*)\))?\s*;?\s*$""".r
-  private val TruncateRe = """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$""".r
+  private val UseRe = """(?is)^\s*USE\s+.*$""".r
+  private val CreateTableRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+?)\)\s*(?:KEYS\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val CreateStreamRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+([\w.]+)\s+ON\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  private val CreateStageRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+([\w.]+)\s+(?:URL\s*=\s*)?'([^']+)'\s*;?\s*$""".r
+  private val CreatePipeRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PIPE\s+([\w.]+)\s*(?:AUTO_INGEST\s*=\s*\w+\s*)?AS\s+COPY\s+INTO\s+([\w.]+)\s+FROM\s+@([\w./-]+)\s*(?:FILE_FORMAT\s*=\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val CreateTaskRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TASK\s+([\w.]+)\s+(.*?)\s*\bAS\b\s+(.*?)\s*;?\s*$""".r
+  private val AlterTaskRe =
+    """(?is)^\s*ALTER\s+TASK\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s+(RESUME|SUSPEND)\s*;?\s*$""".r
+  private val AlterPipePauseRe =
+    """(?is)^\s*ALTER\s+PIPE\s+([\w.]+)\s+SET\s+PIPE_EXECUTION_PAUSED\s*=\s*(TRUE|FALSE)\s*;?\s*$""".r
+  private val AlterPipeRefreshRe =
+    """(?is)^\s*ALTER\s+PIPE\s+([\w.]+)\s+REFRESH\s*;?\s*$""".r
+  private val ShowRe = """(?is)^\s*SHOW\s+(TABLES|STREAMS|PIPES|TASKS|STAGES)\s*;?\s*$""".r
+  private val ListStageRe = """(?is)^\s*LIST\s+@([\w./-]+)\s*;?\s*$""".r
+  private val SystemFnRe =
+    """(?is)^\s*SELECT\s+SYSTEM\$(\w+)\s*\(\s*'([^']*)'\s*\)\s*;?\s*$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+(TABLE|STREAM|PIPE)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
   private val InsertRe =
-    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s+(SELECT.*|VALUES.*)$""".r
+    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)(?:\s+INTO)?\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?(SELECT.*|VALUES.*)$""".r
   private val MergeRe = """(?is)^\s*MERGE\s+INTO\s+.*$""".r
+  private val TaskHistoryFnRe =
+    """(?i)table\s*\(\s*information_schema\.task_history\s*\(\s*\)\s*\)"""
 
   /** Execute one statement; DDL/DML return None, queries return rows. */
-  def execute(spark: SparkSession, store: TableStore, sql: String): Option[DataFrame] =
-    sql match {
-      case CreateRe(name, colsDdl, keys) =>
-        val schema = StructType.fromDDL(colsDdl)
+  def execute(spark: SparkSession, store: TableStore, sql: String,
+      session: Option[GraftSession] = None): Option[DataFrame] = {
+    val sp = spark
+    import sp.implicits._
+    def sess: GraftSession =
+      session.getOrElse(sys.error(s"statement needs a GraftSession (streams/pipes/tasks): $sql"))
+    def registerViews(): Unit = {
+      store.registerAllViews()
+      session.foreach(_.allStreams.foreach(s => s.read.createOrReplaceTempView(s.name)))
+    }
+    val stmt = norm(stripComments(sql), session)
+    stmt match {
+      case UseRe() => None
+
+      case CreateTableRe(replace, name, colsDdl, keys) =>
+        val flat = session.map(_.recordName(name)).getOrElse(name)
+        val (schema, defaults, autoInc) = parseColumns(colsDdl)
         val keyCols = Option(keys).map(_.split(",").toIndexedSeq.map(_.trim)).getOrElse(Nil)
-        store.createTable(name, schema, keyCols)
+        if (store.exists(flat)) {
+          if (replace != null) store.dropTable(flat)
+          else sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
+        }
+        store.createTable(flat, schema, keyCols, defaults, autoInc)
         None
+
+      case CreateStreamRe(name, table) =>
+        sess.createStream(table, name)
+        None
+
+      case CreateStageRe(name, dir) =>
+        sess.createStage(name, dir)
+        None
+
+      case CreatePipeRe(name, table, stagePath, fmtOpts) =>
+        val opts = Option(fmtOpts).map(parseOptions).getOrElse(Map.empty)
+        val format = opts.getOrElse("type", "csv").toLowerCase match {
+          case "csv" => "csv"
+          case "json" | "jsonl" => "jsonl"
+          case t => sys.error(s"unsupported pipe file_format type $t")
+        }
+        val fmt = graft.ingest.CsvFormat(
+          skipHeaderLines = opts.get("skip_header").map(_.toInt).getOrElse(0))
+        val segs = stagePath.split("/", 2)
+        val landing = sess.stageDir(segs(0)) +
+          (if (segs.length > 1) "/" + segs(1) else "")
+        val flatTable = sess.recordName(table)
+        sess.createPipe(name, landing, flatTable, store.schemaOf(flatTable), fmt, format)
+        None
+
+      case CreateTaskRe(name, optsBlob, body) =>
+        val flat = sess.recordName(name)
+        // split the WHEN gate off first (it runs to the end of the blob),
+        // then pick AFTER parents out of what precedes it
+        val (beforeWhen, gate) = {
+          val m = """(?is)\bWHEN\b\s+(.+)$""".r.findFirstMatchIn(optsBlob)
+          m.map(x => (optsBlob.substring(0, x.start), Some(x.group(1).trim)))
+            .getOrElse((optsBlob, None))
+        }
+        val after = """(?is)\bAFTER\s+([\w.]+(?:\s*,\s*[\w.]+)*)""".r
+          .findFirstMatchIn(beforeWhen)
+          .map(_.group(1).split(",").toIndexedSeq.map(p => sess.recordName(p.trim)))
+          .getOrElse(Nil)
+        val when: () => Boolean = gate match {
+          case None => () => true
+          case Some(g) => parseGate(g, sess)
+        }
+        val theSession = sess
+        sess.tasks.createOrReplaceTask(Task(
+          name = flat,
+          body = () => { execute(spark, store, body, Some(theSession)); () },
+          after = after,
+          when = when))
+        None
+
+      case AlterTaskRe(name, action) =>
+        val flat = sess.recordName(name)
+        if (action.equalsIgnoreCase("RESUME")) sess.tasks.resume(flat)
+        else sess.tasks.suspend(flat)
+        None
+
+      case AlterPipePauseRe(name, paused) =>
+        if (paused.equalsIgnoreCase("TRUE")) sess.pipe(name).pause()
+        else sess.pipe(name).resume()
+        None
+
+      case AlterPipeRefreshRe(name) =>
+        sess.pipe(name).runOnce()
+        None
+
+      case ShowRe(what) => Some(what.toLowerCase match {
+        case "tables" => store.listTables().toDF("name")
+        case "streams" => sess.listStreams().toDF("name", "table_name", "offset", "pending_versions")
+        case "pipes" => sess.listPipes().toDF("name", "status")
+        case "stages" => sess.listStages().toDF("name", "url")
+        case "tasks" => sess.tasks.listTasks().toDF("name", "state", "after")
+      })
+
+      case ListStageRe(stagePath) =>
+        val segs = stagePath.split("/", 2)
+        val dir = sess.stageDir(segs(0)) + (if (segs.length > 1) "/" + segs(1) else "")
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files =
+          if (!fs.exists(p)) Seq.empty[(String, Long, java.sql.Timestamp)]
+          else {
+            val it = fs.listFiles(p, true)
+            val buf = Seq.newBuilder[(String, Long, java.sql.Timestamp)]
+            while (it.hasNext) {
+              val st = it.next()
+              buf += ((st.getPath.toString, st.getLen,
+                new java.sql.Timestamp(st.getModificationTime)))
+            }
+            buf.result()
+          }
+        Some(files.sortBy(_._1).toDF("name", "size", "last_modified"))
+
+      case SystemFnRe(fn, arg) => fn.toLowerCase match {
+        case "pipe_status" => Some(Seq(sess.pipe(arg).status).toDF("status"))
+        case "pipe_force_resume" =>
+          val p = sess.pipe(arg)
+          if (!p.isRunning) p.resume()
+          Some(Seq(s"pipe $arg resumed").toDF("result"))
+        case "stream_has_data" => Some(Seq(sess.stream(arg).hasData).toDF("has_data"))
+        case other => sys.error(s"unknown system function system$$$other")
+      }
+
+      case DropRe(kind, name) => kind.toLowerCase match {
+        case "table" => store.dropTable(session.map(_.recordName(name)).getOrElse(name)); None
+        case "stream" => sess.dropStream(name); None
+        case "pipe" => sess.dropPipe(name); None
+      }
+
       case TruncateRe(name) =>
-        store.truncate(name)
+        val flat = session.map(_.recordName(name)).getOrElse(name)
+        if (store.exists(flat)) store.truncate(flat)
+        else if (!stmt.toLowerCase.contains("if exists"))
+          sys.error(s"table $flat does not exist")
         None
+
+      case DeleteRe(name, whereClause) =>
+        val pred = Option(whereClause).map(expr).getOrElse(expr("true"))
+        store.delete(session.map(_.recordName(name)).getOrElse(name), pred)
+        None
+
       case UpdateRe(name, setClause, whereClause) =>
         val sets = MergeSql.splitTopLevel(setClause, ',').map { a =>
           val i = a.indexOf('=')
@@ -51,36 +237,146 @@ object GraftSql {
           a.take(i).trim -> expr(a.drop(i + 1).trim)
         }.toMap
         val pred = Option(whereClause).map(expr).getOrElse(expr("true"))
-        store.update(name, pred, sets)
+        store.update(session.map(_.recordName(name)).getOrElse(name), pred, sets)
         None
-      case InsertRe(mode, name, body) =>
-        store.registerAllViews()
+
+      case InsertRe(mode, name, colList, body) =>
+        registerViews()
+        val flat = session.map(_.recordName(name)).getOrElse(name)
         val rows = spark.sql(body)
         // INSERT ... SELECT is POSITIONAL (Snowflake semantics): rename
-        // the query's columns to the target schema by position before the
-        // store's by-name align
-        val targetNames = store.schemaOf(name).fieldNames
+        // the query's columns to the target names by position before the
+        // store's by-name align. An explicit column list narrows the
+        // targets; omitted columns take their DEFAULT (or null).
+        val targetNames = Option(colList)
+          .map(_.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(store.schemaOf(flat).fieldNames.toIndexedSeq)
         require(rows.columns.length <= targetNames.length,
-          s"INSERT query has ${rows.columns.length} columns but $name has ${targetNames.length}")
-        val positional = rows.toDF(targetNames.take(rows.columns.length).toIndexedSeq: _*)
-        if (mode.equalsIgnoreCase("OVERWRITE")) store.overwrite(name, positional)
-        else store.append(name, positional)
+          s"INSERT query has ${rows.columns.length} columns but targets ${targetNames.length}")
+        val positional = rows.toDF(targetNames.take(rows.columns.length): _*)
+        if (mode.equalsIgnoreCase("OVERWRITE")) store.overwrite(flat, positional)
+        else store.append(flat, positional)
         None
+
       case MergeRe() =>
-        store.registerAllViews()
-        MergeSql.run(spark, store, sql)
+        registerViews()
+        val pm = MergeSql.parse(stmt)
+        session.flatMap(_.streamOpt(pm.source)) match {
+          case Some(stm) =>
+            // stream source: transactional consume — the offset advances
+            // only if the merge commits (reference exactly-once contract,
+            // SURVEY.md §7 hard parts)
+            stm.consume { changes =>
+              MergeSql.runWith(spark, store, pm, changes.drop("__action"))
+            }
+          case None => MergeSql.run(spark, store, stmt)
+        }
         None
+
       case other =>
-        store.registerAllViews()
-        Some(spark.sql(other))
+        registerViews()
+        Some(spark.sql(other.replaceAll(TaskHistoryFnRe, "task_history")))
     }
+  }
 
   /** Execute a script of `;`-separated statements; returns the rows of
     * the final statement if it was a query. */
-  def executeScript(spark: SparkSession, store: TableStore, script: String): Option[DataFrame] =
-    splitStatements(script).foldLeft(Option.empty[DataFrame]) { (_, stmt) =>
-      execute(spark, store, stmt)
+  def executeScript(spark: SparkSession, store: TableStore, script: String,
+      session: Option[GraftSession] = None): Option[DataFrame] =
+    splitStatements(stripComments(script)).foldLeft(Option.empty[DataFrame]) { (_, stmt) =>
+      execute(spark, store, stmt, session)
     }
+
+  // ---- helpers ------------------------------------------------------------
+
+  /** Qualified → flat name normalization using the session's name map. */
+  private def norm(sql: String, session: Option[GraftSession]): String =
+    session.map(_.nameMap.foldLeft(sql) { case (acc, (full, flat)) =>
+      acc.replaceAll("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(full) + "(?![\\w.])", flat)
+    }).getOrElse(sql)
+
+  /** Strip `--` line comments (outside quotes). */
+  private[sql] def stripComments(sql: String): String =
+    sql.split("\n", -1).map { line =>
+      val cut = new StringBuilder
+      var quote: Char = 0
+      var i = 0
+      var done = false
+      while (i < line.length && !done) {
+        val ch = line(i)
+        if (quote != 0) { cut += ch; if (ch == quote) quote = 0 }
+        else if (ch == '\'' || ch == '"') { quote = ch; cut += ch }
+        else if (ch == '-' && i + 1 < line.length && line(i + 1) == '-') done = true
+        else cut += ch
+        i += 1
+      }
+      cut.toString
+    }.mkString("\n")
+
+  /** `WHEN [NOT] system$stream_has_data('s')` task gates. */
+  private def parseGate(gate: String, sess: GraftSession): () => Boolean = {
+    val GateRe = """(?is)^\s*(NOT\s+)?SYSTEM\$STREAM_HAS_DATA\s*\(\s*'([^']*)'\s*\)\s*$""".r
+    gate match {
+      case GateRe(not, stream) =>
+        val flat = sess.recordName(stream)
+        if (not == null) () => sess.stream(flat).hasData
+        else () => !sess.stream(flat).hasData
+      case other => sys.error(s"unsupported task WHEN gate: $other")
+    }
+  }
+
+  /** `TYPE='CSV', SKIP_HEADER=1, ...` option lists. */
+  private def parseOptions(opts: String): Map[String, String] =
+    MergeSql.splitTopLevel(opts, ',').map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"bad option: $kv")
+      kv.take(i).trim.toLowerCase -> kv.drop(i + 1).trim.stripPrefix("'").stripSuffix("'")
+    }.toMap
+
+  /** Snowflake column DDL → (schema, defaults, autoincrement cols).
+    * Handles `number[(p,s)]`, `varchar(n)`, `autoincrement`/`identity`,
+    * `default <expr>`, `not null` (reference customer-...sql:31-45). */
+  private[sql] def parseColumns(ddl: String): (StructType, Map[String, String], Seq[String]) = {
+    val defaults = Map.newBuilder[String, String]
+    val autoInc = Seq.newBuilder[String]
+    val fields = MergeSql.splitTopLevel(ddl, ',').map(_.trim).filter(_.nonEmpty).map { colDef =>
+      val m = """(?s)^(\w+)\s+(.+)$""".r.findFirstMatchIn(colDef)
+        .getOrElse(sys.error(s"bad column definition: $colDef"))
+      val name = m.group(1)
+      var rest = m.group(2).trim
+      val defM = """(?is)\bDEFAULT\s+(.+)$""".r.findFirstMatchIn(rest)
+      defM.foreach { d =>
+        defaults += name -> d.group(1).trim
+        rest = rest.substring(0, d.start).trim
+      }
+      var isAuto = false
+      val autoM = """(?is)\b(AUTOINCREMENT|IDENTITY)\b""".r.findFirstMatchIn(rest)
+      autoM.foreach { a =>
+        isAuto = true
+        autoInc += name
+        rest = (rest.substring(0, a.start) + rest.substring(a.end)).trim
+      }
+      rest = rest.replaceAll("(?i)\\bNOT\\s+NULL\\b", "").trim
+      val sparkType = mapType(rest, isAuto)
+      s"$name $sparkType"
+    }
+    (StructType.fromDDL(fields.mkString(", ")), defaults.result(), autoInc.result())
+  }
+
+  /** Snowflake type name → Spark DDL type. */
+  private def mapType(t: String, isAuto: Boolean): String = {
+    val NumberRe = """(?i)^(?:NUMBER|NUMERIC|DECIMAL)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?$""".r
+    val VarcharRe = """(?i)^(?:VARCHAR|CHAR|CHARACTER|STRING|TEXT)\s*(?:\(\s*\d+\s*\))?$""".r
+    if (isAuto) "bigint"
+    else t.trim match {
+      case NumberRe(p, s) =>
+        if (p == null) "decimal(38,0)" else s"decimal($p,${Option(s).getOrElse("0")})"
+      case VarcharRe() => "string"
+      case x if x.matches("(?i)TIMESTAMP(_NTZ|_LTZ|_TZ)?|DATETIME") => "timestamp"
+      case x if x.matches("(?i)FLOAT[48]?|REAL|DOUBLE(\\s+PRECISION)?") => "double"
+      case other => other // int/bigint/date/boolean/binary/... are Spark DDL already
+    }
+  }
 
   /** Split on top-level semicolons (quotes respected). */
   private[sql] def splitStatements(script: String): Seq[String] = {

@@ -39,12 +39,16 @@ object MergeSql {
       insertCols: Option[(Seq[String], Seq[String])], // (cols, raw expr texts)
       matchedDelete: Option[String] = None)        // raw cond ("true" if bare)
 
+  // aliases are optional (the reference writes `MERGE INTO raw.raw_customer
+  // USING stg.stg_customer_stm ON raw_customer.customer_id = ...`,
+  // qualifying by the bare table name) — a missing alias defaults to the
+  // last dot-segment of the table/source name
   private val MergePattern =
-    ("""(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+""" +
-      """USING\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+""" +
+    ("""(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+""" +
+      """USING\s+([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+""" +
       """ON\s+(.*?)\s*""" +
       """(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s*)?""" +
-      """(?:WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*;?\s*)?$""").r
+      """(?:WHEN\s+NOT\s+MATCHED\s+THEN\s*INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*;?\s*)?$""").r
 
   private val DeleteBranch =
     """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE""".r
@@ -61,7 +65,9 @@ object MergeSql {
   }
 
   private def parseNoDelete(sql: String): ParsedMerge = sql match {
-    case MergePattern(target, tAlias, source, sAlias, onClause, setClause, insCols, insVals) =>
+    case MergePattern(target, tAlias0, source, sAlias0, onClause, setClause, insCols, insVals) =>
+      val tAlias = Option(tAlias0).getOrElse(target.split("\\.").last)
+      val sAlias = Option(sAlias0).getOrElse(source.split("\\.").last)
       val keys = onClause.split("(?i)\\s+AND\\s+").toIndexedSeq.map { eq =>
         val sides = eq.split("=").map(_.trim)
         require(sides.length == 2, s"ON clause must be equalities: $eq")
@@ -130,7 +136,8 @@ object MergeSql {
     * Returns the post-merge target contents. Snowflake branch semantics:
     * a missing WHEN MATCHED leaves matched target rows unchanged; a
     * missing WHEN NOT MATCHED drops source-only rows. */
-  def execute(target: DataFrame, source: DataFrame, pm: ParsedMerge): DataFrame = {
+  def execute(target: DataFrame, source: DataFrame, pm: ParsedMerge,
+      insertFallback: Map[String, Column] = Map.empty): DataFrame = {
     val matchedSet = Some(pm.matchedSet
       .map(_.map { case (c, raw) => c -> toColumn(raw, pm) })
       .getOrElse(Map.empty[String, Column])) // no branch: keep target values
@@ -140,7 +147,7 @@ object MergeSql {
     val src = if (pm.insertCols.isDefined) source
       else source.join(target.select(pm.keys.map(col): _*).distinct(), pm.keys, "left_semi")
     Merge.upsert(target, src, pm.keys, matchedSet, insertSet,
-      pm.matchedDelete.map(toColumn(_, pm)))
+      pm.matchedDelete.map(toColumn(_, pm)), insertFallback)
   }
 
   /** Execute a MERGE INTO statement against store tables: target must be
@@ -159,6 +166,13 @@ object MergeSql {
     val pm = parse(sql)
     val source =
       if (store.exists(pm.source)) store.read(pm.source) else spark.table(pm.source)
+    runWith(spark, store, pm, source)
+  }
+
+  /** As [[run]] but with a caller-resolved source (the stream-consume
+    * path, where the source is the stream's pending-changes slice). */
+  def runWith(spark: SparkSession, store: TableStore, pm: ParsedMerge,
+      source: DataFrame): Unit = {
     val storeKeys = if (store.exists(pm.target)) store.keysOf(pm.target) else Nil
     if (storeKeys.nonEmpty && storeKeys.toSet == pm.keys.toSet) {
       val matchedSet = Some(pm.matchedSet
@@ -174,7 +188,10 @@ object MergeSql {
       store.merge(pm.target, src, matchedSet, insertSet, alignSource = false,
         whenMatchedDelete = pm.matchedDelete.map(toColumn(_, pm)))
     } else {
-      val merged = execute(store.read(pm.target), source, pm)
+      // keyless target: full compute-and-overwrite; column DEFAULTs still
+      // apply to the insert branch (autoinc is filled by the store write)
+      val defaults = store.defaultsOf(pm.target).map { case (c, e) => c -> expr(e) }
+      val merged = execute(store.read(pm.target), source, pm, defaults)
       store.overwrite(pm.target, merged)
     }
   }

@@ -73,12 +73,28 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(t => fs.exists(latestPtr(t))).sorted
 
-  /** CREATE TABLE (SURVEY.md §2.1 S8). `keys` drive merge bucketing. */
-  def createTable(table: String, schema: StructType, keys: Seq[String] = Nil): Unit = {
+  /** CREATE TABLE (SURVEY.md §2.1 S8). `keys` drive merge bucketing.
+    *
+    * @param defaults per-column DEFAULT expressions (Spark SQL text),
+    *                 applied when a write omits the column (reference:
+    *                 `added_timestamp timestamp default current_timestamp()`,
+    *                 customer-...sql:41-42)
+    * @param autoInc  autoincrement columns (must be BIGINT): null values
+    *                 are filled continuing past the table-wide max on
+    *                 every write (reference: `customer_dim_key number
+    *                 autoincrement`, customer-...sql:32) */
+  def createTable(table: String, schema: StructType, keys: Seq[String] = Nil,
+      defaults: Map[String, String] = Map.empty, autoInc: Seq[String] = Nil): Unit = {
     require(!exists(table), s"table $table already exists")
     fs.mkdirs(tdir(table))
     writeFile(new Path(tdir(table), "_schema.json"), schema.json)
     writeFile(new Path(tdir(table), "_keys"), keys.mkString(","))
+    if (defaults.nonEmpty || autoInc.nonEmpty) {
+      val lines =
+        autoInc.map(c => s"$c\tautoincrement\t") ++
+        defaults.map { case (c, e) => s"$c\tdefault\t$e" }
+      writeFile(new Path(tdir(table), "_defaults"), lines.mkString("\n"))
+    }
     writeFile(manifestPath(table, 0L), "")
     writeFile(latestPtr(table), "0")
   }
@@ -92,6 +108,23 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val s = readFile(new Path(tdir(table), "_keys")).trim
     if (s.isEmpty) Nil else s.split(",").toIndexedSeq
   }
+
+  private def defaultLines(table: String): Seq[(String, String, String)] = {
+    val p = new Path(tdir(table), "_defaults")
+    if (!fs.exists(p)) Nil
+    else readFile(p).split("\n").toIndexedSeq.filter(_.nonEmpty).map { l =>
+      val Array(c, kind, e) = l.split("\t", 3)
+      (c, kind, e)
+    }
+  }
+
+  /** Column DEFAULT expressions (Spark SQL text), by column. */
+  def defaultsOf(table: String): Map[String, String] =
+    defaultLines(table).collect { case (c, "default", e) => c -> e }.toMap
+
+  /** Autoincrement columns. */
+  def autoIncOf(table: String): Seq[String] =
+    defaultLines(table).collect { case (c, "autoincrement", _) => c }
 
   def currentVersion(table: String): Long = readFile(latestPtr(table)).trim.toLong
 
@@ -220,7 +253,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   /** INSERT append (S5): writes only the new batch; old files carry over. */
   def append(table: String, df: DataFrame): Unit = synchronized {
     val v = currentVersion(table) + 1
-    val aligned = align(table, df)
+    val aligned = fillAutoInc(table, align(table, df))
     val newEntries = writeBatch(table, v, aligned)
     val old = readManifest(table, v - 1)
     commit(table, v, old ++ newEntries, Some(withAction(readBack(table, newEntries), "insert")))
@@ -229,7 +262,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   /** INSERT OVERWRITE (S6): full replace; change batch = new contents. */
   def overwrite(table: String, df: DataFrame): Unit = synchronized {
     val v = currentVersion(table) + 1
-    val aligned = align(table, df)
+    val aligned = fillAutoInc(table, align(table, df))
     val newEntries = writeBatch(table, v, aligned)
     commit(table, v, newEntries, Some(withAction(readBack(table, newEntries), "insert")))
   }
@@ -313,8 +346,11 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val srcBuckets = alignedSrc.select(bucketCol(keys).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val touched = read(table, Some(srcBuckets))
-    val merged = Merge.upsert(touched, alignedSrc, keys, whenMatchedSet,
-      whenNotMatchedInsert, whenMatchedDelete)
+    // column DEFAULTs act as the insert-branch fallback (autoinc cols stay
+    // null through the merge and are filled below, past the global max)
+    val insertDefaults = defaultsOf(table).map { case (c, e) => c -> expr(e) }
+    val merged = fillAutoInc(table, Merge.upsert(touched, alignedSrc, keys, whenMatchedSet,
+      whenNotMatchedInsert, whenMatchedDelete, insertDefaults))
 
     val newEntries = writeBatch(table, v, merged)
     val untouched = readManifest(table, v - 1).filterNot(e => srcBuckets(e._1))
@@ -359,18 +395,33 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     else spark.read.schema(schemaOf(table)).parquet(entries.map(_._2): _*)
 
   /** Align df to the table schema by name with casts (the permissive,
-    * schema-on-write landing behavior: missing cols → null). */
+    * schema-on-write landing behavior: missing cols → their declared
+    * DEFAULT expression, else null; autoincrement cols are filled by
+    * [[fillAutoInc]] at the write sites). */
   private def align(table: String, df: DataFrame, padMissing: Boolean = true): DataFrame = {
     val present = df.columns.toSet
+    val defaults = defaultsOf(table)
     val cols = schemaOf(table).fields.map { f =>
       if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else {
         require(padMissing, s"column ${f.name} missing for table $table")
-        lit(null).cast(f.dataType).as(f.name)
+        defaults.get(f.name).map(expr).getOrElse(lit(null)).cast(f.dataType).as(f.name)
       }
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  /** Fill null autoincrement columns continuing past the table-wide max
+    * (one column-pruned max() scan per autoinc column, only on tables that
+    * declare one — zero cost otherwise). */
+  private def fillAutoInc(table: String, df: DataFrame): DataFrame =
+    autoIncOf(table).foldLeft(df) { (d, c) =>
+      val globalMax: Long = read(table).agg(max(col(c))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      graft.ops.SurrogateKey.assignFrom(d, c, globalMax)
+    }
 
   // ---- CDC ----------------------------------------------------------------
 
