@@ -48,20 +48,44 @@ object Similarity {
 
   /** Deterministic per-group centroids: fold the vectors in ascending
     * id order (bit-exact across engines), divide by count. Returns
-    * (groupCol, centroid array<double>, n). */
-  def centroids(df: DataFrame, groupCol: String, idCol: String, vecCol: String): DataFrame = {
-    val dims = size(col(vecCol))
-    val sorted = df
+    * (groupCol, centroid array<double>, n).
+    *
+    * Scale: a single `collect_list` over the group would materialize a hot
+    * label's entire vector set in one row (OOM at 100× skew). Instead the
+    * fold is HIERARCHICAL: vectors are chunked by their rank within the
+    * group (row_number, so chunking is deterministic for any id type),
+    * each chunk is folded in id order, then the chunk sums are folded in
+    * chunk order. Per-row materialization is bounded by `chunkSize`
+    * vectors (level 1) / #chunks partial sums (level 2) regardless of
+    * group size. When every group fits one chunk the result is
+    * bit-identical to the flat fold (the level-2 fold adds one term to an
+    * exact 0.0), so oracle folds keep matching. */
+  def centroids(df: DataFrame, groupCol: String, idCol: String, vecCol: String,
+      chunkSize: Int = 1024): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__chunk", floor((col("__rn") - 1) / chunkSize).cast("long"))
+    def zero(vs: Column) =
+      transform(sequence(lit(1), size(element_at(vs, 1)("v"))), _ => lit(0.0))
+    def foldSum(vs: Column) =
+      aggregate(vs, zero(vs), (acc, sv) => zip_with(acc, sv("v"), (x, y) => x + y))
+    val chunkSums = ranked
+      .groupBy(col(groupCol), col("__chunk"))
+      .agg(sort_array(collect_list(struct(col("__rn").as("id"), col("__v").as("v")))).as("vs"))
+      .select(col(groupCol), col("__chunk"), foldSum(col("vs")).as("cs"),
+        size(col("vs")).cast("long").as("cnt"))
+    chunkSums
       .groupBy(col(groupCol))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v")))).as("vs"))
-    val zero = transform(sequence(lit(1), size(element_at(col("vs"), 1)("v"))), _ => lit(0.0))
-    sorted.select(
-      col(groupCol),
-      VA.divide(
-        aggregate(col("vs"), zero, (acc, sv) =>
-          zip_with(acc, sv("v"), (x, y) => x + y.cast("double"))),
-        size(col("vs")).cast("double")).as("centroid"),
-      size(col("vs")).as("n"))
+      .agg(
+        sort_array(collect_list(struct(col("__chunk").as("id"), col("cs").as("v")))).as("vs"),
+        sum("cnt").as("n"))
+      .select(
+        col(groupCol),
+        VA.divide(foldSum(col("vs")), col("n").cast("double")).as("centroid"),
+        col("n"))
   }
 
   /** IVF-style ANN: probe the `nprobe` groups whose centroids are nearest

@@ -66,9 +66,13 @@ object PipelineQueries {
     },
 
     // MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join.
+    // maxBucketSize keeps the skew guard (the thing that makes LSH
+    // 100 TB-safe on boilerplate-heavy corpora) in the oracle-checked
+    // plan: at sf0.01 it actively drops the two size-12 degenerate
+    // buckets, so a regression in the pruned path breaks the hash-match.
     "d2_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-          k = 16, bands = 8, shingleN = 2)
+          k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))
         .orderBy("id_a", "id_b")
     },
 
@@ -490,8 +494,11 @@ object PipelineQueries {
          |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[(bi*2+1):(bi*2+2)]),
          |      (hb, vb) -> (hb*31+vb) % $P) AS bucket
          |  FROM sigs, (SELECT unnest(range(0, 8)) AS bi)),
+         |bsz AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+         |  HAVING count(1) <= 8),
+         |pruned AS (SELECT bands.* FROM bands JOIN bsz USING (band, bucket)),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.bucket = b.bucket
          |    AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b,
          |  CAST(len(list_filter(range(1, 17), ki -> sa.sig[ki] = sb.sig[ki])) AS DOUBLE)

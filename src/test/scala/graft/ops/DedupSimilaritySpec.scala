@@ -90,6 +90,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out == Set(4L, 5L)) // label-0 vectors never scanned
   }
 
+  test("centroids: hierarchical fold is exact across chunk boundaries under skew") {
+    // one hot group (100 vectors) vs tiny groups — chunkSize=4 forces 25
+    // level-1 chunks for the hot group, so no row ever materializes more
+    // than 4 vectors; the result must equal the plain sequential fold
+    val skewed = ((1L to 100L).map(i => (i, Array(i * 0.25f, 1f / i, 3f), "hot")) ++
+      Seq((101L, Array(1f, 2f, 3f), "cold"))).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroids(skewed, "label", "vec_id", "embedding", chunkSize = 4)
+      .collect().map(r => r.getString(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    val expHot = (0 until 3).map { d =>
+      (1L to 100L).map(i => Array(i * 0.25f, 1f / i, 3f)(d).toDouble).sum / 100.0
+    }
+    assert(out("hot")._2 == 100L && out("cold")._2 == 1L)
+    out("hot")._1.zip(expHot).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) < 1e-9, s"got $got exp $exp")
+    }
+    assert(out("cold")._1 == Seq(1.0, 2.0, 3.0))
+    // single-chunk result is bit-identical to the flat fold (chunkSize > n)
+    val flat = Similarity.centroids(skewed, "label", "vec_id", "embedding", chunkSize = 1024)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(flat("cold") == out("cold")._1)
+  }
+
   test("kmeans separates well-separated blobs and feeds ivfTopK") {
     val blobs = (
       (1L to 10L).map(i => (i, Array(10f + i * 0.01f, 0f, 0f), 0)) ++
