@@ -29,6 +29,11 @@ object TableOps {
   /** TRUNCATE TABLE — empty contents, schema preserved. */
   def truncate(df: DataFrame): DataFrame = df.filter(lit(false))
 
+  /** DELETE FROM ... WHERE pred — removes rows where `pred` is TRUE;
+    * FALSE and NULL rows are kept (SQL DELETE semantics). */
+  def delete(df: DataFrame, pred: Column): DataFrame =
+    df.filter(!coalesce(pred, lit(false)))
+
   /** INSERT INTO target SELECT ... — append by name; source must cover the
     * target columns (missing columns land as null, like a permissive load). */
   def append(target: DataFrame, source: DataFrame): DataFrame = {

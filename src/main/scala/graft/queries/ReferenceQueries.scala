@@ -15,6 +15,7 @@ import graft.ops.{DedupLatest, FactRebuild, Merge, TableOps}
   * S6+J1+A1-A3+O1 · s7_truncate S7 · p2_select_star P2 · p4_null_residual
   * P4+J2 · p5_filter_in P5 · p6_in_subquery P6+J5 · p7_update_rewrite P7 ·
   * j3_merge_upsert J3+A-MERGE · j4_merge_composite J4+A-MERGE ·
+  * j11_merge_delete A-MERGE DELETE branch · s9_delete DELETE FROM ·
   * w1_dedup_latest W1+P3+O3 · f3_cast_coercion F3 · o2_sort_desc O2.
   * (S1-S4, F1/F2/F4-F7, ST1-ST6 are non-SQL surfaces — exercised by the
   * ScalaTest suites and the orchestrator e2e test.)
@@ -201,6 +202,32 @@ object ReferenceQueries {
     // S7: TRUNCATE — empty contents, schema preserved (customer-...sql:172).
     "s7_truncate" -> { (s, dir) =>
       TableOps.truncate(Tables.load(s, dir, "nation"))
+    },
+
+    // S9: DELETE FROM ... WHERE — row removal with SQL null semantics
+    // (Snowflake DELETE, named by the reference acceptance note
+    // item-...sql:220; store-level path is bucket-pruned, TableStore.delete).
+    "s9_delete" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      TableOps.delete(o, col("o_orderstatus") === "O" && col("o_totalprice") > 150000.0)
+        .orderBy("o_orderkey")
+    },
+
+    // J11 + A-MERGE: MERGE with a WHEN MATCHED AND cond THEN DELETE branch
+    // (Snowflake semantics; matched rows above the price cut are dropped,
+    // the rest update, source-only rows insert).
+    "j11_merge_delete" -> { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+      val target = p.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey").as("item_id"), col("p_name").as("item_desc"),
+          col("p_retailprice").as("price"))
+      val source = p.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("item_id"), upper(col("p_name")).as("item_desc"),
+          (col("p_retailprice") * 2).as("price"))
+      Merge.upsert(target, source, Seq("item_id"),
+          whenMatchedDelete = Some(Merge.src("price") > 1900.0))
+        .orderBy("item_id")
     }
   )
 
@@ -312,6 +339,25 @@ object ReferenceQueries {
         |) ORDER BY n_nationkey""".stripMargin,
 
     "s7_truncate" ->
-      "SELECT * FROM nation WHERE false"
+      "SELECT * FROM nation WHERE false",
+
+    "s9_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT coalesce(o_orderstatus = 'O' AND o_totalprice > 150000.0, false)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j11_merge_delete" ->
+      """WITH t AS (SELECT p_partkey AS item_id, p_name AS item_desc, p_retailprice AS price
+        |           FROM part WHERE p_partkey % 2 = 0),
+        |     s AS (SELECT p_partkey AS item_id, upper(p_name) AS item_desc, p_retailprice * 2 AS price
+        |           FROM part WHERE p_partkey % 3 = 0)
+        |SELECT * FROM (
+        |  SELECT t.* FROM t WHERE item_id NOT IN (SELECT item_id FROM s)
+        |  UNION ALL
+        |  SELECT s.* FROM s JOIN t USING (item_id)
+        |  WHERE NOT coalesce(s.price > 1900.0, false)
+        |  UNION ALL
+        |  SELECT s.* FROM s WHERE item_id NOT IN (SELECT item_id FROM t)
+        |) ORDER BY item_id""".stripMargin
   )
 }

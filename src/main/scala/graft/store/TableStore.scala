@@ -298,7 +298,8 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   def delete(table: String, pred: org.apache.spark.sql.Column): Unit = synchronized {
     val v = currentVersion(table) + 1
     val touchedBuckets = matchingBuckets(table, pred)
-    val kept = read(table, touchedBuckets).filter(!pred)
+    // NULL-pred rows are kept (SQL DELETE removes only TRUE rows)
+    val kept = read(table, touchedBuckets).filter(!coalesce(pred, lit(false)))
     val newEntries = writeBatch(table, v, kept)
     val untouched = touchedBuckets.map(bs => readManifest(table, v - 1).filterNot(e => bs(e._1)))
       .getOrElse(Nil)
