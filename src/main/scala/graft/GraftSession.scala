@@ -131,6 +131,11 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
   /** A `;`-separated script (`--` comments stripped). */
   def sqlScript(script: String): Option[DataFrame] =
     GraftSql.executeScript(spark, store, script, Some(this))
+
+  /** Worksheet mode: run every statement, return the failures instead of
+    * aborting at the first one (see [[GraftSql.executeScriptLenient]]). */
+  def sqlScriptLenient(script: String): Seq[(String, String)] =
+    GraftSql.executeScriptLenient(spark, store, script, Some(this))
 }
 
 object GraftSession {

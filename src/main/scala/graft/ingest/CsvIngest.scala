@@ -28,7 +28,8 @@ final case class CsvFormat(
     skipHeaderLines: Int = 1,
     delimiter: String = ",",
     quote: String = "\"",
-    nullValue: String = "\\N")
+    nullValue: String = "\\N",
+    emptyFieldAsNull: Boolean = true) // Snowflake COPY default EMPTY_FIELD_AS_NULL
 
 object CsvIngest {
 
@@ -62,8 +63,8 @@ object CsvIngest {
   }
 
   private def parseLines(spark: SparkSession, lines: Dataset[String],
-      schema: StructType, fmt: CsvFormat): DataFrame =
-    spark.read
+      schema: StructType, fmt: CsvFormat): DataFrame = {
+    val parsed = spark.read
       .schema(schema)
       .option("delimiter", fmt.delimiter)
       .option("quote", fmt.quote)
@@ -71,17 +72,35 @@ object CsvIngest {
       .option("mode", "PERMISSIVE")
       .option("header", "false")
       .csv(lines)
+    emptyToNull(parsed, fmt)
+  }
+
+  /** EMPTY_FIELD_AS_NULL (Snowflake COPY default): empty string fields →
+    * NULL. Matters downstream: a varchar stage column holding '' would
+    * blow up a later CAST('' AS DATE) that NULL sails through. */
+  private def emptyToNull(df: DataFrame, fmt: CsvFormat): DataFrame =
+    if (!fmt.emptyFieldAsNull) df
+    else {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      df.select(df.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          when(col(f.name) === "", lit(null)).otherwise(col(f.name)).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
+    }
 
   /** Bulk path for big well-formed CSVs: native distributed scan (the
     * skip-header quirk only matters for tiny landing files). */
   def bulkRead(spark: SparkSession, path: String, schema: StructType,
       fmt: CsvFormat = CsvFormat()): DataFrame =
-    spark.read
-      .schema(schema)
-      .option("delimiter", fmt.delimiter)
-      .option("quote", fmt.quote)
-      .option("nullValue", fmt.nullValue)
-      .option("mode", "PERMISSIVE")
-      .option("header", fmt.skipHeaderLines > 0)
-      .csv(path)
+    emptyToNull(
+      spark.read
+        .schema(schema)
+        .option("delimiter", fmt.delimiter)
+        .option("quote", fmt.quote)
+        .option("nullValue", fmt.nullValue)
+        .option("mode", "PERMISSIVE")
+        .option("header", fmt.skipHeaderLines > 0)
+        .csv(path),
+      fmt)
 }

@@ -261,15 +261,33 @@ object GraftSql {
       case MergeRe() =>
         registerViews()
         val pm = MergeSql.parse(stmt)
-        session.flatMap(_.streamOpt(pm.source)) match {
-          case Some(stm) =>
+        val directStream = session.flatMap(_.streamOpt(pm.source))
+        // a USING (subquery) that reads a stream (the reference's item
+        // script dedups its stream inside the subquery) also consumes it
+        val subqueryStream = pm.sourceQuery.flatMap { q =>
+          session.toSeq.flatMap(_.allStreams).find(s =>
+            ("(?i)\\b" + java.util.regex.Pattern.quote(s.name) + "\\b").r
+              .findFirstIn(q).isDefined)
+        }
+        (directStream, subqueryStream) match {
+          case (Some(stm), _) =>
             // stream source: transactional consume — the offset advances
             // only if the merge commits (reference exactly-once contract,
             // SURVEY.md §7 hard parts)
             stm.consume { changes =>
               MergeSql.runWith(spark, store, pm, changes.drop("__action"))
             }
-          case None => MergeSql.run(spark, store, stmt)
+          case (_, Some(stm)) =>
+            stm.consume { changes =>
+              changes.createOrReplaceTempView(stm.name) // snapshot the slice
+              MergeSql.runWith(spark, store, pm, spark.sql(pm.sourceQuery.get))
+            }
+          case _ =>
+            val src = pm.sourceQuery.map(spark.sql).getOrElse {
+              if (store.exists(pm.source)) store.read(pm.source)
+              else spark.table(pm.source)
+            }
+            MergeSql.runWith(spark, store, pm, src)
         }
         None
 
@@ -287,6 +305,26 @@ object GraftSql {
       execute(spark, store, stmt, session)
     }
 
+  /** Worksheet mode: execute every statement, collecting failures instead
+    * of aborting — how the reference scripts are actually run (pasted
+    * statement-by-statement into a worksheet, where one bad statement
+    * doesn't roll back the rest; the reference scripts contain statements
+    * that fail in Snowflake too, e.g. `alter task pause_pipe resume` names
+    * a task that doesn't exist — SURVEY.md §0 known-bugs). Returns
+    * (statement, error) for each failed statement. */
+  def executeScriptLenient(spark: SparkSession, store: TableStore, script: String,
+      session: Option[GraftSession] = None): Seq[(String, String)] = {
+    val errs = Seq.newBuilder[(String, String)]
+    splitStatements(stripComments(script)).foreach { stmt =>
+      try execute(spark, store, stmt, session)
+      catch {
+        case e: Exception =>
+          errs += stmt -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
+    }
+    errs.result()
+  }
+
   // ---- helpers ------------------------------------------------------------
 
   /** Qualified → flat name normalization using the session's name map. */
@@ -295,23 +333,33 @@ object GraftSql {
       acc.replaceAll("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(full) + "(?![\\w.])", flat)
     }).getOrElse(sql)
 
-  /** Strip `--` line comments (outside quotes). */
-  private[sql] def stripComments(sql: String): String =
-    sql.split("\n", -1).map { line =>
-      val cut = new StringBuilder
-      var quote: Char = 0
-      var i = 0
-      var done = false
-      while (i < line.length && !done) {
-        val ch = line(i)
-        if (quote != 0) { cut += ch; if (ch == quote) quote = 0 }
-        else if (ch == '\'' || ch == '"') { quote = ch; cut += ch }
-        else if (ch == '-' && i + 1 < line.length && line(i + 1) == '-') done = true
-        else cut += ch
-        i += 1
-      }
-      cut.toString
-    }.mkString("\n")
+  /** Strip `--` line comments and `slash-star … star-slash` block comments
+    * (outside quotes). An unclosed block comment runs to end of script —
+    * the worksheet behavior the reference's order script relies on (its
+    * tail opens a block comment that never closes). */
+  private[sql] def stripComments(sql: String): String = {
+    val out = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    var inBlock = false
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (inBlock) {
+        if (ch == '*' && i + 1 < sql.length && sql(i + 1) == '/') { inBlock = false; i += 1 }
+      } else if (quote != 0) {
+        out += ch; if (ch == quote) quote = 0
+      } else if (ch == '\'' || ch == '"') {
+        quote = ch; out += ch
+      } else if (ch == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
+        while (i < sql.length && sql(i) != '\n') i += 1
+        if (i < sql.length) out += '\n'
+      } else if (ch == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+        inBlock = true; i += 1
+      } else out += ch
+      i += 1
+    }
+    out.toString
+  }
 
   /** `WHEN [NOT] system$stream_has_data('s')` task gates. */
   private def parseGate(gate: String, sess: GraftSession): () => Boolean = {

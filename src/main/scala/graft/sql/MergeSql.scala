@@ -37,7 +37,11 @@ object MergeSql {
       keys: Seq[String],
       matchedSet: Option[Map[String, String]],     // col -> raw expr text
       insertCols: Option[(Seq[String], Seq[String])], // (cols, raw expr texts)
-      matchedDelete: Option[String] = None)        // raw cond ("true" if bare)
+      matchedDelete: Option[String] = None,        // raw cond ("true" if bare)
+      sourceQuery: Option[String] = None)          // USING (subquery) text
+
+  /** Placeholder source name substituted for a `USING (subquery)`. */
+  val SubquerySource = "__merge_subquery_src"
 
   // aliases are optional (the reference writes `MERGE INTO raw.raw_customer
   // USING stg.stg_customer_stm ON raw_customer.customer_id = ...`,
@@ -55,14 +59,46 @@ object MergeSql {
 
   /** The DELETE branch can appear anywhere among the WHEN clauses
     * (Snowflake allows any order); pull it out first, then parse the
-    * remaining UPDATE/INSERT shape with the main pattern. */
-  def parse(sql: String): ParsedMerge = DeleteBranch.findFirstMatchIn(sql) match {
-    case Some(m) =>
-      val cond = Option(m.group(1)).map(_.trim).getOrElse("true")
-      val rest = sql.substring(0, m.start) + sql.substring(m.end)
-      parseNoDelete(rest).copy(matchedDelete = Some(cond))
-    case None => parseNoDelete(sql)
+    * remaining UPDATE/INSERT shape with the main pattern. A
+    * `USING (subquery) AS alias` source (the reference's item script
+    * dedups its stream with a row_number subquery, item-...sql:71-75) is
+    * extracted into [[ParsedMerge.sourceQuery]] before pattern matching. */
+  def parse(sql: String): ParsedMerge = {
+    val (sql1, subq) = extractUsingSubquery(sql)
+    val pm = DeleteBranch.findFirstMatchIn(sql1) match {
+      case Some(m) =>
+        val cond = Option(m.group(1)).map(_.trim).getOrElse("true")
+        val rest = sql1.substring(0, m.start) + sql1.substring(m.end)
+        parseNoDelete(rest).copy(matchedDelete = Some(cond))
+      case None => parseNoDelete(sql1)
+    }
+    pm.copy(sourceQuery = subq)
   }
+
+  /** Replace `USING ( … )` (balanced, quote-aware) with the placeholder
+    * source name; returns (rewritten sql, extracted subquery text). */
+  private def extractUsingSubquery(sql: String): (String, Option[String]) =
+    """(?is)\bUSING\s*\(""".r.findFirstMatchIn(sql) match {
+      case None => (sql, None)
+      case Some(m) =>
+        var depth = 1
+        var i = m.end
+        var quote: Char = 0
+        while (i < sql.length && depth > 0) {
+          val ch = sql(i)
+          if (quote != 0) { if (ch == quote) quote = 0 }
+          else ch match {
+            case '\'' | '"' => quote = ch
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        require(depth == 0, s"unbalanced parens in USING subquery:\n$sql")
+        val sub = sql.substring(m.end, i - 1).trim
+        (sql.substring(0, m.start) + s" USING $SubquerySource " + sql.substring(i), Some(sub))
+    }
 
   private def parseNoDelete(sql: String): ParsedMerge = sql match {
     case MergePattern(target, tAlias0, source, sAlias0, onClause, setClause, insCols, insVals) =>
@@ -164,8 +200,11 @@ object MergeSql {
     * keys (a shape the reference never produces). */
   def run(spark: SparkSession, store: TableStore, sql: String): Unit = {
     val pm = parse(sql)
-    val source =
-      if (store.exists(pm.source)) store.read(pm.source) else spark.table(pm.source)
+    val source = pm.sourceQuery match {
+      case Some(q) => spark.sql(q)
+      case None =>
+        if (store.exists(pm.source)) store.read(pm.source) else spark.table(pm.source)
+    }
     runWith(spark, store, pm, source)
   }
 
