@@ -15,8 +15,10 @@ import graft.store.TableStore
   * consuming body completes (SURVEY.md §7 hard parts — a failed merge must
   * not consume the stream).
   *
-  * Scale: hasData is a file-existence probe (no data IO); read unions only
-  * the pending change batches, never the base table.
+  * Scale: hasData short-circuits on the version counter (pure pointer
+  * read); only when versions are pending does it run a limit-1 probe over
+  * the pending change batches (isEmpty ⇒ take(1), not a full scan). read
+  * unions only the pending change batches, never the base table.
   */
 class ChangeStream(store: TableStore, val table: String, val name: String) {
 
