@@ -200,6 +200,29 @@ object PipelineQueries {
         .orderBy("interval_id")
     },
 
+    // SCD type-2 merge: close changed current rows, open new versions,
+    // pass history and no-op changes through (the dimension-history
+    // operator the reference's dim start/end columns are shaped for).
+    "j12_scd2" -> { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+      val dim = p.filter(col("p_partkey") % 2 === 0).select(
+          col("p_partkey").as("item_id"), col("p_name").as("item_desc"),
+          col("p_retailprice").as("price"),
+          lit(1L).as("start_ts"), lit(null).cast("long").as("end_ts"))
+        .unionByName(p.filter(col("p_partkey") % 10 === 0).select(
+          col("p_partkey").as("item_id"), concat(col("p_name"), lit("_old")).as("item_desc"),
+          (col("p_retailprice") - 1).as("price"),
+          lit(0L).as("start_ts"), lit(1L).cast("long").as("end_ts")))
+      val changes = p.filter(col("p_partkey") % 3 === 0).select(
+          col("p_partkey").as("item_id"), col("p_name").as("item_desc"),
+          (col("p_retailprice") * 2).as("price"), lit(5L).as("ts"))
+        .unionByName(p.filter(col("p_partkey") % 4 === 0 && col("p_partkey") % 3 =!= 0).select(
+          col("p_partkey").as("item_id"), col("p_name").as("item_desc"),
+          col("p_retailprice").as("price"), lit(5L).as("ts")))
+      graft.ops.Scd2(dim, changes, Seq("item_id"), Seq("item_desc", "price"), "ts")
+        .orderBy("item_id", "start_ts")
+    },
+
     // Pivot (conditional aggregation with an explicit value list).
     "a8_pivot" -> { (s, dir) =>
       val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -752,6 +775,42 @@ object PipelineQueries {
         |SELECT interval_id, count(1) AS n_events
         |FROM ev JOIN iv ON ts_us >= start_us AND ts_us < end_us
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    "j12_scd2" ->
+      """WITH dim AS (
+        |  SELECT p_partkey AS item_id, p_name AS item_desc, p_retailprice AS price,
+        |         CAST(1 AS BIGINT) AS start_ts, CAST(NULL AS BIGINT) AS end_ts
+        |  FROM part WHERE p_partkey % 2 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, p_name || '_old', p_retailprice - 1, 0, 1
+        |  FROM part WHERE p_partkey % 10 = 0),
+        |chg AS (
+        |  SELECT p_partkey AS item_id, p_name AS item_desc, p_retailprice * 2 AS price,
+        |         CAST(5 AS BIGINT) AS ts
+        |  FROM part WHERE p_partkey % 3 = 0
+        |  UNION ALL
+        |  SELECT p_partkey, p_name, p_retailprice, 5
+        |  FROM part WHERE p_partkey % 4 = 0 AND p_partkey % 3 <> 0),
+        |cur AS (SELECT * FROM dim WHERE end_ts IS NULL),
+        |hist AS (SELECT * FROM dim WHERE end_ts IS NOT NULL),
+        |matched AS (SELECT c.item_id, c.item_desc AS t_desc, c.price AS t_price,
+        |                   c.start_ts, g.item_desc AS s_desc, g.price AS s_price, g.ts
+        |            FROM cur c JOIN chg g USING (item_id)),
+        |diff AS (SELECT * FROM matched
+        |         WHERE NOT (t_desc IS NOT DISTINCT FROM s_desc
+        |                    AND t_price IS NOT DISTINCT FROM s_price))
+        |SELECT * FROM (
+        |  SELECT * FROM hist
+        |  UNION ALL
+        |  SELECT c.* FROM cur c WHERE c.item_id NOT IN (SELECT item_id FROM diff)
+        |  UNION ALL
+        |  SELECT item_id, t_desc, t_price, start_ts, ts FROM diff
+        |  UNION ALL
+        |  SELECT g.item_id, g.item_desc, g.price, g.ts, NULL FROM chg g
+        |    WHERE g.item_id NOT IN (SELECT item_id FROM cur)
+        |  UNION ALL
+        |  SELECT item_id, s_desc, s_price, ts, NULL FROM diff
+        |) ORDER BY item_id, start_ts""".stripMargin,
 
     "a4_rollup" ->
       """SELECT lang, source, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
