@@ -223,6 +223,29 @@ object PipelineQueries {
         .orderBy("item_id", "start_ts")
     },
 
+    // Incremental aggregate maintenance: aggregate only the "delta"
+    // partition, additively merge into the "base" aggregate — the result
+    // must equal a full recompute (which is what the oracle runs). The
+    // scale-first replacement for the reference's full fact rebuild.
+    "s10_incremental_agg" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      def aggOf(df: DataFrame) = df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("order_count"),
+          sum(col("l_quantity").cast("decimal(20,2)")).as("sum_qty_d"),
+          sum(col("l_extendedprice").cast("decimal(20,2)")).as("sum_price_d"))
+      val base = aggOf(li.filter(col("l_orderkey") % 4 =!= 0))
+      val delta = aggOf(li.filter(col("l_orderkey") % 4 === 0))
+      graft.ops.IncrementalAgg.applyDelta(base, delta,
+          Seq("l_returnflag", "l_linestatus"),
+          adds = Seq("order_count", "sum_qty_d", "sum_price_d"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("order_count"),
+          col("sum_qty_d").cast("double").as("sum_qty"),
+          col("sum_price_d").cast("double").as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // Pivot (conditional aggregation with an explicit value list).
     "a8_pivot" -> { (s, dir) =>
       val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -775,6 +798,14 @@ object PipelineQueries {
         |SELECT interval_id, count(1) AS n_events
         |FROM ev JOIN iv ON ts_us >= start_us AND ts_us < end_us
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    "s10_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(1) AS order_count,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "j12_scd2" ->
       """WITH dim AS (

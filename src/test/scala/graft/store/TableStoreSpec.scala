@@ -90,6 +90,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ch == Seq((5L, "delete")), "stream must surface the deleted row with action=delete")
   }
 
+  test("incremental fact maintenance: additive merge touches only delta-key buckets") {
+    val st = freshStore()
+    val factSchema = StructType(Seq(
+      StructField("grp", LongType), StructField("cnt", LongType), StructField("total", LongType)))
+    st.createTable("fact", factSchema, keys = Seq("grp"))
+    st.append("fact", (1L to 40L).map(g => (g, 10L, 100L)).toDF("grp", "cnt", "total"))
+    val before = manifest(st, "fact", 1)
+    // delta aggregates for one existing group and one new group
+    val delta = Seq((7L, 3L, 30L), (99L, 5L, 50L)).toDF("grp", "cnt", "total")
+    st.merge("fact", delta,
+      whenMatchedSet = Some(graft.ops.IncrementalAgg.combineSet(Seq("cnt", "total"))))
+    val after = manifest(st, "fact", 2)
+    assert(after.count { case (b, p) => before(b) == p } >= 2,
+      "buckets without delta keys must carry over untouched")
+    val out = st.read("fact").filter(col("grp").isin(7L, 99L, 1L))
+      .orderBy("grp").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10L, 100L), (7L, 13L, 130L), (99L, 5L, 50L)))
+  }
+
   test("merge WHEN MATCHED DELETE drops rows and streams them as deletes") {
     val st = freshStore()
     st.createTable("t", schema, keys = Seq("id"))
