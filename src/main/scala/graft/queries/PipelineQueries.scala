@@ -246,6 +246,33 @@ object PipelineQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Token-window document chunking (size 40, overlap 10) — the map-only
+    // chunker that feeds training-sequence assembly.
+    "e11_chunking" -> { (s, dir) =>
+      graft.ops.CorpusOps.chunk(Tables.load(s, dir, "documents"), "doc_id", "text",
+          size = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Benchmark decontamination: flag corpus docs sharing any 5-gram with
+    // the (pseudo) benchmark slice — hash semi-join, no pairwise scan.
+    "d6_decontam" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.CorpusOps.decontaminate(docs, docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling: 7 docs per (lang, source) by
+    // portable-hash order — reproducible mixture control without RNG.
+    "e12_stratified_sample" -> { (s, dir) =>
+      graft.ops.CorpusOps.stratifiedSample(Tables.load(s, dir, "documents"),
+          Seq("lang", "source"), "doc_id", k = 7)
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "source", "doc_id")
+    },
+
     // Pivot (conditional aggregation with an explicit value list).
     "a8_pivot" -> { (s, dir) =>
       val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -798,6 +825,39 @@ object PipelineQueries {
         |SELECT interval_id, count(1) AS n_events
         |FROM ev JOIN iv ON ts_us >= start_us AND ts_us < end_us
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    "e11_chunking" ->
+      s"""WITH $dToks,
+         |n AS (SELECT doc_id, tk,
+         |        greatest(1, CAST(ceil(CAST(len(tk) - 10 AS DOUBLE) / 30) AS BIGINT)) AS nc
+         |      FROM toks)
+         |SELECT doc_id, ci AS chunk_id,
+         |  array_to_string(tk[(ci*30+1):(ci*30+40)], ' ') AS chunk_text,
+         |  CAST(len(tk[(ci*30+1):(ci*30+40)]) AS BIGINT) AS n_tokens
+         |FROM n, lateral unnest(range(0, nc)) AS t(ci)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d6_decontam" -> {
+      val gram5 = (0 until 5).map(j => if (j == 0) "tk[sg]" else s"tk[sg+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH $dToks,
+         |grams AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk)-3), sg -> ${dPhash(gram5, "dg")})) AS h
+         |  FROM toks WHERE len(tk) >= 5),
+         |bench AS (SELECT doc_id, h FROM grams WHERE doc_id % 20 = 0),
+         |hits AS (SELECT DISTINCT g.doc_id FROM grams g
+         |         JOIN bench b ON g.h = b.h AND g.doc_id <> b.doc_id)
+         |SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) AS contaminated
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "e12_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM (
+         |  SELECT doc_id, lang, source, row_number() OVER (
+         |    PARTITION BY lang, source
+         |    ORDER BY ${dPhash("CAST(doc_id AS VARCHAR)", "ss")}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 7
+         |ORDER BY lang, source, doc_id""".stripMargin,
 
     "s10_incremental_agg" ->
       """SELECT l_returnflag, l_linestatus, count(1) AS order_count,

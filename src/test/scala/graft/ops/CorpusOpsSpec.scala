@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chunking covers every token with the configured overlap") {
+    val docs = Seq((1L, (1 to 95).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.chunk(docs, "doc_id", "text", size = 40, overlap = 10)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // 95 tokens, step 30 -> ceil(85/30) = 3 chunks: [1,40],[31,70],[61,95]
+    assert(d1.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_.getAs[Long]("n_tokens")).toSeq == Seq(40L, 40L, 35L))
+    assert(d1(0).getAs[String]("chunk_text").startsWith("t1 ") &&
+      d1(1).getAs[String]("chunk_text").startsWith("t31 ") &&
+      d1(2).getAs[String]("chunk_text").endsWith(" t95"))
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = d1(0).getAs[String]("chunk_text").split(" ").toSeq
+    val c1 = d1(1).getAs[String]("chunk_text").split(" ").toSeq
+    assert(c0.takeRight(10) == c1.take(10))
+    // short doc -> one chunk with everything
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "a b")
+  }
+
+  test("decontamination flags shared n-grams but not self-matches") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words here entirely now today"),
+      (3L, "again the quick brown fox jumps happily away")
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "saw the quick brown fox jumps yesterday")).toDF("doc_id", "text")
+    val out = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L) && out(3L))
+    // a benchmark doc inside the corpus is not flagged by its own grams
+    val self = CorpusOps.decontaminate(bench, bench, "doc_id", "text", n = 5)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(!self(10L))
+  }
+
+  test("stratified sample is deterministic and respects k per stratum") {
+    val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = CorpusOps.stratifiedSample(docs, Seq("lang"), "doc_id", k = 5)
+      .orderBy("lang", "doc_id").collect().toSeq
+    val s2 = CorpusOps.stratifiedSample(docs.repartition(7), Seq("lang"), "doc_id", k = 5)
+      .orderBy("lang", "doc_id").collect().toSeq
+    assert(s1 == s2, "sample must not depend on physical layout")
+    assert(s1.count(_.getString(1) == "en") == 5 && s1.count(_.getString(1) == "de") == 5)
+  }
+}
