@@ -60,27 +60,32 @@ object Scd2 {
 
     val dimCols = dim.columns.toIndexedSeq
 
-    // 1) surviving current rows: unmatched, or matched-but-identical
-    val kept = joined
-      .filter(currentOnly || (matched && !differs))
-      .select(dimCols.map(c => col(s"$t.$c").as(c)): _*)
-    // 2) closed rows: matched and different — end at the change ts
-    val closed = joined
-      .filter(matched && differs)
-      .select(dimCols.map {
-        case c if c == endCol => col(s"$s.$tsCol").cast(dim.schema(endCol).dataType).as(endCol)
-        case c => col(s"$t.$c").as(c)
-      }: _*)
-    // 3) opened rows: new key, or new version of a changed key
-    val opened = joined
-      .filter(changeOnly || (matched && differs))
-      .select(dimCols.map {
-        case c if c == startCol => col(s"$s.$tsCol").cast(dim.schema(startCol).dataType).as(startCol)
-        case c if c == endCol => lit(null).cast(dim.schema(endCol).dataType).as(endCol)
-        case c if keys.contains(c) || tracked.contains(c) => col(s"$s.$c").cast(dim.schema(c).dataType).as(c)
-        case c => col(s"$t.$c").as(c) // carried non-tracked cols (null for new keys)
-      }: _*)
+    // each join row emits 0-2 output rows; building them as an exploded
+    // array of structs keeps the whole thing ONE pass over ONE join (a
+    // union of three filtered selects would re-execute the join per
+    // branch — Spark has no common-subplan reuse across union arms)
+    // 1) surviving current row: unmatched, or matched-but-identical
+    val kept = struct(dimCols.map(c => col(s"$t.$c").as(c)): _*)
+    // 2) closed row: matched and different — end at the change ts
+    val closed = struct(dimCols.map {
+      case c if c == endCol => col(s"$s.$tsCol").cast(dim.schema(endCol).dataType).as(endCol)
+      case c => col(s"$t.$c").as(c)
+    }: _*)
+    // 3) opened row: new key, or new version of a changed key
+    val opened = struct(dimCols.map {
+      case c if c == startCol => col(s"$s.$tsCol").cast(dim.schema(startCol).dataType).as(startCol)
+      case c if c == endCol => lit(null).cast(dim.schema(endCol).dataType).as(endCol)
+      case c if keys.contains(c) || tracked.contains(c) => col(s"$s.$c").cast(dim.schema(c).dataType).as(c)
+      case c => col(s"$t.$c").as(c) // carried non-tracked cols (null for new keys)
+    }: _*)
 
-    history.unionByName(kept).unionByName(closed).unionByName(opened)
+    val emitted = joined.select(explode(
+      when(matched && differs, array(closed, opened))
+        .when(changeOnly, array(opened))
+        .otherwise(array(kept))). // currentOnly, or matched with no change
+      as("__r"))
+      .select(col("__r.*"))
+
+    history.unionByName(emitted)
   }
 }
