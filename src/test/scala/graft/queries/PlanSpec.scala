@@ -45,4 +45,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("d1_exact_dedup").contains("graft_phash"))
     assert(plan("n1_ann_topk").contains("graft_dot"))
   }
+
+  test("SCD2 executes its full-outer join exactly once (exploded branches)") {
+    val p = plan("j12_scd2")
+    assert("FullOuter".r.findAllIn(p).size <= 2, // formatted plan lists a node twice (tree + detail)
+      "branch emission must not re-execute the join per union arm")
+    assert(p.contains("Generate") && p.contains("explode"),
+      "expected the exploded-branch shape")
+  }
+
+  test("decontamination is a hash semi-join, no cartesian or pairwise scan") {
+    val p = plan("d6_decontam")
+    assert(p.contains("LeftSemi"), "expected a semi join on the gram hash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no pairwise document comparison expected")
+  }
+
+  test("chunking plan has no shuffle (pure map stage)") {
+    val p = plan("e11_chunking")
+    // the only exchange allowed is the final presentation sort
+    val shuffles = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).size
+    assert(shuffles == 0, s"chunking must not hash-shuffle, found $shuffles:\n$p")
+  }
+
+  test("incremental agg merges partials without re-aggregating the base") {
+    val p = plan("s10_incremental_agg")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "delta aggregation should be two-phase")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
