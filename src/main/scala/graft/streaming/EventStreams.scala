@@ -45,6 +45,38 @@ object EventStreams {
         col("event_type"), col("n_events"))
   }
 
+  /** Streaming exactly-once event dedup: duplicates of `idCols` arriving
+    * within the watermark horizon are dropped; state is bounded by the
+    * watermark (ids older than it are evicted — the at-least-once →
+    * exactly-once repair stage in front of an idempotent sink). Batch
+    * DataFrames fall back to a plain dropDuplicates. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "2 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same user within `[l.ts - lookback, l.ts]` — the standard
+    * impression⋈click enrichment. Both sides are watermarked so the join
+    * state is bounded (right rows older than lookback + watermark are
+    * evicted). Output columns: left.* plus the right event's id/type/value
+    * as matched_*. */
+  def intervalJoin(left: DataFrame, right: DataFrame, lookback: String,
+      watermark: String = "2 minutes"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right).alias("r")
+    l.join(r,
+      expr(s"""l.user_id = r.user_id AND
+               |r.ts BETWEEN l.ts - INTERVAL $lookback AND l.ts AND
+               |l.event_id <> r.event_id""".stripMargin))
+      .select(col("l.event_id"), col("l.user_id"), col("l.event_type"),
+        col("l.value"), col("l.ts"),
+        col("r.event_id").as("matched_id"), col("r.event_type").as("matched_type"),
+        col("r.ts").as("matched_ts"))
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       value: Double, ts: Timestamp)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, sumValue: Double)

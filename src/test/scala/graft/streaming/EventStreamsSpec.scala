@@ -69,6 +69,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops within-watermark duplicate event ids") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF(), Seq("event_id"), "2 minutes")
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(1, 1, "click", 1.0, ts(10)), Event(1, 1, "click", 1.0, ts(11)))
+      q.processAllAvailable()
+      mem.addData(Event(1, 1, "click", 1.0, ts(12)), Event(2, 1, "view", 2.0, ts(20)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ev").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"duplicate event 1 must appear once, got $ids")
+    } finally q.stop()
+  }
+
+  test("intervalJoin pairs right events within the lookback window") {
+    implicit val sc = spark.sqlContext
+    val impressions = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.intervalJoin(clicks.toDF(), impressions.toDF(), "30 seconds")
+      .writeStream.format("memory").queryName("joined_ev")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      impressions.addData(Event(10, 1, "imp", 0.0, ts(0)), Event(11, 1, "imp", 0.0, ts(100)))
+      clicks.addData(Event(20, 1, "click", 1.0, ts(20)))
+      q.processAllAvailable()
+      val rows = spark.table("joined_ev").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("matched_id"))).toSet
+      // click at 20s matches the impression at 0s (within 30s lookback),
+      // NOT the one at 100s (in the future relative to the click)
+      assert(rows == Set((20L, 10L)))
+    } finally q.stop()
+  }
+
   test("gap within session keeps one session; gap beyond splits") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
