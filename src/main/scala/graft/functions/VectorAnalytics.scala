@@ -55,6 +55,29 @@ object VectorAnalytics {
   /** Scale a double vector by 1/k. */
   def divide(a: Column, k: Column): Column = transform(a, x => x / k)
 
+  /** Per-vector symmetric int8 quantization scale: max|v| / 127 (0 maps
+    * to a degenerate all-zero vector with scale 0). */
+  def int8Scale(v: Column): Column =
+    aggregate(v, lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))) / lit(127.0)
+
+  /** Quantize to int8 codes stored as small whole doubles in [-127, 127]
+    * (so the native [[dot]] fold runs on them directly; a production
+    * format would pack array<tinyint> — 4× smaller than float32, 8× than
+    * float64). Rounding is floor(x+0.5) — identical in every engine, no
+    * HALF_UP/away-from-zero ambiguity. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0, lit(0.0)).otherwise(
+        least(greatest(floor(x.cast("double") / scale + 0.5), lit(-127.0)), lit(127.0))))
+
+  /** Approximate dot product from two quantized vectors and their scales:
+    * (Σ qa[i]·qb[i]) · sa · sb. The integer MAC is EXACT in doubles
+    * (|q| ≤ 127 ⇒ the sum stays far below 2^53), so the result is
+    * deterministic and oracle-checkable — the error vs the true dot is
+    * pure quantization error, not float-order noise. */
+  def dotInt8(qa: Column, qb: Column, sa: Column, sb: Column): Column =
+    dot(qa, qb) * sa * sb
+
   /** Deterministic pseudo-random hyperplane component for LSH: plane p,
     * dimension d ↦ an integer-derived rational in [-1, 1). Both engines
     * compute it with exact integer arithmetic — no RNG, no libm. */

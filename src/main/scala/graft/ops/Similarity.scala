@@ -118,6 +118,34 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Brute-force top-k over int8-QUANTIZED vectors — the memory-bound
+    * scale path: codes are 4× smaller than float32 (8× than float64), so
+    * 4× more corpus fits per executor and the scan is bandwidth-bound on
+    * a quarter of the bytes. Quantized cosine is scale-free (the
+    * per-vector scales cancel), and the integer MACs are exact in
+    * doubles, so ranking is deterministic — quantization error is the
+    * only approximation. Compose with [[ivfTopK]]'s probe pruning for the
+    * full IVF-PQ-style pipeline; exact re-rank of the top candidates via
+    * [[bruteForceTopK]] recovers full precision when needed. */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vAs: String, nAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          transform(col(vecCol), x => x.cast("double")).as("__v"))
+        .withColumn("__s", VA.int8Scale(col("__v")))
+        .withColumn(vAs, VA.quantizeInt8(col("__v"), col("__s")))
+        .withColumn(nAs, sqrt(VA.dot(col(vAs), col(vAs))))
+        .drop("__v", "__s")
+    val q = broadcast(prep(queries, "query_id", "qa", "na"))
+    val c = prep(corpus, "neighbor_id", "cv", "cn")
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos", VA.dot(col("qa"), col("cv")) / (col("na") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qcos")
+  }
+
   /** Signed-random-projection bucket per row — join rows on `bucket` to
     * get cosine-similar candidate pairs without scanning the corpus. */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =

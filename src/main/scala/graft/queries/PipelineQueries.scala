@@ -383,6 +383,15 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Int8-quantized brute-force top-k — the memory-bound ANN scale path
+    // (4× more corpus per executor); ranking fully deterministic since
+    // quantized MACs are exact.
+    "n3_ann_quantized" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- text analysis ----------------------------------------------------
 
     // Stopword-list language-ID with per-language scores (explode+agg
@@ -646,6 +655,29 @@ object PipelineQueries {
          |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, cosine FROM (
          |  SELECT query_id, neighbor_id, cosine,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "n3_ann_quantized" ->
+      s"""WITH vecs AS (SELECT vec_id,
+         |    list_transform(embedding, cq -> CAST(cq AS DOUBLE)) AS v FROM embeddings),
+         |sc AS (SELECT vec_id, v,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, xq -> abs(xq))),
+         |      (aq, bq) -> greatest(aq, bq)) / 127.0 AS s
+         |  FROM vecs),
+         |q8 AS (SELECT vec_id,
+         |    CASE WHEN s = 0 THEN list_transform(v, zq -> CAST(0 AS DOUBLE))
+         |         ELSE list_transform(v, xq2 -> least(greatest(floor(xq2 / s + 0.5), -127.0), 127.0))
+         |    END AS qv
+         |  FROM sc),
+         |n8 AS (SELECT vec_id, qv, sqrt(${dDot("qv", "qv", "nq")}) AS qn FROM q8),
+         |qs AS (SELECT vec_id AS query_id, qv AS qa, qn AS na FROM n8 WHERE vec_id < 10),
+         |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |    ${dDot("qa", "c.qv", "sq")} / (na * c.qn) AS qcos
+         |  FROM qs JOIN n8 c ON c.vec_id <> query_id)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, qcos FROM (
+         |  SELECT query_id, neighbor_id, qcos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rnk
          |  FROM scored) WHERE rnk <= 5
          |ORDER BY query_id, rank""".stripMargin,
 

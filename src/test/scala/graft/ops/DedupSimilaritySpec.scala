@@ -133,6 +133,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.subsetOf((11L to 20L).toSet), s"probe must stay in the y-axis blob: $out")
   }
 
+  test("quantized top-k matches exact ranking on well-separated vectors") {
+    val q = vecs.filter(col("vec_id") === 1)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val quant = Similarity.quantizedTopK(vecs, q, "vec_id", "embedding", 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(quant == exact, s"int8 quantization flipped a well-separated ranking: $quant vs $exact")
+    // quantized cosine of a vector with its own copy is 1 up to the
+    // sqrt(norm) rounding (the integer dot itself is exact)
+    val self = Seq((100L, Array(0.5f, -0.25f, 0.125f), 0), (101L, Array(0.5f, -0.25f, 0.125f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val s = Similarity.quantizedTopK(self, self.filter(col("vec_id") === 100), "vec_id", "embedding", 1)
+      .head().getAs[Double]("qcos")
+    assert(math.abs(s - 1.0) < 1e-12)
+  }
+
   test("srp buckets put near-identical vectors together") {
     val b = Similarity.srpBuckets(vecs, "vec_id", "embedding", planes = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
