@@ -293,9 +293,30 @@ object GraftSql {
 
       case other =>
         registerViews()
-        Some(spark.sql(other.replaceAll(TaskHistoryFnRe, "task_history")))
+        Some(spark.sql(
+          timeTravel(spark, store, session, other.replaceAll(TaskHistoryFnRe, "task_history"))))
     }
   }
+
+  private val AtRe =
+    """(?i)([\w.]+)\s+AT\s*\(\s*(VERSION|OFFSET)\s*=>\s*(-?\d+)\s*\)""".r
+
+  /** Snowflake time travel: `t AT (VERSION => n)` reads version n of a
+    * store table, `t AT (OFFSET => -k)` reads k commits back. Each
+    * occurrence is registered as a snapshot view and substituted (the
+    * store's manifests are immutable, so any retained version is exactly
+    * reconstructable — [[TableStore.readVersion]]). */
+  private def timeTravel(spark: SparkSession, store: TableStore,
+      session: Option[GraftSession], sql: String): String =
+    AtRe.replaceAllIn(sql, m => {
+      val flat = session.map(_.recordName(m.group(1))).getOrElse(m.group(1))
+      val v =
+        if (m.group(2).equalsIgnoreCase("VERSION")) m.group(3).toLong
+        else store.currentVersion(flat) + m.group(3).toLong
+      val view = s"${flat}__at_$v"
+      store.readVersion(flat, v).createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
 
   /** Execute a script of `;`-separated statements; returns the rows of
     * the final statement if it was a query. */

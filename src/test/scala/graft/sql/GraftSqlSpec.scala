@@ -12,6 +12,35 @@ import graft.store.TableStore
 class GraftSqlSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("time travel: AT (VERSION => n) and AT (OFFSET => -k)") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_tt").toString, 2)
+    GraftSql.executeScript(spark, store,
+      """CREATE TABLE t (id BIGINT, v STRING) KEYS (id);
+        |INSERT INTO t SELECT 1, 'a';
+        |INSERT INTO t SELECT 2, 'b'""".stripMargin)
+    val v1 = GraftSql.execute(spark, store, "SELECT count(1) AS n FROM t AT (VERSION => 1)")
+    assert(v1.get.head().getLong(0) == 1)
+    val back1 = GraftSql.execute(spark, store, "SELECT count(1) AS n FROM t AT (OFFSET => -1)")
+    assert(back1.get.head().getLong(0) == 1)
+    val now = GraftSql.execute(spark, store, "SELECT count(1) AS n FROM t")
+    assert(now.get.head().getLong(0) == 2)
+    // time travel composes with current-version reads in one statement
+    val joined = GraftSql.execute(spark, store,
+      """SELECT count(1) AS n FROM t
+        |JOIN t AT (VERSION => 1) o ON t.id = o.id""".stripMargin)
+    assert(joined.get.head().getLong(0) == 1)
+  }
+
+  test("DELETE FROM removes matching rows through the dialect") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_del").toString, 2)
+    GraftSql.executeScript(spark, store,
+      """CREATE TABLE t (id BIGINT, v STRING) KEYS (id);
+        |INSERT INTO t SELECT 1, 'a' UNION ALL SELECT 2, 'b' UNION ALL SELECT 3, 'c';
+        |DELETE FROM t WHERE id = 2""".stripMargin)
+    val rows = GraftSql.execute(spark, store, "SELECT id FROM t ORDER BY id")
+    assert(rows.get.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
   test("reference-shaped script: create, insert, merge, update, truncate, select") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_gsql").toString, 2)
 
