@@ -112,6 +112,18 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
   def listPipes(): Seq[(String, String)] =
     pipesReg.values.toSeq.map(p => (p.name, p.status))
 
+  private val viewsReg = mutable.LinkedHashMap.empty[String, String]
+
+  /** CREATE VIEW: the defining SQL is re-evaluated against current table
+    * snapshots whenever the session registers views (so a view always
+    * reflects the latest committed table versions, like Snowflake's). */
+  def createView(name: String, sql: String): Unit =
+    viewsReg(recordName(name)) = sql
+
+  def dropView(name: String): Unit = viewsReg.remove(recordName(name))
+  private[graft] def allViews: Seq[(String, String)] = viewsReg.toSeq
+  def listViews(): Seq[String] = viewsReg.keys.toSeq
+
   /** CREATE STAGE name URL='dir' — a named external location; `@name/sub`
     * in COPY INTO resolves against it (reference: `@landing/landing/
     * customer`, customer-...sql:54). */

@@ -53,6 +53,10 @@ object GraftSql {
   private val UseRe = """(?is)^\s*USE\s+.*$""".r
   private val CreateTableRe =
     """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+?)\)\s*(?:KEYS\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val CreateTableAsRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+([\w.]+)\s*(?:KEYS\s*\(([^)]*)\)\s*)?AS\s+(SELECT.*)$""".r
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*?)\s*;?\s*$""".r
   private val CreateStreamRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+([\w.]+)\s+ON\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val CreateStageRe =
@@ -67,12 +71,12 @@ object GraftSql {
     """(?is)^\s*ALTER\s+PIPE\s+([\w.]+)\s+SET\s+PIPE_EXECUTION_PAUSED\s*=\s*(TRUE|FALSE)\s*;?\s*$""".r
   private val AlterPipeRefreshRe =
     """(?is)^\s*ALTER\s+PIPE\s+([\w.]+)\s+REFRESH\s*;?\s*$""".r
-  private val ShowRe = """(?is)^\s*SHOW\s+(TABLES|STREAMS|PIPES|TASKS|STAGES)\s*;?\s*$""".r
+  private val ShowRe = """(?is)^\s*SHOW\s+(TABLES|STREAMS|PIPES|TASKS|STAGES|VIEWS)\s*;?\s*$""".r
   private val ListStageRe = """(?is)^\s*LIST\s+@([\w./-]+)\s*;?\s*$""".r
   private val SystemFnRe =
     """(?is)^\s*SELECT\s+SYSTEM\$(\w+)\s*\(\s*'([^']*)'\s*\)\s*;?\s*$""".r
   private val DropRe =
-    """(?is)^\s*DROP\s+(TABLE|STREAM|PIPE)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+(TABLE|STREAM|PIPE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
   private val DeleteRe =
@@ -94,7 +98,12 @@ object GraftSql {
       session.getOrElse(sys.error(s"statement needs a GraftSession (streams/pipes/tasks): $sql"))
     def registerViews(): Unit = {
       store.registerAllViews()
-      session.foreach(_.allStreams.foreach(s => s.read.createOrReplaceTempView(s.name)))
+      session.foreach { se =>
+        se.allStreams.foreach(s => s.read.createOrReplaceTempView(s.name))
+        // views re-evaluate over the snapshots just registered; creation
+        // order lets later views reference earlier ones
+        se.allViews.foreach { case (n, q) => spark.sql(q).createOrReplaceTempView(n) }
+      }
     }
     val stmt = norm(stripComments(sql), session)
     stmt match {
@@ -109,6 +118,23 @@ object GraftSql {
           else sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
         }
         store.createTable(flat, schema, keyCols, defaults, autoInc)
+        None
+
+      case CreateTableAsRe(replace, name, keys, body) =>
+        registerViews()
+        val flat = session.map(_.recordName(name)).getOrElse(name)
+        val rows = spark.sql(timeTravel(spark, store, session, body))
+        val keyCols = Option(keys).map(_.split(",").toIndexedSeq.map(_.trim)).getOrElse(Nil)
+        if (store.exists(flat)) {
+          if (replace != null) store.dropTable(flat)
+          else sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
+        }
+        store.createTable(flat, rows.schema, keyCols)
+        store.append(flat, rows)
+        None
+
+      case CreateViewRe(name, body) =>
+        sess.createView(name, body)
         None
 
       case CreateStreamRe(name, table) =>
@@ -180,6 +206,7 @@ object GraftSql {
         case "streams" => sess.listStreams().toDF("name", "table_name", "offset", "pending_versions")
         case "pipes" => sess.listPipes().toDF("name", "status")
         case "stages" => sess.listStages().toDF("name", "url")
+        case "views" => sess.listViews().toDF("name")
         case "tasks" => sess.tasks.listTasks().toDF("name", "state", "after")
       })
 
@@ -216,6 +243,7 @@ object GraftSql {
         case "table" => store.dropTable(session.map(_.recordName(name)).getOrElse(name)); None
         case "stream" => sess.dropStream(name); None
         case "pipe" => sess.dropPipe(name); None
+        case "view" => sess.dropView(name); None
       }
 
       case TruncateRe(name) =>

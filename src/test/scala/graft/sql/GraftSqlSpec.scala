@@ -12,6 +12,29 @@ import graft.store.TableStore
 class GraftSqlSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("CTAS and views: CREATE TABLE AS SELECT, CREATE VIEW over live tables") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_ctas").toString, 2)
+    g.sqlScript(
+      """CREATE TABLE base (id BIGINT, v STRING) KEYS (id);
+        |INSERT INTO base SELECT 1, 'a' UNION ALL SELECT 2, 'b' UNION ALL SELECT 3, 'c';
+        |CREATE TABLE evens KEYS (id) AS SELECT id, v FROM base WHERE id % 2 = 0;
+        |CREATE OR REPLACE VIEW big_ids AS SELECT id FROM base WHERE id >= 2""".stripMargin)
+    assert(g.store.keysOf("evens") == Seq("id"))
+    assert(g.table("evens").count() == 1)
+    assert(g.sql("SELECT count(1) AS n FROM big_ids").get.head().getLong(0) == 2)
+    // views track table mutations (re-evaluated per statement)
+    g.sql("INSERT INTO base SELECT 9, 'z'")
+    assert(g.sql("SELECT count(1) AS n FROM big_ids").get.head().getLong(0) == 3)
+    // views can stack on views
+    g.sql("CREATE VIEW big_ids2 AS SELECT id FROM big_ids WHERE id >= 9")
+    assert(g.sql("SELECT id FROM big_ids2").get.head().getLong(0) == 9)
+    assert(g.sql("SHOW VIEWS").get.collect().map(_.getString(0)).toSet ==
+      Set("big_ids", "big_ids2"))
+    g.sql("DROP VIEW big_ids2")
+    assert(g.sql("SHOW VIEWS").get.count() == 1)
+  }
+
   test("time travel: AT (VERSION => n) and AT (OFFSET => -k)") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_tt").toString, 2)
     GraftSql.executeScript(spark, store,
