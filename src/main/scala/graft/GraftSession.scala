@@ -48,13 +48,22 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
   /** full qualified name (lowercased) → flat name, for SQL normalization. */
   private[graft] val nameMap = mutable.LinkedHashMap.empty[String, String]
 
-  /** Record `full` (e.g. stg.stg_customer) → its flat last segment. */
+  /** Record `full` (e.g. stg.stg_customer) → its flat last segment.
+    * Matching is case-insensitive (Snowflake unquoted-identifier
+    * semantics); two DIFFERENT qualified names flattening to the same
+    * segment (stg.customer vs raw.customer) are rejected rather than
+    * silently collapsed onto one store table. */
   private[graft] def recordName(full: String): String = {
     val flat = full.split("\\.").last
     if (full.contains(".")) {
+      nameMap.collectFirst {
+        case (k, v) if v.equalsIgnoreCase(flat) && k != full.toLowerCase => k
+      }.foreach(other => sys.error(
+        s"ambiguous flat name '$flat': $full vs $other (the store namespace is flat)"))
       nameMap.get(full.toLowerCase) match {
-        case Some(f) if f != flat => sys.error(s"name clash: $full vs $f")
-        case _ => nameMap(full.toLowerCase) = flat
+        case Some(f) if !f.equalsIgnoreCase(flat) => sys.error(s"name clash: $full vs $f")
+        case Some(f) => return f // keep the first-recorded casing
+        case None => nameMap(full.toLowerCase) = flat
       }
     }
     flat

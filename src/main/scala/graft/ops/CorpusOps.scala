@@ -59,11 +59,11 @@ object CorpusOps {
     val hits = corpusGrams
       .join(benchGrams, col("h") === col("__bench_h")
         && col("id") =!= col("__bench_id"), "left_semi")
-      .select(col("id")).distinct().withColumn("__hit", lit(true))
+      .select(col("id").as("__hit_id")).distinct().withColumn("__hit", lit(true))
     corpus
-      .join(hits, col(idCol) === hits("id"), "left_outer")
+      .join(hits, col(idCol) === col("__hit_id"), "left_outer")
       .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
-      .drop("id", "__hit")
+      .drop("__hit_id", "__hit")
   }
 
   /** Deterministic stratified sample: keep the `k` rows of each stratum

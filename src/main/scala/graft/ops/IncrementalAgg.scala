@@ -32,10 +32,17 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   /** Additive-combine column map, usable directly as a `whenMatchedSet`
-    * for [[Merge.upsert]] or [[graft.store.TableStore.merge]]. */
+    * for [[Merge.upsert]] or [[graft.store.TableStore.merge]]. A NULL on
+    * either side yields the other side (SQL sum-aggregate semantics —
+    * `NULL + 5` must combine to 5 to match a full recompute, not
+    * propagate NULL); greatest/least already skip NULLs. */
   def combineSet(adds: Seq[String], maxes: Seq[String] = Nil, mins: Seq[String] = Nil)
       : Map[String, org.apache.spark.sql.Column] =
-    adds.map(c => c -> (Merge.tgt(c) + Merge.src(c))).toMap ++
+    adds.map { c =>
+      c -> when(Merge.tgt(c).isNull, Merge.src(c))
+        .when(Merge.src(c).isNull, Merge.tgt(c))
+        .otherwise(Merge.tgt(c) + Merge.src(c))
+    }.toMap ++
       maxes.map(c => c -> greatest(Merge.tgt(c), Merge.src(c))).toMap ++
       mins.map(c => c -> least(Merge.tgt(c), Merge.src(c))).toMap
 

@@ -101,8 +101,12 @@ object GraftSql {
       session.foreach { se =>
         se.allStreams.foreach(s => s.read.createOrReplaceTempView(s.name))
         // views re-evaluate over the snapshots just registered; creation
-        // order lets later views reference earlier ones
-        se.allViews.foreach { case (n, q) => spark.sql(q).createOrReplaceTempView(n) }
+        // order lets later views reference earlier ones. A view broken by
+        // later DDL must not poison statements that never touch it.
+        se.allViews.foreach { case (n, q) =>
+          try spark.sql(q).createOrReplaceTempView(n)
+          catch { case _: Exception => spark.catalog.dropTempView(n) }
+        }
       }
     }
     val stmt = norm(stripComments(sql), session)
@@ -126,11 +130,23 @@ object GraftSql {
         val rows = spark.sql(timeTravel(spark, store, session, body))
         val keyCols = Option(keys).map(_.split(",").toIndexedSeq.map(_.trim)).getOrElse(Nil)
         if (store.exists(flat)) {
-          if (replace != null) store.dropTable(flat)
-          else sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
+          if (replace == null) sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
+          // the SELECT may read the table being replaced (the standard
+          // `create or replace t as select ... from t` pattern) and is
+          // LAZY — materialize it into a staging table BEFORE dropping
+          // the old files, then load the replacement from the staging copy
+          val tmp = s"__ctas_tmp_$flat"
+          if (store.exists(tmp)) store.dropTable(tmp)
+          store.createTable(tmp, rows.schema, keyCols)
+          store.append(tmp, rows) // evaluates while the old files are alive
+          store.dropTable(flat)
+          store.createTable(flat, rows.schema, keyCols)
+          store.append(flat, store.read(tmp))
+          store.dropTable(tmp)
+        } else {
+          store.createTable(flat, rows.schema, keyCols)
+          store.append(flat, rows)
         }
-        store.createTable(flat, rows.schema, keyCols)
-        store.append(flat, rows)
         None
 
       case CreateViewRe(name, body) =>
@@ -271,7 +287,7 @@ object GraftSql {
       case InsertRe(mode, name, colList, body) =>
         registerViews()
         val flat = session.map(_.recordName(name)).getOrElse(name)
-        val rows = spark.sql(body)
+        val rows = spark.sql(timeTravel(spark, store, session, body))
         // INSERT ... SELECT is POSITIONAL (Snowflake semantics): rename
         // the query's columns to the target names by position before the
         // store's by-name align. An explicit column list narrows the
@@ -301,9 +317,12 @@ object GraftSql {
           case (Some(stm), _) =>
             // stream source: transactional consume — the offset advances
             // only if the merge commits (reference exactly-once contract,
-            // SURVEY.md §7 hard parts)
+            // SURVEY.md §7 hard parts). __action stays visible so branch
+            // conditions can gate on it (WHEN MATCHED AND
+            // s.__action = 'delete' THEN DELETE); it is an extra source
+            // column, never written to the target.
             stm.consume { changes =>
-              MergeSql.runWith(spark, store, pm, changes.drop("__action"))
+              MergeSql.runWith(spark, store, pm, changes)
             }
           case (_, Some(stm)) =>
             stm.consume { changes =>
@@ -396,7 +415,9 @@ object GraftSql {
       if (inBlock) {
         if (ch == '*' && i + 1 < sql.length && sql(i + 1) == '/') { inBlock = false; i += 1 }
       } else if (quote != 0) {
-        out += ch; if (ch == quote) quote = 0
+        // backslash-escaped quotes (Snowflake string syntax) stay inside
+        if (ch == '\\' && i + 1 < sql.length) { out += ch; out += sql(i + 1); i += 1 }
+        else { out += ch; if (ch == quote) quote = 0 }
       } else if (ch == '\'' || ch == '"') {
         quote = ch; out += ch
       } else if (ch == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
@@ -475,18 +496,24 @@ object GraftSql {
     }
   }
 
-  /** Split on top-level semicolons (quotes respected). */
+  /** Split on top-level semicolons (quotes respected, incl. backslash-
+    * escaped quote chars inside strings). */
   private[sql] def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
-    script.foreach { ch =>
-      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
-      else ch match {
+    var i = 0
+    while (i < script.length) {
+      val ch = script(i)
+      if (quote != 0) {
+        if (ch == '\\' && i + 1 < script.length) { cur += ch; cur += script(i + 1); i += 1 }
+        else { cur += ch; if (ch == quote) quote = 0 }
+      } else ch match {
         case '\'' | '"' => quote = ch; cur += ch
         case ';' => out += cur.toString; cur.clear()
-        case _ => cur += ch
+        case c => cur += c
       }
+      i += 1
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)

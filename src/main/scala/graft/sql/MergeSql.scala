@@ -54,8 +54,11 @@ object MergeSql {
       """(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s*)?""" +
       """(?:WHEN\s+NOT\s+MATCHED\s+THEN\s*INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*;?\s*)?$""").r
 
+  // the lazy condition group must not cross into another WHEN/THEN clause
+  // (otherwise `WHEN MATCHED AND c THEN UPDATE ... WHEN MATCHED THEN
+  // DELETE` would swallow the UPDATE branch as a garbage delete condition)
   private val DeleteBranch =
-    """(?is)WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE""".r
+    """(?is)WHEN\s+MATCHED\s+(?:AND\s+((?:(?!\b(?:THEN|WHEN)\b).)+?)\s+)?THEN\s+DELETE""".r
 
   /** The DELETE branch can appear anywhere among the WHEN clauses
     * (Snowflake allows any order); pull it out first, then parse the

@@ -356,8 +356,12 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val newEntries = writeBatch(table, v, merged)
     val untouched = readManifest(table, v - 1).filterNot(e => srcBuckets(e._1))
 
-    // CDC batch, labeled by what the MERGE did to each source key
-    // (matches Snowflake: a stream on the target sees the merged values).
+    // CDC batch, labeled by what the MERGE did to each source key (matches
+    // Snowflake: a stream on the target sees the merged values). Post-merge
+    // values come from READING BACK the files just written — re-evaluating
+    // the merge plan would run its heaviest job twice and could diverge
+    // (autoincrement assignment is deterministic only per evaluation).
+    lazy val committed = readBack(table, newEntries)
     val tgtKeys = touched.select(keys.map(col): _*).withColumn("__m", lit(true))
     val upserts =
       if (alignSource)
@@ -366,10 +370,10 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
           .withColumn("__action", when(col("__m").isNotNull, lit("update")).otherwise(lit("insert")))
           .drop("__m")
       else {
-        // custom exprs: source values ≠ merged values, so emit the merged
-        // rows (already target schema) for keys present in the source
+        // custom exprs: source values ≠ merged values, so emit the
+        // committed rows (already target schema) for keys in the source
         val srcKeys = alignedSrc.select(keys.map(col): _*).distinct()
-        merged
+        committed
           .join(srcKeys, keys, "left_semi")
           .join(tgtKeys, keys, "left_outer")
           .withColumn("__action", when(col("__m").isNotNull, lit("update")).otherwise(lit("insert")))
@@ -380,7 +384,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       case Some(_) =>
         // keys removed by the DELETE branch: pre-merge values, action=delete;
         // they also must not appear as phantom "update" rows
-        val survivors = merged.select(keys.map(col): _*)
+        val survivors = committed.select(keys.map(col): _*)
         val deletedRows = touched.join(survivors, keys, "left_anti")
         upserts.join(survivors, keys, "left_semi")
           .unionByName(withAction(align(table, deletedRows), "delete"))

@@ -25,6 +25,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length === 1 && out(0).getLong(2) === 2L)
   }
 
+  test("IncrementalAgg combines NULL base aggregates like a full recompute") {
+    val base = Seq((1L, Option.empty[Long]), (2L, Some(10L))).toDF("g", "s")
+    val delta = Seq((1L, Some(5L)), (2L, Option.empty[Long]), (3L, Some(7L))).toDF("g", "s")
+    val out = IncrementalAgg.applyDelta(base, delta, Seq("g"), adds = Seq("s"))
+      .orderBy("g").as[(Long, Option[Long])].collect().toSeq
+    // NULL + 5 -> 5, 10 + NULL -> 10, new group -> 7 (sum-aggregate semantics)
+    assert(out == Seq((1L, Some(5L)), (2L, Some(10L)), (3L, Some(7L))))
+  }
+
   test("TableOps.update only rewrites rows matching the predicate") {
     val df = Seq((1, "x"), (2, "y")).toDF("k", "v")
     val out = TableOps.update(df, $"k" === 1, Map("v" -> lit("z")))

@@ -35,6 +35,17 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(g.sql("SHOW VIEWS").get.count() == 1)
   }
 
+  test("CREATE OR REPLACE TABLE AS SELECT may read the table it replaces") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_ctas2").toString, 2)
+    g.sqlScript(
+      """CREATE TABLE t (id BIGINT, v STRING) KEYS (id);
+        |INSERT INTO t SELECT 1, 'a' UNION ALL SELECT 2, 'b' UNION ALL SELECT 3, 'c';
+        |CREATE OR REPLACE TABLE t KEYS (id) AS SELECT id, v FROM t WHERE id <> 2""".stripMargin)
+    val out = g.table("t").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L), "self-referencing replace must not lose the source data")
+  }
+
   test("time travel: AT (VERSION => n) and AT (OFFSET => -k)") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_tt").toString, 2)
     GraftSql.executeScript(spark, store,

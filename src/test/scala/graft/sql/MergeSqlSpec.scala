@@ -142,5 +142,11 @@ class MergeSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MergeSql.parse("MERGE INTO a USING b"))
     intercept[IllegalArgumentException](MergeSql.parse(
       "MERGE INTO a t USING b s ON t.x = s.y WHEN MATCHED THEN UPDATE SET t.x = s.x"))
+    // a CONDITIONAL update branch is unsupported — must fail cleanly, not
+    // get swallowed into the delete-branch condition of a later clause
+    intercept[IllegalArgumentException](MergeSql.parse(
+      """MERGE INTO a t USING b s ON t.x = s.x
+        |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET t.v = s.v
+        |WHEN MATCHED THEN DELETE""".stripMargin))
   }
 }
