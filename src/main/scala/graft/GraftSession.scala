@@ -47,12 +47,17 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
   private val stagesReg = mutable.LinkedHashMap.empty[String, String]
   /** full qualified name (lowercased) → flat name, for SQL normalization. */
   private[graft] val nameMap = mutable.LinkedHashMap.empty[String, String]
+  /** flat names (lowercased) created UNQUALIFIED in this session — these
+    * are collision candidates for later qualified creations. */
+  private val unqualifiedCreated = mutable.Set.empty[String]
 
   /** Record `full` (e.g. stg.stg_customer) → its flat last segment.
     * Matching is case-insensitive (Snowflake unquoted-identifier
     * semantics); two DIFFERENT qualified names flattening to the same
     * segment (stg.customer vs raw.customer) are rejected rather than
-    * silently collapsed onto one store table. */
+    * silently collapsed onto one store table, and a qualified name whose
+    * segment was already created unqualified (`CREATE TABLE customer` then
+    * `raw.customer`) is rejected too. */
   private[graft] def recordName(full: String): String = {
     val flat = full.split("\\.").last
     if (full.contains(".")) {
@@ -63,16 +68,41 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
       nameMap.get(full.toLowerCase) match {
         case Some(f) if !f.equalsIgnoreCase(flat) => sys.error(s"name clash: $full vs $f")
         case Some(f) => return f // keep the first-recorded casing
-        case None => nameMap(full.toLowerCase) = flat
+        case None =>
+          if (unqualifiedCreated.contains(flat.toLowerCase)) sys.error(
+            s"ambiguous flat name '$flat': $full vs the unqualified table '$flat' " +
+              "created earlier (the store namespace is flat)")
+          nameMap(full.toLowerCase) = flat
       }
     }
     flat
   }
 
+  /** [[recordName]] for CREATE sites. Stricter than a read: creating a
+    * NEW qualified name whose flat segment is already a store table this
+    * session has no mapping for (created unqualified, directly on the
+    * store, or by an earlier session under a different qualified name)
+    * would silently collapse two tables — reject instead. Unqualified
+    * creations are remembered so the reverse order errors too. */
+  private[graft] def recordCreate(full: String): String = {
+    val flat = full.split("\\.").last
+    if (full.contains(".")) {
+      if (!nameMap.contains(full.toLowerCase) && store.exists(flat) &&
+          !nameMap.valuesIterator.exists(_.equalsIgnoreCase(flat)))
+        sys.error(s"ambiguous flat name '$flat': creating $full would collide with the " +
+          s"existing table '$flat' (created without this qualified name; the store " +
+          "namespace is flat — drop it first or use the same name)")
+      recordName(full)
+    } else {
+      unqualifiedCreated += flat.toLowerCase
+      recordName(full)
+    }
+  }
+
   // ---- DDL / catalog ------------------------------------------------------
 
   def createTable(name: String, schema: StructType, keys: Seq[String] = Nil): Unit =
-    store.createTable(recordName(name), schema, keys)
+    store.createTable(recordCreate(name), schema, keys)
 
   def dropTable(name: String): Unit = store.dropTable(recordName(name))
 

@@ -54,7 +54,7 @@ object GraftSql {
   private val CreateTableRe =
     """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+?)\)\s*(?:KEYS\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val CreateTableAsRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+([\w.]+)\s*(?:KEYS\s*\(([^)]*)\)\s*)?AS\s+(SELECT.*)$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+([\w.]+)\s*(?:KEYS\s*\(([^)]*)\)\s*)?AS\s*(\(\s*SELECT.*|SELECT.*)$""".r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*?)\s*;?\s*$""".r
   private val CreateStreamRe =
@@ -114,7 +114,7 @@ object GraftSql {
       case UseRe() => None
 
       case CreateTableRe(replace, name, colsDdl, keys) =>
-        val flat = session.map(_.recordName(name)).getOrElse(name)
+        val flat = session.map(_.recordCreate(name)).getOrElse(name)
         val (schema, defaults, autoInc) = parseColumns(colsDdl)
         val keyCols = Option(keys).map(_.split(",").toIndexedSeq.map(_.trim)).getOrElse(Nil)
         if (store.exists(flat)) {
@@ -126,8 +126,8 @@ object GraftSql {
 
       case CreateTableAsRe(replace, name, keys, body) =>
         registerViews()
-        val flat = session.map(_.recordName(name)).getOrElse(name)
-        val rows = spark.sql(timeTravel(spark, store, session, body))
+        val flat = session.map(_.recordCreate(name)).getOrElse(name)
+        val rows = spark.sql(timeTravel(spark, store, session, stripOuterParens(body)))
         val keyCols = Option(keys).map(_.split(",").toIndexedSeq.map(_.trim)).getOrElse(Nil)
         if (store.exists(flat)) {
           if (replace == null) sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
@@ -339,6 +339,12 @@ object GraftSql {
         None
 
       case other =>
+        // a CREATE TABLE that matched none of the handled shapes must NOT
+        // leak into the spark.sql passthrough (it would silently create a
+        // Spark catalog table instead of a store table)
+        if ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TRANSIENT\s+|TEMP(?:ORARY)?\s+)?TABLE\b""".r
+            .findFirstIn(other).isDefined)
+          sys.error(s"unsupported CREATE TABLE form (not columns/CTAS/CLONE): ${other.take(200)}")
         registerViews()
         Some(spark.sql(
           timeTravel(spark, store, session, other.replaceAll(TaskHistoryFnRe, "task_history"))))
@@ -395,11 +401,68 @@ object GraftSql {
 
   // ---- helpers ------------------------------------------------------------
 
-  /** Qualified → flat name normalization using the session's name map. */
+  /** Qualified → flat name normalization using the session's name map.
+    * Quote-aware: identifiers inside '...'/"..." string literals are data
+    * (e.g. `INSERT ... VALUES ('stg.stg_customer')`), not names — only
+    * unquoted spans are substituted. The one quoted place a qualified name
+    * IS a name — system$ function arguments — resolves via the session at
+    * the call site ([[parseGate]], [[SystemFnRe]] handlers). */
   private def norm(sql: String, session: Option[GraftSession]): String =
-    session.map(_.nameMap.foldLeft(sql) { case (acc, (full, flat)) =>
-      acc.replaceAll("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(full) + "(?![\\w.])", flat)
+    session.map(se => mapOutsideQuotes(sql) { span =>
+      se.nameMap.foldLeft(span) { case (acc, (full, flat)) =>
+        acc.replaceAll("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(full) + "(?![\\w.])", flat)
+      }
     }).getOrElse(sql)
+
+  /** Apply `f` to each maximal span of `sql` OUTSIDE single/double-quoted
+    * string literals (backslash escapes respected, same lexing as
+    * [[stripComments]]); quoted literals pass through verbatim. */
+  private[sql] def mapOutsideQuotes(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val span = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (quote != 0) {
+        if (ch == '\\' && i + 1 < sql.length) { out += ch; out += sql(i + 1); i += 1 }
+        else { out += ch; if (ch == quote) quote = 0 }
+      } else if (ch == '\'' || ch == '"') {
+        out ++= f(span.toString); span.clear()
+        quote = ch; out += ch
+      } else span += ch
+      i += 1
+    }
+    out ++= f(span.toString)
+    out.toString
+  }
+
+  /** Strip one balanced outer paren pair (and a trailing `;`) from a CTAS
+    * body — `CREATE TABLE t AS (SELECT ...)` (quote-aware balance walk). */
+  private[sql] def stripOuterParens(body: String): String = {
+    val s = body.trim.stripSuffix(";").trim
+    if (!s.startsWith("(") || !s.endsWith(")")) return s
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s(i)
+      if (quote != 0) {
+        if (ch == '\\' && i + 1 < s.length) i += 1
+        else if (ch == quote) quote = 0
+      } else ch match {
+        case '\'' | '"' => quote = ch
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          // the opening paren closes before the end → not one outer pair
+          if (depth == 0 && i < s.length - 1) return s
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth == 0) s.substring(1, s.length - 1).trim else s
+  }
 
   /** Strip `--` line comments and `slash-star … star-slash` block comments
     * (outside quotes). An unclosed block comment runs to end of script —

@@ -363,15 +363,22 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     // (autoincrement assignment is deterministic only per evaluation).
     lazy val committed = readBack(table, newEntries)
     val tgtKeys = touched.select(keys.map(col): _*).withColumn("__m", lit(true))
+    // change rows must show the values the merge COMMITTED: with custom
+    // branch exprs the source values differ from the merged ones, and with
+    // autoincrement / non-deterministic DEFAULTs (current_timestamp()) a
+    // re-evaluated source would surface nulls or fresh default values that
+    // diverge from the written rows — all three cases read back the files
+    // just written instead of re-deriving from the source
+    val srcValuesAreCommitted =
+      alignSource && defaultsOf(table).isEmpty && autoIncOf(table).isEmpty
     val upserts =
-      if (alignSource)
+      if (srcValuesAreCommitted)
         alignedSrc
           .join(tgtKeys, keys, "left_outer")
           .withColumn("__action", when(col("__m").isNotNull, lit("update")).otherwise(lit("insert")))
           .drop("__m")
       else {
-        // custom exprs: source values ≠ merged values, so emit the
-        // committed rows (already target schema) for keys in the source
+        // emit the committed rows (already target schema) for keys in the source
         val srcKeys = alignedSrc.select(keys.map(col): _*).distinct()
         committed
           .join(srcKeys, keys, "left_semi")

@@ -35,6 +35,44 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(g.sql("SHOW VIEWS").get.count() == 1)
   }
 
+  test("CTAS body may be parenthesized; unsupported CREATE TABLE forms error") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_ctasp").toString, 2)
+    g.sqlScript(
+      """CREATE TABLE base (id BIGINT, v STRING) KEYS (id);
+        |INSERT INTO base SELECT 1, 'a' UNION ALL SELECT 2, 'b';
+        |CREATE TABLE copy1 AS (SELECT id, v FROM base WHERE id = 1)""".stripMargin)
+    assert(g.store.exists("copy1"), "parenthesized CTAS must create a STORE table")
+    assert(g.table("copy1").count() == 1)
+    // a CREATE TABLE shape we don't handle must error, not silently make a
+    // Spark catalog table via the passthrough
+    val e = intercept[RuntimeException](g.sql("CREATE TABLE nope LIKE base"))
+    assert(e.getMessage.contains("unsupported CREATE TABLE"))
+  }
+
+  test("name normalization skips string literals; flat-name collisions error") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_norm").toString, 2)
+    g.sqlScript(
+      """CREATE TABLE stg.stg_customer (id BIGINT, note STRING) KEYS (id);
+        |INSERT INTO stg.stg_customer SELECT 1, 'from stg.stg_customer load'""".stripMargin)
+    // the literal must survive verbatim — it is data, not a table name
+    assert(g.sql("SELECT note FROM stg_customer").get.head().getString(0) ==
+      "from stg.stg_customer load")
+    // unqualified create, then a qualified create over the same flat name:
+    // rejected rather than silently collapsed (ADVICE: recordName ambiguity)
+    g.sql("CREATE TABLE customer (id BIGINT)")
+    val e = intercept[RuntimeException](
+      g.sql("CREATE OR REPLACE TABLE raw.customer (id BIGINT, extra STRING)"))
+    assert(e.getMessage.contains("ambiguous flat name"))
+    assert(g.store.schemaOf("customer").fieldNames.toSeq == Seq("id"),
+      "the unrelated flat table must be untouched")
+    // and a table created OUTSIDE the session's name map is protected too
+    g.store.createTable("orders_ext", org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"))
+    val e2 = intercept[RuntimeException](g.sql("CREATE TABLE raw.orders_ext (x STRING)"))
+    assert(e2.getMessage.contains("ambiguous flat name"))
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT may read the table it replaces") {
     val g = graft.GraftSession(spark,
       Files.createTempDirectory("graft_ctas2").toString, 2)

@@ -141,6 +141,26 @@ class TableStoreSpec extends AnyFunSuite {
     assert(batch2 == Map(1L -> "update", 2L -> "insert"))
   }
 
+  test("merge change rows carry committed autoincrement/default values") {
+    val st = freshStore()
+    val sch = StructType(Seq(
+      StructField("sk", LongType), StructField("id", LongType),
+      StructField("v", StringType), StructField("added_ts", TimestampType)))
+    st.createTable("dim", sch, keys = Seq("id"),
+      defaults = Map("added_ts" -> "current_timestamp()"), autoInc = Seq("sk"))
+    val stm = ChangeStream.create(st, "dim", "s1")
+    st.merge("dim", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // the stream's rows must equal the COMMITTED rows — surrogate keys
+    // filled (not null) and the default timestamp identical to the table's,
+    // not a re-evaluated current_timestamp()
+    val committed = st.read("dim").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3))).toSeq
+    val streamed = stm.consume(df => df.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3))).toSeq)
+    assert(streamed == committed)
+    assert(streamed.forall(_._1 >= 1L), "autoincrement keys must be filled in change rows")
+  }
+
   test("two streams on one table advance independently") {
     val st = freshStore()
     st.createTable("t", schema, keys = Seq("id"))
