@@ -55,6 +55,16 @@ object GraftSql {
     """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+?)\)\s*(?:KEYS\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val CreateTableAsRe =
     """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+([\w.]+)\s*(?:KEYS\s*\(([^)]*)\)\s*)?AS\s*(\(\s*SELECT.*|SELECT.*)$""".r
+  private val CreateTableCloneRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+([\w.]+)\s+CLONE\s+([\w.]+)\s*(?:AT\s*\(\s*(VERSION|OFFSET)\s*=>\s*(-?\d+)\s*\))?\s*;?\s*$""".r
+  private val UndropTableRe =
+    """(?is)^\s*UNDROP\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  private val AlterTableAddColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:COLUMN\s+)?(\w+\s+.+?)\s*;?\s*$""".r
+  private val AlterTableDropColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*$""".r
+  private val AlterTableRenameColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*?)\s*;?\s*$""".r
   private val CreateStreamRe =
@@ -113,6 +123,41 @@ object GraftSql {
     stmt match {
       case UseRe() => None
 
+      case CreateTableCloneRe(replace, name, src, atKind, atVal) =>
+        val flat = session.map(_.recordCreate(name)).getOrElse(name)
+        val flatSrc = session.map(_.recordName(src)).getOrElse(src)
+        if (store.exists(flat)) {
+          if (replace != null) store.dropTable(flat)
+          else sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
+        }
+        val version = Option(atKind).map { k =>
+          if (k.equalsIgnoreCase("VERSION")) atVal.toLong
+          else store.currentVersion(flatSrc) + atVal.toLong
+        }
+        store.cloneTable(flatSrc, flat, version)
+        None
+
+      case UndropTableRe(name) =>
+        store.undropTable(session.map(_.recordName(name)).getOrElse(name))
+        None
+
+      case AlterTableAddColRe(name, colDdl) =>
+        val flat = session.map(_.recordName(name)).getOrElse(name)
+        val (schema, defaults, autoInc) = parseColumns(colDdl)
+        require(schema.fields.length == 1, s"ADD COLUMN takes one column: $colDdl")
+        require(autoInc.isEmpty, "adding an AUTOINCREMENT column is not supported")
+        val f = schema.fields.head
+        store.addColumn(flat, f.name, f.dataType, defaults.get(f.name))
+        None
+
+      case AlterTableDropColRe(name, colName) =>
+        store.dropColumn(session.map(_.recordName(name)).getOrElse(name), colName)
+        None
+
+      case AlterTableRenameColRe(name, from, to) =>
+        store.renameColumn(session.map(_.recordName(name)).getOrElse(name), from, to)
+        None
+
       case CreateTableRe(replace, name, colsDdl, keys) =>
         val flat = session.map(_.recordCreate(name)).getOrElse(name)
         val (schema, defaults, autoInc) = parseColumns(colsDdl)
@@ -136,13 +181,13 @@ object GraftSql {
           // LAZY — materialize it into a staging table BEFORE dropping
           // the old files, then load the replacement from the staging copy
           val tmp = s"__ctas_tmp_$flat"
-          if (store.exists(tmp)) store.dropTable(tmp)
+          if (store.exists(tmp)) store.dropTable(tmp, purge = true)
           store.createTable(tmp, rows.schema, keyCols)
           store.append(tmp, rows) // evaluates while the old files are alive
           store.dropTable(flat)
           store.createTable(flat, rows.schema, keyCols)
           store.append(flat, store.read(tmp))
-          store.dropTable(tmp)
+          store.dropTable(tmp, purge = true)
         } else {
           store.createTable(flat, rows.schema, keyCols)
           store.append(flat, rows)

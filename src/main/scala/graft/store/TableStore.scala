@@ -99,7 +99,122 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     writeFile(latestPtr(table), "0")
   }
 
-  def dropTable(table: String): Unit = fs.delete(tdir(table), true)
+  private def trashPath(table: String) = new Path(new Path(root, "_trash"), table)
+
+  /** DROP TABLE. By default the table dir moves to `<root>/_trash/<name>`
+    * (a metadata rename, zero data IO at any scale) so [[undropTable]] can
+    * restore it — Snowflake's drop-with-retention. `purge = true` deletes
+    * outright. Refused while another table's current manifest references
+    * this table's data files (it is a clone source): materialize the
+    * clone with [[compact]] or drop it first — a production engine would
+    * refcount the shared files instead (Snowflake micro-partition clones). */
+  def dropTable(table: String, purge: Boolean = false): Unit = synchronized {
+    if (exists(table)) {
+      val dataPrefix = fs.makeQualified(new Path(tdir(table), "data")).toString + "/"
+      val refs = listTables().filter(_ != table).filter { t =>
+        readManifest(t, currentVersion(t)).exists(_._2.startsWith(dataPrefix))
+      }
+      require(refs.isEmpty,
+        s"cannot drop $table: its data files are referenced by clone(s) ${refs.mkString(", ")} " +
+          "(compact or drop the clones first)")
+    }
+    if (purge || !fs.exists(tdir(table))) { fs.delete(tdir(table), true); () }
+    else {
+      fs.mkdirs(new Path(root, "_trash"))
+      if (fs.exists(trashPath(table))) fs.delete(trashPath(table), true)
+      fs.rename(tdir(table), trashPath(table))
+      ()
+    }
+  }
+
+  /** UNDROP TABLE: restore the most recently dropped table of this name
+    * (a rename back out of `_trash` — metadata-only, like Snowflake's). */
+  def undropTable(table: String): Unit = synchronized {
+    require(!exists(table), s"table $table already exists (rename it before undropping)")
+    require(fs.exists(trashPath(table)), s"no dropped table $table to undrop")
+    if (fs.exists(tdir(table))) fs.delete(tdir(table), true) // stale metadata-less dir
+    fs.rename(trashPath(table), tdir(table))
+    ()
+  }
+
+  /** CREATE TABLE dst CLONE src (Snowflake zero-copy clone): dst's first
+    * manifest points at src's current — or time-traveled — data files; NO
+    * data is copied or rewritten, so cloning a 100 TB table is a metadata
+    * write. Later writes to either table diverge naturally (manifests are
+    * immutable and data files are never mutated in place). [[vacuum]] on
+    * the source keeps any dirs another table's current manifest still
+    * references, and [[dropTable]] on the source is refused while a clone
+    * points into it. */
+  def cloneTable(src: String, dst: String, version: Option[Long] = None): Unit = synchronized {
+    require(exists(src), s"table $src does not exist")
+    require(!exists(dst), s"table $dst already exists")
+    val entries = readManifest(src, version.getOrElse(currentVersion(src)))
+    fs.mkdirs(tdir(dst))
+    writeFile(new Path(tdir(dst), "_schema.json"), schemaOf(src).json)
+    writeFile(new Path(tdir(dst), "_keys"), keysOf(src).mkString(","))
+    val defSrc = new Path(tdir(src), "_defaults")
+    if (fs.exists(defSrc)) writeFile(new Path(tdir(dst), "_defaults"), readFile(defSrc))
+    writeFile(manifestPath(dst, 0L), entries.map { case (b, p) => s"$b\t$p" }.mkString("\n"))
+    writeFile(latestPtr(dst), "0")
+  }
+
+  /** ALTER TABLE ADD COLUMN: metadata-only — existing files simply lack
+    * the column and read back as null (Spark fills absent parquet columns
+    * for an explicit read schema); a DEFAULT applies to subsequent writes
+    * that omit the column. Zero data IO at any table size. */
+  def addColumn(table: String, name: String, dataType: DataType,
+      default: Option[String] = None): Unit = synchronized {
+    val schema = schemaOf(table)
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists on $table")
+    writeFile(new Path(tdir(table), "_schema.json"),
+      StructType(schema.fields :+ org.apache.spark.sql.types.StructField(name, dataType)).json)
+    default.foreach { e =>
+      val lines = defaultLines(table).map { case (c, k, x) => s"$c\t$k\t$x" } :+ s"$name\tdefault\t$e"
+      writeFile(new Path(tdir(table), "_defaults"), lines.mkString("\n"))
+    }
+  }
+
+  /** ALTER TABLE DROP COLUMN: metadata-only — the column stays in old
+    * parquet files but the read schema no longer selects it (column
+    * pruning means it is never even decoded). Key columns cannot be
+    * dropped (they drive bucketing). */
+  def dropColumn(table: String, name: String): Unit = synchronized {
+    val schema = schemaOf(table)
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(name)), s"no column $name on $table")
+    require(!keysOf(table).exists(_.equalsIgnoreCase(name)),
+      s"cannot drop key column $name of $table")
+    writeFile(new Path(tdir(table), "_schema.json"),
+      StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name))).json)
+    val remaining = defaultLines(table).filterNot(_._1.equalsIgnoreCase(name))
+    if (fs.exists(new Path(tdir(table), "_defaults")))
+      writeFile(new Path(tdir(table), "_defaults"),
+        remaining.map { case (c, k, x) => s"$c\t$k\t$x" }.mkString("\n"))
+  }
+
+  /** ALTER TABLE RENAME COLUMN: rewrites the table once (read → rename →
+    * new bucketed batch, committed as a new version with no change batch).
+    * O(table) IO — a column-mapping layer (Iceberg field ids) would make
+    * this metadata-only; documented trade-off, rename is rare. */
+  def renameColumn(table: String, from: String, to: String): Unit = synchronized {
+    val schema = schemaOf(table)
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(from)), s"no column $from on $table")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)), s"column $to already exists")
+    val renamed = read(table).withColumnRenamed(from, to)
+    writeFile(new Path(tdir(table), "_schema.json"),
+      StructType(schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)).json)
+    writeFile(new Path(tdir(table), "_keys"),
+      keysOf(table).map(k => if (k.equalsIgnoreCase(from)) to else k).mkString(","))
+    val defs = defaultLines(table).map { case (c, k, x) =>
+      (if (c.equalsIgnoreCase(from)) to else c, k, x)
+    }
+    if (fs.exists(new Path(tdir(table), "_defaults")))
+      writeFile(new Path(tdir(table), "_defaults"),
+        defs.map { case (c, k, x) => s"$c\t$k\t$x" }.mkString("\n"))
+    val v = currentVersion(table) + 1
+    commit(table, v, writeBatch(table, v, renamed), changes = None)
+  }
 
   def schemaOf(table: String): StructType =
     DataType.fromJson(readFile(new Path(tdir(table), "_schema.json"))).asInstanceOf[StructType]
@@ -191,9 +306,15 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     require(keepVersions >= 1)
     val cur = currentVersion(table)
     val keepFrom = math.max(0L, cur - keepVersions + 1)
+    // also keep dirs any OTHER table's current manifest references — a
+    // zero-copy clone shares this table's files ([[cloneTable]]); the scan
+    // is manifest metadata only, no data IO
+    val externallyReferenced: Set[String] = listTables().filter(_ != table)
+      .flatMap(t => readManifest(t, currentVersion(t)).map(e => new Path(e._2).getParent.toString))
+      .toSet
     val keptDirs: Set[String] = (keepFrom to cur)
       .flatMap(v => readManifest(table, v).map(e => new Path(e._2).getParent.toString))
-      .toSet
+      .toSet ++ externallyReferenced
     val dataRoot = new Path(tdir(table), "data")
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).foreach { st =>

@@ -73,6 +73,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ambiguous flat name"))
   }
 
+  test("CLONE, UNDROP, and ALTER TABLE column DDL through the dialect") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_clone").toString, 2)
+    g.sqlScript(
+      """CREATE TABLE t (id BIGINT, v STRING) KEYS (id);
+        |INSERT INTO t SELECT 1, 'a' UNION ALL SELECT 2, 'b';
+        |INSERT INTO t SELECT 3, 'c';
+        |CREATE TABLE t_snap CLONE t AT (VERSION => 1);
+        |CREATE TABLE t_now CLONE t""".stripMargin)
+    assert(g.table("t_snap").count() == 2, "clone at version 1 sees the first insert only")
+    assert(g.table("t_now").count() == 3)
+    g.sqlScript(
+      """ALTER TABLE t ADD COLUMN score NUMBER(5,0) DEFAULT 9;
+        |INSERT INTO t (id, v) SELECT 4, 'd';
+        |ALTER TABLE t RENAME COLUMN v TO label""".stripMargin)
+    assert(g.table("t").columns.toSeq == Seq("id", "label", "score"))
+    assert(g.sql("SELECT score FROM t WHERE id = 4").get.head().getDecimal(0).intValue == 9)
+    assert(g.sql("SELECT score FROM t WHERE id = 1").get.head().isNullAt(0))
+    g.sql("ALTER TABLE t DROP COLUMN score")
+    assert(g.table("t").columns.toSeq == Seq("id", "label"))
+    // drop → undrop round trip
+    g.sqlScript("DROP TABLE t_snap; UNDROP TABLE t_snap")
+    assert(g.table("t_snap").count() == 2)
+  }
+
   test("CREATE OR REPLACE TABLE AS SELECT may read the table it replaces") {
     val g = graft.GraftSession(spark,
       Files.createTempDirectory("graft_ctas2").toString, 2)

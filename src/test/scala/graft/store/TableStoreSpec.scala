@@ -205,6 +205,71 @@ class TableStoreSpec extends AnyFunSuite {
     assert(pending == 1, "pending change batch must survive vacuum")
   }
 
+  test("clone is zero-copy, diverges on write, and blocks source drop/vacuum") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+    st.cloneTable("t", "t2")
+    // zero-copy: the clone's manifest points into the SOURCE's data dirs
+    assert(manifest(st, "t2", 0L).values.forall(_.contains("/t/data/")))
+    assert(st.read("t2").count() == 8)
+    // writes diverge: mutating the clone leaves the source untouched
+    st.merge("t2", Seq((1L, "CLONED")).toDF("id", "v"))
+    assert(st.read("t2").filter(col("id") === 1).head().getString(1) == "CLONED")
+    assert(st.read("t").filter(col("id") === 1).head().getString(1) == "v1")
+    // the source cannot be dropped while the clone references its files
+    val e = intercept[IllegalArgumentException](st.dropTable("t"))
+    assert(e.getMessage.contains("referenced by clone"))
+    // vacuum on the source keeps dirs the clone still references
+    st.overwrite("t", Seq((9L, "z")).toDF("id", "v"))
+    st.vacuum("t", keepVersions = 1)
+    assert(st.read("t2").count() == 8, "clone must survive source vacuum")
+    // compaction materializes the clone; then the source can go
+    st.compact("t2")
+    st.dropTable("t")
+    assert(st.read("t2").count() == 8)
+  }
+
+  test("clone at an older version snapshots time travel") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", Seq((1L, "a")).toDF("id", "v")) // v1
+    st.append("t", Seq((2L, "b")).toDF("id", "v")) // v2
+    st.cloneTable("t", "t_v1", version = Some(1L))
+    assert(st.read("t_v1").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("drop moves to trash and undrop restores content and version history") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    st.dropTable("t")
+    assert(!st.exists("t") && !st.listTables().contains("t"))
+    st.undropTable("t")
+    assert(st.read("t").count() == 2 && st.currentVersion("t") == 1)
+    // purge drop leaves nothing to undrop
+    st.dropTable("t", purge = true)
+    intercept[IllegalArgumentException](st.undropTable("t"))
+  }
+
+  test("add/drop/rename column evolve the schema over existing files") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", Seq((1L, "a")).toDF("id", "v"))
+    st.addColumn("t", "score", IntegerType, default = Some("7"))
+    // metadata-only: old files read the new column as null
+    assert(st.read("t").select("score").head().isNullAt(0))
+    // the default applies to writes that omit the column
+    st.append("t", Seq((2L, "b")).toDF("id", "v"))
+    assert(st.read("t").filter(col("id") === 2).select("score").head().getInt(0) == 7)
+    st.dropColumn("t", "v")
+    assert(st.read("t").columns.toSeq == Seq("id", "score"))
+    intercept[IllegalArgumentException](st.dropColumn("t", "id")) // key column
+    st.renameColumn("t", "score", "points")
+    assert(st.read("t").columns.toSeq == Seq("id", "points"))
+    assert(st.read("t").filter(col("id") === 2).head().getInt(1) == 7)
+  }
+
   test("registered views expose store tables to spark.sql") {
     val st = freshStore()
     st.createTable("accounts", schema, keys = Seq("id"))
