@@ -459,6 +459,72 @@ object GraftSql {
       }
     }).getOrElse(sql)
 
+  /** Snowflake `QUALIFY <pred>` → standard SQL. The predicate (window
+    * functions and select-list aliases allowed, as in Snowflake) is
+    * evaluated as an extra column over the rest of the query block, then
+    * filtered and dropped:
+    * {{{
+    *   SELECT ... FROM ... QUALIFY row_number() OVER (...) = 1 ORDER BY k
+    *   -- becomes --
+    *   SELECT * EXCEPT(__qualify) FROM
+    *     (SELECT *, (row_number() OVER (...) = 1) AS __qualify FROM (SELECT ... FROM ...) __qualify_src)
+    *   WHERE __qualify ORDER BY k
+    * }}}
+    * which is exactly Snowflake's semantics (QUALIFY runs after grouping,
+    * before ORDER BY/LIMIT). Only a top-level QUALIFY is rewritten;
+    * the scan is quote- and paren-aware. Stays fully inside Catalyst —
+    * the window, filter, and column prune all plan natively. */
+  private[graft] def rewriteQualify(sql: String): String = {
+    val lower = sql.toLowerCase
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    // locate a depth-0, unquoted QUALIFY keyword
+    var depth = 0; var quote: Char = 0; var i = 0; var qStart = -1
+    while (i < sql.length && qStart < 0) {
+      val ch = sql(i)
+      if (quote != 0) {
+        if (ch == '\\') i += 1 else if (ch == quote) quote = 0
+      } else ch match {
+        case '\'' | '"' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && (ch == 'q' || ch == 'Q') && lower.startsWith("qualify", i) &&
+              (i == 0 || !isWordChar(sql(i - 1))) &&
+              (i + 7 >= sql.length || !isWordChar(sql(i + 7))))
+            qStart = i
+      }
+      i += 1
+    }
+    if (qStart < 0) return sql
+    val head = sql.substring(0, qStart).trim
+    val rest = sql.substring(qStart + 7)
+    // the predicate runs to a top-level ORDER BY / LIMIT or the end
+    var tailIdx = -1
+    depth = 0; quote = 0; i = 0
+    val restLower = rest.toLowerCase
+    while (i < rest.length && tailIdx < 0) {
+      val ch = rest(i)
+      if (quote != 0) {
+        if (ch == '\\') i += 1 else if (ch == quote) quote = 0
+      } else ch match {
+        case '\'' | '"' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && (i == 0 || !isWordChar(rest(i - 1))) &&
+              (restLower.startsWith("order", i) && !isWordChar(restLower.charAt(math.min(i + 5, rest.length - 1))) ||
+               restLower.startsWith("limit", i) && !isWordChar(restLower.charAt(math.min(i + 5, rest.length - 1)))))
+            tailIdx = i
+      }
+      i += 1
+    }
+    val (pred, tail) =
+      if (tailIdx < 0) (rest.trim.stripSuffix(";").trim, "")
+      else (rest.substring(0, tailIdx).trim, rest.substring(tailIdx).trim.stripSuffix(";").trim)
+    s"SELECT * EXCEPT(__qualify) FROM (SELECT *, ($pred) AS __qualify FROM ($head) __qualify_src) " +
+      s"WHERE __qualify" + (if (tail.isEmpty) "" else " " + tail)
+  }
+
   /** Apply `f` to each maximal span of `sql` OUTSIDE single/double-quoted
     * string literals (backslash escapes respected, same lexing as
     * [[stripComments]]); quoted literals pass through verbatim. */
