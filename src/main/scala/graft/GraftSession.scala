@@ -83,7 +83,10 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
     * session has no mapping for (created unqualified, directly on the
     * store, or by an earlier session under a different qualified name)
     * would silently collapse two tables — reject instead. Unqualified
-    * creations are remembered so the reverse order errors too. */
+    * creations are remembered so the reverse order errors too, and an
+    * unqualified CREATE whose name is already the flat segment of a
+    * recorded QUALIFIED creation is rejected symmetrically (it would
+    * silently replace that table). */
   private[graft] def recordCreate(full: String): String = {
     val flat = full.split("\\.").last
     if (full.contains(".")) {
@@ -94,9 +97,21 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
           "namespace is flat — drop it first or use the same name)")
       recordName(full)
     } else {
+      nameMap.collectFirst { case (k, v) if v.equalsIgnoreCase(flat) => k }.foreach(q =>
+        sys.error(s"ambiguous flat name '$flat': unqualified CREATE vs the qualified " +
+          s"table '$q' created earlier (the store namespace is flat — drop it first " +
+          "or use the qualified name)"))
       unqualifiedCreated += flat.toLowerCase
       recordName(full)
     }
+  }
+
+  /** Forget name-map state for a dropped table so the advertised recovery
+    * ("drop it first") actually works: a later CREATE under either form of
+    * the name is no longer flagged as colliding with the dropped one. */
+  private[graft] def recordDrop(flat: String): Unit = {
+    unqualifiedCreated -= flat.toLowerCase
+    nameMap.filterInPlace((_, v) => !v.equalsIgnoreCase(flat))
   }
 
   // ---- DDL / catalog ------------------------------------------------------
@@ -104,7 +119,11 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
   def createTable(name: String, schema: StructType, keys: Seq[String] = Nil): Unit =
     store.createTable(recordCreate(name), schema, keys)
 
-  def dropTable(name: String): Unit = store.dropTable(recordName(name))
+  def dropTable(name: String): Unit = {
+    val flat = recordName(name)
+    store.dropTable(flat)
+    recordDrop(flat)
+  }
 
   def table(name: String): DataFrame = store.read(recordName(name))
 

@@ -126,13 +126,19 @@ object GraftSql {
       case CreateTableCloneRe(replace, name, src, atKind, atVal) =>
         val flat = session.map(_.recordCreate(name)).getOrElse(name)
         val flatSrc = session.map(_.recordName(src)).getOrElse(src)
-        if (store.exists(flat)) {
-          if (replace != null) store.dropTable(flat)
-          else sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
-        }
+        // validate the source BEFORE any drop: a self-clone (src resolves
+        // to dst) or a missing source must not leave the destination
+        // dropped by the OR REPLACE path
+        require(!flatSrc.equalsIgnoreCase(flat),
+          s"cannot clone $src onto itself ($flat)")
+        require(store.exists(flatSrc), s"table $flatSrc does not exist")
         val version = Option(atKind).map { k =>
           if (k.equalsIgnoreCase("VERSION")) atVal.toLong
           else store.currentVersion(flatSrc) + atVal.toLong
+        }
+        if (store.exists(flat)) {
+          if (replace != null) store.dropTable(flat)
+          else sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
         }
         store.cloneTable(flatSrc, flat, version)
         None
@@ -172,7 +178,8 @@ object GraftSql {
       case CreateTableAsRe(replace, name, keys, body) =>
         registerViews()
         val flat = session.map(_.recordCreate(name)).getOrElse(name)
-        val rows = spark.sql(timeTravel(spark, store, session, stripOuterParens(body)))
+        val rows = spark.sql(timeTravel(spark, store, session,
+          rewriteQualify(stripOuterParens(body))))
         val keyCols = Option(keys).map(_.split(",").toIndexedSeq.map(_.trim)).getOrElse(Nil)
         if (store.exists(flat)) {
           if (replace == null) sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
@@ -195,7 +202,7 @@ object GraftSql {
         None
 
       case CreateViewRe(name, body) =>
-        sess.createView(name, body)
+        sess.createView(name, rewriteQualify(body))
         None
 
       case CreateStreamRe(name, table) =>
@@ -301,7 +308,11 @@ object GraftSql {
       }
 
       case DropRe(kind, name) => kind.toLowerCase match {
-        case "table" => store.dropTable(session.map(_.recordName(name)).getOrElse(name)); None
+        case "table" =>
+          val flat = session.map(_.recordName(name)).getOrElse(name)
+          store.dropTable(flat)
+          session.foreach(_.recordDrop(flat))
+          None
         case "stream" => sess.dropStream(name); None
         case "pipe" => sess.dropPipe(name); None
         case "view" => sess.dropView(name); None
@@ -332,7 +343,7 @@ object GraftSql {
       case InsertRe(mode, name, colList, body) =>
         registerViews()
         val flat = session.map(_.recordName(name)).getOrElse(name)
-        val rows = spark.sql(timeTravel(spark, store, session, body))
+        val rows = spark.sql(timeTravel(spark, store, session, rewriteQualify(body)))
         // INSERT ... SELECT is POSITIONAL (Snowflake semantics): rename
         // the query's columns to the target names by position before the
         // store's by-name align. An explicit column list narrows the
@@ -372,10 +383,10 @@ object GraftSql {
           case (_, Some(stm)) =>
             stm.consume { changes =>
               changes.createOrReplaceTempView(stm.name) // snapshot the slice
-              MergeSql.runWith(spark, store, pm, spark.sql(pm.sourceQuery.get))
+              MergeSql.runWith(spark, store, pm, spark.sql(rewriteQualify(pm.sourceQuery.get)))
             }
           case _ =>
-            val src = pm.sourceQuery.map(spark.sql).getOrElse {
+            val src = pm.sourceQuery.map(q => spark.sql(rewriteQualify(q))).getOrElse {
               if (store.exists(pm.source)) store.read(pm.source)
               else spark.table(pm.source)
             }
@@ -391,8 +402,8 @@ object GraftSql {
             .findFirstIn(other).isDefined)
           sys.error(s"unsupported CREATE TABLE form (not columns/CTAS/CLONE): ${other.take(200)}")
         registerViews()
-        Some(spark.sql(
-          timeTravel(spark, store, session, other.replaceAll(TaskHistoryFnRe, "task_history"))))
+        Some(spark.sql(timeTravel(spark, store, session,
+          rewriteQualify(other.replaceAll(TaskHistoryFnRe, "task_history")))))
     }
   }
 
@@ -521,8 +532,40 @@ object GraftSql {
     val (pred, tail) =
       if (tailIdx < 0) (rest.trim.stripSuffix(";").trim, "")
       else (rest.substring(0, tailIdx).trim, rest.substring(tailIdx).trim.stripSuffix(";").trim)
-    s"SELECT * EXCEPT(__qualify) FROM (SELECT *, ($pred) AS __qualify FROM ($head) __qualify_src) " +
-      s"WHERE __qualify" + (if (tail.isEmpty) "" else " " + tail)
+    // inject the predicate INTO the query block's select list (not a wrapper
+    // over the projected output): Snowflake QUALIFY may reference BASE
+    // columns the projection drops, and select-list aliases — both resolve
+    // there (aliases via Spark's lateral column alias resolution). Find the
+    // block's top-level FROM to split "SELECT <list>" from "FROM <rest>".
+    var fromIdx = -1
+    depth = 0; quote = 0; i = 0
+    val headLower = head.toLowerCase
+    while (i < head.length && fromIdx < 0) {
+      val ch = head(i)
+      if (quote != 0) {
+        if (ch == '\\') i += 1 else if (ch == quote) quote = 0
+      } else ch match {
+        case '\'' | '"' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && headLower.startsWith("from", i) &&
+              (i == 0 || !isWordChar(head(i - 1))) &&
+              (i + 4 >= head.length || !isWordChar(head(i + 4))))
+            fromIdx = i
+      }
+      i += 1
+    }
+    val distinct = headLower.matches("(?s)^\\s*select\\s+distinct\\b.*")
+    if (fromIdx > 0 && !distinct)
+      s"SELECT * EXCEPT(__qualify) FROM (${head.substring(0, fromIdx).trim}, " +
+        s"($pred) AS __qualify ${head.substring(fromIdx)}) " +
+        s"WHERE __qualify" + (if (tail.isEmpty) "" else " " + tail)
+    else
+      // no FROM / SELECT DISTINCT: fall back to wrapping the projected
+      // output (the predicate may then only use projected columns)
+      s"SELECT * EXCEPT(__qualify) FROM (SELECT *, ($pred) AS __qualify FROM ($head) __qualify_src) " +
+        s"WHERE __qualify" + (if (tail.isEmpty) "" else " " + tail)
   }
 
   /** Apply `f` to each maximal span of `sql` OUTSIDE single/double-quoted

@@ -101,6 +101,25 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   private def trashPath(table: String) = new Path(new Path(root, "_trash"), table)
 
+  /** Dropped-but-undroppable tables sitting in `_trash` (their manifests
+    * may still reference OTHER tables' data files — a dropped clone). */
+  private def trashedTables(): Seq[String] = {
+    val tr = new Path(root, "_trash")
+    if (!fs.exists(tr)) Nil
+    else fs.listStatus(tr).toIndexedSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => fs.exists(new Path(trashPath(t), "_latest"))).sorted
+  }
+
+  private def trashedManifestEntries(t: String): Seq[(Int, String)] = {
+    val v = readFile(new Path(trashPath(t), "_latest")).trim.toLong
+    val mp = new Path(new Path(trashPath(t), "_versions"), f"v$v%08d")
+    if (!fs.exists(mp)) Nil
+    else readFile(mp).split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+      val Array(b, p) = line.split("\t", 2)
+      (b.toInt, p)
+    }
+  }
+
   /** DROP TABLE. By default the table dir moves to `<root>/_trash/<name>`
     * (a metadata rename, zero data IO at any scale) so [[undropTable]] can
     * restore it — Snowflake's drop-with-retention. `purge = true` deletes
@@ -111,9 +130,14 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   def dropTable(table: String, purge: Boolean = false): Unit = synchronized {
     if (exists(table)) {
       val dataPrefix = fs.makeQualified(new Path(tdir(table), "data")).toString + "/"
+      // both live tables AND dropped-to-_trash clones count as references:
+      // a trashed clone's manifest still points into this table's data dir,
+      // and an UNDROP must restore it to a readable state
       val refs = listTables().filter(_ != table).filter { t =>
         readManifest(t, currentVersion(t)).exists(_._2.startsWith(dataPrefix))
-      }
+      } ++ trashedTables().filter { t =>
+        trashedManifestEntries(t).exists(_._2.startsWith(dataPrefix))
+      }.map(t => s"_trash/$t")
       require(refs.isEmpty,
         s"cannot drop $table: its data files are referenced by clone(s) ${refs.mkString(", ")} " +
           "(compact or drop the clones first)")
@@ -214,6 +238,22 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
         defs.map { case (c, k, x) => s"$c\t$k\t$x" }.mkString("\n"))
     val v = currentVersion(table) + 1
     commit(table, v, writeBatch(table, v, renamed), changes = None)
+    // rewrite pending change batches: [[readChanges]] selects by NAME
+    // against the NEW schema, so an un-rewritten batch from before the
+    // rename would silently surface null for the renamed column to any
+    // stream that hasn't consumed it yet
+    val chRoot = new Path(tdir(table), "_changes")
+    if (fs.exists(chRoot))
+      fs.listStatus(chRoot).filter(_.getPath.getName.matches("v\\d+")).foreach { st =>
+        val df = spark.read.parquet(st.getPath.toString)
+        if (df.columns.exists(_.equalsIgnoreCase(from))) {
+          val tmp = new Path(st.getPath.getParent, st.getPath.getName + ".tmp")
+          df.withColumnRenamed(from, to).write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(st.getPath, true)
+          fs.rename(tmp, st.getPath)
+          ()
+        }
+      }
   }
 
   def schemaOf(table: String): StructType =
@@ -307,10 +347,13 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val cur = currentVersion(table)
     val keepFrom = math.max(0L, cur - keepVersions + 1)
     // also keep dirs any OTHER table's current manifest references — a
-    // zero-copy clone shares this table's files ([[cloneTable]]); the scan
+    // zero-copy clone shares this table's files ([[cloneTable]]), and a
+    // clone dropped to _trash still does (UNDROP must find them); the scan
     // is manifest metadata only, no data IO
-    val externallyReferenced: Set[String] = listTables().filter(_ != table)
-      .flatMap(t => readManifest(t, currentVersion(t)).map(e => new Path(e._2).getParent.toString))
+    val externallyReferenced: Set[String] = (listTables().filter(_ != table)
+      .flatMap(t => readManifest(t, currentVersion(t)).map(e => new Path(e._2).getParent.toString)) ++
+      trashedTables() // incl. same-named: a trashed manifest's paths live under the ORIGINAL root
+        .flatMap(t => trashedManifestEntries(t).map(e => new Path(e._2).getParent.toString)))
       .toSet
     val keptDirs: Set[String] = (keepFrom to cur)
       .flatMap(v => readManifest(table, v).map(e => new Path(e._2).getParent.toString))

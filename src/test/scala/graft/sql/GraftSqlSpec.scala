@@ -186,4 +186,66 @@ class GraftSqlSpec extends AnyFunSuite {
     val stmts = GraftSql.splitStatements("SELECT 'a;b' AS x; SELECT 2")
     assert(stmts == Seq("SELECT 'a;b' AS x", "SELECT 2"))
   }
+
+  test("QUALIFY rewrites in SELECT, CTAS, and INSERT bodies") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_qualify").toString, 2)
+    g.sqlScript(
+      """CREATE TABLE q_src (k STRING, seq BIGINT, v STRING) KEYS (k);
+        |INSERT INTO q_src SELECT 'a', 1, 'old' UNION ALL SELECT 'a', 2, 'new'
+        |                  UNION ALL SELECT 'b', 1, 'only'""".stripMargin)
+    // passthrough SELECT: latest row per key (Snowflake QUALIFY)
+    val sel = g.sql(
+      """SELECT k, v FROM q_src
+        |QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+        |ORDER BY k""".stripMargin).get.collect()
+    assert(sel.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "new"), ("b", "only")))
+    // CTAS body with QUALIFY
+    g.sql(
+      """CREATE TABLE q_latest KEYS (k) AS SELECT k, seq, v FROM q_src
+        |QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1""".stripMargin)
+    assert(g.table("q_latest").count() == 2)
+    // INSERT body with QUALIFY
+    g.sql("CREATE TABLE q_sink (k STRING, seq BIGINT, v STRING) KEYS (k)")
+    g.sql(
+      """INSERT INTO q_sink SELECT k, seq, v FROM q_src
+        |QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq) = 1""".stripMargin)
+    assert(g.table("q_sink").count() == 2)
+    assert(g.table("q_sink").where("k = 'a'").head().getString(2) == "old")
+  }
+
+  test("self-clone and clone-from-missing leave the destination intact") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_selfclone").toString, 2)
+    g.sqlScript(
+      """CREATE TABLE orig (id BIGINT, v STRING) KEYS (id);
+        |INSERT INTO orig SELECT 1, 'a'""".stripMargin)
+    val e1 = intercept[RuntimeException](g.sql("CREATE OR REPLACE TABLE orig CLONE orig"))
+    assert(e1.getMessage.contains("onto itself"))
+    assert(g.store.exists("orig") && g.table("orig").count() == 1,
+      "failed self-clone must not drop the destination")
+    val e2 = intercept[Exception](g.sql("CREATE OR REPLACE TABLE orig CLONE no_such"))
+    assert(g.store.exists("orig") && g.table("orig").count() == 1,
+      s"clone from missing source must not drop the destination (${e2.getMessage})")
+  }
+
+  test("unqualified CREATE collides with earlier qualified CREATE; DROP clears the guard") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_collide2").toString, 2)
+    g.sql("CREATE TABLE stg.customer (id BIGINT) KEYS (id)")
+    // the reverse of the existing guard: an unqualified CREATE of the same
+    // flat segment must error, not silently replace stg.customer
+    val e = intercept[RuntimeException](g.sql("CREATE OR REPLACE TABLE customer (x STRING)"))
+    assert(e.getMessage.contains("ambiguous flat name"))
+    assert(g.store.schemaOf("customer").fieldNames.toSeq == Seq("id"))
+    // the suggested recovery works: DROP clears the name maps
+    g.sql("DROP TABLE stg.customer")
+    g.sql("CREATE TABLE customer (x STRING)")
+    assert(g.store.schemaOf("customer").fieldNames.toSeq == Seq("x"))
+    // and dropping the unqualified one frees the name for qualified reuse
+    g.sql("DROP TABLE customer")
+    g.sql("CREATE TABLE raw.customer (y BIGINT) KEYS (y)")
+    assert(g.store.schemaOf("customer").fieldNames.toSeq == Seq("y"))
+  }
 }

@@ -19,6 +19,41 @@ class TableStoreSpec extends AnyFunSuite {
   private def freshStore() =
     new TableStore(spark, Files.createTempDirectory("graft_store").toString, numBuckets = 4)
 
+  test("dropped clone still blocks source drop/vacuum until purged") {
+    val st = freshStore()
+    st.createTable("src", schema, keys = Seq("id"))
+    st.append("src", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    st.cloneTable("src", "cl")
+    st.dropTable("cl") // to _trash: manifest still points into src/data
+    // src's files are still shared — drop must refuse, not orphan the clone
+    val e = intercept[IllegalArgumentException](st.dropTable("src"))
+    assert(e.getMessage.contains("_trash/cl"))
+    // vacuum on src keeps the dirs the trashed clone references
+    st.overwrite("src", Seq((9L, "z")).toDF("id", "v"))
+    st.vacuum("src", keepVersions = 1)
+    st.undropTable("cl")
+    assert(st.read("cl").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")), "undropped clone must still read its shared files")
+    // purging the clone releases the reference
+    st.dropTable("cl", purge = true)
+    st.dropTable("src")
+  }
+
+  test("renameColumn rewrites pending change batches for unconsumed streams") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    val stm = ChangeStream.create(st, "t", "s1")
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    st.renameColumn("t", "v", "val")
+    // the stream's pending batch predates the rename: it must surface the
+    // values under the NEW column name, not nulls
+    stm.consume { ch =>
+      val rows = ch.orderBy("id").collect()
+      assert(ch.columns.contains("val"))
+      assert(rows.map(_.getAs[String]("val")).toSeq == Seq("a", "b"))
+    }
+  }
+
   test("create/append/overwrite/truncate lifecycle with version history") {
     val st = freshStore()
     st.createTable("t", schema, keys = Seq("id"))
