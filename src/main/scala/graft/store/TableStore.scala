@@ -95,6 +95,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
         defaults.map { case (c, e) => s"$c\tdefault\t$e" }
       writeFile(new Path(tdir(table), "_defaults"), lines.mkString("\n"))
     }
+    writeFile(new Path(tdir(table), "_buckets"), numBuckets.toString)
     writeFile(manifestPath(table, 0L), "")
     writeFile(latestPtr(table), "0")
   }
@@ -178,6 +179,9 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     writeFile(new Path(tdir(dst), "_keys"), keysOf(src).mkString(","))
     val defSrc = new Path(tdir(src), "_defaults")
     if (fs.exists(defSrc)) writeFile(new Path(tdir(dst), "_defaults"), readFile(defSrc))
+    // the clone's manifest points at data bucketed with the SOURCE's count;
+    // carrying it over keeps the clone's merges pruning correctly
+    writeFile(new Path(tdir(dst), "_buckets"), bucketsOf(src).toString)
     writeFile(manifestPath(dst, 0L), entries.map { case (b, p) => s"$b\t$p" }.mkString("\n"))
     writeFile(latestPtr(dst), "0")
   }
@@ -282,6 +286,36 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     defaultLines(table).collect { case (c, "autoincrement", _) => c }
 
   def currentVersion(table: String): Long = readFile(latestPtr(table)).trim.toLong
+
+  /** The table's bucket count — per-table metadata (`_buckets`), NOT the
+    * store constructor: a 100 TB fact table needs thousands of buckets
+    * while a dim keeps a handful, and the count must travel with the table
+    * so a store opened with a different default still hashes consistently.
+    * Tables created before this file existed fall back to the store-wide
+    * default (their writer used it). */
+  def bucketsOf(table: String): Int = {
+    val p = new Path(tdir(table), "_buckets")
+    if (fs.exists(p)) readFile(p).trim.toInt else numBuckets
+  }
+
+  /** Change a table's bucket count and rewrite it once (a [[compact]]
+    * variant — O(table) IO, done as maintenance, never per-query). With
+    * `n <= 0` the target is sized from current data (~256 MB per bucket,
+    * clamped to [1, 4096]) — the knob that keeps per-bucket rewrite cost
+    * bounded as a table grows from MBs to TBs. */
+  def rebucket(table: String, n: Int = 0): Unit = synchronized {
+    val target =
+      if (n > 0) n
+      else {
+        val bytes = readManifest(table, currentVersion(table)).map { case (_, p) =>
+          val dir = new Path(p)
+          if (fs.exists(dir)) fs.getContentSummary(dir).getLength else 0L
+        }.sum
+        math.max(1, math.min(4096, math.ceil(bytes / (256.0 * 1024 * 1024)).toInt))
+      }
+    writeFile(new Path(tdir(table), "_buckets"), target.toString)
+    compact(table)
+  }
 
   /** Register the CURRENT version of `table` as a temp view so `spark.sql`
     * can query it (a snapshot, like reading a version: re-register after
@@ -390,15 +424,15 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   // ---- write paths --------------------------------------------------------
 
-  private def bucketCol(keys: Seq[String]): org.apache.spark.sql.Column =
-    if (keys.isEmpty) pmod(spark_partition_id(), lit(numBuckets))
-    else pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int")
+  private def bucketCol(keys: Seq[String], n: Int): org.apache.spark.sql.Column =
+    if (keys.isEmpty) pmod(spark_partition_id(), lit(n))
+    else pmod(xxhash64(keys.map(col): _*), lit(n)).cast("int")
 
   /** Write df as a bucketed batch dir; returns manifest entries. */
   private def writeBatch(table: String, v: Long, df: DataFrame): Seq[(Int, String)] = {
     val keys = keysOf(table)
     val dir = new Path(new Path(tdir(table), "data"), f"b$v%08d")
-    df.withColumn("__bucket", bucketCol(keys))
+    df.withColumn("__bucket", bucketCol(keys, bucketsOf(table)))
       .write.partitionBy("__bucket").mode("overwrite")
       .option("compression", compression) // zstd: ~2× smaller cold data at 100 TB
       .parquet(dir.toString)
@@ -471,16 +505,82 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     commit(table, v, untouched ++ newEntries, Some(withAction(deleted, "delete")))
   }
 
-  /** Buckets containing rows matching `pred` (column-pruned scan), or None
-    * (= all buckets, full rewrite) for keyless tables whose bucket
-    * assignment is write-time round-robin and not re-derivable from rows. */
+  /** Buckets touched by `pred`. Resolution order:
+    *  1. [[bucketsFromLiterals]] — for key-binding predicates (`key = lit`
+    *     / `key IN (lits)` conjuncts covering every declared key, the
+    *     reference's own UPDATE shapes) the buckets are computed from the
+    *     literals on the driver, ZERO table IO;
+    *  2. a column-pruned discovery scan for arbitrary predicates;
+    *  3. None (= all buckets, full rewrite) for keyless tables whose
+    *     bucket assignment is write-time round-robin and not re-derivable
+    *     from rows. */
   private def matchingBuckets(table: String,
       pred: org.apache.spark.sql.Column): Option[Set[Int]] = {
     val keys = keysOf(table)
     if (keys.isEmpty) None
-    else Some(read(table).filter(pred)
-      .select(bucketCol(keys).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet)
+    else bucketsFromLiterals(table, pred).orElse(
+      Some(read(table).filter(pred)
+        .select(bucketCol(keys, bucketsOf(table)).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet))
+  }
+
+  /** Derive touched buckets from a key-binding predicate WITHOUT any scan:
+    * if every declared key is bound by an `=` or `IN (literal, ...)`
+    * conjunct, the touched buckets are the bucket hashes of the literal
+    * key combinations — evaluated driver-side with the SAME Catalyst
+    * expressions the write path uses (xxhash64 seed 42, pmod), so the ids
+    * are bit-identical to [[bucketCol]]'s. At 100 TB this turns a point
+    * UPDATE/DELETE from one full-table metadata scan + k-bucket rewrite
+    * into a pure k-bucket rewrite. Conservative: literals whose cast to
+    * the key type could lose precision (string → numeric), > 1024 combos,
+    * or any unbound key fall back (None → caller scans). */
+  private def bucketsFromLiterals(table: String,
+      pred: org.apache.spark.sql.Column): Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast,
+      EqualTo, Expression, In, Literal, XxHash64}
+    val keys = keysOf(table)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
+      case a: AttributeReference  => Some(a.name.toLowerCase)
+      case _ => None
+    }
+    val bound = scala.collection.mutable.Map.empty[String, Seq[Literal]]
+    conjuncts(org.apache.spark.sql.GraftColumnBridge.expression(pred)).foreach {
+      case EqualTo(a, l: Literal) => attrName(a).foreach(n => bound.getOrElseUpdate(n, Seq(l)))
+      case EqualTo(l: Literal, a) => attrName(a).foreach(n => bound.getOrElseUpdate(n, Seq(l)))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        attrName(a).foreach(n => bound.getOrElseUpdate(n, vs.map(_.asInstanceOf[Literal])))
+      case _ =>
+    }
+    val fieldType = schemaOf(table).fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val perKey: Seq[Seq[Any]] = keys.map { k =>
+      val dt = fieldType(k.toLowerCase)
+      bound.get(k.toLowerCase) match {
+        case None => return None // key not bound by a literal conjunct
+        case Some(lits) =>
+          if (!lits.forall(l => l.dataType == dt || Cast.canUpCast(l.dataType, dt)))
+            return None // lossy coercion (e.g. string vs numeric) — scan instead
+          // a literal whose cast is null can never equal a key value: it
+          // contributes no combos (possibly an empty bucket set = no-op)
+          lits.map(l => Cast(l, dt, Some(zone)).eval(null)).filter(_ != null)
+      }
+    }
+    if (perKey.map(_.size.toLong).product > 1024) return None
+    val n = bucketsOf(table)
+    val keyTypes = keys.map(k => fieldType(k.toLowerCase))
+    val combos = perKey.foldLeft(Seq(Seq.empty[Any]))((acc, vs) =>
+      acc.flatMap(pre => vs.map(v => pre :+ v)))
+    Some(combos.map { vals =>
+      val h = new XxHash64(vals.zip(keyTypes).map { case (v, dt) => Literal(v, dt) })
+        .eval(null).asInstanceOf[Long]
+      (((h % n) + n) % n).toInt
+    }.toSet)
   }
 
   /** MERGE INTO (A-MERGE): bucket-pruned upsert. Only buckets containing
@@ -508,7 +608,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
           .filter(f => keys.contains(f.name)).map(f => f.name -> f.dataType).toMap
         keyTypes.foldLeft(source) { case (df, (k, dt)) => df.withColumn(k, col(k).cast(dt)) }
       }
-    val srcBuckets = alignedSrc.select(bucketCol(keys).as("b"))
+    val srcBuckets = alignedSrc.select(bucketCol(keys, bucketsOf(table)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val touched = read(table, Some(srcBuckets))
     // column DEFAULTs act as the insert-branch fallback (autoinc cols stay

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column → Catalyst Expression conversion
+  * (Spark 4 moved Column onto ColumnNode; `classic.ExpressionUtils` is the
+  * sanctioned converter but is sql-private). Used by the table store's
+  * predicate analysis ([[graft.store.TableStore]] bucket derivation) —
+  * read-only inspection of user predicates, no plan mutation.
+  */
+object GraftColumnBridge {
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

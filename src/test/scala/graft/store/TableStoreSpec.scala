@@ -19,6 +19,77 @@ class TableStoreSpec extends AnyFunSuite {
   private def freshStore() =
     new TableStore(spark, Files.createTempDirectory("graft_store").toString, numBuckets = 4)
 
+  private def recordsReadDuring(body: => Unit): Long = {
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // listener events are async: wait until the counter settles
+      var last = -1L
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val cur = records.get
+        if (cur == last) same += 1 else { same = 0; last = cur }
+      }
+      records.get
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("key-equality UPDATE derives buckets from literals — no discovery scan") {
+    val st = freshStore() // 4 buckets
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val read = recordsReadDuring {
+      st.update("t", col("id") === 7L, Map("v" -> lit("X")))
+    }
+    // pruned path reads only bucket(7)'s ~250 rows (twice: rewrite + change
+    // batch); the old discovery scan added a full 1000-row pass on top
+    assert(read < 1000, s"expected no full-table discovery scan, read $read records")
+    assert(st.read("t").filter(col("id") === 7L).head().getString(1) == "X")
+    assert(st.read("t").count() == 1000)
+  }
+
+  test("composite-key IN predicates derive bucket combos; non-key predicates still work") {
+    val st = freshStore()
+    val sch = StructType(Seq(StructField("a", LongType), StructField("b", StringType),
+      StructField("v", StringType)))
+    st.createTable("c", sch, keys = Seq("a", "b"))
+    st.append("c", (1L to 100L).map(i => (i, s"k${i % 3}", "old")).toDF("a", "b", "v"))
+    // all keys bound: a IN (...), b = lit (int literals upcast to the long key)
+    st.update("c", col("a").isin(1L, 2L, 3L) && col("b") === "k1" && col("v") === "old",
+      Map("v" -> lit("new")))
+    assert(st.read("c").filter(col("v") === "new").count() == 1) // only (1,k1) matches
+    // predicate not binding all keys falls back to the scan path and stays correct
+    st.delete("c", col("a") > 90L)
+    assert(st.read("c").count() == 90)
+  }
+
+  test("rebucket changes the bucket count; merges still prune and old readers resolve") {
+    val st = freshStore() // store default 4
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"))
+    assert(st.bucketsOf("t") == 4)
+    val v1 = st.currentVersion("t")
+    st.rebucket("t", 16)
+    assert(st.bucketsOf("t") == 16)
+    // old version still reads (manifests immutable)
+    assert(st.readVersion("t", v1).count() == 200)
+    // post-rebucket merge prunes with the NEW count and lands correctly
+    st.merge("t", Seq((7L, "V7"), (300L, "V300")).toDF("id", "v"))
+    assert(st.read("t").count() == 201)
+    assert(st.read("t").filter(col("id") === 7L).head().getString(1) == "V7")
+    // literal-derived pruning agrees with the new bucketing
+    st.update("t", col("id") === 300L, Map("v" -> lit("X")))
+    assert(st.read("t").filter(col("id") === 300L).head().getString(1) == "X")
+    // manifest bucket ids now span the 16-bucket range
+    assert(manifest(st, "t", st.currentVersion("t")).keys.max >= 4)
+  }
+
   test("dropped clone still blocks source drop/vacuum until purged") {
     val st = freshStore()
     st.createTable("src", schema, keys = Seq("id"))
