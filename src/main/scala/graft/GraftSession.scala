@@ -188,6 +188,33 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
   def createStage(name: String, dir: String): Unit =
     stagesReg(recordName(name)) = dir.stripSuffix("/")
 
+  /** Catalog containers (CREATE WAREHOUSE / DATABASE / SCHEMA / STORAGE
+    * INTEGRATION — reference README.md:19-45): recorded no-ops. The store
+    * namespace is flat and compute is Spark's, so these carry no behavior;
+    * recording them makes the README's setup section executable and
+    * SHOW-able instead of erroring in the passthrough. */
+  private val catalogReg = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[String]]
+
+  def recordCatalogObject(kind: String, name: String): Unit =
+    catalogReg.getOrElseUpdate(kind.toLowerCase, mutable.LinkedHashSet.empty) += name
+
+  def listCatalogObjects(kind: String): Seq[String] =
+    catalogReg.get(kind.toLowerCase).map(_.toSeq).getOrElse(Nil)
+
+  /** CREATE FILE FORMAT (reference README.md:37-45): a named reader-options
+    * object pipes reference via `FILE_FORMAT = (FORMAT_NAME='x')` or
+    * `FILE_FORMAT = x`. Keys are lowercased Snowflake option names. */
+  private val fileFormatsReg = mutable.LinkedHashMap.empty[String, Map[String, String]]
+
+  def createFileFormat(name: String, opts: Map[String, String]): Unit =
+    fileFormatsReg(recordName(name).toLowerCase) = opts
+
+  def fileFormat(name: String): Option[Map[String, String]] =
+    fileFormatsReg.get(recordName(name).toLowerCase)
+
+  def listFileFormats(): Seq[(String, String)] =
+    fileFormatsReg.toSeq.map { case (n, o) => (n, o.getOrElse("type", "csv")) }
+
   def stageDir(name: String): String = stagesReg(recordName(name))
   def listStages(): Seq[(String, String)] = stagesReg.toSeq
 

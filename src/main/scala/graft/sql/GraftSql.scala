@@ -51,6 +51,10 @@ import graft.store.TableStore
 object GraftSql {
 
   private val UseRe = """(?is)^\s*USE\s+.*$""".r
+  private val CreateCatalogObjRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(WAREHOUSE|DATABASE|SCHEMA|STORAGE\s+INTEGRATION)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(.*?)\s*;?\s*$""".r
+  private val CreateFileFormatRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+(.*?)\s*;?\s*$""".r
   private val CreateTableRe =
     """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+?)\)\s*(?:KEYS\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val CreateTableAsRe =
@@ -72,7 +76,7 @@ object GraftSql {
   private val CreateStageRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+([\w.]+)\s+(?:URL\s*=\s*)?'([^']+)'\s*;?\s*$""".r
   private val CreatePipeRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PIPE\s+([\w.]+)\s*(?:AUTO_INGEST\s*=\s*\w+\s*)?AS\s+COPY\s+INTO\s+([\w.]+)\s+FROM\s+@([\w./-]+)\s*(?:FILE_FORMAT\s*=\s*\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PIPE\s+([\w.]+)\s*(?:AUTO_INGEST\s*=\s*\w+\s*)?AS\s+COPY\s+INTO\s+([\w.]+)\s+FROM\s+@([\w./-]+)\s*(?:FILE_FORMAT\s*=\s*(?:\(([^)]*)\)|([\w.]+))\s*)?\s*;?\s*$""".r
   private val CreateTaskRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TASK\s+([\w.]+)\s+(.*?)\s*\bAS\b\s+(.*?)\s*;?\s*$""".r
   private val AlterTaskRe =
@@ -81,7 +85,8 @@ object GraftSql {
     """(?is)^\s*ALTER\s+PIPE\s+([\w.]+)\s+SET\s+PIPE_EXECUTION_PAUSED\s*=\s*(TRUE|FALSE)\s*;?\s*$""".r
   private val AlterPipeRefreshRe =
     """(?is)^\s*ALTER\s+PIPE\s+([\w.]+)\s+REFRESH\s*;?\s*$""".r
-  private val ShowRe = """(?is)^\s*SHOW\s+(TABLES|STREAMS|PIPES|TASKS|STAGES|VIEWS)\s*;?\s*$""".r
+  private val ShowRe =
+    """(?is)^\s*SHOW\s+(TABLES|STREAMS|PIPES|TASKS|STAGES|VIEWS|WAREHOUSES|DATABASES|SCHEMAS|FILE\s+FORMATS)\s*;?\s*$""".r
   private val ListStageRe = """(?is)^\s*LIST\s+@([\w./-]+)\s*;?\s*$""".r
   private val SystemFnRe =
     """(?is)^\s*SELECT\s+SYSTEM\$(\w+)\s*\(\s*'([^']*)'\s*\)\s*;?\s*$""".r
@@ -122,6 +127,16 @@ object GraftSql {
     val stmt = norm(stripComments(sql), session)
     stmt match {
       case UseRe() => None
+
+      case CreateCatalogObjRe(kind, name, _) =>
+        // containers carry no behavior here (flat store namespace, Spark
+        // compute) — record them so SHOW works and the README runs verbatim
+        sess.recordCatalogObject(kind.toLowerCase.replaceAll("\\s+", " "), name)
+        None
+
+      case CreateFileFormatRe(name, optsBlob) =>
+        sess.createFileFormat(name, parseFormatOptions(optsBlob))
+        None
 
       case CreateTableCloneRe(replace, name, src, atKind, atVal) =>
         val flat = session.map(_.recordCreate(name)).getOrElse(name)
@@ -213,15 +228,25 @@ object GraftSql {
         sess.createStage(name, dir)
         None
 
-      case CreatePipeRe(name, table, stagePath, fmtOpts) =>
-        val opts = Option(fmtOpts).map(parseOptions).getOrElse(Map.empty)
+      case CreatePipeRe(name, table, stagePath, fmtOpts, fmtName) =>
+        val inline = Option(fmtOpts).map(parseOptions).getOrElse(Map.empty)
+        // FILE_FORMAT = (FORMAT_NAME='x') / FILE_FORMAT = x resolves the
+        // named format (README's `create file format csv ...`); inline
+        // options override the named ones
+        val namedKey = inline.get("format_name").orElse(Option(fmtName))
+        val named = namedKey.map(n => sess.fileFormat(n)
+          .getOrElse(sys.error(s"unknown file format $n"))).getOrElse(Map.empty)
+        val opts = named ++ (inline - "format_name")
         val format = opts.getOrElse("type", "csv").toLowerCase match {
           case "csv" => "csv"
           case "json" | "jsonl" => "jsonl"
           case t => sys.error(s"unsupported pipe file_format type $t")
         }
         val fmt = graft.ingest.CsvFormat(
-          skipHeaderLines = opts.get("skip_header").map(_.toInt).getOrElse(0))
+          skipHeaderLines = opts.get("skip_header").map(_.toInt).getOrElse(0),
+          delimiter = opts.get("field_delimiter").map(unescapeOpt).getOrElse(","),
+          quote = opts.get("field_optionally_enclosed_by").map(unescapeOpt).getOrElse("\""),
+          nullValue = opts.get("null_if").map(unescapeOpt).getOrElse("\\N"))
         val segs = stagePath.split("/", 2)
         val landing = sess.stageDir(segs(0)) +
           (if (segs.length > 1) "/" + segs(1) else "")
@@ -269,13 +294,17 @@ object GraftSql {
         sess.pipe(name).runOnce()
         None
 
-      case ShowRe(what) => Some(what.toLowerCase match {
+      case ShowRe(what) => Some(what.toLowerCase.replaceAll("\\s+", " ") match {
         case "tables" => store.listTables().toDF("name")
         case "streams" => sess.listStreams().toDF("name", "table_name", "offset", "pending_versions")
         case "pipes" => sess.listPipes().toDF("name", "status")
         case "stages" => sess.listStages().toDF("name", "url")
         case "views" => sess.listViews().toDF("name")
         case "tasks" => sess.tasks.listTasks().toDF("name", "state", "after")
+        case "warehouses" => sess.listCatalogObjects("warehouse").toDF("name")
+        case "databases" => sess.listCatalogObjects("database").toDF("name")
+        case "schemas" => sess.listCatalogObjects("schema").toDF("name")
+        case "file formats" => sess.listFileFormats().toDF("name", "type")
       })
 
       case ListStageRe(stagePath) =>
@@ -659,6 +688,32 @@ object GraftSql {
       case other => sys.error(s"unsupported task WHEN gate: $other")
     }
   }
+
+  /** Snowflake FILE FORMAT body: whitespace/newline-separated `key = value`
+    * options where a value is a quoted string, a parenthesized list
+    * (`NULL_IF = ('\\N', '')` — the first element is the writer's null
+    * token), or a bare token (reference README.md:37-45). */
+  private[sql] def parseFormatOptions(blob: String): Map[String, String] = {
+    val OptRe = """(?s)(\w+)\s*=\s*('(?:[^'\\]|\\.)*'|\([^)]*\)|\S+)""".r
+    OptRe.findAllMatchIn(blob).map { m =>
+      val k = m.group(1).toLowerCase
+      val raw = m.group(2).trim
+      val v =
+        if (raw.startsWith("(") && raw.endsWith(")"))
+          MergeSql.splitTopLevel(raw.substring(1, raw.length - 1), ',')
+            .map(_.trim).headOption.getOrElse("")
+        else raw
+      k -> v.stripPrefix("'").stripSuffix("'")
+    }.toMap
+  }
+
+  /** Snowflake option-value escapes: octal char codes (`\042` → `"`) and
+    * doubled backslashes (`\\N` → `\N`). */
+  private def unescapeOpt(v: String): String =
+    """\\([0-7]{3})""".r.replaceAllIn(v, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 8).toChar.toString))
+      .replace("\\\\", "\\")
 
   /** `TYPE='CSV', SKIP_HEADER=1, ...` option lists. */
   private def parseOptions(opts: String): Map[String, String] =

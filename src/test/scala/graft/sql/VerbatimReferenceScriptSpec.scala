@@ -187,4 +187,42 @@ class VerbatimReferenceScriptSpec extends AnyFunSuite {
         |order by scheduled_time desc""".stripMargin).get
     assert(hist.filter(col("state") === "SUCCEEDED").count() >= 4)
   }
+
+  test("README object-creation section runs verbatim; pipes use the named file format") {
+    val readme = Paths.get("/root/reference/README.md")
+    assume(Files.exists(readme) && Files.exists(dataDir), "reference repo not mounted")
+    // extract the fenced code blocks of the "create the required objects"
+    // section (warehouse, database, schemas, file format) — verbatim text
+    val text = Files.readString(readme)
+    val blocks = """(?s)```bash\s*(.*?)```""".r.findAllMatchIn(text).map(_.group(1).trim)
+      .filter(_.toLowerCase.startsWith("create")).toSeq
+    assert(blocks.size >= 4, s"expected the README's 4 setup blocks, got ${blocks.size}")
+
+    val root = Files.createTempDirectory("graft_readme")
+    val g = GraftSession(spark, root.resolve("store").toString, numBuckets = 4)
+    val errors = blocks.flatMap(b => g.sqlScriptLenient(b))
+    assert(errors.isEmpty, s"README setup must run clean, got: $errors")
+    assert(g.sql("SHOW WAREHOUSES").get.collect().map(_.getString(0)).toSeq ==
+      Seq("ayo_warehouse"))
+    assert(g.sql("SHOW DATABASES").get.collect().map(_.getString(0)).toSeq == Seq("demo"))
+    assert(g.sql("SHOW SCHEMAS").get.count() == 3)
+    assert(g.sql("SHOW FILE FORMATS").get.head().getString(0) == "csv")
+
+    // a pipe referencing the named format parses with ITS options: the
+    // README format declares null_if ('\\N') and quote \042
+    val stage = root.resolve("stage")
+    Files.createDirectories(stage.resolve("landing").resolve("t"))
+    Files.writeString(stage.resolve("landing/t/part1.csv"),
+      "id,name\n1,\"alpha, inc\"\n2,\\N\n")
+    g.sqlScript(
+      s"""create stage landing url = '$stage';
+         |create table stg_t (id bigint, name string) keys (id);
+         |create pipe t_pipe as copy into stg_t from @landing/landing/t
+         |  file_format = (format_name = 'csv')""".stripMargin)
+    g.sql("alter pipe t_pipe refresh")
+    val rows = g.table("stg_t").orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "alpha, inc", "quoted delimiter must survive")
+    assert(rows(1).isNullAt(1), "\\N must read as NULL via the named format")
+  }
 }
