@@ -50,6 +50,11 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
   /** flat names (lowercased) created UNQUALIFIED in this session — these
     * are collision candidates for later qualified creations. */
   private val unqualifiedCreated = mutable.Set.empty[String]
+  /** flat name (lowercased) → qualified name it was CREATED under in this
+    * session. The symmetric collision guard checks THIS, not [[nameMap]]:
+    * nameMap is also populated by mere reads of qualified names, and
+    * reading `stg.customer` must not block `CREATE TABLE customer`. */
+  private val qualifiedCreated = mutable.LinkedHashMap.empty[String, String]
 
   /** Record `full` (e.g. stg.stg_customer) → its flat last segment.
     * Matching is case-insensitive (Snowflake unquoted-identifier
@@ -95,9 +100,11 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
         sys.error(s"ambiguous flat name '$flat': creating $full would collide with the " +
           s"existing table '$flat' (created without this qualified name; the store " +
           "namespace is flat — drop it first or use the same name)")
-      recordName(full)
+      val r = recordName(full)
+      qualifiedCreated.getOrElseUpdate(flat.toLowerCase, full)
+      r
     } else {
-      nameMap.collectFirst { case (k, v) if v.equalsIgnoreCase(flat) => k }.foreach(q =>
+      qualifiedCreated.get(flat.toLowerCase).foreach(q =>
         sys.error(s"ambiguous flat name '$flat': unqualified CREATE vs the qualified " +
           s"table '$q' created earlier (the store namespace is flat — drop it first " +
           "or use the qualified name)"))
@@ -111,6 +118,7 @@ class GraftSession(val spark: SparkSession, root: String, numBuckets: Int = 16) 
     * the name is no longer flagged as colliding with the dropped one. */
   private[graft] def recordDrop(flat: String): Unit = {
     unqualifiedCreated -= flat.toLowerCase
+    qualifiedCreated -= flat.toLowerCase
     nameMap.filterInPlace((_, v) => !v.equalsIgnoreCase(flat))
   }
 

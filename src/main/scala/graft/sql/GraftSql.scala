@@ -194,7 +194,7 @@ object GraftSql {
         registerViews()
         val flat = session.map(_.recordCreate(name)).getOrElse(name)
         val rows = spark.sql(timeTravel(spark, store, session,
-          rewriteQualify(stripOuterParens(body))))
+          rewriteQualify(stripOuterParens(body), spark)))
         val keyCols = Option(keys).map(_.split(",").toIndexedSeq.map(_.trim)).getOrElse(Nil)
         if (store.exists(flat)) {
           if (replace == null) sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
@@ -217,7 +217,8 @@ object GraftSql {
         None
 
       case CreateViewRe(name, body) =>
-        sess.createView(name, rewriteQualify(body))
+        registerViews() // so the QUALIFY probe can resolve the view's tables
+        sess.createView(name, rewriteQualify(body, spark))
         None
 
       case CreateStreamRe(name, table) =>
@@ -372,7 +373,7 @@ object GraftSql {
       case InsertRe(mode, name, colList, body) =>
         registerViews()
         val flat = session.map(_.recordName(name)).getOrElse(name)
-        val rows = spark.sql(timeTravel(spark, store, session, rewriteQualify(body)))
+        val rows = spark.sql(timeTravel(spark, store, session, rewriteQualify(body, spark)))
         // INSERT ... SELECT is POSITIONAL (Snowflake semantics): rename
         // the query's columns to the target names by position before the
         // store's by-name align. An explicit column list narrows the
@@ -412,10 +413,10 @@ object GraftSql {
           case (_, Some(stm)) =>
             stm.consume { changes =>
               changes.createOrReplaceTempView(stm.name) // snapshot the slice
-              MergeSql.runWith(spark, store, pm, spark.sql(rewriteQualify(pm.sourceQuery.get)))
+              MergeSql.runWith(spark, store, pm, spark.sql(rewriteQualify(pm.sourceQuery.get, spark)))
             }
           case _ =>
-            val src = pm.sourceQuery.map(q => spark.sql(rewriteQualify(q))).getOrElse {
+            val src = pm.sourceQuery.map(q => spark.sql(rewriteQualify(q, spark))).getOrElse {
               if (store.exists(pm.source)) store.read(pm.source)
               else spark.table(pm.source)
             }
@@ -432,7 +433,7 @@ object GraftSql {
           sys.error(s"unsupported CREATE TABLE form (not columns/CTAS/CLONE): ${other.take(200)}")
         registerViews()
         Some(spark.sql(timeTravel(spark, store, session,
-          rewriteQualify(other.replaceAll(TaskHistoryFnRe, "task_history")))))
+          rewriteQualify(other.replaceAll(TaskHistoryFnRe, "task_history"), spark))))
     }
   }
 
@@ -513,8 +514,21 @@ object GraftSql {
     * which is exactly Snowflake's semantics (QUALIFY runs after grouping,
     * before ORDER BY/LIMIT). Only a top-level QUALIFY is rewritten;
     * the scan is quote- and paren-aware. Stays fully inside Catalyst —
-    * the window, filter, and column prune all plan natively. */
-  private[graft] def rewriteQualify(sql: String): String = {
+    * the window, filter, and column prune all plan natively.
+    *
+    * Two rewrite forms cover Snowflake's two resolution cases, which Spark
+    * cannot satisfy with one query shape:
+    *  - INJECTED (preferred): the predicate joins the block's select list,
+    *    so BASE columns the projection drops still resolve;
+    *  - WRAPPER (fallback): predicate over the projected output — needed
+    *    when the predicate's OVER clause references a select-list alias
+    *    (Spark rejects lateral aliases inside window specs,
+    *    UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW).
+    * With a `probe` session the injected form is analysis-checked and falls
+    * back to the wrapper ONLY on that specific error — any other analysis
+    * failure (e.g. an unregistered table at view-definition time) keeps the
+    * injected form and surfaces naturally at execution. */
+  private[graft] def rewriteQualify(sql: String, probe: SparkSession = null): String = {
     val lower = sql.toLowerCase
     def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
     // locate a depth-0, unquoted QUALIFY keyword
@@ -586,15 +600,30 @@ object GraftSql {
       i += 1
     }
     val distinct = headLower.matches("(?s)^\\s*select\\s+distinct\\b.*")
-    if (fromIdx > 0 && !distinct)
-      s"SELECT * EXCEPT(__qualify) FROM (${head.substring(0, fromIdx).trim}, " +
-        s"($pred) AS __qualify ${head.substring(fromIdx)}) " +
-        s"WHERE __qualify" + (if (tail.isEmpty) "" else " " + tail)
-    else
-      // no FROM / SELECT DISTINCT: fall back to wrapping the projected
-      // output (the predicate may then only use projected columns)
+    val tailSql = if (tail.isEmpty) "" else " " + tail
+    // wrapper form: predicate over the projected output (select-list
+    // aliases resolve everywhere; dropped base columns do not)
+    val wrapper =
       s"SELECT * EXCEPT(__qualify) FROM (SELECT *, ($pred) AS __qualify FROM ($head) __qualify_src) " +
-        s"WHERE __qualify" + (if (tail.isEmpty) "" else " " + tail)
+        s"WHERE __qualify" + tailSql
+    if (fromIdx > 0 && !distinct) {
+      val injected =
+        s"SELECT * EXCEPT(__qualify) FROM (${head.substring(0, fromIdx).trim}, " +
+          s"($pred) AS __qualify ${head.substring(fromIdx)}) " +
+          s"WHERE __qualify" + tailSql
+      if (probe == null) injected
+      else
+        try { probe.sql(injected); injected } // eager analysis, no execution
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).getOrElse("").contains("LATERAL_COLUMN_ALIAS") ||
+                 e.getMessage.contains("LATERAL_COLUMN_ALIAS") =>
+            wrapper
+          case _: Throwable => injected
+        }
+    } else
+      // no FROM / SELECT DISTINCT: the injected form cannot apply
+      wrapper
   }
 
   /** Apply `f` to each maximal span of `sql` OUTSIDE single/double-quoted

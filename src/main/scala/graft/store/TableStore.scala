@@ -96,7 +96,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       writeFile(new Path(tdir(table), "_defaults"), lines.mkString("\n"))
     }
     writeFile(new Path(tdir(table), "_buckets"), numBuckets.toString)
-    writeFile(manifestPath(table, 0L), "")
+    writeFile(manifestPath(table, 0L), manifestText(numBuckets, Nil))
     writeFile(latestPtr(table), "0")
   }
 
@@ -115,10 +115,11 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val v = readFile(new Path(trashPath(t), "_latest")).trim.toLong
     val mp = new Path(new Path(trashPath(t), "_versions"), f"v$v%08d")
     if (!fs.exists(mp)) Nil
-    else readFile(mp).split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
-      val Array(b, p) = line.split("\t", 2)
-      (b.toInt, p)
-    }
+    else readFile(mp).split("\n").toIndexedSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(b, p) = line.split("\t", 2)
+        (b.toInt, p)
+      }
   }
 
   /** DROP TABLE. By default the table dir moves to `<root>/_trash/<name>`
@@ -179,10 +180,12 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     writeFile(new Path(tdir(dst), "_keys"), keysOf(src).mkString(","))
     val defSrc = new Path(tdir(src), "_defaults")
     if (fs.exists(defSrc)) writeFile(new Path(tdir(dst), "_defaults"), readFile(defSrc))
-    // the clone's manifest points at data bucketed with the SOURCE's count;
-    // carrying it over keeps the clone's merges pruning correctly
-    writeFile(new Path(tdir(dst), "_buckets"), bucketsOf(src).toString)
-    writeFile(manifestPath(dst, 0L), entries.map { case (b, p) => s"$b\t$p" }.mkString("\n"))
+    // the clone's manifest points at data bucketed with the CLONED VERSION's
+    // count (not the source's current one — an AT-clone across a rebucket
+    // boundary must keep pruning against the old hashing)
+    val srcBuckets = bucketsOfVersion(src, version.getOrElse(currentVersion(src)))
+    writeFile(new Path(tdir(dst), "_buckets"), srcBuckets.toString)
+    writeFile(manifestPath(dst, 0L), manifestText(srcBuckets, entries))
     writeFile(latestPtr(dst), "0")
   }
 
@@ -247,17 +250,33 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     // rename would silently surface null for the renamed column to any
     // stream that hasn't consumed it yet
     val chRoot = new Path(tdir(table), "_changes")
-    if (fs.exists(chRoot))
+    if (fs.exists(chRoot)) {
+      // leftovers from a crashed earlier rewrite: restore the original
+      // batch from .bak (a .tmp may be incomplete — never promote it) and
+      // discard stale .tmp dirs; the loop below then redoes the rewrite
+      fs.listStatus(chRoot).foreach { st =>
+        val name = st.getPath.getName
+        if (name.matches("v\\d+\\.bak")) {
+          val orig = new Path(chRoot, name.stripSuffix(".bak"))
+          if (fs.exists(orig)) fs.delete(st.getPath, true) else fs.rename(st.getPath, orig)
+          ()
+        } else if (name.matches("v\\d+\\.tmp")) { fs.delete(st.getPath, true); () }
+      }
       fs.listStatus(chRoot).filter(_.getPath.getName.matches("v\\d+")).foreach { st =>
         val df = spark.read.parquet(st.getPath.toString)
         if (df.columns.exists(_.equalsIgnoreCase(from))) {
+          // tmp → bak → swap: the original batch survives any crash point
+          // (a crash between the two renames is healed by the sweep above)
           val tmp = new Path(st.getPath.getParent, st.getPath.getName + ".tmp")
+          val bak = new Path(st.getPath.getParent, st.getPath.getName + ".bak")
           df.withColumnRenamed(from, to).write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(st.getPath, true)
+          fs.rename(st.getPath, bak)
           fs.rename(tmp, st.getPath)
+          fs.delete(bak, true)
           ()
         }
       }
+    }
   }
 
   def schemaOf(table: String): StructType =
@@ -287,22 +306,30 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   def currentVersion(table: String): Long = readFile(latestPtr(table)).trim.toLong
 
-  /** The table's bucket count — per-table metadata (`_buckets`), NOT the
-    * store constructor: a 100 TB fact table needs thousands of buckets
-    * while a dim keeps a handful, and the count must travel with the table
-    * so a store opened with a different default still hashes consistently.
-    * Tables created before this file existed fall back to the store-wide
-    * default (their writer used it). */
-  def bucketsOf(table: String): Int = {
-    val p = new Path(tdir(table), "_buckets")
-    if (fs.exists(p)) readFile(p).trim.toInt else numBuckets
-  }
+  /** The table's CURRENT bucket count = the current version's count.
+    * Per-version (manifest header), NOT the store constructor: a 100 TB
+    * fact table needs thousands of buckets while a dim keeps a handful,
+    * the count must travel with the table so a store opened with a
+    * different default still hashes consistently, and it must travel with
+    * the VERSION so time-traveled reads/clones across a [[rebucket]]
+    * boundary prune against the hashing their files were written with. */
+  def bucketsOf(table: String): Int = bucketsOfVersion(table, currentVersion(table))
+
+  /** Bucket count of a specific committed version. Falls back to the
+    * `_buckets` table file (pre-header tables) then the store default. */
+  def bucketsOfVersion(table: String, v: Long): Int =
+    manifestBuckets(table, v).getOrElse {
+      val p = new Path(tdir(table), "_buckets")
+      if (fs.exists(p)) readFile(p).trim.toInt else numBuckets
+    }
 
   /** Change a table's bucket count and rewrite it once (a [[compact]]
     * variant — O(table) IO, done as maintenance, never per-query). With
     * `n <= 0` the target is sized from current data (~256 MB per bucket,
     * clamped to [1, 4096]) — the knob that keeps per-bucket rewrite cost
-    * bounded as a table grows from MBs to TBs. */
+    * bounded as a table grows from MBs to TBs. The count flip is ATOMIC
+    * with the rewrite commit (both live in the new version's manifest): a
+    * crash mid-rewrite leaves the old version + old count fully intact. */
   def rebucket(table: String, n: Int = 0): Unit = synchronized {
     val target =
       if (n > 0) n
@@ -313,8 +340,11 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
         }.sum
         math.max(1, math.min(4096, math.ceil(bytes / (256.0 * 1024 * 1024)).toInt))
       }
+    val v = currentVersion(table) + 1
+    commit(table, v, writeBatch(table, v, read(table), target), changes = None, buckets = target)
+    // best-effort hint for pre-header readers; authoritative copy is the
+    // manifest header committed above
     writeFile(new Path(tdir(table), "_buckets"), target.toString)
-    compact(table)
   }
 
   /** Register the CURRENT version of `table` as a temp view so `spark.sql`
@@ -328,20 +358,39 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   // ---- manifests ----------------------------------------------------------
 
+  /** Manifest text: `#buckets\tN` header + one `bucket\tpath` line per
+    * data dir. The header makes the bucket count per-version metadata,
+    * committed atomically with the file list it describes. */
+  private def manifestText(buckets: Int, entries: Seq[(Int, String)]): String =
+    (s"#buckets\t$buckets" +: entries.map { case (b, p) => s"$b\t$p" }).mkString("\n")
+
   private def readManifest(table: String, v: Long): Seq[(Int, String)] = {
     val txt = readFile(manifestPath(table, v))
-    txt.split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+    txt.split("\n").toIndexedSeq.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val Array(b, p) = line.split("\t", 2)
       (b.toInt, p)
     }
   }
 
+  /** The `#buckets` header of version v's manifest, if present (manifests
+    * written before the header existed have none). */
+  private def manifestBuckets(table: String, v: Long): Option[Int] = {
+    val p = manifestPath(table, v)
+    if (!fs.exists(p)) None
+    else readFile(p).split("\n").toIndexedSeq
+      .find(_.startsWith("#buckets\t")).map(_.stripPrefix("#buckets\t").trim.toInt)
+  }
+
+  /** `buckets = -1` (all writes except [[rebucket]]) carries the current
+    * version's count forward — resolved BEFORE `_latest` moves, so it is
+    * the same count the paired [[writeBatch]] default hashed with. */
   private def commit(table: String, v: Long, entries: Seq[(Int, String)],
-      changes: Option[DataFrame]): Unit = {
+      changes: Option[DataFrame], buckets: Int = -1): Unit = {
+    val n = if (buckets > 0) buckets else bucketsOf(table)
     changes.foreach { ch =>
       ch.write.mode("overwrite").parquet(changesDir(table, v).toString)
     }
-    writeFile(manifestPath(table, v), entries.map { case (b, p) => s"$b\t$p" }.mkString("\n"))
+    writeFile(manifestPath(table, v), manifestText(n, entries))
     writeFile(latestPtr(table), v.toString) // <- the commit point
   }
 
@@ -428,11 +477,14 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     if (keys.isEmpty) pmod(spark_partition_id(), lit(n))
     else pmod(xxhash64(keys.map(col): _*), lit(n)).cast("int")
 
-  /** Write df as a bucketed batch dir; returns manifest entries. */
-  private def writeBatch(table: String, v: Long, df: DataFrame): Seq[(Int, String)] = {
+  /** Write df as a bucketed batch dir at the given bucket count (defaults
+    * to the table's current count); returns manifest entries. */
+  private def writeBatch(table: String, v: Long, df: DataFrame,
+      buckets: Int = -1): Seq[(Int, String)] = {
+    val n = if (buckets > 0) buckets else bucketsOf(table)
     val keys = keysOf(table)
     val dir = new Path(new Path(tdir(table), "data"), f"b$v%08d")
-    df.withColumn("__bucket", bucketCol(keys, bucketsOf(table)))
+    df.withColumn("__bucket", bucketCol(keys, n))
       .write.partitionBy("__bucket").mode("overwrite")
       .option("compression", compression) // zstd: ~2× smaller cold data at 100 TB
       .parquet(dir.toString)

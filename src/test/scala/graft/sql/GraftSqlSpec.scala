@@ -248,4 +248,42 @@ class GraftSqlSpec extends AnyFunSuite {
     g.sql("CREATE TABLE raw.customer (y BIGINT) KEYS (y)")
     assert(g.store.schemaOf("customer").fieldNames.toSeq == Seq("y"))
   }
+
+  test("reading a qualified name does not block a later unqualified CREATE") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_readguard").toString, 2)
+    g.sql("CREATE TABLE stg.orders (id BIGINT) KEYS (id)")
+    g.sql("DROP TABLE stg.orders")
+    g.sql("CREATE TABLE stg.lineups (id BIGINT) KEYS (id)")
+    // a mere READ under a qualified alias records the name but is NOT a
+    // creation — it must not trigger the collision guard
+    g.table("stg.lineups")
+    g.sql("SELECT count(*) FROM stg.lineups").get.collect()
+    g.sql("DROP TABLE stg.lineups")
+    g.sql("CREATE TABLE lineups (x STRING)") // was: "ambiguous flat name" error
+    assert(g.store.schemaOf("lineups").fieldNames.toSeq == Seq("x"))
+  }
+
+  test("QUALIFY predicate referencing a select-list alias in OVER falls back to the wrapper") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_qualias").toString, 2)
+    g.sqlScript(
+      """CREATE TABLE qa_src (k STRING, v BIGINT) KEYS (k);
+        |INSERT INTO qa_src SELECT 'a', 1 UNION ALL SELECT 'a', 2
+        |                   UNION ALL SELECT 'b', 5 UNION ALL SELECT 'c', 9""".stripMargin)
+    // `c` is a select-list alias referenced INSIDE the OVER clause — Spark
+    // rejects lateral aliases in window specs, so the injected form fails
+    // analysis and the rewrite must fall back to the wrapper form
+    val top = g.sql(
+      """SELECT k, count(*) AS c FROM qa_src GROUP BY k
+        |QUALIFY row_number() OVER (ORDER BY c DESC, k) = 1""".stripMargin).get.collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 2L)))
+    // base-column predicates (dropped by the projection) still use the
+    // injected form and keep working alongside the fallback
+    val sel = g.sql(
+      """SELECT k FROM qa_src
+        |QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1
+        |ORDER BY k""".stripMargin).get.collect()
+    assert(sel.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
 }

@@ -77,7 +77,7 @@ class MergeSqlSpec extends AnyFunSuite {
     store.append("big", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
     def manifest(v: Long): Map[Int, String] =
       new String(Files.readAllBytes(java.nio.file.Paths.get(root, "big", "_versions", f"v$v%08d")), "UTF-8")
-        .split("\n").filter(_.nonEmpty)
+        .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { l => val Array(b, p) = l.split("\t", 2); b.toInt -> p }.toMap
     val before = manifest(1)
     assert(before.size == 8, "seed batch should populate every bucket")

@@ -162,7 +162,7 @@ class TableStoreSpec extends AnyFunSuite {
   private def manifest(st: TableStore, table: String, v: Long): Map[Int, String] =
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(st.root, table, "_versions", f"v$v%08d")), "UTF-8")
-      .split("\n").filter(_.nonEmpty)
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l => val Array(b, p) = l.split("\t", 2); b.toInt -> p }.toMap
 
   test("update rewrites only buckets containing matching rows") {
@@ -399,5 +399,63 @@ class TableStoreSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1L)
     assert(r.getDecimal(1) == new java.math.BigDecimal("12.35")) // rounded to (10,2)
     assert(r.isNullAt(2))
+  }
+
+  test("bucket count is per committed version; AT-clone across a rebucket keeps the old count") {
+    val st = freshStore() // default 4
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val preRebucket = st.currentVersion("t")
+    st.rebucket("t", 16)
+    assert(st.bucketsOfVersion("t", preRebucket) == 4, "old version keeps its own count")
+    assert(st.bucketsOf("t") == 16)
+    // clone AT the pre-rebucket version: its data is 4-bucketed, so its
+    // metadata must say 4 or merges prune the wrong buckets and duplicate
+    st.cloneTable("t", "cl", version = Some(preRebucket))
+    assert(st.bucketsOf("cl") == 4)
+    st.merge("cl", (1L to 50L).map(i => (i, "UP")).toDF("id", "v"))
+    assert(st.read("cl").count() == 200, "merge of existing keys must not duplicate rows")
+    assert(st.read("cl").filter(col("v") === "UP").count() == 50)
+    // the rebucketed source is untouched and still merges correctly
+    st.merge("t", Seq((7L, "X7")).toDF("id", "v"))
+    assert(st.read("t").count() == 200)
+  }
+
+  test("rebucket count flip is atomic with the rewrite commit (manifest header)") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    st.append("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    st.rebucket("t", 8)
+    val v = st.currentVersion("t")
+    // the new count lives in the new version's manifest — the commit point —
+    // not in a file flipped before the rewrite ran
+    val manifestTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(st.root, "t", "_versions", f"v$v%08d")), "UTF-8")
+    assert(manifestTxt.startsWith("#buckets\t8"))
+    val prevTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(st.root, "t", "_versions", f"v${v - 1}%08d")), "UTF-8")
+    assert(prevTxt.startsWith("#buckets\t4"),
+      "pre-rebucket manifest must still carry the old count a crash would roll back to")
+  }
+
+  test("renameColumn heals crashed change-batch rewrites from .bak/.tmp leftovers") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"))
+    val stm = ChangeStream.create(st, "t", "s1")
+    st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // simulate a crash between `orig -> .bak` and `tmp -> orig`: the batch
+    // dir is gone, .bak holds the original, .tmp may be incomplete
+    val chDir = java.nio.file.Paths.get(st.root, "t", "_changes", "v%08d".format(1))
+    val bak = java.nio.file.Paths.get(chDir.toString + ".bak")
+    java.nio.file.Files.move(chDir, bak)
+    val tmp = java.nio.file.Paths.get(chDir.toString + ".tmp")
+    java.nio.file.Files.createDirectories(tmp) // incomplete tmp leftover
+    st.renameColumn("t", "v", "val")
+    assert(!java.nio.file.Files.exists(bak) && !java.nio.file.Files.exists(tmp))
+    stm.consume { ch =>
+      val rows = ch.orderBy("id").collect()
+      assert(rows.map(_.getAs[String]("val")).toSeq == Seq("a", "b"),
+        "healed batch must surface original values under the renamed column")
+    }
   }
 }
