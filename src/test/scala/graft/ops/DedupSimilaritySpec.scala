@@ -166,6 +166,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(clusters(7L) == 7L && clusters(8L) == 7L)
   }
 
+  test("clusterPairs converges in log rounds on a long chain (10k-node path)") {
+    // a path graph is the adversarial case for min-label propagation
+    // (diameter = n, so 10k propagation rounds); large-star/small-star
+    // must fully label it within the default maxIter=20 round pairs
+    val n = 10000L
+    val pairs = spark.range(n - 1).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val labels = Dedup.clusterPairs(pairs)
+    assert(labels.count() == n)
+    assert(labels.filter(col("cluster") =!= 0L).count() == 0,
+      "every node of the path must label to the component min (0)")
+  }
+
+  test("clusterPairs matches a union-find oracle on random graphs; handles self-pairs") {
+    val rnd = new scala.util.Random(42)
+    val nNodes = 400
+    val edges = Seq.fill(300)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+    // driver-side union-find oracle
+    val parent = Array.tabulate(nNodes)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map { id =>
+      val comp = find(id.toInt)
+      val members = (0 until nNodes).filter(find(_) == comp)
+        .filter(m => edges.exists(e => e._1 == m || e._2 == m))
+      id -> members.min.toLong
+    }.toMap
+    val got = Dedup.clusterPairs(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // self-pair-only nodes keep their own label
+    val self = Dedup.clusterPairs(Seq((9L, 9L), (1L, 2L)).toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(self == Map(9L -> 9L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("dropDuplicateClusters keeps one representative per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.dropDuplicateClusters(docs, "doc_id", pairs)
