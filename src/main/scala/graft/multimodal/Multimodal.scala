@@ -12,13 +12,17 @@ import org.apache.spark.sql.types._
   * bytes inline for small assets, or a URI + byte-range into an object
   * store for large ones; both shapes are supported by [[mediaSchema]]).
   *
-  * The decode kernels (JPEG decode, audio resample, video frame-split)
-  * need native libraries that are NOT in this container, so the kernel
-  * functions are deliberately STUBBED with deterministic fakes — but all
-  * the Spark-side plumbing is real and tested: schema, batched
-  * per-partition execution (`mapPartitions` over iterator batches — the
-  * JVM analogue of `mapInPandas`' arrow-batch shape), output schema
-  * contracts, and partition sizing.
+  * The IMAGE kernels are REAL: decode / feature-extract / resize /
+  * dimension probing run on `javax.imageio` (JDK built-in readers for
+  * PNG, JPEG, GIF, BMP — no native deps). Bytes that no ImageIO reader
+  * accepts fall back to the original deterministic fakes, so non-image
+  * payloads still flow through the same plumbing with stable outputs.
+  * AUDIO/VIDEO kernels (resample, frame-split) need codecs that are NOT
+  * in this container and remain deliberately stubbed; the Spark-side
+  * plumbing — schema, batched per-partition execution (`mapPartitions`
+  * over iterator batches, the JVM analogue of `mapInPandas`' arrow-batch
+  * shape), output schema contracts, partition sizing — is real and
+  * tested for all of them.
   *
   * Scale notes:
   *  - decode is CPU-heavy per row → `repartition` upstream so each task
@@ -50,6 +54,7 @@ object Multimodal {
   def toMediaTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val b = col(binCol)
     val fmt = when(hex(b).startsWith("FFD8"), "jpeg")
+      .when(hex(b).startsWith("89504E47"), "png")
       .when(hex(b).startsWith("52494646"), "wav")
       .when(hex(b).substr(lit(9), lit(8)) === lit("66747970"), "mp4")
       .otherwise("bin")
@@ -65,32 +70,101 @@ object Multimodal {
         octet_length(b).cast("long").as("byte_len")).as("meta"))
   }
 
-  // ---- stubbed kernels ----------------------------------------------------
-  // Each kernel is the per-partition batch function a real implementation
-  // would hand to a native decoder. The fakes are DETERMINISTIC pure
-  // functions of the bytes so tests are stable.
+  // ---- kernels ------------------------------------------------------------
+  // Each kernel is the per-partition batch function handed to the decoder.
+  // Image paths are real (javax.imageio); the non-image fallbacks are
+  // DETERMINISTIC pure functions of the bytes so tests are stable.
 
-  /** STUB: image decode → fixed-size feature vector. A real kernel would
-    * decode JPEG and run a vision encoder; the fake emits a 8-dim byte
-    * histogram (deterministic in the bytes). */
-  private[multimodal] def decodeFeaturesKernel(media: Array[Byte], dim: Int): Array[Float] = {
-    val hist = new Array[Float](dim)
-    var i = 0
-    while (i < media.length) { hist((media(i) & 0xff) % dim) += 1f; i += 1 }
-    if (media.length > 0) { var j = 0; while (j < dim) { hist(j) /= media.length; j += 1 } }
-    hist
+  /** Decode bytes as an image via ImageIO, None if no installed reader
+    * accepts them (the stub-fallback trigger). ImageIO is thread-safe per
+    * call and needs no native libs for PNG/JPEG/GIF/BMP. */
+  private[multimodal] def decodeImage(media: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (media == null || media.isEmpty) None
+    else Option(
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      catch { case _: java.io.IOException => null })
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** STUB: image resize — a real kernel returns re-encoded bytes; the
-    * fake truncates/pads to a deterministic target length derived from
-    * (w, h) so the batch shape and schema are exercised. */
-  private[multimodal] def resizeKernel(media: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val target = math.max(1, (w * h) / 8)
-    java.util.Arrays.copyOf(media, target)
+  /** Image decode → fixed-size feature vector. REAL for image bytes: a
+    * `dim`-bucket luminance histogram over decoded pixels, normalized by
+    * pixel count (the classic cheap visual descriptor; a production
+    * pipeline would swap the histogram for a vision-encoder forward pass
+    * in the same per-partition batch position). Non-image bytes fall back
+    * to a normalized byte histogram (deterministic stub). */
+  private[multimodal] def decodeFeaturesKernel(media: Array[Byte], dim: Int): Array[Float] =
+    decodeImage(media) match {
+      case Some(img) =>
+        val hist = new Array[Float](dim)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            hist(lum * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toFloat
+        var j = 0; while (j < dim) { hist(j) /= n; j += 1 }
+        hist
+      case None =>
+        val hist = new Array[Float](dim)
+        var i = 0
+        while (i < media.length) { hist((media(i) & 0xff) % dim) += 1f; i += 1 }
+        if (media.length > 0) { var j = 0; while (j < dim) { hist(j) /= media.length; j += 1 } }
+        hist
+    }
+
+  /** Image resize. REAL for image bytes: bilinear rescale to (w, h) and
+    * PNG re-encode via ImageIO. Non-image bytes truncate/pad to a
+    * deterministic target length (stub) so the batch shape and schema are
+    * exercised for any payload. */
+  private[multimodal] def resizeKernel(media: Array[Byte], w: Int, h: Int): Array[Byte] =
+    decodeImage(media) match {
+      case Some(img) =>
+        val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        encodePng(out)
+      case None =>
+        val target = math.max(1, (w * h) / 8)
+        java.util.Arrays.copyOf(media, target)
+    }
+
+  /** Image dimension probe. REAL: reads only the header via ImageIO's
+    * reader API (no full pixel decode — cheap even for huge images).
+    * None for non-image bytes. */
+  private[multimodal] def imageDimsKernel(media: Array[Byte]): Option[(Int, Int)] = {
+    if (media == null || media.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(media))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        catch { case _: java.io.IOException => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
   }
 
-  /** STUB: video frame sampling — a real kernel splits container frames;
-    * the fake slices the bytes into `n` equal chunks. */
+  /** STUB: video frame sampling — a real kernel needs container/codec
+    * libraries not present here; the fake slices the bytes into `n` equal
+    * chunks. (Still-image bytes are not frame-sampled: one frame = the
+    * image itself, use [[resize]]/[[extractFeatures]].) */
   private[multimodal] def frameSampleKernel(media: Array[Byte], n: Int): Seq[Array[Byte]] = {
     if (media.isEmpty) Seq.empty
     else {
@@ -149,6 +223,25 @@ object Multimodal {
         (id, r, fmt, r.length.toLong)
       })
       .toDF("media_id", "media", "format", "byte_len")
+  }
+
+  /** Fill meta.width/meta.height for image rows by probing headers
+    * (ImageIO reader metadata — no pixel decode); non-image rows keep
+    * null dims. Same canonical schema out. */
+  def imageDims(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media"), col("meta.format"),
+        col("meta.duration_ms"), col("meta.uri"), col("meta.byte_len"))
+      .as[(Long, Array[Byte], String, Option[Long], Option[String], Option[Long])]
+      .mapPartitions(it => it.map { case (id, bytes, fmt, dur, uri, len) =>
+        val dims = imageDimsKernel(bytes)
+        (id, bytes, fmt, dims.map(_._1), dims.map(_._2), dur, uri, len)
+      })
+      .toDF("media_id", "media", "format", "width", "height", "duration_ms", "uri", "byte_len")
+      .select(col("media_id"), col("media"),
+        struct(col("format"), col("width"), col("height"),
+          col("duration_ms"), col("uri"), col("byte_len")).as("meta"))
   }
 
   /** Frame-sample: one row per sampled frame (row-to-many). */

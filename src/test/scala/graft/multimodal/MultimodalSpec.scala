@@ -46,6 +46,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("byte_len") == 8L))
   }
 
+  // a real 16x12 PNG: left half black, right half white
+  private def realPng: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG: decode kernel yields luminance histogram, not the byte-histogram stub") {
+    val png = realPng
+    val tbl = Multimodal.toMediaTable(Seq((10L, png)).toDF("id", "bin"), "id", "bin")
+    assert(tbl.head().getStruct(2).getAs[String]("format") == "png")
+    val feats = Multimodal.extractFeatures(tbl, dim = 8).head().getSeq[Float](1)
+    // half-black/half-white image: all mass in the darkest and brightest
+    // luminance buckets — the byte-histogram stub would spread it
+    assert(math.abs(feats(0) - 0.5f) < 1e-5 && math.abs(feats(7) - 0.5f) < 1e-5,
+      s"expected [0.5,0,...,0,0.5], got ${feats.mkString(",")}")
+    assert(feats.slice(1, 7).forall(_ == 0f))
+  }
+
+  test("real PNG: resize re-encodes at the target dimensions") {
+    val tbl = Multimodal.toMediaTable(Seq((11L, realPng)).toDF("id", "bin"), "id", "bin")
+    val out = Multimodal.resize(tbl, 6, 4).head().getAs[Array[Byte]]("media")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back != null && back.getWidth == 6 && back.getHeight == 4)
+  }
+
+  test("real PNG: imageDims fills meta width/height without touching non-images") {
+    val png = realPng
+    val mixed = Multimodal.toMediaTable(
+      Seq((20L, png), (21L, "not an image".getBytes("UTF-8"))).toDF("id", "bin"), "id", "bin")
+    val withDims = Multimodal.imageDims(mixed)
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType.sql.replace(" NOT NULL", "")))
+    assert(shape(withDims.schema) == shape(Multimodal.mediaSchema))
+    val byId = withDims.collect().map(r => r.getLong(0) -> r.getStruct(2)).toMap
+    assert(byId(20L).getAs[Int]("width") == 16 && byId(20L).getAs[Int]("height") == 12)
+    assert(byId(21L).isNullAt(byId(21L).fieldIndex("width")))
+  }
+
   test("frameSample is row-to-many with frame indices") {
     val frames = Multimodal.frameSample(media, nFrames = 4)
     assert(frames.filter(col("media_id") === 2).count() == 4)
