@@ -496,15 +496,29 @@ object PipelineQueries {
         .orderBy("lang", "rank")
     },
 
-    // Approximate sketches (HLL++ distinct, quantile sketch) — these are
-    // engine-specific sketch implementations, so there is deliberately NO
-    // DuckDB oracle (the driver records a rows-only check); exact
-    // counterparts are oracle-checked in a5/e6/a7.
+    // Approximate sketches (HLL++ distinct, quantile sketch). The raw
+    // estimates are engine-specific and can't hash-match another engine,
+    // so the query emits exact values PLUS within-epsilon booleans
+    // computed against exact aggregates in the same pass; the oracle
+    // reproduces the exact values with constant-TRUE bounds. A sketch
+    // regression (estimate drifting past ε) flips a boolean and fails the
+    // hash check — this is the bound check the sketches are graded on.
     "x1_approx_sketches" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
         .groupBy(col("source"))
-        .agg(approx_count_distinct(col("text"), 0.02).as("approx_docs"),
-          percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("approx_median_chars"))
+        .agg(
+          countDistinct(col("text")).as("exact_docs"),
+          approx_count_distinct(col("text"), 0.02).as("approx_docs"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(1000)).cast("double").as("approx_med"),
+          expr("percentile(n_chars, 0.5)").as("exact_med"))
+        .select(col("source"), col("exact_docs"),
+          // HLL++ rsd=0.02: allow 5σ-ish slack (5% relative, floor of 1)
+          (abs(col("approx_docs") - col("exact_docs")).cast("double") <=
+            greatest(lit(1.0), col("exact_docs").cast("double") * 0.05)).as("hll_ok"),
+          // quantile sketch accuracy=1000: approx median within 5% (floor 2)
+          // of the exact interpolated median
+          (abs(col("approx_med") - col("exact_med")) <=
+            greatest(lit(2.0), col("exact_med") * 0.05)).as("median_ok"))
         .orderBy("source")
     },
 
@@ -997,6 +1011,14 @@ object PipelineQueries {
          |  $cols
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // exact side of the sketch-bound check: the booleans assert Spark's
+    // sketch estimates sit within ε of Spark's own exact aggregates, so
+    // the oracle's job is only the exact distinct counts + constant TRUE
+    "x1_approx_sketches" ->
+      """SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS exact_docs,
+        |  TRUE AS hll_ok, TRUE AS median_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "m1_media_features" ->
       s"""WITH m AS (SELECT doc_id, encode(text) AS media FROM documents),

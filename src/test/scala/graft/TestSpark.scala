@@ -10,7 +10,9 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true") // explicit AQE posture
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.extensions", "graft.spark.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
