@@ -30,8 +30,13 @@ object Bench {
     // attributed to the query itself. A failure is reported, not swallowed:
     // the failing query times as the wall cost of the attempt and its error
     // message lands in the "errors" map (and errCount > 0 flags the run).
+    // optional subset (scale-proof runs): comma-separated query names
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
         try run(fn)
