@@ -66,6 +66,41 @@ object CorpusOps {
       .drop("__hit_id", "__hit")
   }
 
+  /** [[decontaminate]] with a Bloom-filter pre-prune — the 100 TB path.
+    * The benchmark side's gram hashes build a Bloom filter (driver-side,
+    * bounded by the BENCHMARK's size — benchmarks are MBs while the
+    * corpus is TBs), which broadcasts to every task and prunes the
+    * corpus gram rows map-side BEFORE the exact semi-join. The join's
+    * left side shrinks from O(corpus grams) to O(true hits + fp·corpus),
+    * so at fpp = 1% the shuffle practically disappears; Bloom filters
+    * have NO false negatives and the exact join removes the false
+    * positives, so the result is IDENTICAL to [[decontaminate]] — the
+    * oracle-checked query asserts exactly that. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, fpp: Double = 0.01,
+      portable: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusGrams = Dedup.shingleHashRows(corpus, idCol, textCol, n, portable = portable)
+    val benchGrams = Dedup.shingleHashRows(benchmark, idCol, textCol, n, portable = portable)
+      .select(col("id").as("__bench_id"), col("h").as("__bench_h"))
+    val nGrams = benchGrams.count() // one job over the SMALL side only
+    val bloom = benchGrams.stat.bloomFilter("__bench_h", math.max(1L, nGrams), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    // a UDF is warranted here: no builtin expresses broadcast-Bloom
+    // membership, and the filter runs map-side precisely to AVOID the
+    // shuffle a join-based formulation would cost
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val candidates = corpusGrams.filter(mightContain(col("h")))
+    val hits = candidates
+      .join(benchGrams, col("h") === col("__bench_h")
+        && col("id") =!= col("__bench_id"), "left_semi")
+      .select(col("id").as("__hit_id")).distinct().withColumn("__hit", lit(true))
+    corpus
+      .join(hits, col(idCol) === col("__hit_id"), "left_outer")
+      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__hit_id", "__hit")
+  }
+
   /** Deterministic stratified sample: keep the `k` rows of each stratum
     * with the smallest portable-hash of their id — a reproducible
     * pseudo-random pick with no RNG state (same result on any cluster

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextAnalytics => TA}
+
+/** Ranked text retrieval for training-data pipelines: BM25 top-k — the
+  * lexical complement of the embedding ANN operators in [[Similarity]]
+  * (a corpus-curation stack needs both: ANN for semantic lookup, BM25
+  * for exact-term lookup and hard-negative mining).
+  *
+  * Scale design: everything reduces to (doc, term) / (query, term) ROWS.
+  *  - per-doc term stats: one explode + two hash aggregations with
+  *    map-side partials (no per-doc arrays cross the wire);
+  *  - document frequencies: one aggregation over (term, doc) pairs;
+  *  - scoring: query terms ⋈ postings on `term` — the shuffle is
+  *    O(postings of the query vocabulary), never O(corpus);
+  *  - corpus-wide scalars (N, total length) ride a broadcast cross join.
+  * Per-(query, doc) scores fold over the matched terms in SORTED term
+  * order, so results are bit-deterministic on any cluster layout — and
+  * with `idf = "odds"` every arithmetic step is an IEEE exactly-rounded
+  * op (+ − × ÷ only, no transcendentals), which is what lets the DuckDB
+  * oracle hash-match the scores float-for-float.
+  */
+object Retrieval {
+
+  /** BM25 top-k: (qid, doc_id, score, rank), `rank <= k` per query,
+    * ranked by score desc with doc_id tiebreak.
+    *
+    * @param idf `"lucene"` (default): ln((N − df + 0.5)/(df + 0.5) + 1) —
+    *            the standard dampened idf for production ranking;
+    *            `"odds"`: (N − df + 0.5)/(df + 0.5) — log-free so scores
+    *            are bit-identical across engines (oracle-checked form).
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qidCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      idf: String = "lucene"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TA.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val gl = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum("dl").as("tot")) // token counts ≪ 2^53: the double sum is exact
+    val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(TA.tokens(col(qTextCol)))).as("term"))
+
+    val idfC: Column = idf match {
+      case "odds" => (col("n") - col("df") + 0.5) / (col("df") + 0.5)
+      case "lucene" => log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      case other => sys.error(s"unknown idf variant $other")
+    }
+    // operand order written to match the oracle SQL token-for-token: every
+    // op is exactly rounded, so identical order ⇒ identical bits
+    val tfn = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / (col("tot") / col("n"))))
+
+    val contribs = qterms
+      .join(tf, "term").join(dft, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(gl))
+      .select(col("qid"), col("doc_id"),
+        struct(col("term").as("t"), (idfC * tfn).as("c")).as("tc"))
+    val scored = contribs.groupBy("qid", "doc_id")
+      .agg(array_sort(collect_list(col("tc"))).as("tcs"))
+      .select(col("qid"), col("doc_id"),
+        aggregate(col("tcs"), lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "score", "rank")
+  }
+}

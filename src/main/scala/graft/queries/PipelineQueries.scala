@@ -264,6 +264,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-pruned decontamination (the broadcast scale path): Bloom
+    // filters have no false negatives and the exact join removes false
+    // positives, so the result must be IDENTICAL to d6's exact semi-join —
+    // the oracle is the same exact-decontamination SQL.
+    "d7_bloom_decontam" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.CorpusOps.decontaminateBloom(docs, docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 5, fpp = 0.01)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // BM25 top-10 per query (odds idf: +−×÷ only, so scores are IEEE
+    // bit-identical to the oracle's; fold over terms in sorted order).
+    "r1_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      val queries = Seq(
+        (1L, "vector hash join"),
+        (2L, "merge batch stream window"),
+        (3L, "customer query filter")).toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25TopK(
+          Tables.load(s, dir, "documents"), queries,
+          "doc_id", "text", "qid", "qtext", k = 10, idf = "odds")
+        .orderBy("qid", "rank")
+    },
+
     // Deterministic stratified sampling: 7 docs per (lang, source) by
     // portable-hash order — reproducible mixture control without RNG.
     "e12_stratified_sample" -> { (s, dir) =>
@@ -896,6 +922,51 @@ object PipelineQueries {
          |SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) AS contaminated
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // identical to d6's oracle: the Bloom pre-prune must not change the
+    // exact decontamination result
+    "d7_bloom_decontam" -> {
+      val gram5 = (0 until 5).map(j => if (j == 0) "tk[sg]" else s"tk[sg+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH $dToks,
+         |grams AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(tk)-3), sg -> ${dPhash(gram5, "db")})) AS h
+         |  FROM toks WHERE len(tk) >= 5),
+         |bench AS (SELECT doc_id, h FROM grams WHERE doc_id % 20 = 0),
+         |hits AS (SELECT DISTINCT g.doc_id FROM grams g
+         |         JOIN bench b ON g.h = b.h AND g.doc_id <> b.doc_id)
+         |SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) AS contaminated
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // BM25 with odds idf — expression shapes mirror Retrieval.bm25TopK
+    // token-for-token (all ops exactly rounded ⇒ identical float bits);
+    // per-(qid,doc) score folds contributions in sorted term order via
+    // list_reduce, matching Spark's sorted-array aggregate fold.
+    "r1_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(1) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(1) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+        |gl AS (SELECT CAST(count(1) AS DOUBLE) AS n, sum(dl) AS tot FROM dl),
+        |dft AS (SELECT term, CAST(count(1) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |q(qid, qtext) AS (VALUES (CAST(1 AS BIGINT), 'vector hash join'),
+        |                         (CAST(2 AS BIGINT), 'merge batch stream window'),
+        |                         (CAST(3 AS BIGINT), 'customer query filter')),
+        |qt AS (SELECT qid, unnest(list_distinct(regexp_split_to_array(trim(qtext), '\s+'))) AS term FROM q),
+        |contribs AS (SELECT qid, doc_id,
+        |    {'t': qt.term, 'c': ((n - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (tot / n))))} AS tc
+        |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN gl),
+        |scored AS (SELECT qid, doc_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_sort(list(tc)), x -> x.c)), (a, v) -> a + v) AS score
+        |  FROM contribs GROUP BY qid, doc_id),
+        |ranked AS (SELECT qid, doc_id, score, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM scored)
+        |SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
 
     "e12_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM (

@@ -46,6 +46,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!self(10L))
   }
 
+  test("bloom-pruned decontamination is identical to the exact semi-join") {
+    // a bigger randomized corpus so the bloom actually prunes and any
+    // false-positive leak through the verify join would surface
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val corpus = (1L to 300L).map(i =>
+      (i, Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") % 10 === 0)
+    val exact = CorpusOps.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    val bloom = CorpusOps.decontaminateBloom(corpus, bench, "doc_id", "text", n = 5, fpp = 0.01)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(bloom == exact)
+    assert(exact.values.exists(identity) && exact.values.exists(!_),
+      "fixture should contain both contaminated and clean docs")
+  }
+
   test("stratified sample is deterministic and respects k per stratum") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

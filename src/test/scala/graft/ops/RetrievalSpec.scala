@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark shuffles data across the cluster"),
+    (2L, "spark spark spark tuning guide"),
+    (3L, "a totally unrelated cooking recipe collection"),
+    (4L, "cluster management and data locality notes")).toDF("doc_id", "text")
+
+  test("bm25 ranks term-matching docs first and excludes non-matching docs") {
+    val queries = Seq((1L, "spark cluster")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", "qid", "qtext", k = 10)
+      .orderBy("rank").collect()
+    val ranked = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ranked.contains(3L), "doc sharing no query term must not appear")
+    assert(ranked.toSet == Set(1L, 2L, 4L))
+    // doc 1 matches BOTH terms; 2 and 4 match one each → doc 1 first
+    assert(ranked.head == 1L, s"got $ranked")
+    // scores strictly ordered, ranks contiguous from 1
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    val scores = out.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("term saturation: k1 bounds repeated-term contribution") {
+    // doc 2 has tf=3 for 'spark' but is NOT 3x the score of a tf=1 doc:
+    // tf*(k1+1)/(tf+k1*norm) saturates toward k1+1
+    val queries = Seq((1L, "spark")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", "qid", "qtext", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(out(2L) > out(1L), "higher tf (and shorter doc) must score higher")
+    assert(out(2L) < out(1L) * 3, "contribution must saturate, not scale linearly in tf")
+  }
+
+  test("odds idf variant is deterministic and agrees with lucene on ranking here") {
+    val queries = Seq((1L, "spark cluster"), (2L, "cooking recipe")).toDF("qid", "qtext")
+    def ranks(variant: String) =
+      Retrieval.bm25TopK(corpus, queries, "doc_id", "text", "qid", "qtext",
+        k = 10, idf = variant)
+        .orderBy("qid", "rank")
+        .select("qid", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(ranks("odds") == ranks("lucene"))
+    val a = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", "qid", "qtext",
+      k = 10, idf = "odds").orderBy("qid", "rank").collect().map(_.getDouble(2)).toSeq
+    val b = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", "qid", "qtext",
+      k = 10, idf = "odds").orderBy("qid", "rank").collect().map(_.getDouble(2)).toSeq
+    assert(a == b, "scores must be bit-deterministic across runs")
+  }
+}
