@@ -108,6 +108,33 @@ object PipelineQueries {
         .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
     },
 
+    // CUBE with grouping_id: all four grouping-set combinations in one
+    // pass (Expand under the hood), decimal-exact sums.
+    "a9_cube" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+            .cast("double").as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+
+    // Semi-structured round trip (the Snowflake VARIANT analogue): build
+    // nested JSON per row, then extract scalars back by path — both
+    // engines construct their own JSON, so the check is on extraction
+    // correctness, not cross-engine string formatting.
+    "e13_json" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val j = to_json(struct(col("doc_id"), col("lang"),
+        struct(col("source"), col("n_chars")).as("meta")))
+      docs.select(col("doc_id"),
+          get_json_object(j, "$.lang").as("j_lang"),
+          get_json_object(j, "$.meta.source").as("j_source"),
+          get_json_object(j, "$.meta.n_chars").cast("long").as("j_chars"))
+        .orderBy("doc_id")
+    },
+
     // Distinct aggregates alongside plain ones.
     "a5_distinct_agg" -> { (s, dir) =>
       Tables.load(s, dir, "orders")
@@ -1029,6 +1056,25 @@ object PipelineQueries {
       """SELECT o_orderpriority, count(1) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_customers
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a9_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "e13_json" ->
+      """WITH j AS (SELECT doc_id,
+        |  to_json({'doc_id': doc_id, 'lang': lang,
+        |           'meta': {'source': source, 'n_chars': n_chars}}) AS js
+        |  FROM documents)
+        |SELECT doc_id,
+        |  json_extract_string(js, '$.lang') AS j_lang,
+        |  json_extract_string(js, '$.meta.source') AS j_source,
+        |  CAST(json_extract(js, '$.meta.n_chars') AS BIGINT) AS j_chars
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "a6_minmax" ->
       """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
