@@ -30,9 +30,18 @@ object Bench {
     // attributed to the query itself. A failure is reported, not swallowed:
     // the failing query times as the wall cost of the attempt and its error
     // message lands in the "errors" map (and errCount > 0 flags the run).
-    // optional subset (scale-proof runs): comma-separated query names
+    // optional subset (scale-proof runs): comma-separated query names.
+    // Unknown names fail loudly — a typo'd filter must not produce a
+    // vacuously clean zero-query "pass".
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .map { names =>
+          val unknown = names.diff(SparkEntry.queries.keySet)
+          require(names.nonEmpty && unknown.isEmpty,
+            s"SPARK_GRAFT_BENCH_ONLY: empty or unknown queries ${unknown.mkString(",")}")
+          names
+        }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -83,12 +83,21 @@ object ScaleGen {
 
     // verbatim tables are FILE copies: a spark read+write would rewrite
     // types the session coerces (events' TIMESTAMP(NANOS) becomes BIGINT
-    // under nanosAsLong) and break engines that read the original type
+    // under nanosAsLong) and break engines that read the original type.
+    // Recursive, because a chained run's source tables are spark-written
+    // dataset DIRECTORIES, not single files.
+    def copyRec(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(from)) {
+        java.nio.file.Files.createDirectories(to)
+        java.nio.file.Files.list(from).forEach(c => copyRec(c, to.resolve(c.getFileName)))
+      } else
+        java.nio.file.Files.copy(from, to,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
     Seq("region", "nation", "events", "embeddings").foreach { n =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(src, s"$n.parquet"),
-        java.nio.file.Paths.get(dst, s"$n.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      copyRec(java.nio.file.Paths.get(src, s"$n.parquet"),
+        java.nio.file.Paths.get(dst, s"$n.parquet"))
     }
     val rows = Seq("orders", "lineitem", "documents")
       .map(n => s"$n=${spark.read.parquet(s"$dst/$n.parquet").count()}")

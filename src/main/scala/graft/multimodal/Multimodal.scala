@@ -75,14 +75,20 @@ object Multimodal {
   // Image paths are real (javax.imageio); the non-image fallbacks are
   // DETERMINISTIC pure functions of the bytes so tests are stable.
 
+  // the sources are in-memory byte arrays: disable ImageIO's disk-backed
+  // stream cache or every kernel call pays a temp-file round trip
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode bytes as an image via ImageIO, None if no installed reader
-    * accepts them (the stub-fallback trigger). ImageIO is thread-safe per
-    * call and needs no native libs for PNG/JPEG/GIF/BMP. */
+    * accepts them OR the reader blows up on malformed data (JDK readers
+    * throw unchecked CMMException/AIOOBE on corrupt JPEGs — any failure
+    * is the stub-fallback trigger, never a task failure). Thread-safe per
+    * call, no native libs for PNG/JPEG/GIF/BMP. */
   private[multimodal] def decodeImage(media: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (media == null || media.isEmpty) None
     else Option(
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
-      catch { case _: java.io.IOException => null })
+      catch { case scala.util.control.NonFatal(_) => null })
 
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -112,7 +118,7 @@ object Multimodal {
           }
           y += 1
         }
-        val n = (w * h).toFloat
+        val n = (w.toLong * h).toFloat // gigapixel images overflow Int
         var j = 0; while (j < dim) { hist(j) /= n; j += 1 }
         hist
       case None =>
@@ -155,7 +161,7 @@ object Multimodal {
       else {
         val r = readers.next()
         try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
         finally r.dispose()
       }
     } finally iis.close()

@@ -81,8 +81,11 @@ object CorpusOps {
       portable: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     val corpusGrams = Dedup.shingleHashRows(corpus, idCol, textCol, n, portable = portable)
+    // cached: the benchmark grams feed three consumers (count, bloom
+    // build, exact verify join) and are the deliberately small side
     val benchGrams = Dedup.shingleHashRows(benchmark, idCol, textCol, n, portable = portable)
       .select(col("id").as("__bench_id"), col("h").as("__bench_h"))
+      .persist()
     val nGrams = benchGrams.count() // one job over the SMALL side only
     val bloom = benchGrams.stat.bloomFilter("__bench_h", math.max(1L, nGrams), fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)

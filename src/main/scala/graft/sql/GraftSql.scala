@@ -193,8 +193,8 @@ object GraftSql {
       case CreateTableAsRe(replace, name, keys, body) =>
         registerViews()
         val flat = session.map(_.recordCreate(name)).getOrElse(name)
-        val rows = spark.sql(timeTravel(spark, store, session,
-          rewriteQualify(stripOuterParens(body), spark)))
+        val rows = spark.sql(rewriteQualify(
+          timeTravel(spark, store, session, stripOuterParens(body)), spark))
         val keyCols = Option(keys).map(_.split(",").toIndexedSeq.map(_.trim)).getOrElse(Nil)
         if (store.exists(flat)) {
           if (replace == null) sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
@@ -373,7 +373,7 @@ object GraftSql {
       case InsertRe(mode, name, colList, body) =>
         registerViews()
         val flat = session.map(_.recordName(name)).getOrElse(name)
-        val rows = spark.sql(timeTravel(spark, store, session, rewriteQualify(body, spark)))
+        val rows = spark.sql(rewriteQualify(timeTravel(spark, store, session, body), spark))
         // INSERT ... SELECT is POSITIONAL (Snowflake semantics): rename
         // the query's columns to the target names by position before the
         // store's by-name align. An explicit column list narrows the
@@ -432,8 +432,8 @@ object GraftSql {
             .findFirstIn(other).isDefined)
           sys.error(s"unsupported CREATE TABLE form (not columns/CTAS/CLONE): ${other.take(200)}")
         registerViews()
-        Some(spark.sql(timeTravel(spark, store, session,
-          rewriteQualify(other.replaceAll(TaskHistoryFnRe, "task_history"), spark))))
+        Some(spark.sql(rewriteQualify(timeTravel(spark, store, session,
+          other.replaceAll(TaskHistoryFnRe, "task_history")), spark)))
     }
   }
 

@@ -264,6 +264,22 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(g.store.schemaOf("lineups").fieldNames.toSeq == Seq("x"))
   }
 
+  test("QUALIFY combines with AT time travel (probe sees post-timeTravel SQL)") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_qtt").toString, 2)
+    g.sqlScript(
+      """CREATE TABLE qtt (k STRING, v BIGINT) KEYS (k);
+        |INSERT INTO qtt SELECT 'a', 1 UNION ALL SELECT 'a', 2 UNION ALL SELECT 'b', 9""".stripMargin)
+    g.sql("INSERT INTO qtt SELECT 'b', 100") // version 2
+    // alias-in-OVER QUALIFY over a time-traveled read: before the probe
+    // reordering this raised LATERAL_COLUMN_ALIAS_IN_WINDOW (the probe
+    // choked on the raw AT(...) text and kept the injected form)
+    val rows = g.sql(
+      """SELECT k, count(*) AS c FROM qtt AT (VERSION => 1) GROUP BY k
+        |QUALIFY row_number() OVER (ORDER BY c DESC, k) = 1""".stripMargin).get.collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 2L)))
+  }
+
   test("QUALIFY predicate referencing a select-list alias in OVER falls back to the wrapper") {
     val g = graft.GraftSession(spark,
       Files.createTempDirectory("graft_qualias").toString, 2)
