@@ -14,13 +14,17 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE kernels are REAL: decode / feature-extract / resize /
   * dimension probing run on `javax.imageio` (JDK built-in readers for
-  * PNG, JPEG, GIF, BMP — no native deps). Bytes that no ImageIO reader
-  * accepts fall back to the original deterministic fakes, so non-image
-  * payloads still flow through the same plumbing with stable outputs.
-  * AUDIO/VIDEO kernels (resample, frame-split) need codecs that are NOT
-  * in this container and remain deliberately stubbed; the Spark-side
-  * plumbing — schema, batched per-partition execution (`mapPartitions`
-  * over iterator batches, the JVM analogue of `mapInPandas`' arrow-batch
+  * PNG, JPEG, GIF, BMP — no native deps). The AUDIO kernels are REAL
+  * for the JDK sound stack's formats (WAV/AIFF/AU carrying PCM or
+  * uLaw/aLaw): decode, duration probe, RMS-envelope features, and
+  * linear-interpolation resampling run on `javax.sound.sampled` — again
+  * no native deps. Bytes that neither stack accepts fall back to the
+  * original deterministic fakes, so arbitrary payloads still flow
+  * through the same plumbing with stable outputs. VIDEO kernels
+  * (frame-split) need container/codec libraries that are NOT in this
+  * container and remain deliberately stubbed; the Spark-side plumbing —
+  * schema, batched per-partition execution (`mapPartitions` over
+  * iterator batches, the JVM analogue of `mapInPandas`' arrow-batch
   * shape), output schema contracts, partition sizing — is real and
   * tested for all of them.
   *
@@ -100,8 +104,10 @@ object Multimodal {
     * `dim`-bucket luminance histogram over decoded pixels, normalized by
     * pixel count (the classic cheap visual descriptor; a production
     * pipeline would swap the histogram for a vision-encoder forward pass
-    * in the same per-partition batch position). Non-image bytes fall back
-    * to a normalized byte histogram (deterministic stub). */
+    * in the same per-partition batch position). Audio bytes get the REAL
+    * RMS-envelope descriptor ([[audioFeaturesKernel]]); bytes that are
+    * neither fall back to a normalized byte histogram (deterministic
+    * stub). */
   private[multimodal] def decodeFeaturesKernel(media: Array[Byte], dim: Int): Array[Float] =
     decodeImage(media) match {
       case Some(img) =>
@@ -122,11 +128,13 @@ object Multimodal {
         var j = 0; while (j < dim) { hist(j) /= n; j += 1 }
         hist
       case None =>
-        val hist = new Array[Float](dim)
-        var i = 0
-        while (i < media.length) { hist((media(i) & 0xff) % dim) += 1f; i += 1 }
-        if (media.length > 0) { var j = 0; while (j < dim) { hist(j) /= media.length; j += 1 } }
-        hist
+        audioFeaturesKernel(media, dim).getOrElse {
+          val hist = new Array[Float](dim)
+          var i = 0
+          while (i < media.length) { hist((media(i) & 0xff) % dim) += 1f; i += 1 }
+          if (media.length > 0) { var j = 0; while (j < dim) { hist(j) /= media.length; j += 1 } }
+          hist
+        }
     }
 
   /** Image resize. REAL for image bytes: bilinear rescale to (w, h) and
@@ -166,6 +174,127 @@ object Multimodal {
       }
     } finally iis.close()
   }
+
+  // ---- audio kernels (REAL via javax.sound.sampled) -----------------------
+
+  /** Decode bytes as audio via the JDK sound stack (WAV/AIFF/AU readers,
+    * PCM + uLaw/aLaw codecs — no native libs). Returns (sampleRateHz,
+    * channels, mono-mixed samples normalized to [-1, 1]); None when no
+    * installed reader accepts the bytes or decoding blows up (the
+    * stub-fallback trigger, never a task failure). */
+  private[multimodal] def decodeAudio(media: Array[Byte]): Option[(Float, Int, Array[Float])] = {
+    if (media == null || media.isEmpty) return None
+    try {
+      val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(media))
+      try {
+        val f0 = ais0.getFormat
+        // normalize whatever the file carries (8-bit, unsigned, big-endian,
+        // uLaw...) to 16-bit signed little-endian PCM at the SOURCE rate —
+        // these conversions are in the stock JDK; rate conversion is not
+        // (that's what [[resampleKernel]] implements)
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels, f0.getSampleRate, false)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais0)
+        val bytes = ais.readAllBytes()
+        val ch = math.max(1, f0.getChannels)
+        val nFrames = bytes.length / (2 * ch)
+        val mono = new Array[Float](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var sum = 0f
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            sum += (((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort) / 32768f
+            c += 1
+          }
+          mono(i) = sum / ch
+          i += 1
+        }
+        Some((f0.getSampleRate, ch, mono))
+      } finally ais0.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Audio header probe: (sampleRateHz, channels, durationMs) without
+    * decoding any samples (AudioFileFormat reads only the header). None
+    * for non-audio bytes or headers without a frame count. */
+  private[multimodal] def audioInfoKernel(media: Array[Byte]): Option[(Float, Int, Long)] = {
+    if (media == null || media.isEmpty) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(media))
+      val f = aff.getFormat
+      if (aff.getFrameLength <= 0 || f.getFrameRate <= 0) None
+      else Some((f.getSampleRate, f.getChannels,
+        math.round(aff.getFrameLength * 1000.0 / f.getFrameRate)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Audio feature vector. REAL for audio bytes: `dim`-window RMS energy
+    * envelope over the mono-mixed PCM samples (the classic cheap audio
+    * descriptor; a production pipeline would swap in a mel-spectrogram or
+    * audio-encoder forward pass in the same batch position). */
+  private[multimodal] def audioFeaturesKernel(media: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeAudio(media).collect { case (_, _, samples) if samples.nonEmpty =>
+      val env = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val from = (i.toLong * samples.length / dim).toInt
+        val to = ((i + 1).toLong * samples.length / dim).toInt
+        var acc = 0.0
+        var j = from
+        while (j < to) { acc += samples(j).toDouble * samples(j); j += 1 }
+        env(i) = if (to > from) math.sqrt(acc / (to - from)).toFloat else 0f
+        i += 1
+      }
+      env
+    }
+
+  /** Encode mono [-1,1] samples as a 16-bit PCM little-endian WAV. */
+  private def encodeWav(samples: Array[Float], hz: Int): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-32768, math.min(32767, math.round(samples(i) * 32767f))).toShort
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(hz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio resample to `targetHz`. REAL for audio bytes: linear
+    * interpolation over the decoded mono samples (deterministic,
+    * executor-local DSP — the JDK converts encodings but not rates),
+    * re-encoded as 16-bit PCM WAV. Non-audio bytes truncate/pad to a
+    * length proportional to the rate ratio (stub). */
+  private[multimodal] def resampleKernel(media: Array[Byte], targetHz: Int): Array[Byte] =
+    decodeAudio(media) match {
+      case Some((srcHz, _, samples)) if samples.nonEmpty =>
+        val n = math.max(1, math.round(samples.length.toLong * targetHz / srcHz.toDouble).toInt)
+        val out = new Array[Float](n)
+        val step = (samples.length - 1).toDouble / math.max(1, n - 1)
+        var i = 0
+        while (i < n) {
+          val pos = i * step
+          val i0 = pos.toInt
+          val i1 = math.min(i0 + 1, samples.length - 1)
+          val frac = (pos - i0).toFloat
+          out(i) = samples(i0) * (1 - frac) + samples(i1) * frac
+          i += 1
+        }
+        encodeWav(out, targetHz)
+      case _ =>
+        java.util.Arrays.copyOf(media, math.max(1, media.length / 2))
+    }
 
   /** STUB: video frame sampling — a real kernel needs container/codec
     * libraries not present here; the fake slices the bytes into `n` equal
@@ -248,6 +377,38 @@ object Multimodal {
       .select(col("media_id"), col("media"),
         struct(col("format"), col("width"), col("height"),
           col("duration_ms"), col("uri"), col("byte_len")).as("meta"))
+  }
+
+  /** Fill meta.duration_ms (and width/height stay untouched) for audio
+    * rows by probing headers only — no sample decode; non-audio rows keep
+    * null duration. Same canonical schema out. */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media"), col("meta.format"),
+        col("meta.width"), col("meta.height"), col("meta.uri"), col("meta.byte_len"))
+      .as[(Long, Array[Byte], String, Option[Int], Option[Int], Option[String], Option[Long])]
+      .mapPartitions(it => it.map { case (id, bytes, fmt, w, h, uri, len) =>
+        (id, bytes, fmt, w, h, audioInfoKernel(bytes).map(_._3), uri, len)
+      })
+      .toDF("media_id", "media", "format", "width", "height", "duration_ms", "uri", "byte_len")
+      .select(col("media_id"), col("media"),
+        struct(col("format"), col("width"), col("height"),
+          col("duration_ms"), col("uri"), col("byte_len")).as("meta"))
+  }
+
+  /** Resample audio rows to `targetHz` (16-bit PCM WAV out); same
+    * canonical row shape as [[resize]]'s output. */
+  def resampleAudio(media: DataFrame, targetHz: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media"), col("meta.format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(it => it.map { case (id, bytes, fmt) =>
+        val r = resampleKernel(bytes, targetHz)
+        (id, r, fmt, r.length.toLong)
+      })
+      .toDF("media_id", "media", "format", "byte_len")
   }
 
   /** Frame-sample: one row per sampled frame (row-to-many). */

@@ -88,6 +88,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(21L).isNullAt(byId(21L).fieldIndex("width")))
   }
 
+  // a real 1-second 440 Hz sine WAV at 8 kHz mono, amplitude 0.5
+  private def realWav: Array[Byte] = {
+    val hz = 8000
+    val samples = Array.tabulate(hz)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / hz)).toFloat)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      val s = math.round(samples(i) * 32767f).toShort
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(hz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV: extractFeatures yields the RMS envelope, not the byte-histogram stub") {
+    val tbl = Multimodal.toMediaTable(Seq((30L, realWav)).toDF("id", "bin"), "id", "bin")
+    assert(tbl.head().getStruct(2).getAs[String]("format") == "wav")
+    val feats = Multimodal.extractFeatures(tbl, dim = 8).head().getSeq[Float](1)
+    // constant-amplitude sine: every window's RMS ≈ 0.5/√2 ≈ 0.3536
+    // (byte-histogram stub would instead sum to 1 across buckets)
+    assert(feats.length == 8)
+    feats.foreach(v => assert(math.abs(v - 0.3536f) < 0.01, s"RMS window off: $v"))
+  }
+
+  test("real WAV: audioMeta fills duration_ms from the header only") {
+    val mixed = Multimodal.toMediaTable(
+      Seq((31L, realWav), (32L, "not audio".getBytes("UTF-8"))).toDF("id", "bin"), "id", "bin")
+    val withMeta = Multimodal.audioMeta(mixed)
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType.sql.replace(" NOT NULL", "")))
+    assert(shape(withMeta.schema) == shape(Multimodal.mediaSchema))
+    val byId = withMeta.collect().map(r => r.getLong(0) -> r.getStruct(2)).toMap
+    assert(byId(31L).getAs[Long]("duration_ms") == 1000L)
+    assert(byId(32L).isNullAt(byId(32L).fieldIndex("duration_ms")))
+  }
+
+  test("real WAV: resampleAudio halves the rate, preserves duration and energy") {
+    val tbl = Multimodal.toMediaTable(Seq((33L, realWav)).toDF("id", "bin"), "id", "bin")
+    val out = Multimodal.resampleAudio(tbl, 4000).head().getAs[Array[Byte]]("media")
+    val info = Multimodal.audioInfoKernel(out)
+    assert(info.isDefined, "resampled bytes must be a decodable WAV")
+    val (rate, ch, durMs) = info.get
+    assert(rate == 4000f && ch == 1 && math.abs(durMs - 1000L) <= 1)
+    // 440 Hz is far below the 2 kHz Nyquist: RMS survives the resample
+    val rms = Multimodal.audioFeaturesKernel(out, 1).get.head
+    assert(math.abs(rms - 0.3536f) < 0.01, s"post-resample RMS off: $rms")
+  }
+
   test("frameSample is row-to-many with frame indices") {
     val frames = Multimodal.frameSample(media, nFrames = 4)
     assert(frames.filter(col("media_id") === 2).count() == 4)
