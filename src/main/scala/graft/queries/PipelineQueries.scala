@@ -549,6 +549,64 @@ object PipelineQueries {
         .orderBy("lang", "rank")
     },
 
+    // Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    // per-doc fraction of the text covered by the single most frequent
+    // word 2-gram, and the fraction of 5-gram occurrences that are
+    // duplicates — the standard signals for dropping boilerplate /
+    // degenerate documents from a training corpus. Integer counts with
+    // one exactly-rounded double division each, so the oracle hash
+    // matches bit-for-bit. Scale: one shuffle on doc_id for the gram
+    // windows, then (doc_id, gram) hash aggs with map-side partials;
+    // nothing is corpus-global.
+    "e14_repetition" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), posexplode(TA.tokens(col("text"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      val wd = Window.partitionBy("doc_id").orderBy("p")
+      val grams = toks
+        .withColumn("t1", lead(col("tok"), 1).over(wd))
+        .withColumn("t2", lead(col("tok"), 2).over(wd))
+        .withColumn("t3", lead(col("tok"), 3).over(wd))
+        .withColumn("t4", lead(col("tok"), 4).over(wd))
+      val a2 = grams.filter(col("t1").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(max("n").as("top2_n"), sum("n").as("n2"))
+      val a5 = grams.filter(col("t4").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"), col("t4")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(sum("n").as("n5"), count(lit(1)).as("d5"))
+      val top2Frac = col("top2_n").cast("double") / col("n2").cast("double")
+      val dup5Frac = (col("n5") - col("d5")).cast("double") / col("n5").cast("double")
+      a2.join(a5, "doc_id") // inner: keeps docs with >= 5 tokens, like the oracle
+        .select(col("doc_id"), col("top2_n"),
+          top2Frac.as("top2_frac"), dup5Frac.as("dup5_frac"),
+          (top2Frac > 0.18 || dup5Frac > 0.3).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing for LM training (GPT-style concat-then-chunk):
+    // docs are concatenated in doc_id order WITHIN their source shard and
+    // cut into fixed 512-token blocks; each doc reports the block span it
+    // lands in. Scale: the running token total is a window sum PER SOURCE
+    // SHARD — never a global single-partition sort; a 100 TB corpus packs
+    // each shard independently (exactly how training shards are built).
+    // All-integer arithmetic, so the oracle hash matches exactly.
+    "e15_seq_pack" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs.select(col("doc_id"), col("source"),
+          size(TA.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("(cum - n_tokens) DIV 512").as("start_block"),
+          expr("(cum - 1) DIV 512").as("end_block"))
+        .orderBy("doc_id")
+    },
+
     // Approximate sketches (HLL++ distinct, quantile sketch). The raw
     // estimates are engine-specific and can't hash-match another engine,
     // so the query emits exact values PLUS within-epsilon booleans
@@ -1128,6 +1186,38 @@ object PipelineQueries {
          |  $cols
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "e14_repetition" ->
+      s"""WITH $dToks,
+         |g AS (SELECT doc_id, tk, len(tk) AS nt FROM toks WHERE len(tk) >= 5),
+         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, nt),
+         |         ri -> tk[ri] || ' ' || tk[ri+1])) AS gram FROM g),
+         |c2 AS (SELECT doc_id, gram, count(1) AS n FROM g2 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top2_n,
+         |         CAST(sum(n) AS BIGINT) AS n2 FROM c2 GROUP BY 1),
+         |g5 AS (SELECT doc_id, unnest(list_transform(range(1, nt - 3),
+         |         ri -> tk[ri] || ' ' || tk[ri+1] || ' ' || tk[ri+2] || ' ' ||
+         |               tk[ri+3] || ' ' || tk[ri+4])) AS gram FROM g),
+         |c5 AS (SELECT doc_id, gram, count(1) AS n FROM g5 GROUP BY 1, 2),
+         |a5 AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n5,
+         |         CAST(count(1) AS BIGINT) AS d5 FROM c5 GROUP BY 1)
+         |SELECT doc_id, top2_n,
+         |  CAST(top2_n AS DOUBLE) / CAST(n2 AS DOUBLE) AS top2_frac,
+         |  CAST(n5 - d5 AS DOUBLE) / CAST(n5 AS DOUBLE) AS dup5_frac,
+         |  (CAST(top2_n AS DOUBLE) / CAST(n2 AS DOUBLE) > 0.18
+         |    OR CAST(n5 - d5 AS DOUBLE) / CAST(n5 AS DOUBLE) > 0.3) AS repetitive
+         |FROM a2 JOIN a5 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "e15_seq_pack" ->
+      s"""WITH $dToks,
+         |n AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+         |FROM n)
+         |SELECT doc_id, source, n_tokens,
+         |  (cum - n_tokens) // 512 AS start_block,
+         |  (cum - 1) // 512 AS end_block
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // exact side of the sketch-bound check: the booleans assert Spark's
     // sketch estimates sit within ε of Spark's own exact aggregates, so
