@@ -648,6 +648,31 @@ object PipelineQueries {
         .orderBy("minute", "event_type")
     },
 
+    // Gap-based sessionization, batch shape (the streaming twin lives in
+    // EventStreams.sessionize): a session breaks after a 30-minute gap
+    // per user. The lag/cumsum windows partition on user_id — per-key
+    // state only, one shuffle, same keying a 1000-executor cluster would
+    // use; timestamps stay integer microseconds and the value sum goes
+    // through decimal, so the oracle hash matches exactly.
+    "st2_sessions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"), col("value"))
+        .withColumn("prev", lag(col("tus"), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev").isNull || col("tus") - col("prev") > 1800000000L).cast("long"))
+        .withColumn("sess_no", sum("new_sess").over(w))
+        .groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          min("tus").as("sess_start_us"),
+          max("tus").as("sess_end_us"),
+          (max("tus") - min("tus")).as("duration_us"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+            .cast("double").as("sum_value"))
+        .orderBy("user_id", "sess_no")
+    },
+
     // ---- multimodal (binary) ---------------------------------------------
 
     // Batched mapPartitions kernel path (the JVM analogue of mapInPandas):
@@ -1207,6 +1232,21 @@ object PipelineQueries {
          |  (CAST(top2_n AS DOUBLE) / CAST(n2 AS DOUBLE) > 0.18
          |    OR CAST(n5 - d5 AS DOUBLE) / CAST(n5 AS DOUBLE) > 0.3) AS repetitive
          |FROM a2 JOIN a5 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "st2_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+        |g AS (SELECT user_id, event_id, tus, value,
+        |  CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, tus, value,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |       AS BIGINT) AS sess_no FROM g)
+        |SELECT user_id, sess_no, CAST(count(1) AS BIGINT) AS n_events,
+        |  min(tus) AS sess_start_us, max(tus) AS sess_end_us,
+        |  max(tus) - min(tus) AS duration_us,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_no""".stripMargin,
 
     "e15_seq_pack" ->
       s"""WITH $dToks,

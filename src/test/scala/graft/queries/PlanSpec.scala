@@ -68,6 +68,24 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 0, s"chunking must not hash-shuffle, found $shuffles:\n$p")
   }
 
+  test("repetition metrics are per-doc hash aggs with partials, nothing corpus-global") {
+    val p = plan("e14_repetition")
+    assert(p.contains("partial_count") || p.contains("partial_max") || p.contains("partial_sum"),
+      "gram counting should be two-phase")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no pairwise scan expected")
+  }
+
+  test("sequence packing windows per source shard, never a single global partition") {
+    val p = plan("e15_seq_pack")
+    assert(p.contains("Window"), "expected a window node")
+    // the running-sum window must be keyed on source; a global cumsum
+    // would appear as an empty partition spec (single-partition sort)
+    assert("windowspecdefinition\\(source".r.findFirstIn(p.toLowerCase.replace("#", "")).isDefined
+      || p.contains("partitionBy=[source"),
+      s"window must partition by source:\n${p.linesIterator.filter(_.contains("Window")).mkString("\n")}")
+  }
+
   test("incremental agg merges partials without re-aggregating the base") {
     val p = plan("s10_incremental_agg")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
