@@ -364,7 +364,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   private def manifestText(buckets: Int, entries: Seq[(Int, String)]): String =
     (s"#buckets\t$buckets" +: entries.map { case (b, p) => s"$b\t$p" }).mkString("\n")
 
-  private def readManifest(table: String, v: Long): Seq[(Int, String)] = {
+  private[graft] def readManifest(table: String, v: Long): Seq[(Int, String)] = {
     val txt = readFile(manifestPath(table, v))
     txt.split("\n").toIndexedSeq.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val Array(b, p) = line.split("\t", 2)
