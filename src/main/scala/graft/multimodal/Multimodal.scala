@@ -18,15 +18,16 @@ import org.apache.spark.sql.types._
   * for the JDK sound stack's formats (WAV/AIFF/AU carrying PCM or
   * uLaw/aLaw): decode, duration probe, RMS-envelope features, and
   * linear-interpolation resampling run on `javax.sound.sampled` — again
-  * no native deps. Bytes that neither stack accepts fall back to the
-  * original deterministic fakes, so arbitrary payloads still flow
-  * through the same plumbing with stable outputs. VIDEO kernels
-  * (frame-split) need container/codec libraries that are NOT in this
-  * container and remain deliberately stubbed; the Spark-side plumbing —
-  * schema, batched per-partition execution (`mapPartitions` over
-  * iterator batches, the JVM analogue of `mapInPandas`' arrow-batch
-  * shape), output schema contracts, partition sizing — is real and
-  * tested for all of them.
+  * no native deps. The VIDEO frame-split kernel is REAL for Motion-JPEG
+  * AVI (pure RIFF container walk; each frame is an independently
+  * decodable JPEG) — other video codecs (H.264/MP4) need libraries NOT
+  * in this container and fall back to the deterministic byte-slicing
+  * stub, as do payloads no stack accepts, so arbitrary bytes still flow
+  * through the same plumbing with stable outputs. The Spark-side
+  * plumbing — schema, batched per-partition execution (`mapPartitions`
+  * over iterator batches, the JVM analogue of `mapInPandas`'
+  * arrow-batch shape), output schema contracts, partition sizing — is
+  * real and tested for all kernels.
   *
   * Scale notes:
   *  - decode is CPU-heavy per row → `repartition` upstream so each task
@@ -57,8 +58,11 @@ object Multimodal {
     * metadata from the bytes (format sniffed from magic bytes). */
   def toMediaTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val b = col(binCol)
+    // RIFF is a container family: bytes 8-11 say which (WAVE vs AVI)
     val fmt = when(hex(b).startsWith("FFD8"), "jpeg")
       .when(hex(b).startsWith("89504E47"), "png")
+      .when(hex(b).startsWith("52494646") &&
+        hex(b).substr(lit(17), lit(8)) === lit("41564920"), "avi")
       .when(hex(b).startsWith("52494646"), "wav")
       .when(hex(b).substr(lit(9), lit(8)) === lit("66747970"), "mp4")
       .otherwise("bin")
@@ -296,12 +300,57 @@ object Multimodal {
         java.util.Arrays.copyOf(media, math.max(1, media.length / 2))
     }
 
-  /** STUB: video frame sampling — a real kernel needs container/codec
-    * libraries not present here; the fake slices the bytes into `n` equal
-    * chunks. (Still-image bytes are not frame-sampled: one frame = the
-    * image itself, use [[resize]]/[[extractFeatures]].) */
+  // ---- video kernels (REAL for Motion-JPEG AVI; stub otherwise) -----------
+
+  /** Walk a RIFF/AVI container and return the Motion-JPEG frame payloads
+    * ('00dc'/'01dc'-style video chunks that start with the JPEG SOI
+    * marker). Pure byte-walking — RIFF is fourcc(4) + size(4 LE) + data
+    * (padded to even), with LIST chunks nesting. Empty result for
+    * non-AVI bytes or AVIs whose codec isn't MJPEG. */
+  private[multimodal] def parseMjpegFrames(media: Array[Byte]): Vector[Array[Byte]] = {
+    def le32(off: Int): Long =
+      (media(off) & 0xffL) | (media(off + 1) & 0xffL) << 8 |
+        (media(off + 2) & 0xffL) << 16 | (media(off + 3) & 0xffL) << 24
+    def fourcc(off: Int): String =
+      new String(media, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (media == null || media.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return Vector.empty
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val cc = fourcc(off)
+        val size = le32(off + 4)
+        val dataStart = off + 8
+        val dataEnd = dataStart + size
+        if (size < 0 || dataEnd > to) return // malformed size: stop, keep what we have
+        if (cc == "LIST" && size >= 4) walk(dataStart + 4, dataEnd.toInt)
+        else if (cc.endsWith("dc") || cc.endsWith("db")) {
+          // video stream chunk; keep only JPEG payloads (MJPEG)
+          if (size >= 2 && (media(dataStart) & 0xff) == 0xFF && (media(dataStart + 1) & 0xff) == 0xD8)
+            frames += java.util.Arrays.copyOfRange(media, dataStart, dataEnd.toInt)
+        }
+        off = dataEnd.toInt + (size.toInt & 1) // chunks pad to even length
+      }
+    }
+    walk(12, media.length)
+    frames.result()
+  }
+
+  /** Video frame sampling. REAL for Motion-JPEG AVI bytes: parses the
+    * RIFF container and returns `n` evenly-spaced JPEG frames (each
+    * independently decodable — MJPEG frames are plain JPEGs). Other
+    * payloads fall back to slicing the bytes into `n` equal chunks
+    * (deterministic stub; real MP4/H.264 needs codec libraries not in
+    * this container). (Still-image bytes are not frame-sampled: one
+    * frame = the image itself, use [[resize]]/[[extractFeatures]].) */
   private[multimodal] def frameSampleKernel(media: Array[Byte], n: Int): Seq[Array[Byte]] = {
-    if (media.isEmpty) Seq.empty
+    val mjpeg = parseMjpegFrames(media)
+    if (mjpeg.nonEmpty) {
+      val k = math.min(n, mjpeg.length)
+      // evenly spaced indices across the clip, endpoints included
+      (0 until k).map(i => mjpeg(if (k == 1) 0 else (i.toLong * (mjpeg.length - 1) / (k - 1)).toInt))
+    } else if (media.isEmpty) Seq.empty
     else {
       val step = math.max(1, media.length / n)
       (0 until math.min(n, media.length)).map { i =>

@@ -141,6 +141,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(rms - 0.3536f) < 0.01, s"post-resample RMS off: $rms")
   }
 
+  // a real Motion-JPEG AVI: 10 JPEG frames, each a solid gray level
+  // 0,25,...,225 so the sampled frame order is observable after decode
+  private def realMjpegAvi: Array[Byte] = {
+    def jpegFrame(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(cc.getBytes("US-ASCII")); b.write(le32(data.length)); b.write(data)
+      if (data.length % 2 == 1) b.write(0) // RIFF pads chunks to even
+      b.toByteArray
+    }
+    val movi = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("movi".getBytes("US-ASCII"))
+      (0 until 10).foreach(i => b.write(chunk("00dc", jpegFrame(i * 25))))
+      b.toByteArray
+    }
+    val list = chunk("LIST", movi)
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(le32(4 + list.length)) // "AVI " + payload
+    bos.write("AVI ".getBytes("US-ASCII"))
+    bos.write(list)
+    bos.toByteArray
+  }
+
+  test("real MJPEG AVI: frameSample returns decodable JPEG frames, evenly spaced") {
+    val avi = realMjpegAvi
+    val tbl = Multimodal.toMediaTable(Seq((40L, avi)).toDF("id", "bin"), "id", "bin")
+    assert(tbl.head().getStruct(2).getAs[String]("format") == "avi")
+    val frames = Multimodal.frameSample(tbl, nFrames = 4)
+      .orderBy("frame_no").collect().map(_.getAs[Array[Byte]]("frame"))
+    assert(frames.length == 4)
+    val grays = frames.map { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8, "frame must be a real JPEG")
+      img.getRGB(4, 4) & 0xff
+    }
+    // frames 0,3,6,9 of gray levels 0..225 step 25 → ~0,75,150,225
+    // (JPEG is lossy: allow a few levels of error)
+    val expected = Seq(0, 75, 150, 225)
+    grays.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= 8, s"sampled grays ${grays.mkString(",")} vs $expected")
+    }
+  }
+
   test("frameSample is row-to-many with frame indices") {
     val frames = Multimodal.frameSample(media, nFrames = 4)
     assert(frames.filter(col("media_id") === 2).count() == 4)
