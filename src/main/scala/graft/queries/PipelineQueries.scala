@@ -303,6 +303,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Cross-source contamination matrix: for every source pair, how many
+    // DISTINCT 5-gram hashes they share, plus each side's gram vocabulary
+    // and the gram-level Jaccard — the corpus-level diagnostic behind
+    // decontamination decisions (which sources leak into which). Scale:
+    // (source, hash) distinct is one shuffle; the pair join is keyed on
+    // the gram hash, whose fan-out is bounded by #sources per gram, never
+    // pairwise in documents; output is #sources² rows.
+    "d8_contamination_matrix" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val g = Dedup.shingleHashRows(docs, "doc_id", "text", n = 5, extra = Seq(col("source")))
+        .select(col("source"), col("h")).distinct()
+      val overlap = g.select(col("source").as("src_a"), col("h"))
+        .join(g.select(col("source").as("src_b"), col("h").as("hb")),
+          col("h") === col("hb") && col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_grams"))
+      val totals = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      overlap
+        .join(totals.select(col("source").as("src_a"), col("n_grams").as("grams_a")), "src_a")
+        .join(totals.select(col("source").as("src_b"), col("n_grams").as("grams_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          col("grams_a"), col("grams_b"),
+          (col("shared_grams").cast("double") /
+            (col("grams_a") + col("grams_b") - col("shared_grams")).cast("double"))
+            .as("gram_jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+
     // BM25 top-10 per query (odds idf: +−×÷ only, so scores are IEEE
     // bit-identical to the oracle's; fold over terms in sorted order).
     "r1_bm25_topk" -> { (s, dir) =>
@@ -1031,6 +1058,27 @@ object PipelineQueries {
          |         JOIN bench b ON g.h = b.h AND g.doc_id <> b.doc_id)
          |SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) AS contaminated
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "d8_contamination_matrix" -> {
+      val gram5 = (0 until 5).map(j => if (j == 0) "tk[sg]" else s"tk[sg+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH $dToks,
+         |raw AS (SELECT source,
+         |    unnest(list_transform(range(1, len(tk)-3), sg -> ${dPhash(gram5, "dm")})) AS h
+         |  FROM toks WHERE len(tk) >= 5),
+         |grams AS (SELECT DISTINCT source, h FROM raw),
+         |tot AS (SELECT source, CAST(count(1) AS BIGINT) AS n_grams FROM grams GROUP BY 1),
+         |ov AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(count(1) AS BIGINT) AS shared_grams
+         |       FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared_grams, ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+         |  CAST(shared_grams AS DOUBLE)
+         |    / CAST(ta.n_grams + tb.n_grams - shared_grams AS DOUBLE) AS gram_jaccard
+         |FROM ov JOIN tot ta ON ov.src_a = ta.source
+         |        JOIN tot tb ON ov.src_b = tb.source
+         |ORDER BY src_a, src_b""".stripMargin
     },
 
     // identical to d6's oracle: the Bloom pre-prune must not change the
