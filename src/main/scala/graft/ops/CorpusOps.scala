@@ -104,6 +104,65 @@ object CorpusOps {
       .drop("__hit_id", "__hit")
   }
 
+  /** Gopher-style per-document repetition metrics (Rae et al. 2021
+    * §A1.1): the fraction of the text covered by the single most
+    * frequent word 2-gram (`top2_frac`) and the fraction of 5-gram
+    * occurrences that are duplicates (`dup5_frac`), plus a `repetitive`
+    * flag at the given thresholds. Documents with < 5 tokens are
+    * dropped (no 5-gram exists). Returns
+    * (idCol, top2_n, top2_frac, dup5_frac, repetitive).
+    *
+    * Scale: one shuffle on the id for the gram windows, then (id, gram)
+    * hash aggregations with map-side partials — nothing corpus-global.
+    * All counts are integers with one exactly-rounded double division
+    * each, so results are bit-stable across engines. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      top2Threshold: Double = 0.18, dup5Threshold: Double = 0.3): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(TA.tokens(col(textCol))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+    val wd = Window.partitionBy(idCol).orderBy("p")
+    val grams = toks
+      .withColumn("t1", lead(col("tok"), 1).over(wd))
+      .withColumn("t2", lead(col("tok"), 2).over(wd))
+      .withColumn("t3", lead(col("tok"), 3).over(wd))
+      .withColumn("t4", lead(col("tok"), 4).over(wd))
+    val a2 = grams.filter(col("t1").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("tok"), col("t1")).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("n"))
+      .groupBy(idCol).agg(max("n").as("top2_n"), sum("n").as("n2"))
+    val a5 = grams.filter(col("t4").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"), col("t4")).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("n"))
+      .groupBy(idCol).agg(sum("n").as("n5"), count(lit(1)).as("d5"))
+    val top2Frac = col("top2_n").cast("double") / col("n2").cast("double")
+    val dup5Frac = (col("n5") - col("d5")).cast("double") / col("n5").cast("double")
+    a2.join(a5, idCol) // inner: keeps docs with >= 5 tokens
+      .select(col(idCol), col("top2_n"),
+        top2Frac.as("top2_frac"), dup5Frac.as("dup5_frac"),
+        (top2Frac > top2Threshold || dup5Frac > dup5Threshold).as("repetitive"))
+  }
+
+  /** LM sequence packing, GPT-style concat-then-chunk: documents are
+    * concatenated in id order WITHIN their shard and cut into fixed
+    * `blockTokens`-token blocks; each document reports the [start_block,
+    * end_block] span it lands in. Returns
+    * (idCol, shardCol, n_tokens, start_block, end_block).
+    *
+    * Scale: the running token total is a window sum PER SHARD — never a
+    * global single-partition sort; a 100 TB corpus packs each shard
+    * independently, exactly how training shards are built. */
+  def packSequences(df: DataFrame, idCol: String, shardCol: String,
+      textCol: String, blockTokens: Int = 512): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+    df.select(col(idCol), col(shardCol),
+        size(TA.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        expr(s"(cum - n_tokens) DIV $blockTokens").as("start_block"),
+        expr(s"(cum - 1) DIV $blockTokens").as("end_block"))
+  }
+
   /** Deterministic stratified sample: keep the `k` rows of each stratum
     * with the smallest portable-hash of their id — a reproducible
     * pseudo-random pick with no RNG state (same result on any cluster

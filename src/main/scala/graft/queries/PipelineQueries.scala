@@ -586,31 +586,9 @@ object PipelineQueries {
     // windows, then (doc_id, gram) hash aggs with map-side partials;
     // nothing is corpus-global.
     "e14_repetition" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, dir, "documents")
-      val toks = docs.select(col("doc_id"), posexplode(TA.tokens(col("text"))))
-        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
-      val wd = Window.partitionBy("doc_id").orderBy("p")
-      val grams = toks
-        .withColumn("t1", lead(col("tok"), 1).over(wd))
-        .withColumn("t2", lead(col("tok"), 2).over(wd))
-        .withColumn("t3", lead(col("tok"), 3).over(wd))
-        .withColumn("t4", lead(col("tok"), 4).over(wd))
-      val a2 = grams.filter(col("t1").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id").agg(max("n").as("top2_n"), sum("n").as("n2"))
-      val a5 = grams.filter(col("t4").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"), col("t4")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id").agg(sum("n").as("n5"), count(lit(1)).as("d5"))
-      val top2Frac = col("top2_n").cast("double") / col("n2").cast("double")
-      val dup5Frac = (col("n5") - col("d5")).cast("double") / col("n5").cast("double")
-      a2.join(a5, "doc_id") // inner: keeps docs with >= 5 tokens, like the oracle
-        .select(col("doc_id"), col("top2_n"),
-          top2Frac.as("top2_frac"), dup5Frac.as("dup5_frac"),
-          (top2Frac > 0.18 || dup5Frac > 0.3).as("repetitive"))
+      graft.ops.CorpusOps.repetitionStats(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          top2Threshold = 0.18, dup5Threshold = 0.3)
         .orderBy("doc_id")
     },
 
@@ -622,15 +600,9 @@ object PipelineQueries {
     // each shard independently (exactly how training shards are built).
     // All-integer arithmetic, so the oracle hash matches exactly.
     "e15_seq_pack" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, dir, "documents")
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      docs.select(col("doc_id"), col("source"),
-          size(TA.tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(w))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          expr("(cum - n_tokens) DIV 512").as("start_block"),
-          expr("(cum - 1) DIV 512").as("end_block"))
+      graft.ops.CorpusOps.packSequences(
+          Tables.load(s, dir, "documents"), "doc_id", "source", "text",
+          blockTokens = 512)
         .orderBy("doc_id")
     },
 

@@ -86,6 +86,12 @@ class PlanSpec extends AnyFunSuite {
       s"window must partition by source:\n${p.linesIterator.filter(_.contains("Window")).mkString("\n")}")
   }
 
+  test("contamination matrix joins on the gram hash, never document-pairwise") {
+    val p = plan("d8_contamination_matrix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair join must be hash-keyed on the gram hash")
+  }
+
   test("incremental agg merges partials without re-aggregating the base") {
     val p = plan("s10_incremental_agg")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
