@@ -34,14 +34,18 @@ object StoreScale {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val store = new TableStore(spark, root, numBuckets = buckets)
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    // (~24% dupes), so key on a synthesized unique row id — merge
+    // semantics need a true key, as the reference's own tables have
     val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("row_id", monotonically_increasing_id())
     val nRows = li.count()
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    store.createTable("fact_lineitem", li.schema, keys = Seq("l_orderkey", "l_linenumber"))
+    store.createTable("fact_lineitem", li.schema, keys = Seq("row_id"))
     val (_, tLoad) = timed(store.append("fact_lineitem", li))
 
     // manifest forensics after a merge: bucket files the new version
@@ -52,6 +56,8 @@ object StoreScale {
       val v = store.currentVersion("fact_lineitem")
       val entries = store.readManifest("fact_lineitem", v)
       val rewritten = entries.count(_._2.contains(f"/b$v%08d/"))
+      val nNow = store.read("fact_lineitem").count()
+      require(nNow == nRows, s"merge of existing keys must not change row count: $nRows -> $nNow")
       println(f"STORESCALE $label rows=$nRows delta=$nDelta " +
         f"buckets=${entries.size} rewritten=$rewritten " +
         f"carried=${entries.size - rewritten} load_s=$tLoad%.1f merge_s=$tMerge%.1f")
@@ -65,6 +71,15 @@ object StoreScale {
       .unionAll(li.filter(col("l_orderkey") === 2000L))))
     // a bulk backfill delta (50k rows): cost ∝ batch, still not table
     mergeAndReport("bulk", upd(li.filter(col("l_orderkey") % 599 === 0).limit(50000)))
+
+    // rebucket maintenance: auto-size (~256 MB/bucket), atomic count flip
+    // with the rewrite commit; row count must be invariant
+    val (_, tRebucket) = timed(store.rebucket("fact_lineitem"))
+    val vR = store.currentVersion("fact_lineitem")
+    val bAfter = store.readManifest("fact_lineitem", vR).size
+    val nAfter = store.read("fact_lineitem").count()
+    require(nAfter == nRows, s"rebucket must preserve rows: $nRows -> $nAfter")
+    println(f"STORESCALE rebucket buckets=$bAfter rows=$nAfter rebucket_s=$tRebucket%.1f")
     spark.stop()
   }
 }

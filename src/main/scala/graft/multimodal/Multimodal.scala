@@ -58,13 +58,16 @@ object Multimodal {
     * metadata from the bytes (format sniffed from magic bytes). */
   def toMediaTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val b = col(binCol)
-    // RIFF is a container family: bytes 8-11 say which (WAVE vs AVI)
-    val fmt = when(hex(b).startsWith("FFD8"), "jpeg")
-      .when(hex(b).startsWith("89504E47"), "png")
-      .when(hex(b).startsWith("52494646") &&
-        hex(b).substr(lit(17), lit(8)) === lit("41564920"), "avi")
-      .when(hex(b).startsWith("52494646"), "wav")
-      .when(hex(b).substr(lit(9), lit(8)) === lit("66747970"), "mp4")
+    // sniff on the first 12 bytes only — hex() of the whole payload would
+    // allocate 2x-payload strings per CASE branch on multi-MB media rows.
+    // RIFF is a container family: bytes 8-11 say which (WAVE vs AVI).
+    val head = hex(substring(b, 1, 12))
+    val fmt = when(head.startsWith("FFD8"), "jpeg")
+      .when(head.startsWith("89504E47"), "png")
+      .when(head.startsWith("52494646") &&
+        head.substr(lit(17), lit(8)) === lit("41564920"), "avi")
+      .when(head.startsWith("52494646"), "wav")
+      .when(head.substr(lit(9), lit(8)) === lit("66747970"), "mp4")
       .otherwise("bin")
     df.select(
       col(idCol).cast("long").as("media_id"),
@@ -113,7 +116,8 @@ object Multimodal {
     * neither fall back to a normalized byte histogram (deterministic
     * stub). */
   private[multimodal] def decodeFeaturesKernel(media: Array[Byte], dim: Int): Array[Float] =
-    decodeImage(media) match {
+    if (media == null) new Array[Float](dim)
+    else decodeImage(media) match {
       case Some(img) =>
         val hist = new Array[Float](dim)
         val (w, h) = (img.getWidth, img.getHeight)
@@ -278,10 +282,12 @@ object Multimodal {
   /** Audio resample to `targetHz`. REAL for audio bytes: linear
     * interpolation over the decoded mono samples (deterministic,
     * executor-local DSP — the JDK converts encodings but not rates),
-    * re-encoded as 16-bit PCM WAV. Non-audio bytes truncate/pad to a
-    * length proportional to the rate ratio (stub). */
+    * re-encoded as 16-bit PCM WAV. Non-audio bytes truncate to half
+    * length (deterministic stub exercising the batch shape; the rate is
+    * unknowable without a decodable header). */
   private[multimodal] def resampleKernel(media: Array[Byte], targetHz: Int): Array[Byte] =
-    decodeAudio(media) match {
+    if (media == null) Array.emptyByteArray
+    else decodeAudio(media) match {
       case Some((srcHz, _, samples)) if samples.nonEmpty =>
         val n = math.max(1, math.round(samples.length.toLong * targetHz / srcHz.toDouble).toInt)
         val out = new Array[Float](n)
@@ -316,7 +322,10 @@ object Multimodal {
     if (media == null || media.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
       return Vector.empty
     val frames = Vector.newBuilder[Array[Byte]]
-    def walk(from: Int, to: Int): Unit = {
+    // depth cap: real AVIs nest 2-3 LIST levels; a crafted file nesting
+    // thousands must not stack-overflow the task
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      if (depth > 16) return
       var off = from
       while (off + 8 <= to) {
         val cc = fourcc(off)
@@ -324,7 +333,7 @@ object Multimodal {
         val dataStart = off + 8
         val dataEnd = dataStart + size
         if (size < 0 || dataEnd > to) return // malformed size: stop, keep what we have
-        if (cc == "LIST" && size >= 4) walk(dataStart + 4, dataEnd.toInt)
+        if (cc == "LIST" && size >= 4) walk(dataStart + 4, dataEnd.toInt, depth + 1)
         else if (cc.endsWith("dc") || cc.endsWith("db")) {
           // video stream chunk; keep only JPEG payloads (MJPEG)
           if (size >= 2 && (media(dataStart) & 0xff) == 0xFF && (media(dataStart + 1) & 0xff) == 0xD8)
@@ -333,7 +342,7 @@ object Multimodal {
         off = dataEnd.toInt + (size.toInt & 1) // chunks pad to even length
       }
     }
-    walk(12, media.length)
+    walk(12, media.length, 0)
     frames.result()
   }
 
@@ -345,6 +354,7 @@ object Multimodal {
     * this container). (Still-image bytes are not frame-sampled: one
     * frame = the image itself, use [[resize]]/[[extractFeatures]].) */
   private[multimodal] def frameSampleKernel(media: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (media == null) return Seq.empty
     val mjpeg = parseMjpegFrames(media)
     if (mjpeg.nonEmpty) {
       val k = math.min(n, mjpeg.length)
@@ -428,17 +438,18 @@ object Multimodal {
           col("duration_ms"), col("uri"), col("byte_len")).as("meta"))
   }
 
-  /** Fill meta.duration_ms (and width/height stay untouched) for audio
-    * rows by probing headers only — no sample decode; non-audio rows keep
-    * null duration. Same canonical schema out. */
+  /** Fill meta.duration_ms (width/height stay untouched) for audio rows
+    * by probing headers only — no sample decode; rows the sound stack
+    * cannot parse KEEP whatever duration they already carried (e.g. a
+    * catalog-supplied mp4 duration). Same canonical schema out. */
   def audioMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("media"), col("meta.format"),
-        col("meta.width"), col("meta.height"), col("meta.uri"), col("meta.byte_len"))
-      .as[(Long, Array[Byte], String, Option[Int], Option[Int], Option[String], Option[Long])]
-      .mapPartitions(it => it.map { case (id, bytes, fmt, w, h, uri, len) =>
-        (id, bytes, fmt, w, h, audioInfoKernel(bytes).map(_._3), uri, len)
+    media.select(col("media_id"), col("media"), col("meta.format"), col("meta.width"),
+        col("meta.height"), col("meta.duration_ms"), col("meta.uri"), col("meta.byte_len"))
+      .as[(Long, Array[Byte], String, Option[Int], Option[Int], Option[Long], Option[String], Option[Long])]
+      .mapPartitions(it => it.map { case (id, bytes, fmt, w, h, dur0, uri, len) =>
+        (id, bytes, fmt, w, h, audioInfoKernel(bytes).map(_._3).orElse(dur0), uri, len)
       })
       .toDF("media_id", "media", "format", "width", "height", "duration_ms", "uri", "byte_len")
       .select(col("media_id"), col("media"),

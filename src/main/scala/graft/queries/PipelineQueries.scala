@@ -312,8 +312,11 @@ object PipelineQueries {
     // pairwise in documents; output is #sources² rows.
     "d8_contamination_matrix" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
+      // the gram vocabulary feeds both self-join sides AND the totals —
+      // persist it once or the tokenize+hash+distinct pipeline runs 3×
       val g = Dedup.shingleHashRows(docs, "doc_id", "text", n = 5, extra = Seq(col("source")))
         .select(col("source"), col("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val overlap = g.select(col("source").as("src_a"), col("h"))
         .join(g.select(col("source").as("src_b"), col("h").as("hb")),
           col("h") === col("hb") && col("src_a") < col("src_b"))
