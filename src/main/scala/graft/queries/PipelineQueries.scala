@@ -466,6 +466,30 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ANN quality evaluation: recall@5 of the IVF probe path against the
+    // exact brute-force baseline, per query — the measurement loop every
+    // production ANN deployment runs when tuning nprobe/K. Scale: both
+    // sides are the already-bounded top-k pipelines; the comparison is a
+    // k-row-per-query join, negligible next to them.
+    "n4_ann_recall" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val exact = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity
+        .ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+          k = 5, nprobe = 2)
+        .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+      exact
+        .join(approx, col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+          "left_outer")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"), count(col("na")).as("hits"))
+        .select(col("query_id"), col("hits"),
+          (col("hits").cast("double") / col("k").cast("double")).as("recall_at_5"))
+        .orderBy("query_id")
+    },
+
     // Int8-quantized brute-force top-k — the memory-bound ANN scale path
     // (4× more corpus per executor); ranking fully deterministic since
     // quantized MACs are exact.
@@ -1034,6 +1058,40 @@ object PipelineQueries {
          |SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) AS contaminated
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // recall@5 of IVF vs exact: the two pipelines above, joined. The CTEs
+    // mirror n1's and n2's oracles under one shared vecs/normed prefix.
+    "n4_ann_recall" ->
+      s"""WITH ${dVecs("h")},
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM normed WHERE vec_id < 10),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${dDot("qv", "c.v", "x1")} / (qn * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM q JOIN normed c ON c.vec_id <> query_id) WHERE rnk <= 5),
+         |cent AS (SELECT label,
+         |    list_transform(range(1, 65), dd ->
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(vs, wv -> wv[dd])), (ca, cb) -> ca + cb) / n) AS centroid
+         |  FROM (SELECT label, list(v ORDER BY vec_id) AS vs,
+         |          CAST(count(1) AS DOUBLE) AS n FROM vecs GROUP BY label) grp),
+         |probes AS (SELECT query_id, qv, qn, label FROM (
+         |    SELECT q.query_id, q.qv, q.qn, c.label,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dDot("q.qv", "c.centroid", "x2")} / (q.qn * ${dNorm("c.centroid", "x3")}) DESC,
+         |          c.label) AS cr
+         |    FROM q CROSS JOIN cent c) WHERE cr <= 2),
+         |iv AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${dDot("p.qv", "c.v", "x4")} / (p.qn * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM probes p JOIN normed c
+         |      ON c.label = p.label AND c.vec_id <> p.query_id) WHERE rnk <= 5)
+         |SELECT e.query_id, count(i.neighbor_id) AS hits,
+         |  CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS recall_at_5
+         |FROM ex e LEFT JOIN iv i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "d8_contamination_matrix" -> {
       val gram5 = (0 until 5).map(j => if (j == 0) "tk[sg]" else s"tk[sg+$j]")
