@@ -468,8 +468,13 @@ object PipelineQueries {
 
     // ANN quality evaluation: recall@5 of the IVF probe path against the
     // exact brute-force baseline, per query — the measurement loop every
-    // production ANN deployment runs when tuning nprobe/K. Scale: both
-    // sides are the already-bounded top-k pipelines; the comparison is a
+    // production ANN deployment runs when tuning nprobe/K. The synthetic
+    // `label` column is an arbitrary shard (not a learned quantizer), so
+    // recall here is honestly low (~nprobe/K-ish); swapping in
+    // Similarity.kmeans assignments as the coarse quantizer lifts it
+    // 0.32 -> 0.88 at the same probe budget (DedupSimilaritySpec) —
+    // exactly the production fix this measurement motivates. Scale: both sides
+    // are the already-bounded top-k pipelines; the comparison is a
     // k-row-per-query join, negligible next to them.
     "n4_ann_recall" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")

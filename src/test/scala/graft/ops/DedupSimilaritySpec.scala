@@ -112,6 +112,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(flat("cold") == out("cold")._1)
   }
 
+  test("kmeans coarse quantizer lifts IVF recall over the arbitrary label shard") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      exact.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / nExact
+    val labelRecall = recall(
+      Similarity.ivfTopK(e, queries, "vec_id", "embedding", "label", k = 5, nprobe = 2))
+    val km = Similarity.kmeans(e, "vec_id", "embedding", k = 20, iters = 5)
+      .withColumnRenamed("id", "vec_id")
+    val kmRecall = recall(
+      Similarity.ivfTopK(e.join(km, Seq("vec_id")), queries, "vec_id", "embedding",
+        "cluster", k = 5, nprobe = 2))
+    // same probe budget (2 of 20 partitions): a LEARNED quantizer must
+    // beat arbitrary sharding — this is the production answer to the
+    // honest low recall n4_ann_recall measures on `label`
+    info(f"label-IVF recall@5 = $labelRecall%.2f, kmeans-IVF recall@5 = $kmRecall%.2f")
+    assert(kmRecall > labelRecall,
+      s"kmeans-IVF recall $kmRecall must beat label-IVF recall $labelRecall")
+  }
+
   test("kmeans separates well-separated blobs and feeds ivfTopK") {
     val blobs = (
       (1L to 10L).map(i => (i, Array(10f + i * 0.01f, 0f, 0f), 0)) ++
