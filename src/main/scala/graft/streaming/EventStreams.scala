@@ -126,4 +126,25 @@ object EventStreams {
           }
       }
   }
+
+  /** Continuous upsert of a stream into a versioned store table: each
+    * micro-batch routes through the bucket-pruned
+    * [[graft.store.TableStore.merge]] (the foreachBatch-merge pattern
+    * Delta calls streaming MERGE). End-to-end exactly-once on replay
+    * comes from merge idempotence: re-merging a batch of (key, values)
+    * leaves the table unchanged (MergeSpec property), so a crash between
+    * the store commit and the checkpoint advance is safe.
+    *
+    * Scale: per-tick cost is the merge's O(batch + touchedBuckets) —
+    * independent of table size; state is only the file-source/offset
+    * checkpoint. */
+  def mergeSink(stream: DataFrame, store: graft.store.TableStore, table: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.merge(table, batch)
+      }
+      .start()
 }
