@@ -19,24 +19,34 @@ object CorpusOps {
     *
     * Scale: pure map stage — tokenize + per-chunk slice/join, no shuffle;
     * a doc with T tokens emits ⌈max(1, T−overlap)/(size−overlap)⌉ rows.
-    * The chunk-index `transform` re-evaluates the token split per chunk
-    * (array HOFs are interpreted), costing O(T·chunks) per doc — fine
-    * while chunks ≪ T; for pathological giant docs, pre-materialize the
-    * token array via a subquery boundary. */
+    * The token array is MATERIALIZED ONCE per document behind a
+    * projection boundary and the per-chunk lambda only slices the
+    * attribute — O(T) tokenizer work per doc, not O(T·chunks). The
+    * boundary survives optimization because the alias is referenced more
+    * than once (chunk count + slice + token count), which blocks
+    * CollapseProject from inlining the split back into the lambda
+    * (PlanSpec asserts the optimized plan tokenizes exactly once).
+    * `n_tokens` is derived arithmetically from the slice bounds (equal to
+    * the slice length by construction), not by re-tokenizing the joined
+    * chunk text. */
   def chunk(df: DataFrame, idCol: String, textCol: String,
       size: Int, overlap: Int = 0): DataFrame = {
     require(size > overlap && overlap >= 0, s"need size > overlap >= 0")
     val F = org.apache.spark.sql.functions // `size` param shadows functions.size
     val step = size - overlap
-    val toks = TA.tokens(col(textCol))
+    val tk = col("__tk")
     val nChunks = greatest(lit(1L),
-      ceil((F.size(toks).cast("long") - overlap).cast("double") / step).cast("long"))
-    df.select(col(idCol),
+      ceil((F.size(tk).cast("long") - overlap).cast("double") / step).cast("long"))
+    df.select(col(idCol), TA.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
         posexplode(transform(sequence(lit(0L), nChunks - 1), i =>
-          concat_ws(" ", slice(toks, (i * step + 1).cast("int"), lit(size))))))
+          struct(
+            concat_ws(" ", slice(tk, (i * step + 1).cast("int"), lit(size))).as("chunk_text"),
+            greatest(lit(0L), least(lit(size.toLong),
+              F.size(tk).cast("long") - i * step)).as("n_tokens")))))
       .select(col(idCol), col("pos").cast("long").as("chunk_id"),
-        col("col").as("chunk_text"),
-        F.size(TA.tokens(col("col"))).cast("long").as("n_tokens"))
+        col("col.chunk_text").as("chunk_text"),
+        col("col.n_tokens").as("n_tokens"))
   }
 
   /** Flag corpus documents sharing any token n-gram with a benchmark set
@@ -79,7 +89,6 @@ object CorpusOps {
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, fpp: Double = 0.01,
       portable: Boolean = true): DataFrame = {
-    val spark = corpus.sparkSession
     val corpusGrams = Dedup.shingleHashRows(corpus, idCol, textCol, n, portable = portable)
     // cached: the benchmark grams feed three consumers (count, bloom
     // build, exact verify join) and are the deliberately small side
@@ -88,12 +97,17 @@ object CorpusOps {
       .persist()
     val nGrams = benchGrams.count() // one job over the SMALL side only
     val bloom = benchGrams.stat.bloomFilter("__bench_h", math.max(1L, nGrams), fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    // a UDF is warranted here: no builtin expresses broadcast-Bloom
-    // membership, and the filter runs map-side precisely to AVOID the
-    // shuffle a join-based formulation would cost
-    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
-    val candidates = corpusGrams.filter(mightContain(col("h")))
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // native codegen'd probe (graft.spark.BloomContains) — the filter runs
+    // map-side precisely to AVOID the shuffle a join-based formulation
+    // would cost, and staying out of ScalaUDF keeps the scan stage inside
+    // whole-stage codegen (the engine's own standard for hot paths)
+    val candidates = corpusGrams.filter(
+      call_function("graft_bloom_contains", lit(bloomBytes), col("h")))
     val hits = candidates
       .join(benchGrams, col("h") === col("__bench_h")
         && col("id") =!= col("__bench_id"), "left_semi")

@@ -304,18 +304,36 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8,
       k: Int = 16, bands: Int = 8, shingleN: Int = 2,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame =
+    dropDuplicateClusters(df, idCol,
+      lshVerifiedPairs(df, idCol, textCol, minJaccard, k, bands, shingleN,
+        portable = true, maxBucketSize = maxBucketSize))
+
+  /** LSH candidate pairs exact-verified by true n-gram Jaccard — the
+    * OUTPUT-BOUNDED form of the standalone set-similarity query: the
+    * answer never exceeds the LSH candidate count, so it stays linear on
+    * near-dup-dense corpora where an unblocked [[ngramJaccardPairs]]
+    * grows quadratically. The exact verify runs only on docs appearing in
+    * some candidate pair (semi-join prune), then the verified pairs are
+    * intersected back with the candidate set. Returns
+    * (id_a, id_b, jaccard) with jaccard the TRUE distinct-shingle Jaccard
+    * (not the signature estimate). */
+  def lshVerifiedPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 2,
+      portable: Boolean = true,
       maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     val candidates = minhashLshPairs(df, idCol, textCol, k, bands, shingleN,
-      portable = true, maxBucketSize = maxBucketSize)
+      portable = portable, maxBucketSize = maxBucketSize)
     // exact verify only on candidate ids (semi-join prune), blocked by a
     // constant since candidate generation already did the blocking
     val candidateIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
     val pruned = df.join(candidateIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
       .withColumn("__all", lit(1))
-    val verified = ngramJaccardPairs(pruned, idCol, textCol, Seq("__all"), shingleN, minJaccard)
+    ngramJaccardPairs(pruned, idCol, textCol, Seq("__all"), shingleN, minJaccard)
       .join(candidates.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
-    dropDuplicateClusters(df, idCol, verified)
   }
 
   /** The embedding near-dup pipeline: SRP-LSH bucket candidates → exact

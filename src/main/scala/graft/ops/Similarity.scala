@@ -146,6 +146,76 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "qcos")
   }
 
+  /** IVF probe pruning composed with int8-quantized scanning and an exact
+    * re-rank — the IVF-PQ-style pipeline [[quantizedTopK]]'s scaladoc
+    * promises. Three bounded stages:
+    *
+    *  1. probe: top-`nprobe` coarse partitions per query by exact cosine
+    *     against the [[centroids]] (k_clusters rows, broadcast);
+    *  2. quantized scan: int8 codes of the probed partitions only —
+    *     nprobe/K of the corpus at a quarter of the float32 bandwidth —
+    *     keep the top-`shortK` candidates per query (integer MACs are
+    *     exact, so the shortlist is deterministic);
+    *  3. exact re-rank: the Q×shortK shortlist (broadcast — it is tiny by
+    *     construction) point-joins back to the full-precision vectors and
+    *     the final top-`k` is ordered by exact double cosine.
+    *
+    * Recall is bounded by stages 1–2 (probe coverage × quantization); the
+    * re-rank restores exact ORDERING within the candidates, which is what
+    * production IVF-PQ deployments run. `shortK` defaults to 4·k.
+    *
+    * Scale: the corpus is scanned once (codes only, within probed
+    * partitions); nothing all-pairs; the re-rank join's left side is
+    * query-bounded. With the corpus parquet partitioned by `groupCol`,
+    * stage 2's pruning happens at the scan. */
+  def ivfQuantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, groupCol: String,
+      k: Int, nprobe: Int, shortK: Int = 0): DataFrame = {
+    val sk = if (shortK > 0) shortK else 4 * k
+    require(sk >= k, s"shortK=$sk must be >= k=$k")
+    val cents = centroids(corpus, groupCol, idCol, vecCol)
+      .withColumn("c_nrm", VA.norm(col("centroid")))
+    // query side: exact (qv, qn) for probing + int8 codes (qa, na) for
+    // the quantized scan
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .withColumn("__s", VA.int8Scale(col("qv")))
+      .withColumn("qa", VA.quantizeInt8(col("qv"), col("__s")))
+      .withColumn("na", sqrt(VA.dot(col("qa"), col("qa"))))
+      .drop("__s")
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("c_cos").desc, col(groupCol))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", VA.dot(col("qv"), col("centroid")) / (col("qn") * col("c_nrm")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("qa"), col("na"), col(groupCol))
+    // corpus codes: the only full scan — int8 arrays, not the doubles
+    val codes = corpus.select(col(groupCol), col(idCol).as("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__s", VA.int8Scale(col("__v")))
+      .withColumn("qcv", VA.quantizeInt8(col("__v"), col("__s")))
+      .withColumn("qcn", sqrt(VA.dot(col("qcv"), col("qcv"))))
+      .select(col(groupCol), col("neighbor_id"), col("qcv"), col("qcn"))
+    val shortW = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
+    val shortlist = broadcast(probes).join(codes, Seq(groupCol))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos", VA.dot(col("qa"), col("qcv")) / (col("na") * col("qcn")))
+      .withColumn("q_rank", row_number().over(shortW))
+      .filter(col("q_rank") <= sk)
+      .select("query_id", "neighbor_id")
+    // exact re-rank: shortlist is Q·shortK rows — broadcast it against the
+    // corpus vectors so the corpus never shuffles
+    val qe = normalized(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val ce = normalized(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    ce.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .withColumn("cosine", VA.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Signed-random-projection bucket per row — join rows on `bucket` to
     * get cosine-similar candidate pairs without scanning the corpus. */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
@@ -157,31 +227,27 @@ object Similarity {
     * RNG — reproducible across runs); distance is squared L2.
     *
     * Scale: each iteration is one broadcast of k centroids + a map-side
-    * nearest-centroid assignment + one hash-aggregate for the new means —
-    * no quadratic work, no driver-side data beyond k×dim centroids.
+    * nearest-centroid assignment + the [[centroids]] hierarchical fold
+    * for the new means — ONE array aggregate regardless of dimension (no
+    * dim-wide column explosion at dim 768+), per-row materialization
+    * bounded by the fold's chunk size, no driver-side data beyond k×dim
+    * centroids. The sorted fold also makes every mean bit-deterministic
+    * (id-ordered additions), so a SQL oracle can replay the full training
+    * run exactly.
     *
     * @return (id, cluster) assignments; cluster ∈ [0, k). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 10): DataFrame = {
-    val spark = df.sparkSession
     val v = df.select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
     var cents: Array[Seq[Double]] = v.orderBy("id").limit(k)
       .collect().map(_.getSeq[Double](1))
     for (_ <- 1 to iters) {
       val centArr = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
       val assigned = v.withColumn("cluster", nearestIdx(col("v"), centArr))
-      val dims = cents.head.length
-      val sums = assigned.groupBy("cluster")
-        .agg(count(lit(1)).as("n"),
-          (0 until dims).map(d => sum(element_at(col("v"), d + 1)).as(s"s_$d")): _*)
-        .collect()
-      val byCluster = sums.map(r => r.getAs[Int]("cluster") -> r).toMap
+      val means = centroids(assigned, "cluster", "id", "v")
+        .collect() // k rows of (cluster, mean, n) — driver-bounded
+        .map(r => r.getAs[Int]("cluster") -> r.getSeq[Double](1)).toMap
       cents = cents.zipWithIndex.map { case (old, i) =>
-        byCluster.get(i) match {
-          case Some(r) =>
-            val n = r.getAs[Long]("n").toDouble
-            (0 until old.length).map(d => r.getAs[Double](s"s_$d") / n)
-          case None => old // empty cluster keeps its centroid
-        }
+        means.getOrElse(i, old) // empty cluster keeps its centroid
       }
     }
     val centArr = array(cents.map(c => array(c.map(lit(_)): _*)): _*)

@@ -68,6 +68,22 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 0, s"chunking must not hash-shuffle, found $shuffles:\n$p")
   }
 
+  test("chunking tokenizes each document exactly once (no per-chunk re-split)") {
+    val p = SparkEntry.queries("e11_chunking")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(p).size
+    assert(splits == 1,
+      s"expected ONE tokenizer in the optimized chunk plan (O(T) per doc), got $splits:\n$p")
+  }
+
+  test("bloom decontamination probes via the native expression, not a ScalaUDF") {
+    val p = plan("d7_bloom_decontam")
+    assert(p.contains("graft_bloom_contains"),
+      "expected the native codegen'd bloom probe in the corpus-side filter")
+    assert(!p.contains("ScalaUDF"),
+      "the 100 TB-side probe must not break whole-stage codegen with a UDF")
+  }
+
   test("repetition metrics are per-doc hash aggs with partials, nothing corpus-global") {
     val p = plan("e14_repetition")
     assert(p.contains("partial_count") || p.contains("partial_max") || p.contains("partial_sum"),
