@@ -52,6 +52,88 @@ object PipelineQueries {
        |  list_transform(embedding, cx$sfx -> CAST(cx$sfx AS DOUBLE)) AS v FROM embeddings),
        |normed AS (SELECT vec_id, label, v, ${dNorm("v", s"n$sfx")} AS nrm FROM vecs)""".stripMargin
 
+  /** DuckDB left-fold squared-L2 distance between two 64-dim double
+    * lists, in index order from 0.0 — mirrors `Similarity.nearestIdx`'s
+    * aggregate over `zip_with` exactly. */
+  private def dL2(a: String, b: String, sfx: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), li$sfx -> " +
+      s"(($a)[li$sfx] - ($b)[li$sfx]) * (($a)[li$sfx] - ($b)[li$sfx]))), " +
+      s"(la$sfx, lb$sfx) -> la$sfx + lb$sfx)"
+
+  /** DuckDB mirror of [[graft.ops.Similarity.centroids]]' HIERARCHICAL
+    * two-level fold (chunkSize 1024): vectors fold per 1024-row chunk in
+    * vec_id order, chunk sums fold in chunk order, divide by the group
+    * count — bit-identical to the Spark fold at ANY group size (not just
+    * groups that fit one chunk), so the oracle stays valid at scale
+    * factors where a group exceeds the chunk. Emits a SELECT producing
+    * (`grp`, centroid, n) from `src` rows (`grp`, vec_id, v). */
+  private def dCentroids(src: String, grp: String, sfx: String): String =
+    s"""SELECT $grp,
+       |    list_transform(range(1, 65), fd$sfx ->
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(css$sfx, cw$sfx -> cw$sfx[fd$sfx])),
+       |        (fa$sfx, fb$sfx) -> fa$sfx + fb$sfx) / nn$sfx) AS centroid,
+       |    nn$sfx AS n
+       |  FROM (
+       |    SELECT $grp, list(cs$sfx ORDER BY ch$sfx) AS css$sfx,
+       |      CAST(sum(cn$sfx) AS DOUBLE) AS nn$sfx
+       |    FROM (
+       |      SELECT $grp, ch$sfx,
+       |        list_transform(range(1, 65), cd$sfx ->
+       |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |            list_transform(vs$sfx, vw$sfx -> vw$sfx[cd$sfx])),
+       |            (ca$sfx, cb$sfx) -> ca$sfx + cb$sfx)) AS cs$sfx,
+       |        len(vs$sfx) AS cn$sfx
+       |      FROM (
+       |        SELECT $grp, ((rk$sfx - 1) // 1024) AS ch$sfx,
+       |          list(v ORDER BY rk$sfx) AS vs$sfx
+       |        FROM (SELECT $grp, v,
+       |            row_number() OVER (PARTITION BY $grp ORDER BY vec_id) AS rk$sfx
+       |          FROM $src)
+       |        GROUP BY 1, 2))
+       |    GROUP BY 1)""".stripMargin
+
+  /** DuckDB mirror of [[graft.ops.Similarity.kmeans]] — deterministic
+    * Lloyd's, unrolled: emits CTEs cent0..cent`iters` (requires a `vecs`
+    * CTE with (vec_id, v)). Init = first k vectors by ascending vec_id;
+    * assignment = first-wins argmin of the left-fold squared L2; means =
+    * the hierarchical [[dCentroids]] fold; empty clusters keep their
+    * centroid. Every operation replays the Spark plan's IEEE ops in the
+    * same order, so assignments (and therefore the downstream IVF answer)
+    * are bit-identical. */
+  private def dKmeans(k: Int, iters: Int): String = {
+    val init =
+      s"""cent0 AS (SELECT CAST(rn0 - 1 AS INTEGER) AS cluster, v AS centroid
+         |  FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn0 FROM vecs)
+         |  WHERE rn0 <= $k)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""asg$i AS (SELECT vec_id, v, cluster FROM (
+         |    SELECT va$i.vec_id, va$i.v, cc$i.cluster,
+         |      row_number() OVER (PARTITION BY va$i.vec_id
+         |        ORDER BY ${dL2(s"va$i.v", s"cc$i.centroid", s"z$i")}, cc$i.cluster) AS ar$i
+         |    FROM vecs va$i CROSS JOIN cent${i - 1} cc$i) WHERE ar$i = 1),
+         |mean$i AS (${dCentroids(s"asg$i", "cluster", s"m$i")}),
+         |cent$i AS (SELECT pp$i.cluster,
+         |    COALESCE(mm$i.centroid, pp$i.centroid) AS centroid
+         |  FROM cent${i - 1} pp$i LEFT JOIN mean$i mm$i ON pp$i.cluster = mm$i.cluster)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** DuckDB mirror of the int8 quantization pair
+    * [[graft.functions.VectorAnalytics.int8Scale]]/`quantizeInt8`:
+    * emits (codes list, norm) select items for a double-list column —
+    * same formula the hash-checked n3 oracle uses. */
+  private def dQuantize(v: String, sfx: String): String =
+    s"""CASE WHEN ${dScale(v, sfx)} = 0 THEN list_transform($v, zq$sfx -> CAST(0 AS DOUBLE))
+       |     ELSE list_transform($v, xq$sfx ->
+       |       least(greatest(floor(xq$sfx / ${dScale(v, sfx)} + 0.5), -127.0), 127.0)) END""".stripMargin
+
+  private def dScale(v: String, sfx: String): String =
+    s"(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($v, aq$sfx -> abs(aq$sfx))), " +
+      s"(b1$sfx, b2$sfx) -> greatest(b1$sfx, b2$sfx)) / 127.0)"
+
   // =========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
