@@ -173,6 +173,18 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // OUTPUT-BOUNDED near-dup verification — the form a 100 TB dedup job
+    // actually runs: LSH candidates (d2's exact parameters, skew guard
+    // included) exact-verified by true distinct-shingle Jaccard. Unlike
+    // the standalone d4 (whose answer grows quadratically on
+    // near-dup-dense corpora — the one sf5 oracle hole in SCALE.md), the
+    // answer here never exceeds the LSH candidate count.
+    "d4b_lsh_verified" -> { (s, dir) =>
+      Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.02, k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))
+        .orderBy("id_a", "id_b")
+    },
+
     // Embedding-cosine near-dup pairs, blocked by the coarse label.
     "d5_embed_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
@@ -586,6 +598,35 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // The PRODUCTION ANN path: a LEARNED coarse quantizer
+    // (Similarity.kmeans, deterministic Lloyd's) instead of the arbitrary
+    // `label` shard n2 probes. Same probe budget as n2 (2 of 20
+    // partitions) but recall jumps ~0.32 → ~0.88 (DedupSimilaritySpec)
+    // because probed partitions are actual neighborhoods. The oracle
+    // replays the ENTIRE training run (init → 5 Lloyd iterations →
+    // assignment) bit-exactly in DuckDB, so a green hash certifies the
+    // whole pipeline, not just the final scan.
+    "n5_ann_ivf_kmeans" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val km = Similarity.kmeans(e, "vec_id", "embedding", k = 20, iters = 5)
+        .withColumnRenamed("id", "vec_id")
+      Similarity.ivfTopK(e.join(km, Seq("vec_id")), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "cluster", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ-style three-stage ANN: centroid probe → int8-quantized scan
+    // of the probed partitions (quarter bandwidth) → exact re-rank of the
+    // 4k-candidate shortlist. The answer is output-bounded at every
+    // stage; the re-rank restores exact cosine ORDERING within the
+    // candidates (what production IVF-PQ deployments run).
+    "n6_ann_ivfpq" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfQuantizedTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- text analysis ----------------------------------------------------
 
     // Stopword-list language-ID with per-language scores (explode+agg
@@ -877,6 +918,35 @@ object PipelineQueries {
          |    AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.02 ORDER BY id_a, id_b""".stripMargin,
 
+    // d2's candidate CTEs (identical parameters, skew guard included)
+    // composed with d4's exact distinct-shingle Jaccard — verified pairs
+    // are the candidates whose TRUE Jaccard clears the threshold.
+    "d4b_lsh_verified" ->
+      s"""WITH $dToks,
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+         |         si -> ${dPhash("tk[si] || ' ' || tk[si+1]", "v")})) AS hs
+         |       FROM toks WHERE len(tk) >= 2),
+         |sigs AS (SELECT doc_id, list_transform(range(0, 16), pi ->
+         |    list_min(list_transform(hs, hv ->
+         |      (((1103515245*pi + 12345) % $P) * hv + ((1234567891*pi + 987654321) % $P)) % $P))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, bi AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[(bi*2+1):(bi*2+2)]),
+         |      (hb, vb) -> (hb*31+vb) % $P) AS bucket
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS bi)),
+         |bsz AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+         |  HAVING count(1) <= 8),
+         |pruned AS (SELECT bands.* FROM bands JOIN bsz USING (band, bucket)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_filter(a.hs, xe -> list_contains(b.hs, xe))) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+         |WHERE jaccard >= 0.02 ORDER BY id_a, id_b""".stripMargin,
+
     "d5_embed_neardup" ->
       s"""WITH ${dVecs("e")}
          |SELECT id_a, id_b, cosine FROM (
@@ -941,6 +1011,71 @@ object PipelineQueries {
          |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, qcos FROM (
          |  SELECT query_id, neighbor_id, qcos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Bit-exact replay of the FULL kmeans-IVF pipeline: [[dKmeans]]
+    // unrolls the 5 deterministic Lloyd iterations (init = first-20 by
+    // vec_id, first-wins argmin, hierarchical-fold means, empty clusters
+    // keep their centroid), asgf assigns every vector under the trained
+    // cent5, [[dCentroids]] rebuilds the probe centroids the Spark
+    // ivfTopK computes over the clustered corpus, then probe → scan →
+    // top-5 mirrors n2's oracle with `cluster` in place of `label`.
+    "n5_ann_ivf_kmeans" ->
+      s"""WITH ${dVecs("k")},
+         |${dKmeans(20, 5)},
+         |asgf AS (SELECT vec_id, v, cluster FROM (
+         |    SELECT vf.vec_id, vf.v, cf.cluster,
+         |      row_number() OVER (PARTITION BY vf.vec_id
+         |        ORDER BY ${dL2("vf.v", "cf.centroid", "zf")}, cf.cluster) AS arf
+         |    FROM vecs vf CROSS JOIN cent5 cf) WHERE arf = 1),
+         |ivfc AS (${dCentroids("asgf", "cluster", "vc")}),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM normed WHERE vec_id < 10),
+         |probes AS (SELECT query_id, qv, qn, cluster FROM (
+         |    SELECT q.query_id, q.qv, q.qn, c.cluster,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dDot("q.qv", "c.centroid", "r5")} / (q.qn * ${dNorm("c.centroid", "s5")}) DESC,
+         |          c.cluster) AS cr
+         |    FROM q CROSS JOIN ivfc c) WHERE cr <= 2),
+         |scored AS (SELECT query_id, n.vec_id AS neighbor_id,
+         |    ${dDot("p.qv", "n.v", "t5")} / (p.qn * n.nrm) AS cosine
+         |  FROM probes p JOIN asgf a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+         |    JOIN normed n ON n.vec_id = a.vec_id)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ mirror: [[dCentroids]] probe selection (n2's shape), int8
+    // codes via [[dQuantize]] (n3's shape) for the probed-partition scan,
+    // 4k-candidate shortlist by quantized cosine, exact-cosine re-rank.
+    "n6_ann_ivfpq" ->
+      s"""WITH ${dVecs("pq")},
+         |cent AS (${dCentroids("vecs", "label", "cq")}),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM normed WHERE vec_id < 10),
+         |probes AS (SELECT query_id, label FROM (
+         |    SELECT q.query_id, c.label,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dDot("q.qv", "c.centroid", "r6")} / (q.qn * ${dNorm("c.centroid", "s6")}) DESC,
+         |          c.label) AS cr
+         |    FROM q CROSS JOIN cent c) WHERE cr <= 2),
+         |c8 AS (SELECT vec_id, label, ${dQuantize("v", "q6")} AS q8 FROM vecs),
+         |n8 AS (SELECT vec_id, label, q8, sqrt(${dDot("q8", "q8", "n6")}) AS q8n FROM c8),
+         |qs AS (SELECT vec_id AS query_id, q8 AS qa, q8n AS na FROM n8 WHERE vec_id < 10),
+         |slist AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${dDot("s.qa", "c.q8", "sq")} / (s.na * c.q8n) DESC, c.vec_id) AS qr
+         |    FROM probes p JOIN qs s ON s.query_id = p.query_id
+         |      JOIN n8 c ON c.label = p.label AND c.vec_id <> p.query_id) WHERE qr <= 20),
+         |scored AS (SELECT sl.query_id, sl.neighbor_id,
+         |    ${dDot("q.qv", "n.v", "t6")} / (q.qn * n.nrm) AS cosine
+         |  FROM slist sl JOIN normed n ON n.vec_id = sl.neighbor_id
+         |    JOIN q ON q.query_id = sl.query_id)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, cosine FROM (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
          |  FROM scored) WHERE rnk <= 5
          |ORDER BY query_id, rank""".stripMargin,
 

@@ -173,6 +173,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(s - 1.0) < 1e-12)
   }
 
+  test("ivfQuantizedTopK: exact re-rank restores exact ordering at full probe coverage") {
+    // nprobe covers every partition and shortK exceeds the corpus, so the
+    // only approximation left is the quantized shortlist ORDER — which the
+    // exact re-rank must erase: result == brute force, cosines included
+    val q = vecs.filter(col("vec_id") === 1)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq
+    val pq = Similarity.ivfQuantizedTopK(vecs, q, "vec_id", "embedding", "label",
+        k = 3, nprobe = 2, shortK = 100)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(pq == exact, s"full-coverage IVF-PQ must equal brute force: $pq vs $exact")
+  }
+
+  test("ivfQuantizedTopK recall tracks plain IVF at the same probe budget (sf0.01)") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      exact.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / nExact
+    val ivf = recall(
+      Similarity.ivfTopK(e, queries, "vec_id", "embedding", "label", k = 5, nprobe = 2))
+    val ivfpq = recall(
+      Similarity.ivfQuantizedTopK(e, queries, "vec_id", "embedding", "label", k = 5, nprobe = 2))
+    info(f"label-IVF recall@5 = $ivf%.2f, IVF-PQ recall@5 = $ivfpq%.2f")
+    // identical probes — recall can only differ where the int8 shortlist
+    // (4k candidates) drops a true neighbor; on 64-dim data that is rare
+    assert(ivfpq >= ivf - 0.05,
+      s"IVF-PQ recall $ivfpq fell more than 0.05 below same-probe IVF $ivf")
+  }
+
+  test("lshVerifiedPairs: candidate-bounded with TRUE jaccard values") {
+    val verified = Dedup.lshVerifiedPairs(docs, "doc_id", "text", minJaccard = 0.5,
+        k = 16, bands = 8, shingleN = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified.contains((1L, 2L)) && verified((1L, 2L)) == 1.0,
+      s"exact dup pair must verify at jaccard 1.0: $verified")
+    val cands = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 8, shingleN = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.keySet.subsetOf(cands),
+      s"verified pairs must be a subset of LSH candidates: ${verified.keySet} vs $cands")
+  }
+
   test("srp buckets put near-identical vectors together") {
     val b = Similarity.srpBuckets(vecs, "vec_id", "embedding", planes = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
