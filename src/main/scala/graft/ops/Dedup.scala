@@ -313,27 +313,43 @@ object Dedup {
     * OUTPUT-BOUNDED form of the standalone set-similarity query: the
     * answer never exceeds the LSH candidate count, so it stays linear on
     * near-dup-dense corpora where an unblocked [[ngramJaccardPairs]]
-    * grows quadratically. The exact verify runs only on docs appearing in
-    * some candidate pair (semi-join prune), then the verified pairs are
-    * intersected back with the candidate set. Returns
-    * (id_a, id_b, jaccard) with jaccard the TRUE distinct-shingle Jaccard
-    * (not the signature estimate). */
+    * grows quadratically.
+    *
+    * Plan note: the intersection count is keyed by the CANDIDATE PAIR,
+    * not by the shared shingle. A shingle-keyed self-join (the
+    * [[ngramJaccardPairs]] plan with all candidate docs in one block)
+    * materializes a row for every co-shingled doc pair — a stopword
+    * 2-gram appearing in m docs explodes to m² rows, the exact quadratic
+    * blowup LSH exists to avoid (measured 36× the candidate-join cost at
+    * sf0.1). Joining candidates→shingles(id_a)→shingles(id_b) instead
+    * costs Σ_candidates |shingles(a)| — linear in candidates × doc
+    * length, and popular shingles only ever meet pairs LSH already
+    * nominated. Returns (id_a, id_b, jaccard) with jaccard the TRUE
+    * distinct-shingle Jaccard (not the signature estimate). */
   def lshVerifiedPairs(
       df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double,
       k: Int = 16, bands: Int = 8, shingleN: Int = 2,
       portable: Boolean = true,
       maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    require(minJaccard > 0, "minJaccard must be > 0 (zero-overlap pairs are never emitted)")
     val candidates = minhashLshPairs(df, idCol, textCol, k, bands, shingleN,
-      portable = portable, maxBucketSize = maxBucketSize)
-    // exact verify only on candidate ids (semi-join prune), blocked by a
-    // constant since candidate generation already did the blocking
-    val candidateIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
-    val pruned = df.join(candidateIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
-      .withColumn("__all", lit(1))
-    ngramJaccardPairs(pruned, idCol, textCol, Seq("__all"), shingleN, minJaccard)
-      .join(candidates.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+        portable = portable, maxBucketSize = maxBucketSize)
+      .select("id_a", "id_b")
+    val ex = shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
+      .dropDuplicates("id", "h") // jaccard is over DISTINCT shingle sets
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** The embedding near-dup pipeline: SRP-LSH bucket candidates → exact
