@@ -238,6 +238,12 @@ object Similarity {
     * @return (id, cluster) assignments; cluster ∈ [0, k). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 10): DataFrame = {
     val v = df.select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+    // Training runs 2 jobs per Lloyd iteration (assign + mean fold) plus
+    // the init scan — persist the projected working set once so those
+    // 2·iters+1 actions read the (id, v) cache instead of rescanning the
+    // source each time. MEMORY_AND_DISK: at 100 TB the projection is the
+    // two columns only, and spilling a partition beats a full re-scan.
+    v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Seq[Double]] = v.orderBy("id").limit(k)
       .collect().map(_.getSeq[Double](1))
     for (_ <- 1 to iters) {
@@ -250,6 +256,10 @@ object Similarity {
         means.getOrElse(i, old) // empty cluster keeps its centroid
       }
     }
+    // Drop the training cache before handing back the lazy assignment —
+    // the caller's one action re-derives the projection in a single scan
+    // (what every call paid per-job before), and no cache outlives us.
+    v.unpersist(blocking = false)
     val centArr = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
     v.select(col("id"), nearestIdx(col("v"), centArr).as("cluster"))
   }
