@@ -615,6 +615,33 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // recall@5 of the PRODUCTION (kmeans-quantized) IVF path vs the exact
+    // baseline — the learned-quantizer counterpart of n4. Same probe
+    // budget (2 of 20 partitions) but partitions are actual
+    // neighborhoods, so the recall column lands ~0.88 where n4's
+    // label-shard honestly reports ~0.32: the before/after of the
+    // production fix n4's comment motivates, both now oracle-checked.
+    "n7_ann_recall_kmeans" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val exact = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val km = Similarity.kmeans(e, "vec_id", "embedding", k = 20, iters = 5)
+        .withColumnRenamed("id", "vec_id")
+      val approx = Similarity
+        .ivfTopK(e.join(km, Seq("vec_id")), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "cluster", k = 5, nprobe = 2)
+        .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+      exact
+        .join(approx, col("query_id") === col("qa") && col("neighbor_id") === col("na"),
+          "left_outer")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"), count(col("na")).as("hits"))
+        .select(col("query_id"), col("hits"),
+          (col("hits").cast("double") / col("k").cast("double")).as("recall_at_5"))
+        .orderBy("query_id")
+    },
+
     // IVF-PQ-style three-stage ANN: centroid probe → int8-quantized scan
     // of the probed partitions (quarter bandwidth) → exact re-rank of the
     // 4k-candidate shortlist. The answer is output-bounded at every
@@ -1046,6 +1073,42 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
          |  FROM scored) WHERE rnk <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // recall mirror for the kmeans-IVF path: n5's full-training-replay
+    // CTE prefix (init → 5 Lloyd iterations → assignment) feeding n4's
+    // exact-vs-probed recall join.
+    "n7_ann_recall_kmeans" ->
+      s"""WITH ${dVecs("r7")},
+         |${dKmeans(20, 5)},
+         |asg7 AS (SELECT vec_id, v, cluster FROM (
+         |    SELECT v7.vec_id, v7.v, c7.cluster,
+         |      row_number() OVER (PARTITION BY v7.vec_id
+         |        ORDER BY ${dL2("v7.v", "c7.centroid", "z7")}, c7.cluster) AS ar7
+         |    FROM vecs v7 CROSS JOIN cent5 c7) WHERE ar7 = 1),
+         |ivf7 AS (${dCentroids("asg7", "cluster", "w7")}),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM normed WHERE vec_id < 10),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${dDot("qv", "c.v", "x7")} / (qn * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM q JOIN normed c ON c.vec_id <> query_id) WHERE rnk <= 5),
+         |probes AS (SELECT query_id, qv, qn, cluster FROM (
+         |    SELECT q.query_id, q.qv, q.qn, c.cluster,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${dDot("q.qv", "c.centroid", "p7")} / (q.qn * ${dNorm("c.centroid", "s7")}) DESC,
+         |          c.cluster) AS cr
+         |    FROM q CROSS JOIN ivf7 c) WHERE cr <= 2),
+         |iv AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, a.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${dDot("p.qv", "n.v", "t7")} / (p.qn * n.nrm) DESC, a.vec_id) AS rnk
+         |    FROM probes p JOIN asg7 a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+         |      JOIN normed n ON n.vec_id = a.vec_id) WHERE rnk <= 5)
+         |SELECT e.query_id, count(i.neighbor_id) AS hits,
+         |  CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS recall_at_5
+         |FROM ex e LEFT JOIN iv i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     // IVF-PQ mirror: [[dCentroids]] probe selection (n2's shape), int8
     // codes via [[dQuantize]] (n3's shape) for the probed-partition scan,
