@@ -47,7 +47,8 @@ object Dedup {
     * Values are bit-identical to hashing the joined shingle string. */
   private[graft] def shingleHashRows(
       df: DataFrame, idCol: String, textCol: String, n: Int,
-      extra: Seq[Column] = Nil, portable: Boolean = true): DataFrame = {
+      extra: Seq[Column] = Nil, portable: Boolean = true,
+      keepPos: Boolean = false): DataFrame = {
     val toks = df.select(
       (col(idCol).as("id") +: extra) :+ posexplode(TA.tokens(col(textCol))): _*)
       .withColumnRenamed("pos", "tokpos").withColumnRenamed("col", "tok")
@@ -71,7 +72,7 @@ object Dedup {
         toks.withColumn("h", sh)
           .filter(col("h").isNotNull) // docs shorter than n tokens emit nothing
       }
-    out.drop("tok", "tokpos")
+    if (keepPos) out.drop("tok") else out.drop("tok", "tokpos")
   }
 
   /** Exact dedup on a content hash: one representative (min of `idCol`)
@@ -198,6 +199,58 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact duplicated-SPAN detection — the "exact substring dedup" stage
+    * of training-data pipelines (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22 — public method): mark, inside
+    * each document, every maximal token span whose length-`n` grams ALL
+    * occur in at least `minDocs` distinct documents. Downstream pipelines
+    * cut (rather than drop) these spans — boilerplate, licenses, quoted
+    * passages — which document-level near-dup scoring never localizes.
+    *
+    * Plan (every stage key-parallel, output bounded by corpus tokens —
+    * never pair-quadratic, unlike emitting (doc_a, doc_b, span) pairs):
+    *  1. (id, tokpos, gram-hash) rows — the [[shingleHashRows]] plan
+    *     (tokenize ONCE, native per-token hash, window-composed n-gram
+    *     hash) with positions retained;
+    *  2. per-hash distinct-doc counts (two-stage agg, map-side partial);
+    *  3. flag positions whose gram clears `minDocs` (hash equi-join —
+    *     both sides derive from stage 1, so the exchange is reused);
+    *  4. merge flagged positions per doc into maximal spans with the
+    *     gap-tolerant islands trick: a new island starts when the gap to
+    *     the previous flagged gram exceeds n−1 — i.e. exactly when their
+    *     token ranges no longer touch — so emitted spans never overlap
+    *     (one per-doc window + agg, skew-free).
+    *
+    * Counting collides on the 61-bit gram hash, identically on the SQL
+    * oracle side — flagging is bit-reproducible.
+    *
+    * @return (doc_id, span_start, span_end, n_dup_grams): token-position
+    *   span [start, end] INCLUSIVE of the trailing n−1 tokens of its last
+    *   gram; n_dup_grams = flagged gram positions merged into the span. */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2, portable: Boolean = true): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would flag every position")
+    val grams = shingleHashRows(df, idCol, textCol, n,
+      portable = portable, keepPos = true)
+    val docCounts = grams.dropDuplicates("h", "id")
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val flagged = grams.join(docCounts, Seq("h"))
+    val w = Window.partitionBy("id").orderBy("tokpos")
+    flagged
+      // gap to the previous flagged gram; first row gets n (> n−1 → new island)
+      .withColumn("gap",
+        coalesce(col("tokpos") - lag(col("tokpos"), 1).over(w), lit(n)))
+      .withColumn("island",
+        sum(when(col("gap") > lit(n - 1), 1).otherwise(0)).over(w))
+      .groupBy(col("id").as("doc_id"), col("island"))
+      .agg(min(col("tokpos")).as("span_start"),
+        (max(col("tokpos")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select("doc_id", "span_start", "span_end", "n_dup_grams")
   }
 
   /** Connected components over a near-dup pair graph: groups transitive

@@ -185,6 +185,17 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Exact duplicated-SPAN detection (Lee et al. ACL'22 substring
+    // dedup): maximal token spans whose 5-grams all occur in ≥2 docs —
+    // the cut-don't-drop stage that localizes boilerplate/quotes inside
+    // otherwise-unique documents. Output bounded by corpus tokens (one
+    // row per maximal span), never pair-quadratic.
+    "d9_dup_spans" -> { (s, dir) =>
+      Dedup.duplicatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text",
+          n = 5, minDocs = 2)
+        .orderBy("doc_id", "span_start")
+    },
+
     // Embedding-cosine near-dup pairs, blocked by the coarse label.
     "d5_embed_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
@@ -973,6 +984,31 @@ object PipelineQueries {
          |      / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
          |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
          |WHERE jaccard >= 0.02 ORDER BY id_a, id_b""".stripMargin,
+
+    // duplicated-span mirror: 1-indexed 5-gram positions hashed with the
+    // same polynomial hash, per-hash distinct-doc counts, flagged
+    // positions merged into maximal spans by the same gap>n−1 rule
+    // (DuckDB's default running-sum window frame matches Spark's).
+    "d9_dup_spans" ->
+      s"""WITH $dToks,
+         |grams AS (SELECT doc_id, sg,
+         |    ${dPhash("tk[sg] || ' ' || tk[sg+1] || ' ' || tk[sg+2] || ' ' || tk[sg+3] || ' ' || tk[sg+4]", "g9")} AS h
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS sg) gp
+         |  WHERE len(tk) >= 5),
+         |hits AS (SELECT h FROM (SELECT h, doc_id FROM grams GROUP BY h, doc_id)
+         |  GROUP BY h HAVING count(1) >= 2),
+         |flagged AS (SELECT g.doc_id, g.sg FROM grams g JOIN hits USING (h)),
+         |isl AS (SELECT doc_id, sg,
+         |    sum(CASE WHEN gap > 4 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY sg) AS island
+         |  FROM (SELECT doc_id, sg,
+         |      coalesce(sg - lag(sg) OVER (PARTITION BY doc_id ORDER BY sg), 5) AS gap
+         |    FROM flagged))
+         |SELECT doc_id, CAST(min(sg) - 1 AS INTEGER) AS span_start,
+         |  CAST(max(sg) + 3 AS INTEGER) AS span_end,
+         |  count(1) AS n_dup_grams
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "d5_embed_neardup" ->
       s"""WITH ${dVecs("e")}

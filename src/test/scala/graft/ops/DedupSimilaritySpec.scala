@@ -218,6 +218,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"verified pairs must be a subset of LSH candidates: ${verified.keySet} vs $cands")
   }
 
+  test("duplicatedSpans: localizes shared runs, merges overlaps, requires minDocs distinct docs") {
+    val d = Seq(
+      // 1/2 share a 6-token run (two overlapping 5-grams → ONE merged span each)
+      (1L, "alpha beta gamma delta epsilon zeta u1 u2 u3"),
+      (2L, "p1 p2 alpha beta gamma delta epsilon zeta t1"),
+      (3L, "totally unrelated words here nothing shared at all"),
+      // 6/7 share two runs separated by 5 unshared tokens (gap 10 > n−1 → disjoint spans)
+      (6L, "c1 c2 c3 c4 c5 g1 g2 g3 g4 g5 d1 d2 d3 d4 d5"),
+      (7L, "c1 c2 c3 c4 c5 h1 h2 h3 h4 h5 d1 d2 d3 d4 d5"),
+      // 8: the same 5-gram twice WITHIN one doc — not cross-doc duplication
+      (8L, "r1 r2 r3 r4 r5 x r1 r2 r3 r4 r5"),
+      // 11 shares gram@0 with 12 and gram@2 with 13, gram@1 with nobody:
+      // flagged positions 0 and 2 (gap 2 ≤ n−1) must merge into one span
+      (11L, "x1 x2 x3 x4 x5 y1 y2"),
+      (12L, "x1 x2 x3 x4 x5 zz1 zz2"),
+      (13L, "qq x3 x4 x5 y1 y2")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(spans.contains((1L, 0, 5, 2L)) && spans.contains((2L, 2, 7, 2L)),
+      s"shared 6-token run must merge to one span per doc: $spans")
+    assert(spans.contains((6L, 0, 4, 1L)) && spans.contains((6L, 10, 14, 1L)),
+      s"runs separated beyond n−1 stay disjoint: $spans")
+    assert(spans.contains((11L, 0, 6, 2L)),
+      s"flagged grams at gap ≤ n−1 merge even when matched by different docs: $spans")
+    assert(!spans.exists(s => s._1 == 8L || s._1 == 3L),
+      s"within-doc repetition and unique docs must not be flagged: $spans")
+    assert(spans.count(_._1 == 6L) == 2 && spans.count(_._1 == 1L) == 1)
+  }
+
   test("srp buckets put near-identical vectors together") {
     val b = Similarity.srpBuckets(vecs, "vec_id", "embedding", planes = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
