@@ -193,4 +193,44 @@ object CorpusOps {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Unigram-LM surprise per document — the perplexity-style quality
+    * filter of CCNet-descended pipelines (Wenzek et al., "CCNet",
+    * LREC'20 — public method), scored against a vocabulary learned from
+    * the corpus itself: rare-/unknown-token-heavy documents (gibberish,
+    * mojibake, wrong-language) score high bits-per-token and get cut.
+    *
+    * Bit-exactness: token surprise is the INTEGER floor-log2
+    * approximation `bitlen(total) − bitlen(count)` (bitlen via the
+    * binary-string length of the count — exact integer arithmetic on any
+    * engine), not IEEE `log2` whose last-ulp rounding differs across
+    * engines and would break hash-compared oracles. Monotone in 1/count,
+    * within 1 bit of true −log2 p — ordering-faithful for filtering.
+    * OOV tokens score as count 1 (Laplace floor).
+    *
+    * Scale: token counting is an explode + two-stage hash agg (map-side
+    * partials absorb stopword skew); the vocabulary is a top-`vocabSize`
+    * TakeOrdered (bounded, deterministic: count desc, token asc) that
+    * BROADCASTS to the scoring join, so the 100 TB-side scan never
+    * shuffles on the token; per-doc aggregation shuffles on the id only.
+    *
+    * @return (idCol, n_tokens, n_oov, bits_total, bits_per_token). */
+  def unigramBits(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 30000): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(TA.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val vocab = counts.orderBy(desc("n"), asc("tok")).limit(vocabSize)
+    val total = counts.agg(sum(col("n")).as("total"))
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left_outer")
+      .crossJoin(broadcast(total))
+      .withColumn("bits", bitlen(col("total")) - bitlen(coalesce(col("n"), lit(1L))))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("bits")).as("bits_total"))
+      .withColumn("bits_per_token",
+        col("bits_total").cast("double") / col("n_tokens").cast("double"))
+  }
 }

@@ -799,6 +799,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style unigram-LM surprise filter: bits-per-token against a
+    // corpus-learned top-5000 vocabulary. Integer floor-log2 surprise
+    // (see CorpusOps.unigramBits) so the oracle hash-matches — IEEE log2
+    // would drift a ulp between engines. 5000 keeps real OOV mass at
+    // every test sf.
+    "e16_unigram_bits" -> { (s, dir) =>
+      graft.ops.CorpusOps.unigramBits(
+          Tables.load(s, dir, "documents"), "doc_id", "text", vocabSize = 5000)
+        .orderBy("doc_id")
+    },
+
     // Approximate sketches (HLL++ distinct, quantile sketch). The raw
     // estimates are engine-specific and can't hash-match another engine,
     // so the query emits exact values PLUS within-epsilon booleans
@@ -1660,6 +1671,26 @@ object PipelineQueries {
          |  (cum - n_tokens) // 512 AS start_block,
          |  (cum - 1) // 512 AS end_block
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // unigram-surprise mirror: same corpus-learned top-5000 vocabulary
+    // (count desc, token asc — the deterministic cut), same integer
+    // bitlen arithmetic via the binary-string length, one final double
+    // division (single IEEE op, bit-identical on both engines).
+    "e16_unigram_bits" ->
+      s"""WITH $dToks,
+         |tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         |counts AS (SELECT tok, CAST(count(1) AS BIGINT) AS n FROM tok GROUP BY tok),
+         |vocab AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 5000),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+         |SELECT doc_id,
+         |  CAST(count(1) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(length(bin(t.total)) - length(bin(coalesce(v.n, 1)))) AS BIGINT)
+         |    AS bits_total,
+         |  CAST(CAST(sum(length(bin(t.total)) - length(bin(coalesce(v.n, 1)))) AS BIGINT)
+         |      AS DOUBLE) / CAST(count(1) AS DOUBLE) AS bits_per_token
+         |FROM tok LEFT JOIN vocab v USING (tok) CROSS JOIN tot t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // exact side of the sketch-bound check: the booleans assert Spark's
     // sketch estimates sit within ε of Spark's own exact aggregates, so

@@ -65,6 +65,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       "fixture should contain both contaminated and clean docs")
   }
 
+  test("unigramBits: rare/OOV-heavy docs score more bits than common-token docs") {
+    // "common" appears 40×; each rare_i once; vocabSize=3 keeps
+    // {common, and, filler} in-vocab and pushes every rare_i to OOV
+    val docs = ((1L to 10L).map(i => (i, "common and filler common and filler")) ++
+      Seq((11L, "rare1 rare2 rare3 rare4 rare5 rare6"))).toDF("doc_id", "text")
+    val out = CorpusOps.unigramBits(docs, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    val (nTokCommon, oovCommon, bitsCommon) = out(1L)
+    val (nTokRare, oovRare, bitsRare) = out(11L)
+    assert(nTokCommon == 6 && nTokRare == 6)
+    assert(oovCommon == 0, "top-3 vocab covers the common doc entirely")
+    assert(oovRare == 6, "every rare token is OOV at vocabSize=3")
+    assert(bitsRare > bitsCommon,
+      s"OOV-heavy doc must score more bits/token ($bitsRare vs $bitsCommon)")
+    // surprise ordering within vocab: bitlen(total)-bitlen(count); the
+    // common doc's tokens each appear 20+ times → strictly under the
+    // Laplace-floor OOV surprise bitlen(total)-1
+    assert(out.filterKeys(_ <= 10L).values.forall(_._3 == bitsCommon),
+      "identical docs score identically")
+  }
+
   test("stratified sample is deterministic and respects k per stratum") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
