@@ -114,4 +114,21 @@ class PlanSpec extends AnyFunSuite {
       "delta aggregation should be two-phase")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("unigram surprise broadcasts the vocabulary — corpus scan never shuffles on token") {
+    val p = plan("e16_unigram_bits")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "vocab must broadcast to the scoring join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no shuffle join on the token column expected")
+    assert(p.contains("partial_count"),
+      "token counting must be two-phase (map-side partials absorb stopword skew)")
+  }
+
+  test("duplicated spans: hash-keyed flag join, no cartesian, native gram hash") {
+    val p = plan("d9_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "flagging must equi-join on the gram hash")
+    assert(p.contains("graft_phash"), "gram hashing must use the native expression")
+  }
 }
