@@ -194,6 +194,38 @@ object CorpusOps {
       .drop("__rk")
   }
 
+  /** Token-budget data mixing — subsample each source to a target token
+    * budget, the operation that turns raw per-source corpora into a
+    * training mix at chosen ratios (web : books : code : …). Documents
+    * are taken in the same deterministic pseudo-random order as
+    * [[stratifiedSample]] (portable hash of the id — layout-independent,
+    * no RNG state, oracle-replayable) until the source's budget is
+    * reached; the document that crosses the boundary is kept, so every
+    * budget > 0 yields at least one document.
+    *
+    * Scale: one tokenize-count map stage, one shuffle on the source for
+    * the per-source running sum — the window is per-shard exactly like
+    * [[packSequences]], never a global sort. Sources with no entry in
+    * `budgets` pass through whole (defaultBudget).
+    *
+    * @return (idCol, sourceCol, n_tokens, cum_tokens) of kept docs;
+    *   cum_tokens = running total within the source in pick order. */
+  def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    val n = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+      size(TA.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col("src") === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy("src")
+      .orderBy(TA.phash(col("id").cast("string")), col("id"))
+    n.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("id").as(idCol), col("src").as(sourceCol),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Unigram-LM surprise per document — the perplexity-style quality
     * filter of CCNet-descended pipelines (Wenzek et al., "CCNet",
     * LREC'20 — public method), scored against a vocabulary learned from

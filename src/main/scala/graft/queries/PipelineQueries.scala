@@ -799,6 +799,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Token-budget data mixing: the per-source training-mix cut in
+    // deterministic hash order, with UNEQUAL budgets (src0 is downweighted
+    // to 300 tokens, src1 upweighted to 900, everything else 600) so both
+    // the per-source budget lookup and the boundary-crossing keep rule
+    // are exercised. ~1300 tokens/source at test sf → every source cuts.
+    "e17_token_mix" -> { (s, dir) =>
+      graft.ops.CorpusOps.tokenBudgetMix(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+          budgets = Map("src0" -> 300L, "src1" -> 900L), defaultBudget = 600L)
+        .orderBy("doc_id")
+    },
+
     // CCNet-style unigram-LM surprise filter: bits-per-token against a
     // corpus-learned top-5000 vocabulary. Integer floor-log2 surprise
     // (see CorpusOps.unigramBits) so the oracle hash-matches — IEEE log2
@@ -1671,6 +1683,21 @@ object PipelineQueries {
          |  (cum - n_tokens) // 512 AS start_block,
          |  (cum - 1) // 512 AS end_block
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // token-mix mirror: same deterministic hash pick order as e12's,
+    // per-source running token sum, keep docs starting under the budget
+    "e17_token_mix" ->
+      s"""WITH $dToks,
+         |n AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY ${dPhash("CAST(doc_id AS VARCHAR)", "tm")}, doc_id) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM n)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens <
+         |  CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 900 ELSE 600 END
+         |ORDER BY doc_id""".stripMargin,
 
     // unigram-surprise mirror: same corpus-learned top-5000 vocabulary
     // (count desc, token asc — the deterministic cut), same integer

@@ -87,6 +87,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       "identical docs score identically")
   }
 
+  test("tokenBudgetMix respects per-source budgets, keeps the crossing doc, layout-independent") {
+    // 10 docs × 4 tokens per source → 40 tokens; budget 10 keeps docs
+    // while cum−n < 10: picks at cum 4 and 8 start under, the cum-12 doc
+    // crosses the boundary and is kept → exactly 3 docs / 12 tokens
+    val docs = (1L to 20L).map(i =>
+      (i, "tok tok tok tok", if (i <= 10) "a" else "b")).toDF("doc_id", "text", "source")
+    val mix = CorpusOps.tokenBudgetMix(docs, "doc_id", "text", "source",
+      budgets = Map("a" -> 10L), defaultBudget = 100L)
+    val rows = mix.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(rows.count(_._2 == "a") == 3, s"budget 10 over 4-token docs keeps 3: ${rows.toSeq}")
+    assert(rows.filter(_._2 == "a").map(_._3).max == 12, "crossing doc is kept")
+    assert(rows.count(_._2 == "b") == 10, "default budget 100 keeps all 40 tokens of b")
+    val relaid = CorpusOps.tokenBudgetMix(docs.repartition(7), "doc_id", "text", "source",
+      budgets = Map("a" -> 10L), defaultBudget = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(rows.toSet == relaid.toSet, "pick must not depend on physical layout")
+  }
+
   test("stratified sample is deterministic and respects k per stratum") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
