@@ -253,6 +253,42 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_dup_grams")
   }
 
+  /** Apply [[duplicatedSpans]] cuts — the surgery stage of substring
+    * dedup: remove every flagged token span from each document and
+    * re-emit the cleaned text (whitespace-normalized: tokens rejoined
+    * with single spaces). Documents whose every token is flagged come
+    * back with empty text rather than disappearing — a corpus cut must
+    * be auditable row-for-row against its input.
+    *
+    * Scale: flagged positions explode to at most the corpus token count
+    * (spans are disjoint by construction); the anti-join is hash-keyed
+    * on (id, position); reassembly is one per-doc aggregate whose
+    * collect_list is bounded by the document's own length — the same
+    * per-doc bound every tokenizing op here already carries.
+    *
+    * @param spans output of [[duplicatedSpans]] for the SAME df.
+    * @return (idCol, clean_text, n_tokens_kept, n_tokens_cut). */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val flagged = spans.select(col("doc_id").as("id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("tokpos"))
+    val toks = df.select(col(idCol).as("id"), posexplode(TA.tokens(col(textCol))))
+      .withColumnRenamed("pos", "tokpos").withColumnRenamed("col", "tok")
+    val kept = toks.join(flagged, Seq("id", "tokpos"), "left_anti")
+      .groupBy("id")
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("tokpos"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    df.select(col(idCol).as("id"),
+        size(TA.tokens(col(textCol))).cast("long").as("__n_total"))
+      .join(kept, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__n_total") - coalesce(col("n_tokens_kept"), lit(0L))).as("n_tokens_cut"))
+  }
+
   /** Connected components over a near-dup pair graph: groups transitive
     * duplicate candidates into clusters labeled by their minimum member
     * id (the canonical representative a dedup pipeline keeps).

@@ -196,6 +196,15 @@ object PipelineQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // The surgery stage downstream of d9: cut every flagged span and
+    // re-emit cleaned text, auditable row-for-row (fully-cut docs come
+    // back empty, not missing).
+    "d10_cut_spans" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5, minDocs = 2)
+      Dedup.cutSpans(docs, "doc_id", "text", spans).orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup pairs, blocked by the coarse label.
     "d5_embed_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1032,6 +1041,38 @@ object PipelineQueries {
          |  count(1) AS n_dup_grams
          |FROM isl GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    // cut mirror: d9's span CTEs re-derived, span token positions
+    // exploded, anti-joined away, text rebuilt with an ordered string_agg
+    "d10_cut_spans" ->
+      s"""WITH $dToks,
+         |grams AS (SELECT doc_id, sg,
+         |    ${dPhash("tk[sg] || ' ' || tk[sg+1] || ' ' || tk[sg+2] || ' ' || tk[sg+3] || ' ' || tk[sg+4]", "ca")} AS h
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS sg) gp
+         |  WHERE len(tk) >= 5),
+         |hits AS (SELECT h FROM (SELECT h, doc_id FROM grams GROUP BY h, doc_id)
+         |  GROUP BY h HAVING count(1) >= 2),
+         |flagged AS (SELECT g.doc_id, g.sg FROM grams g JOIN hits USING (h)),
+         |isl AS (SELECT doc_id, sg,
+         |    sum(CASE WHEN gap > 4 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY sg) AS island
+         |  FROM (SELECT doc_id, sg,
+         |      coalesce(sg - lag(sg) OVER (PARTITION BY doc_id ORDER BY sg), 5) AS gap
+         |    FROM flagged)),
+         |spans AS (SELECT doc_id, min(sg) AS s_start, max(sg) + 4 AS s_end
+         |  FROM isl GROUP BY doc_id, island),
+         |spanpos AS (SELECT doc_id, unnest(range(s_start, s_end + 1)) AS p FROM spans),
+         |tokpos AS (SELECT doc_id, sg AS p, tk[sg] AS tok
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS sg) g2),
+         |kept AS (SELECT t.doc_id, t.p, t.tok FROM tokpos t
+         |  ANTI JOIN spanpos s ON t.doc_id = s.doc_id AND t.p = s.p),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         |    CAST(count(1) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+         |  CAST(len(d.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_cut
+         |FROM toks d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "d5_embed_neardup" ->
       s"""WITH ${dVecs("e")}

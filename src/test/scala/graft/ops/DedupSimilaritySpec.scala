@@ -248,6 +248,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(spans.count(_._1 == 6L) == 2 && spans.count(_._1 == 1L) == 1)
   }
 
+  test("cutSpans removes flagged spans, keeps clean text, empties fully-flagged docs") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta u1 u2 u3"),
+      (2L, "p1 p2 alpha beta gamma delta epsilon zeta t1"),
+      (3L, "totally unrelated words here nothing shared at all"),
+      (11L, "x1 x2 x3 x4 x5 y1 y2"),
+      (12L, "x1 x2 x3 x4 x5 zz1 zz2"),
+      (13L, "qq x3 x4 x5 y1 y2")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", n = 5, minDocs = 2)
+    val out = Dedup.cutSpans(d, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("u1 u2 u3", 3L, 6L)), s"shared prefix cut: ${out(1L)}")
+    assert(out(2L) == (("p1 p2 t1", 3L, 6L)), s"shared middle cut: ${out(2L)}")
+    assert(out(3L)._3 == 0L && out(3L)._1.startsWith("totally"),
+      "unique doc untouched")
+    assert(out(11L) == (("", 0L, 7L)),
+      s"fully-flagged doc comes back EMPTY, not missing: ${out(11L)}")
+    assert(out.size == 6, "every input row present in the cut output")
+  }
+
   test("srp buckets put near-identical vectors together") {
     val b = Similarity.srpBuckets(vecs, "vec_id", "embedding", planes = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
