@@ -265,4 +265,57 @@ object CorpusOps {
       .withColumn("bits_per_token",
         col("bits_total").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Bigram conditional-surprise per document — the order-2 upgrade of
+    * [[unigramBits]]: each token is scored by how surprising it is GIVEN
+    * the previous token, which separates fluent text from bag-of-frequent-
+    * words spam that an order-1 model scores as fine. Backoff to the
+    * unigram model (same Laplace floor as [[unigramBits]]) when the bigram
+    * is outside the learned table.
+    *
+    * Bit-exactness: same integer floor-log2 scheme as [[unigramBits]] —
+    * in-table bigrams cost `bitlen(count(prev)) − bitlen(count(prev,cur))`
+    * (≈ −log2 p(cur|prev)), backoff costs `bitlen(total) −
+    * bitlen(count(cur) or 1)`. All-integer, so oracle hash-compares hold.
+    *
+    * Scale: bigram pair formation is a pure MAP inside the token array
+    * (slice + element_at — no self-join, no window over corpus tokens);
+    * counting is explode + two-stage hash aggs; both model tables are
+    * bounded TakeOrdered (count desc, gram asc — deterministic) that
+    * BROADCAST to the scoring joins, so the corpus-side rows never
+    * shuffle on token content; the final aggregation shuffles on the doc
+    * id only. Documents with <2 tokens emit no bigrams and drop out.
+    *
+    * @return (idCol, n_bigrams, n_backoff, bits_total, bits_per_bigram). */
+  def bigramBits(df: DataFrame, idCol: String, textCol: String,
+      bigramVocab: Int = 100000, unigramVocab: Int = 30000): DataFrame = {
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val pairs = df
+      .select(col(idCol).as("id"), TA.tokens(col(textCol)).as("tk"))
+      .select(col("id"), explode(transform(
+        slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+        (p, i) => struct(p.as("prev"), element_at(col("tk"), i + 2).as("cur")))).as("bg"))
+      .select(col("id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bgCounts = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("bn"))
+    val ctx = pairs.groupBy("prev").agg(count(lit(1)).as("cn"))
+    val bgModel = bgCounts.orderBy(desc("bn"), asc("prev"), asc("cur"))
+      .limit(bigramVocab).join(ctx, Seq("prev"))
+    val toks = df.select(explode(TA.tokens(col(textCol))).as("tok"))
+    val uniCounts = toks.groupBy("tok").agg(count(lit(1)).as("un"))
+    val uniVocab = uniCounts.orderBy(desc("un"), asc("tok")).limit(unigramVocab)
+    val total = uniCounts.agg(sum(col("un")).as("total"))
+    pairs
+      .join(broadcast(bgModel), Seq("prev", "cur"), "left_outer")
+      .join(broadcast(uniVocab), col("cur") === col("tok"), "left_outer")
+      .crossJoin(broadcast(total))
+      .withColumn("bits", when(col("bn").isNotNull,
+          bitlen(col("cn")) - bitlen(col("bn")))
+        .otherwise(bitlen(col("total")) - bitlen(coalesce(col("un"), lit(1L)))))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("bn").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum(col("bits")).as("bits_total"))
+      .withColumn("bits_per_bigram",
+        col("bits_total").cast("double") / col("n_bigrams").cast("double"))
+  }
 }

@@ -74,4 +74,41 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("qid", "doc_id", "score", "rank")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09 —
+    * public method): fuse N ranked lists into one, score(q, d) =
+    * Σ_lists 1/(k0 + rank). The standard way to combine the lexical
+    * ([[bm25TopK]]) and semantic ([[Similarity.bruteForceTopK]] /
+    * `ivfTopK`) views of a corpus without score calibration — only
+    * ranks cross lists, never raw scores.
+    *
+    * Bit-determinism: each contribution is one exactly-rounded IEEE
+    * division; per-(query, doc) contributions fold in LIST-INDEX order
+    * (same sorted-struct trick as [[bm25TopK]]), so the fused score is
+    * bit-identical on any cluster layout and in the oracle.
+    *
+    * Scale: inputs are already top-k lists, so every stage is bounded by
+    * queries × k × #lists rows — the union/agg/window never see corpus-
+    * sized data.
+    *
+    * @param ranked ranked lists, each with columns (qid, doc_id, rank).
+    * @return (qid, doc_id, rrf, rank), rank <= topK per query. */
+  def rrfFuse(ranked: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(ranked.nonEmpty, "need at least one ranked list")
+    val tagged = ranked.zipWithIndex.map { case (df, i) =>
+      df.select(col("qid").cast("long").as("qid"), col("doc_id").cast("long").as("doc_id"),
+        struct(lit(i).as("l"),
+          (lit(1.0) / (lit(k0.toDouble) + col("rank").cast("double"))).as("c")).as("tc"))
+    }
+    val fused = tagged.reduce(_ unionByName _)
+      .groupBy("qid", "doc_id")
+      .agg(array_sort(collect_list(col("tc"))).as("tcs"))
+      .select(col("qid"), col("doc_id"),
+        aggregate(col("tcs"), lit(0.0), (acc, x) => acc + x.getField("c")).as("rrf"))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("qid", "doc_id", "rrf", "rank")
+  }
 }

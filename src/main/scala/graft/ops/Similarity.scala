@@ -264,6 +264,29 @@ object Similarity {
     v.select(col("id"), nearestIdx(col("v"), centArr).as("cluster"))
   }
 
+  /** Cluster-balanced (topic-balanced) subsample: assign every vector to
+    * a learned [[kmeans]] cluster, then keep the `perCluster` rows of each
+    * cluster with the smallest portable-hash of their id — the embedding-
+    * space counterpart of [[CorpusOps.stratifiedSample]]. This is the
+    * data-mixing step that keeps a subsampled training corpus TOPICALLY
+    * balanced instead of letting the head topics dominate a uniform draw.
+    *
+    * Deterministic end to end (kmeans init/means are id-ordered and the
+    * pick order is the portable hash), so an oracle can replay it.
+    *
+    * Scale: kmeans cost is the trainer's (k·dim driver state only); the
+    * sample itself is one shuffle on the cluster id + per-partition
+    * top-k — no global sort, no RNG state.
+    *
+    * @return (idCol, cluster) of kept rows. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, perCluster: Int): DataFrame = {
+    val km = kmeans(df, idCol, vecCol, k, iters)
+    CorpusOps.stratifiedSample(
+      km.select(col("id").as(idCol), col("cluster")),
+      Seq("cluster"), idCol, perCluster)
+  }
+
   /** Index of the nearest centroid (squared L2, first-wins ties). */
   private def nearestIdx(v: Column, centArr: Column): Column = {
     val dists = transform(centArr, c =>

@@ -461,6 +461,34 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     },
 
+    // Hybrid retrieval: RRF fusion of the lexical (BM25 over text) and
+    // semantic (exact cosine over the aligned embeddings) views of three
+    // seed documents — the related-document / hard-negative-mining query.
+    // The BM25 list self-filters (the seed IS a corpus doc and would rank
+    // first) and re-ranks 1..10 before fusing; the ANN side excludes self
+    // by construction. Only RANKS cross the fusion, so no score
+    // calibration — and each fused score is one division + one ordered
+    // fold, bit-exact in the oracle.
+    "r2_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val seeds = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      val lex = graft.ops.Retrieval.bm25TopK(docs, seeds,
+          "doc_id", "text", "qid", "qtext", k = 11, idf = "odds")
+        .filter(col("doc_id") =!= col("qid"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("rank"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("qid", "doc_id", "rank")
+      val sem = Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lex, sem), k0 = 60, topK = 10)
+        .orderBy("qid", "rank")
+    },
+
     // Deterministic stratified sampling: 7 docs per (lang, source) by
     // portable-hash order — reproducible mixture control without RNG.
     "e12_stratified_sample" -> { (s, dir) =>
@@ -674,6 +702,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Cluster-balanced subsampling: 10 vectors per learned kmeans cluster
+    // in deterministic hash order — the topic-balanced training-mix draw
+    // (head topics can't dominate the subsample the way they dominate a
+    // uniform draw). Same quantizer hyper-parameters as n5/n7 so the
+    // oracle reuses the bit-exact kmeans training replay.
+    "n8_cluster_sample" -> { (s, dir) =>
+      Similarity.clusterBalancedSample(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 20, iters = 5, perCluster = 10)
+        .orderBy("cluster", "vec_id")
+    },
+
     // ---- text analysis ----------------------------------------------------
 
     // Stopword-list language-ID with per-language scores (explode+agg
@@ -828,6 +867,19 @@ object PipelineQueries {
     "e16_unigram_bits" -> { (s, dir) =>
       graft.ops.CorpusOps.unigramBits(
           Tables.load(s, dir, "documents"), "doc_id", "text", vocabSize = 5000)
+        .orderBy("doc_id")
+    },
+
+    // Order-2 upgrade of e16: bigram conditional surprise with unigram
+    // backoff — catches bag-of-frequent-words spam an order-1 model
+    // scores as fluent. Same all-integer bitlen arithmetic; pair
+    // formation is a pure map inside the token array (no self-join).
+    // Table sizes (2000 bigrams / 5000 unigrams) keep real backoff mass
+    // at every test sf.
+    "e18_bigram_bits" -> { (s, dir) =>
+      graft.ops.CorpusOps.bigramBits(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          bigramVocab = 2000, unigramVocab = 5000)
         .orderBy("doc_id")
     },
 
@@ -1242,6 +1294,23 @@ object PipelineQueries {
          |  FROM scored) WHERE rnk <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
+    // cluster-balanced sample mirror: the n5 kmeans training replay +
+    // final assignment, then the e12 deterministic hash-order pick
+    // per cluster instead of per (lang, source).
+    "n8_cluster_sample" ->
+      s"""WITH ${dVecs("cb")},
+         |${dKmeans(20, 5)},
+         |asgb AS (SELECT vec_id, cluster FROM (
+         |    SELECT vb.vec_id, cb2.cluster,
+         |      row_number() OVER (PARTITION BY vb.vec_id
+         |        ORDER BY ${dL2("vb.v", "cb2.centroid", "zb")}, cb2.cluster) AS arb
+         |    FROM vecs vb CROSS JOIN cent5 cb2) WHERE arb = 1)
+         |SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY ${dPhash("CAST(vec_id AS VARCHAR)", "cb")}, vec_id) AS rk
+         |  FROM asgb) WHERE rk <= 10
+         |ORDER BY cluster, vec_id""".stripMargin,
+
     "e1_langid" -> {
       val counts = TA.stopwords.map { case (l, ws) =>
         val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1544,6 +1613,59 @@ object PipelineQueries {
         |SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
+    // hybrid-RRF mirror: r1's BM25 shape with the three seed documents as
+    // queries (k=11, self-filtered, re-ranked 1..10), n1's exact-cosine
+    // shape for the semantic side, then the rank-only fusion — each fused
+    // score is one division per list + an index-ordered fold, so the
+    // doubles hash-match.
+    "r2_hybrid_rrf" ->
+      s"""WITH dtoks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(1) AS DOUBLE) AS tf FROM dtoks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(count(1) AS DOUBLE) AS dl FROM dtoks GROUP BY 1),
+         |gl AS (SELECT CAST(count(1) AS DOUBLE) AS n, sum(dl) AS tot FROM dl),
+         |dft AS (SELECT term, CAST(count(1) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT doc_id AS qid, text AS qtext FROM documents WHERE doc_id < 3),
+         |qt AS (SELECT qid, unnest(list_distinct(regexp_split_to_array(trim(qtext), '\\s+'))) AS term FROM q),
+         |contribs AS (SELECT qid, doc_id,
+         |    {'t': qt.term, 'c': ((n - df + 0.5) / (df + 0.5)) *
+         |      (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (tot / n))))} AS tc
+         |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN gl),
+         |bmsc AS (SELECT qid, doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(tc)), xb -> xb.c)), (ab, vb) -> ab + vb) AS score
+         |  FROM contribs GROUP BY qid, doc_id),
+         |bmr AS (SELECT qid, doc_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS r FROM bmsc),
+         |lex AS (SELECT qid, doc_id, CAST(row_number() OVER (
+         |      PARTITION BY qid ORDER BY r) AS BIGINT) AS rank
+         |    FROM (SELECT * FROM bmr WHERE r <= 11 AND doc_id <> qid)),
+         |lex10 AS (SELECT qid, doc_id, rank FROM lex WHERE rank <= 10),
+         |${dVecs("rf")},
+         |qv AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM normed WHERE vec_id < 3),
+         |semsc AS (SELECT qid, c.vec_id AS doc_id,
+         |    ${dDot("qv", "c.v", "rr")} / (qn * c.nrm) AS cosine
+         |  FROM qv JOIN normed c ON c.vec_id <> qid),
+         |sem10 AS (SELECT qid, doc_id, rank FROM (
+         |    SELECT qid, doc_id, CAST(row_number() OVER (
+         |      PARTITION BY qid ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank FROM semsc)
+         |  WHERE rank <= 10),
+         |allc AS (
+         |  SELECT qid, doc_id, {'l': 0, 'c': CAST(1.0 AS DOUBLE) /
+         |    (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE))} AS fc FROM lex10
+         |  UNION ALL
+         |  SELECT qid, doc_id, {'l': 1, 'c': CAST(1.0 AS DOUBLE) /
+         |    (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE))} AS fc FROM sem10),
+         |fused AS (SELECT qid, doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(fc)), xf -> xf.c)), (af, vf) -> af + vf) AS rrf
+         |  FROM allc GROUP BY qid, doc_id)
+         |SELECT qid, doc_id, rrf, rank FROM (
+         |  SELECT qid, doc_id, rrf, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM fused)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "e12_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM (
          |  SELECT doc_id, lang, source, row_number() OVER (
@@ -1758,6 +1880,42 @@ object PipelineQueries {
          |  CAST(CAST(sum(length(bin(t.total)) - length(bin(coalesce(v.n, 1)))) AS BIGINT)
          |      AS DOUBLE) / CAST(count(1) AS DOUBLE) AS bits_per_token
          |FROM tok LEFT JOIN vocab v USING (tok) CROSS JOIN tot t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram-surprise mirror: pairs built positionally inside the token
+    // list (range is end-exclusive, lists 1-indexed — same (tk[i],
+    // tk[i+1]) pairs as the Spark-side slice/element_at map), the same
+    // deterministic top-N cuts (count desc, gram asc), and the same
+    // integer bitlen scoring with unigram backoff.
+    "e18_bigram_bits" ->
+      s"""WITH $dToks,
+         |big AS (SELECT doc_id, u.prev AS prev, u.cur AS cur FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |      ib -> {'prev': tk[ib], 'cur': tk[ib + 1]})) AS u FROM toks)),
+         |bgc AS (SELECT prev, cur, CAST(count(1) AS BIGINT) AS bn
+         |        FROM big GROUP BY prev, cur),
+         |ctx AS (SELECT prev, CAST(count(1) AS BIGINT) AS cn FROM big GROUP BY prev),
+         |bgm AS (SELECT b.prev, b.cur, b.bn, c.cn FROM
+         |    (SELECT prev, cur, bn FROM bgc ORDER BY bn DESC, prev, cur LIMIT 2000) b
+         |    JOIN ctx c USING (prev)),
+         |tok AS (SELECT unnest(tk) AS tok FROM toks),
+         |uc AS (SELECT tok, CAST(count(1) AS BIGINT) AS un FROM tok GROUP BY tok),
+         |uv AS (SELECT tok, un FROM uc ORDER BY un DESC, tok LIMIT 5000),
+         |tot AS (SELECT CAST(sum(un) AS BIGINT) AS total FROM uc)
+         |SELECT doc_id,
+         |  CAST(count(1) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN m.bn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+         |  CAST(sum(CASE WHEN m.bn IS NOT NULL
+         |               THEN length(bin(m.cn)) - length(bin(m.bn))
+         |               ELSE length(bin(t.total)) - length(bin(coalesce(v.un, 1)))
+         |          END) AS BIGINT) AS bits_total,
+         |  CAST(CAST(sum(CASE WHEN m.bn IS NOT NULL
+         |               THEN length(bin(m.cn)) - length(bin(m.bn))
+         |               ELSE length(bin(t.total)) - length(bin(coalesce(v.un, 1)))
+         |          END) AS BIGINT) AS DOUBLE) / CAST(count(1) AS DOUBLE)
+         |    AS bits_per_bigram
+         |FROM big g LEFT JOIN bgm m ON g.prev = m.prev AND g.cur = m.cur
+         |  LEFT JOIN uv v ON g.cur = v.tok CROSS JOIN tot t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // exact side of the sketch-bound check: the booleans assert Spark's

@@ -115,4 +115,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s1 == s2, "sample must not depend on physical layout")
     assert(s1.count(_.getString(1) == "en") == 5 && s1.count(_.getString(1) == "de") == 5)
   }
+
+  test("bigramBits: hand-checked bits, unigram backoff outside the bigram table") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // bigram counts: (a,b):3 (b,a):1 (b,c):1 (b,x):1; ctx: a:3 b:3
+    // unigrams: a:3 b:3 c:1 x:1 z:1, total 9; bitlen: 3→2, 1→1, 9→4
+    val full = CorpusOps.bigramBits(docs, "doc_id", "text",
+        bigramVocab = 100, unigramVocab = 100)
+      .orderBy("doc_id").collect()
+    // doc 3 has one token → no bigrams → drops out
+    assert(full.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // doc1: (a,b)=2-2=0, (b,a)=2-1=1, (a,b)=0, (b,c)=2-1=1 → 2 bits
+    assert(full(0).getAs[Long]("n_bigrams") == 4L)
+    assert(full(0).getAs[Long]("n_backoff") == 0L)
+    assert(full(0).getAs[Long]("bits_total") == 2L)
+    // doc2: (a,b)=0, (b,x)=1
+    assert(full(1).getAs[Long]("bits_total") == 1L)
+    // bigramVocab=1 keeps only (a,b) (count desc, gram asc): the rest
+    // back off to unigrams: doc1 (b,a)→4-2=2, (b,c)→4-1=3 → 5 bits
+    val cut = CorpusOps.bigramBits(docs, "doc_id", "text",
+        bigramVocab = 1, unigramVocab = 100)
+      .orderBy("doc_id").collect()
+    assert(cut(0).getAs[Long]("n_backoff") == 2L)
+    assert(cut(0).getAs[Long]("bits_total") == 5L)
+    // fluent repetition scores fewer bits/bigram than shuffled tokens
+    assert(full(0).getAs[Double]("bits_per_bigram") < 1.0)
+  }
 }

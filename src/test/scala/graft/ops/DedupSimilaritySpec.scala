@@ -157,6 +157,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.subsetOf((11L to 20L).toSet), s"probe must stay in the y-axis blob: $out")
   }
 
+  test("clusterBalancedSample caps every cluster and samples within it") {
+    // unbalanced blobs: 30 on the x-axis, 5 on the y-axis
+    val blobs = (
+      (1L to 30L).map(i => (i, Array(10f + i * 0.01f, 0f, 0f))) ++
+      (31L to 35L).map(i => (i, Array(0f, 10f + i * 0.01f, 0f)))
+    ).toDF("vec_id", "embedding")
+    val picked = Similarity.clusterBalancedSample(
+      blobs, "vec_id", "embedding", k = 2, iters = 5, perCluster = 4).collect()
+    val byCluster = picked.groupBy(_.getAs[Int]("cluster")).view.mapValues(
+      _.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(byCluster.size == 2)
+    // the 30-vector cluster is capped at 4; the 5-vector one too
+    assert(byCluster.values.forall(_.size == 4), s"got $byCluster")
+    // picks stay within their blob (kmeans is deterministic, so the two
+    // clusters ARE the two blobs) and the head blob cannot dominate
+    val xs = (1L to 30L).toSet; val ys = (31L to 35L).toSet
+    assert(byCluster.values.exists(_.subsetOf(xs)) &&
+      byCluster.values.exists(_.subsetOf(ys)), s"got $byCluster")
+    // deterministic re-run
+    val again = Similarity.clusterBalancedSample(
+      blobs, "vec_id", "embedding", k = 2, iters = 5, perCluster = 4)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"))).toSet
+    assert(again == picked.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"))).toSet)
+  }
+
   test("quantized top-k matches exact ranking on well-separated vectors") {
     val q = vecs.filter(col("vec_id") === 1)
     val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)

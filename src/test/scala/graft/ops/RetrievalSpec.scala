@@ -53,4 +53,21 @@ class RetrievalSpec extends AnyFunSuite {
       k = 10, idf = "odds").orderBy("qid", "rank").collect().map(_.getDouble(2)).toSeq
     assert(a == b, "scores must be bit-deterministic across runs")
   }
+
+  test("rrfFuse: overlap wins, scores are the exact reciprocal-rank sums") {
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "doc_id", "rank")
+    val sem = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("qid", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, sem), k0 = 60, topK = 10)
+      .orderBy("rank").collect()
+    // doc 11 is in both lists → 1/61 + 1/62; 10 → 1/61; 12 → 1/62
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(11L, 10L, 12L))
+    assert(out(0).getAs[Double]("rrf") == 1.0 / 61 + 1.0 / 62)
+    assert(out(1).getAs[Double]("rrf") == 1.0 / 61)
+    assert(out(2).getAs[Double]("rrf") == 1.0 / 62)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    // single-list fusion preserves the input ordering
+    val solo = Retrieval.rrfFuse(Seq(lex), k0 = 60, topK = 10)
+      .orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(solo == Seq(10L, 11L))
+  }
 }

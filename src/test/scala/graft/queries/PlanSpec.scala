@@ -131,4 +131,23 @@ class PlanSpec extends AnyFunSuite {
       "flagging must equi-join on the gram hash")
     assert(p.contains("graft_phash"), "gram hashing must use the native expression")
   }
+
+  test("bigram surprise broadcasts both model tables; pair formation is map-side") {
+    val p = plan("e18_bigram_bits")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "bigram table and unigram backoff vocab must both broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus-side rows must never shuffle on token content")
+    assert(p.contains("partial_count"),
+      "gram counting must be two-phase (map-side partials)")
+  }
+
+  test("hybrid RRF: no corpus-sized shuffle joins downstream of the two rankers") {
+    val p = plan("r2_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"),
+      "fusion is a union of bounded top-k lists, never a cross join")
+    // the BM25 posting joins are term-keyed; the ANN query side broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "the bounded query/top-k sides must broadcast")
+  }
 }
