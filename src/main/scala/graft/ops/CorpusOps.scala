@@ -194,6 +194,33 @@ object CorpusOps {
       .drop("__rk")
   }
 
+  /** [[stratifiedSample]]'s hot-strata scale path: the same deterministic
+    * k-per-stratum pick computed with the native bounded top-k aggregate
+    * (`graft_topk_min`) instead of a window. The window form SORTS each
+    * stratum in full to keep k rows; this form keeps a k-element heap per
+    * stratum with map-side partial aggregation, so per-stratum state is
+    * O(k) on every executor and the shuffle carries ≤ k·partitions rows
+    * per stratum — a 10⁹-row stratum never materializes or sorts.
+    *
+    * Identical output to [[stratifiedSample]] (same hash, same ordering):
+    * hash ties resolve by the id rendered as a zero-padded string, which
+    * for non-negative numeric ids equals numeric order. `pad` must cover
+    * the widest id (default 20 digits = any uint64); set `pad = 0` for
+    * string ids (plain byte order).
+    *
+    * @return (strata..., idCol) — idCol cast back to its input type. */
+  def stratifiedSampleAgg(df: DataFrame, strata: Seq[String], idCol: String,
+      k: Int, pad: Int = 20): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val idStr = col(idCol).cast("string")
+    val payload = if (pad > 0) lpad(idStr, pad, "0") else idStr
+    df.groupBy(strata.map(col): _*)
+      .agg(call_function("graft_topk_min", TA.phash(idStr), payload, lit(k))
+        .as("__picks"))
+      .select(strata.map(col) :+ explode(col("__picks")).as("__p"): _*)
+      .select(strata.map(col) :+ col("__p.payload").cast(idType).as(idCol): _*)
+  }
+
   /** Token-budget data mixing — subsample each source to a target token
     * budget, the operation that turns raw per-source corpora into a
     * training mix at chosen ratios (web : books : code : …). Documents

@@ -498,6 +498,17 @@ object PipelineQueries {
         .orderBy("lang", "source", "doc_id")
     },
 
+    // The hot-strata scale path of e12: same deterministic sample via the
+    // native bounded top-k aggregate (O(k) heap per stratum, map-side
+    // partials) instead of a full per-stratum window sort. Same oracle
+    // as e12 — the two forms must be indistinguishable by result.
+    "e19_sample_agg" -> { (s, dir) =>
+      graft.ops.CorpusOps.stratifiedSampleAgg(Tables.load(s, dir, "documents"),
+          Seq("lang", "source"), "doc_id", k = 7)
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "source", "doc_id")
+    },
+
     // Pivot (conditional aggregation with an explicit value list).
     "a8_pivot" -> { (s, dir) =>
       val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -1671,6 +1682,16 @@ object PipelineQueries {
          |  SELECT doc_id, lang, source, row_number() OVER (
          |    PARTITION BY lang, source
          |    ORDER BY ${dPhash("CAST(doc_id AS VARCHAR)", "ss")}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 7
+         |ORDER BY lang, source, doc_id""".stripMargin,
+
+    // the bounded-heap form must be result-identical to the window form,
+    // so its oracle IS e12's query
+    "e19_sample_agg" ->
+      s"""SELECT doc_id, lang, source FROM (
+         |  SELECT doc_id, lang, source, row_number() OVER (
+         |    PARTITION BY lang, source
+         |    ORDER BY ${dPhash("CAST(doc_id AS VARCHAR)", "sa")}, doc_id) AS rk
          |  FROM documents) WHERE rk <= 7
          |ORDER BY lang, source, doc_id""".stripMargin,
 

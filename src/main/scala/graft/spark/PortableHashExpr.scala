@@ -85,5 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => BloomContains(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk_min"),
+      new ExpressionInfo(classOf[TopKMinAgg].getName, "graft_topk_min"),
+      (children: Seq[Expression]) => TopKMinAgg(children(0), children(1), children(2))))
   }
 }

@@ -142,4 +142,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     // fluent repetition scores fewer bits/bigram than shuffled tokens
     assert(full(0).getAs[Double]("bits_per_bigram") < 1.0)
   }
+
+  test("stratifiedSampleAgg is result-identical to the window sampler") {
+    // skewed strata: one hot stratum (900 rows), one cold (30)
+    val docs = spark.range(0, 930)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 900, "hot").otherwise("cold").as("src"))
+    val win = CorpusOps.stratifiedSample(docs, Seq("src"), "doc_id", k = 9)
+      .select("src", "doc_id").orderBy("src", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val agg = CorpusOps.stratifiedSampleAgg(docs, Seq("src"), "doc_id", k = 9)
+      .select("src", "doc_id").orderBy("src", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(agg == win, "bounded-heap sampler must be indistinguishable by result")
+    assert(agg.count(_._1 == "hot") == 9 && agg.count(_._1 == "cold") == 9)
+    // id type round-trips through the padded payload
+    assert(agg.forall(_._2 >= 0L))
+    // string ids with pad=0: plain byte order ties
+    val sdocs = Seq(("k1", "en"), ("k2", "en"), ("k3", "en")).toDF("doc_id", "lang")
+    val sagg = CorpusOps.stratifiedSampleAgg(sdocs, Seq("lang"), "doc_id", k = 2, pad = 0)
+    assert(sagg.collect().length == 2)
+    assert(sagg.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
 }

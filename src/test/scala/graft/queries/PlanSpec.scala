@@ -142,6 +142,14 @@ class PlanSpec extends AnyFunSuite {
       "gram counting must be two-phase (map-side partials)")
   }
 
+  test("agg sampler: bounded native top-k heap, no per-stratum window sort") {
+    val p = plan("e19_sample_agg")
+    assert(p.contains("graft_topk_min"), "must aggregate with the native bounded heap")
+    assert(p.contains("partial_graft_topk_min"),
+      "map-side partial aggregation expected (per-partition state is O(k))")
+    assert(!p.contains("Window"), "the window form's full stratum sort must be gone")
+  }
+
   test("hybrid RRF: no corpus-sized shuffle joins downstream of the two rankers") {
     val p = plan("r2_hybrid_rrf")
     assert(!p.contains("CartesianProduct"),
