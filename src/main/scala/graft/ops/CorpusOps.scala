@@ -293,6 +293,48 @@ object CorpusOps {
         col("bits_total").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Hashing-trick TF-IDF document vectors (Weinberger et al., "Feature
+    * Hashing for Large Scale Multitask Learning", ICML'09 — public
+    * method): each token lands in bucket `phash(token) mod dim`, weighted
+    * tf · odds-idf, summed per bucket. Bridges the text side of the
+    * library to its vector side — [[Similarity]]'s ANN / near-dup /
+    * clustering operators work on text-only corpora without an external
+    * embedding model, at a FIXED dim chosen up front (no vocabulary
+    * dictionary to build, ship, or keep consistent across a 100 TB run).
+    *
+    * Bit-determinism: odds idf `(N − df + 0.5)/(df + 0.5)` (no log —
+    * every arithmetic step exactly rounded, same trick as
+    * [[Retrieval.bm25TopK]]), per-bucket contributions folded in sorted
+    * token order, so vectors are identical on any layout and in oracles.
+    *
+    * Scale: tf is an explode + hash agg keyed by (doc, token); document
+    * frequencies are vocabulary-bounded and join on the token; the
+    * per-doc vector assembly shuffles on the doc id only. Nothing is
+    * corpus-global except the broadcast doc count.
+    *
+    * @return (idCol, vec array<double> of length dim). */
+  def hashingTfidf(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val toks = df.select(col(idCol).as("id"), explode(TA.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val n = df.agg(count(lit(1)).cast("double").as("n"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf.join(dft, "tok").crossJoin(broadcast(n))
+      .select(col("id"), (TA.phash(col("tok")) % dim).as("bucket"),
+        struct(col("tok").as("t"),
+          (col("tf") * ((col("n") - col("df") + 0.5) / (col("df") + 0.5))).as("c")).as("tc"))
+    val bucketVals = contrib.groupBy("id", "bucket")
+      .agg(array_sort(collect_list(col("tc"))).as("tcs"))
+      .select(col("id"), col("bucket"),
+        aggregate(col("tcs"), lit(0.0), (a, x) => a + x.getField("c")).as("v"))
+    bucketVals.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("id").as(idCol),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("vec"))
+  }
+
   /** Bigram conditional-surprise per document — the order-2 upgrade of
     * [[unigramBits]]: each token is scored by how surprising it is GIVEN
     * the previous token, which separates fluent text from bag-of-frequent-

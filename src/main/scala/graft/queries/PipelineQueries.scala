@@ -509,6 +509,22 @@ object PipelineQueries {
         .orderBy("lang", "source", "doc_id")
     },
 
+    // Hashing-trick TF-IDF vectors: text → fixed-dim vector inside the
+    // engine (no external embedding model, no vocabulary dictionary),
+    // emitted exploded (doc, bucket, value) for a 50-doc slice so every
+    // double is hash-compared (array columns don't sort portably in the
+    // compare harness). dim=32 forces real bucket collisions, exercising
+    // the sorted per-bucket fold.
+    "e20_hash_tfidf" -> { (s, dir) =>
+      graft.ops.CorpusOps.hashingTfidf(
+          Tables.load(s, dir, "documents"), "doc_id", "text", dim = 32)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(col("vec")))
+        .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+          col("col").as("value"))
+        .orderBy("doc_id", "bucket")
+    },
+
     // Pivot (conditional aggregation with an explicit value list).
     "a8_pivot" -> { (s, dir) =>
       val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -1684,6 +1700,30 @@ object PipelineQueries {
          |    ORDER BY ${dPhash("CAST(doc_id AS VARCHAR)", "ss")}, doc_id) AS rk
          |  FROM documents) WHERE rk <= 7
          |ORDER BY lang, source, doc_id""".stripMargin,
+
+    // feature-hashing mirror: same phash-mod bucketing, same odds idf
+    // (log-free, exactly rounded), per-bucket folds in sorted token
+    // order; missing buckets densified to 0.0 via a range cross join
+    "e20_hash_tfidf" ->
+      s"""WITH htoks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+         |htf AS (SELECT doc_id, tok, CAST(count(1) AS DOUBLE) AS tf
+         |        FROM htoks GROUP BY 1, 2),
+         |hn AS (SELECT CAST(count(1) AS DOUBLE) AS n FROM documents),
+         |hdf AS (SELECT tok, CAST(count(1) AS DOUBLE) AS df FROM htf GROUP BY 1),
+         |hcon AS (SELECT doc_id, ${dPhash("tok", "hf")} % 32 AS bucket,
+         |    {'t': tok, 'c': tf * ((n - df + 0.5) / (df + 0.5))} AS tc
+         |  FROM htf JOIN hdf USING (tok) CROSS JOIN hn),
+         |hbv AS (SELECT doc_id, bucket,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(tc)), xh -> xh.c)), (ah, vh) -> ah + vh) AS v
+         |  FROM hcon GROUP BY doc_id, bucket)
+         |SELECT d.doc_id AS doc_id, CAST(r.range AS BIGINT) AS bucket,
+         |  coalesce(hbv.v, CAST(0.0 AS DOUBLE)) AS value
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+         |CROSS JOIN range(32) r
+         |LEFT JOIN hbv ON hbv.doc_id = d.doc_id AND hbv.bucket = r.range
+         |ORDER BY d.doc_id, bucket""".stripMargin,
 
     // the bounded-heap form must be result-identical to the window form,
     // so its oracle IS e12's query

@@ -143,6 +143,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(full(0).getAs[Double]("bits_per_bigram") < 1.0)
   }
 
+  test("hashingTfidf: hand-checked weights; near-dup texts are cosine-nearest") {
+    // N=2; df a:2 b:1 c:1 → odds idf a=0.2, b=1.0, c=1.0
+    // doc1 tf a:2,b:1 → contributions a→0.4, b→1.0; doc2 a:1,c:1 → 0.2, 1.0
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val dim = 8
+    val vecs = CorpusOps.hashingTfidf(docs, "doc_id", "text", dim)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def bucket(t: String) =
+      (graft.spark.PortableHash.hashBytes(t.getBytes("UTF-8")) % dim).toInt
+    assert(vecs(1L).length == dim && vecs(2L).length == dim)
+    assert(math.abs(vecs(1L).sum - 1.4) < 1e-12)
+    assert(math.abs(vecs(2L).sum - 1.2) < 1e-12)
+    assert(vecs(1L)(bucket("a")) == 0.4 || bucket("a") == bucket("b"))
+    assert(vecs(2L)(bucket("a")) == 0.2 || bucket("a") == bucket("c"))
+    // composition: text -> vector -> ANN finds the near-duplicate
+    val corpus = Seq(
+      (10L, "spark shuffles data across the cluster nodes"),
+      (11L, "spark shuffles data across the cluster machines"),
+      (12L, "an entirely different cooking recipe for pasta")).toDF("doc_id", "text")
+    val fv = CorpusOps.hashingTfidf(corpus, "doc_id", "text", 64)
+    val nn = Similarity.bruteForceTopK(fv, fv.filter(col("doc_id") === 10L),
+        "doc_id", "vec", k = 1)
+      .head().getAs[Long]("neighbor_id")
+    assert(nn == 11L, "the near-duplicate text must be cosine-nearest")
+  }
+
   test("stratifiedSampleAgg is result-identical to the window sampler") {
     // skewed strata: one hot stratum (900 rows), one cold (30)
     val docs = spark.range(0, 930)
