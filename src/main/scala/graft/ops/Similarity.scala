@@ -247,8 +247,7 @@ object Similarity {
     var cents: Array[Seq[Double]] = v.orderBy("id").limit(k)
       .collect().map(_.getSeq[Double](1))
     for (_ <- 1 to iters) {
-      val centArr = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
-      val assigned = v.withColumn("cluster", nearestIdx(col("v"), centArr))
+      val assigned = v.withColumn("cluster", nearestIdx(col("v"), cents))
       val means = centroids(assigned, "cluster", "id", "v")
         .collect() // k rows of (cluster, mean, n) — driver-bounded
         .map(r => r.getAs[Int]("cluster") -> r.getSeq[Double](1)).toMap
@@ -260,8 +259,7 @@ object Similarity {
     // the caller's one action re-derives the projection in a single scan
     // (what every call paid per-job before), and no cache outlives us.
     v.unpersist(blocking = false)
-    val centArr = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
-    v.select(col("id"), nearestIdx(col("v"), centArr).as("cluster"))
+    v.select(col("id"), nearestIdx(col("v"), cents).as("cluster"))
   }
 
   /** Cluster-balanced (topic-balanced) subsample: assign every vector to
@@ -287,10 +285,18 @@ object Similarity {
       Seq("cluster"), idCol, perCluster)
   }
 
-  /** Index of the nearest centroid (squared L2, first-wins ties). */
-  private def nearestIdx(v: Column, centArr: Column): Column = {
-    val dists = transform(centArr, c =>
-      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0), (s, d) => s + d))
+  /** Index of the nearest centroid (squared L2, first-wins ties).
+    *
+    * Centroids are plan-time literals, so the k distances unroll into k
+    * native `graft_l2sq` calls — a codegen'd subtract-multiply-add loop
+    * per centroid with the same fold order as the previous HOF form
+    * (`aggregate(zip_with(...))`), which interpreted three lambda frames
+    * per element and made assignment the kmeans-training hot path.
+    * Bit-identical results (same op sequence), ~an order of magnitude
+    * less per-row overhead at k·dim scale. */
+  private def nearestIdx(v: Column, cents: Array[Seq[Double]]): Column = {
+    val dists = array(cents.map(c =>
+      call_function("graft_l2sq", v, array(c.map(lit(_)): _*))): _*)
     array_position(dists, array_min(dists)).cast("int") - 1
   }
 }

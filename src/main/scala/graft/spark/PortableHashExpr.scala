@@ -89,5 +89,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk_min"),
       new ExpressionInfo(classOf[TopKMinAgg].getName, "graft_topk_min"),
       (children: Seq[Expression]) => TopKMinAgg(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => L2Squared(children(0), children(1))))
   }
 }

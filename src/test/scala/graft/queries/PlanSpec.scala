@@ -142,6 +142,14 @@ class PlanSpec extends AnyFunSuite {
       "gram counting must be two-phase (map-side partials)")
   }
 
+  test("kmeans assignment unrolls to native l2 distances, no interpreted fold") {
+    val p = plan("n8_cluster_sample")
+    assert(p.contains("graft_l2sq"),
+      "per-row centroid distances must be the codegen'd native expression")
+    assert(!p.contains("zip_with"),
+      "the interpreted zip_with/aggregate fold must be gone from assignment")
+  }
+
   test("agg sampler: bounded native top-k heap, no per-stratum window sort") {
     val p = plan("e19_sample_agg")
     assert(p.contains("graft_topk_min"), "must aggregate with the native bounded heap")

@@ -57,6 +57,25 @@ class TopKMinAggSpec extends AnyFunSuite {
     assert(agg.collect().forall(_.getSeq[org.apache.spark.sql.Row](1).size == 3))
   }
 
+  test("graft_l2sq is bit-identical to the HOF zip_with/aggregate fold") {
+    val df = spark.range(0, 2000).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (sin(col("id") * (i + 1)) * 1e3).cast("double")).as("a"),
+      transform(sequence(lit(0), lit(63)),
+        i => (cos(col("id") + i) * 1e3).cast("double")).as("b"))
+    val both = df.select(
+      call_function("graft_l2sq", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, d) => s + d).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0,
+      "same fold order must give the same bits")
+    // float arrays work too
+    val f = Seq((Array(1f, 2f), Array(3f, 5f))).toDF("a", "b")
+      .select(call_function("graft_l2sq", col("a"), col("b")))
+      .head().getDouble(0)
+    assert(f == 13.0)
+  }
+
   test("rejects wrong types and non-literal k") {
     val df = Seq((1L, "a")).toDF("k", "p")
     intercept[Exception] {
