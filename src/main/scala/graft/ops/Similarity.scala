@@ -68,10 +68,12 @@ object Similarity {
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__chunk", floor((col("__rn") - 1) / chunkSize).cast("long"))
-    def zero(vs: Column) =
-      transform(sequence(lit(1), size(element_at(vs, 1)("v"))), _ => lit(0.0))
+    // native elementwise-sum with the identical per-dim left fold as the
+    // previous aggregate(zip_with(+)) HOF (see graft.spark.VecSum) — the
+    // struct-strip transform is O(chunk) pointer work, the O(chunk·dim)
+    // adds run in the codegen'd loop
     def foldSum(vs: Column) =
-      aggregate(vs, zero(vs), (acc, sv) => zip_with(acc, sv("v"), (x, y) => x + y))
+      call_function("graft_vecsum", transform(vs, sv => sv("v")))
     val chunkSums = ranked
       .groupBy(col(groupCol), col("__chunk"))
       .agg(sort_array(collect_list(struct(col("__rn").as("id"), col("__v").as("v")))).as("vs"))

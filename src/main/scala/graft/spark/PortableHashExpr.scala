@@ -93,5 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
       (children: Seq[Expression]) => L2Squared(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[VecSum].getName, "graft_vecsum"),
+      (children: Seq[Expression]) => VecSum(children.head)))
   }
 }

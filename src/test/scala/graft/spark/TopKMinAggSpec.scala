@@ -76,6 +76,20 @@ class TopKMinAggSpec extends AnyFunSuite {
     assert(f == 13.0)
   }
 
+  test("graft_vecsum is bit-identical to the HOF zeros/zip_with fold") {
+    val df = spark.range(0, 500).select(col("id"),
+      transform(sequence(lit(0), lit(9)), j =>
+        transform(sequence(lit(0), lit(31)),
+          i => (sin(col("id") * (i + 1) + j) * 1e3).cast("double"))).as("vs"))
+    val both = df.select(
+      call_function("graft_vecsum", col("vs")).as("native"),
+      aggregate(col("vs"),
+        transform(sequence(lit(1), lit(32)), _ => lit(0.0)),
+        (acc, v) => zip_with(acc, v, (x, y) => x + y)).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0,
+      "same per-dim fold order must give the same bits")
+  }
+
   test("rejects wrong types and non-literal k") {
     val df = Seq((1L, "a")).toDF("k", "p")
     intercept[Exception] {
