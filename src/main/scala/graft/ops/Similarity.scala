@@ -264,6 +264,37 @@ object Similarity {
     v.select(col("id"), nearestIdx(col("v"), cents).as("cluster"))
   }
 
+  /** Nearest-centroid (Rocchio) classifier: label each test vector with
+    * the label whose TRAIN-set centroid is squared-L2-nearest — the
+    * model-free domain/topic classifier a curation pipeline runs when it
+    * has a few labeled seed sets and a large unlabeled corpus (label
+    * propagation for mixture bookkeeping, not model-grade accuracy).
+    *
+    * Deterministic: centroids fold id-ordered ([[centroids]]), argmin
+    * ties break on the label — an oracle replays it bit-exactly.
+    *
+    * Scale: centroids is one grouped pass over train (chunk-bounded
+    * state); scoring BROADCASTS the #labels centroid rows against the
+    * test scan (native `graft_l2sq` per pair), so nothing shuffles on
+    * vector content; the per-vector argmin is a #labels-bounded window.
+    *
+    * @return (idCol, labelCol, pred_<labelCol>, correct). */
+  def nearestCentroidClassify(train: DataFrame, test: DataFrame,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val cents = centroids(train, labelCol, idCol, vecCol)
+      .select(col(labelCol).as("__plabel"), col("centroid"))
+    val t = test.select(col(idCol).as("__id"), col(labelCol).as("__label"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val w = Window.partitionBy("__id").orderBy(col("__dist"), col("__plabel"))
+    t.crossJoin(broadcast(cents))
+      .withColumn("__dist", call_function("graft_l2sq", col("__v"), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("__label").as(labelCol),
+        col("__plabel").as(s"pred_$labelCol"),
+        (col("__plabel") === col("__label")).as("correct"))
+  }
+
   /** Cluster-balanced (topic-balanced) subsample: assign every vector to
     * a learned [[kmeans]] cluster, then keep the `perCluster` rows of each
     * cluster with the smallest portable-hash of their id — the embedding-

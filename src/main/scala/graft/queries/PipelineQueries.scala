@@ -729,6 +729,18 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Nearest-centroid (Rocchio) classification: hold out every 5th
+    // vector, classify it by the squared-L2-nearest label centroid of
+    // the remaining 80% — the model-free domain classifier / label
+    // propagation a curation pipeline uses for mixture bookkeeping.
+    "n9_centroid_classify" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.nearestCentroidClassify(
+          e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", "label")
+        .orderBy("vec_id")
+    },
+
     // Cluster-balanced subsampling: 10 vectors per learned kmeans cluster
     // in deterministic hash order — the topic-balanced training-mix draw
     // (head topics can't dominate the subsample the way they dominate a
@@ -1320,6 +1332,21 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
          |  FROM scored) WHERE rnk <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // Rocchio mirror: per-label hierarchical centroid fold over the
+    // 80% train split, argmin of the same left-fold squared L2 with
+    // label tiebreak.
+    "n9_centroid_classify" ->
+      s"""WITH ${dVecs("nc")},
+         |tr AS (SELECT label, vec_id, v FROM vecs WHERE vec_id % 5 <> 0),
+         |cent AS (${dCentroids("tr", "label", "nc")}),
+         |te AS (SELECT vec_id, label, v FROM vecs WHERE vec_id % 5 = 0)
+         |SELECT vec_id, label, pred_label, label = pred_label AS correct FROM (
+         |  SELECT t.vec_id, t.label, c.label AS pred_label,
+         |    row_number() OVER (PARTITION BY t.vec_id
+         |      ORDER BY ${dL2("t.v", "c.centroid", "zc")}, c.label) AS rnc
+         |  FROM te t CROSS JOIN cent c) WHERE rnc = 1
+         |ORDER BY vec_id""".stripMargin,
 
     // cluster-balanced sample mirror: the n5 kmeans training replay +
     // final assignment, then the e12 deterministic hash-order pick

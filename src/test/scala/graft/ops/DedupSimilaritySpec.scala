@@ -157,6 +157,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.subsetOf((11L to 20L).toSet), s"probe must stay in the y-axis blob: $out")
   }
 
+  test("nearestCentroidClassify labels holdout vectors by their blob") {
+    val all = (
+      (1L to 20L).map(i => (i, Array(10f + i * 0.01f, 0f, 0f), 0)) ++
+      (21L to 40L).map(i => (i, Array(0f, 10f + i * 0.01f, 0f), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearestCentroidClassify(
+        all.filter(col("vec_id") % 4 =!= 0), all.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", "label")
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Boolean]("correct")),
+      "well-separated blobs must classify perfectly")
+    assert(out.forall(r => r.getAs[Int]("pred_label") == r.getAs[Int]("label")))
+  }
+
   test("clusterBalancedSample caps every cluster and samples within it") {
     // unbalanced blobs: 30 on the x-axis, 5 on the y-axis
     val blobs = (
