@@ -32,6 +32,15 @@ object TextAnalytics {
   /** Whitespace tokens of trimmed text (regexp split, codegen'd). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** CCNet-style dedup normalization: lowercase, replace everything
+    * outside [a-z0-9\s] with a space (punctuation/case variants of the
+    * same sentence collapse, word boundaries survive "foo.bar"), then
+    * collapse whitespace runs and trim. ASCII-class regexes only, so
+    * Java and RE2 (DuckDB) agree byte-for-byte and oracles hash-match.
+    * Pure codegen'd string ops — safe in 100 TB-side scans. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Character codes of `s`, one int per char, in order. */
   def charCodes(s: Column): Column =
     transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))))

@@ -147,6 +147,16 @@ object PipelineQueries {
         .orderBy("content_hash")
     },
 
+    // Normalization-aware exact dedup: hash AFTER CCNet-style text
+    // normalization (lowercase, strip punctuation to spaces, collapse
+    // whitespace) so case/punctuation variants of the same content land
+    // in one group — the standard first dedup pass before fuzzy stages.
+    "d11_norm_dedup" -> { (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id",
+          TA.phash(TA.normalizeText(col("text"))))
+        .orderBy("content_hash")
+    },
+
     // MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join.
     // maxBucketSize keeps the skew guard (the thing that makes LSH
     // 100 TB-safe on boilerplate-heavy corpora) in the oracle-checked
@@ -1025,6 +1035,16 @@ object PipelineQueries {
 
     "d1_exact_dedup" ->
       s"""WITH h AS (SELECT doc_id, ${dPhash("text", "a")} AS content_hash FROM documents)
+         |SELECT content_hash, min(doc_id) AS rep_id, count(1) AS n_copies
+         |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+
+    // same phash grouping as d1 over the normalized text; the ASCII
+    // regex classes behave identically in Java and RE2
+    "d11_norm_dedup" ->
+      s"""WITH nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS ntext
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${dPhash("ntext", "nd")} AS content_hash FROM nrm)
          |SELECT content_hash, min(doc_id) AS rep_id, count(1) AS n_copies
          |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin,
 

@@ -143,6 +143,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(full(0).getAs[Double]("bits_per_bigram") < 1.0)
   }
 
+  test("normalizeText collapses case/punctuation variants for dedup") {
+    import graft.functions.{TextAnalytics => TA}
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO --- WORLD"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", TA.phash(TA.normalizeText(col("text"))))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // docs 1-3 normalize to "hello world" → one group, rep = min id
+    assert(out == Map(1L -> 3L, 4L -> 1L), s"got $out")
+    val norm = docs.select(TA.normalizeText(col("text"))).collect().map(_.getString(0))
+    assert(norm.take(3).toSet == Set("hello world"))
+  }
+
   test("hashingTfidf: hand-checked weights; near-dup texts are cosine-nearest") {
     // N=2; df a:2 b:1 c:1 → odds idf a=0.2, b=1.0, c=1.0
     // doc1 tf a:2,b:1 → contributions a→0.4, b→1.0; doc2 a:1,c:1 → 0.2, 1.0
