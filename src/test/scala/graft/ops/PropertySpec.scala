@@ -66,6 +66,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSampleAgg equals the window sampler on random data") {
+    for (seed <- 1L to 5L) {
+      val rows = sample(seed).map { case (id, name, bal) =>
+        // widen ids so strata sizes vary; stratify by sign bucket
+        (id * 7 + name.length, if (bal < 0) "neg" else "pos")
+      }.distinct
+      if (rows.nonEmpty) {
+        val df = rows.toDF("doc_id", "src")
+        val win = CorpusOps.stratifiedSample(df, Seq("src"), "doc_id", k = 3)
+          .select("src", "doc_id").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        val agg = CorpusOps.stratifiedSampleAgg(df, Seq("src"), "doc_id", k = 3)
+          .select("src", "doc_id").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(agg == win, s"seed $seed: bounded-heap pick diverged")
+      }
+    }
+  }
+
   test("salted join equals plain join") {
     for (seed <- 30L to 34L) {
       val l = sample(seed).toDF("id", "name", "bal")

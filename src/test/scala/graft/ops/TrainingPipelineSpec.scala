@@ -72,4 +72,45 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .filter(col("last_block") =!= expr("(toks - 1) DIV 512"))
     assert(acct.count() == 0, "per-shard last block must equal total-token block index")
   }
+
+  test("normalize-dedup → LM-quality cut → budgeted mix composes (round-9 ops)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val n0 = docs.count()
+
+    // 1. normalization-aware exact dedup (case/punct variants collapse)
+    val reps = Dedup.exact(docs, "doc_id", TA.phash(TA.normalizeText(col("text"))))
+      .select(col("rep_id").as("doc_id"))
+    val uniq = docs.join(reps, Seq("doc_id"), "left_semi")
+    val n1 = uniq.count()
+    assert(n1 > 0 && n1 <= n0)
+
+    // 2. bigram-LM surprise cut: drop the most surprising (worst) decile
+    val scored = CorpusOps.bigramBits(uniq, "doc_id", "text",
+      bigramVocab = 2000, unigramVocab = 5000)
+    assert(scored.count() == n1, "every multi-token doc must score")
+    val cut = scored.agg(expr("percentile(bits_per_bigram, 0.9)")).head().getDouble(0)
+    val keep = uniq.join(
+      scored.filter(col("bits_per_bigram") <= cut).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val n2 = keep.count()
+    assert(n2 > 0 && n2 < n1, s"the decile cut must drop something: $n1 -> $n2")
+
+    // 3. token-budget mix over the survivors; budgets bind per source
+    val mixed = CorpusOps.tokenBudgetMix(keep, "doc_id", "text", "source",
+      budgets = Map("src0" -> 200L), defaultBudget = 400L)
+    val perSrc = mixed.groupBy("source")
+      .agg(max("cum_tokens").as("tot"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perSrc.nonEmpty)
+    // every source stopped at its budget + at most one boundary doc
+    perSrc.foreach { case (src, (tot, ndocs)) =>
+      val budget = if (src == "src0") 200L else 400L
+      assert(ndocs >= 1, s"$src must keep at least one doc")
+      val beforeLast = mixed.filter(col("source") === src)
+        .agg(max(col("cum_tokens") - col("n_tokens"))).head().getLong(0)
+      assert(beforeLast < budget, s"$src overshot: pre-boundary sum $beforeLast >= $budget")
+    }
+    // the mix is a subset of the quality-kept corpus
+    assert(mixed.join(keep, Seq("doc_id"), "left_anti").count() == 0)
+  }
 }
