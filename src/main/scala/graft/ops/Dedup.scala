@@ -441,6 +441,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** PageRank centrality over an undirected pair graph (Page et al.,
+    * 1999 — public method), unnormalized form: score = (1−d) + d·Σ_nbrs
+    * score/deg. A dedup pipeline uses it to pick CANONICAL
+    * representatives: in a near-dup cluster the most-connected variant
+    * (the one everything else resembles) is usually the clean original,
+    * where min-id picks an arbitrary copy.
+    *
+    * Bit-determinism: per-node neighbor contributions fold in ascending
+    * neighbor-id order (sorted-struct trick), and the (1−d) base is
+    * computed 1.0 − d in BOTH engines (0.15 is not exactly representable;
+    * writing the subtraction keeps the bits identical). Oracle = the
+    * iterations unrolled as CTEs.
+    *
+    * Scale: each iteration is one edge⋈score join (shuffles on node id)
+    * + one grouped fold; per-node state is its neighbor list, bounded by
+    * the LSH bucket cap upstream when the graph comes from
+    * [[minhashLshPairs]]. The edge list + degrees persist across the
+    * `iters` joins instead of re-deriving the candidate graph each time. */
+  def pagerankCentrality(pairs: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    var scores = edges.select(col("src").as("id")).distinct()
+      .withColumn("score", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(scores.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          struct(col("src"), (col("score") / col("deg")).as("c")).as("sc"))
+      scores = contribs.groupBy(col("dst").as("id"))
+        .agg(array_sort(collect_list(col("sc"))).as("scs"))
+        .select(col("id"),
+          (lit(1.0 - damping) + lit(damping) * aggregate(col("scs"), lit(0.0),
+            (a, x) => a + x.getField("c"))).as("score"))
+    }
+    scores
+  }
+
   /** The embedding near-dup pipeline: SRP-LSH bucket candidates → exact
     * cosine verification → transitive clustering → representative filter. */
   def semanticDedup(

@@ -41,6 +41,30 @@ object PipelineQueries {
 
   private def dNorm(a: String, sfx: String): String = s"sqrt(${dDot(a, a, sfx)})"
 
+  /** Shared CTE chain: the d2 MinHash-LSH candidate pipeline
+    * (shingle→minhash→band→bucket-join with the size-8 skew guard),
+    * ending in `cand` (distinct id_a < id_b pairs) with `sigs` also in
+    * scope — reused by d2 (signature estimate) and g1 (pair graph). */
+  private lazy val dLshCand =
+    s"""$dToks,
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+       |         si -> ${dPhash("tk[si] || ' ' || tk[si+1]", "b")})) AS hs
+       |       FROM toks WHERE len(tk) >= 2),
+       |sigs AS (SELECT doc_id, list_transform(range(0, 16), pi ->
+       |    list_min(list_transform(hs, hv ->
+       |      (((1103515245*pi + 12345) % $P) * hv + ((1234567891*pi + 987654321) % $P)) % $P))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, sig, bi AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[(bi*2+1):(bi*2+2)]),
+       |      (hb, vb) -> (hb*31+vb) % $P) AS bucket
+       |  FROM sigs, (SELECT unnest(range(0, 8)) AS bi)),
+       |bsz AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+       |  HAVING count(1) <= 8),
+       |pruned AS (SELECT bands.* FROM bands JOIN bsz USING (band, bucket)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Shared CTE: whitespace tokens of documents. */
   private val dToks =
     """toks AS (SELECT doc_id, lang, source,
@@ -145,6 +169,18 @@ object PipelineQueries {
     "d1_exact_dedup" -> { (s, dir) =>
       Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", TA.phash(col("text")))
         .orderBy("content_hash")
+    },
+
+    // PageRank centrality over the d2 LSH candidate graph: the canonical-
+    // representative signal for dedup clusters (the most-connected
+    // variant is usually the clean original; min-id picks an arbitrary
+    // copy). Same LSH parameters as d2 so the oracle shares its chain.
+    "g1_pagerank" -> { (s, dir) =>
+      val pairs = Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 16, bands = 8, shingleN = 2,
+          maxBucketSize = Some(8))
+        .select("id_a", "id_b")
+      Dedup.pagerankCentrality(pairs, iters = 3).orderBy("id")
     },
 
     // Normalization-aware exact dedup: hash AFTER CCNet-style text
@@ -573,6 +609,30 @@ object PipelineQueries {
           ntile(4).over(w).as("quartile"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6))).over(wf)
             .cast("double").as("running_value"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // Second window suite: value-position functions (first/last/nth),
+    // distribution ranks (percent_rank, cume_dist), and a RANGE frame —
+    // the §2.5 surface w2's ROWS-frame suite doesn't touch.
+    "w3_window_suite2" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // RANGE frame keyed on the numeric event time: all events within
+      // the preceding 30 seconds (inclusive), a sliding event-time sum
+      val wRange = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-30000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          first(col("event_id")).over(wRows).as("first_event"),
+          last(col("event_id")).over(wRows).as("last_event"),
+          nth_value(col("event_id"), 2).over(wRows).as("second_event"),
+          percent_rank().over(w).as("prk"),
+          cume_dist().over(w).as("cd"),
+          count(lit(1)).over(wRange).as("n_last_30s"))
         .orderBy("user_id", "ts_us", "event_id")
     },
 
@@ -1049,29 +1109,40 @@ object PipelineQueries {
          |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin,
 
     "d2_minhash_lsh" ->
-      s"""WITH $dToks,
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
-         |         si -> ${dPhash("tk[si] || ' ' || tk[si+1]", "b")})) AS hs
-         |       FROM toks WHERE len(tk) >= 2),
-         |sigs AS (SELECT doc_id, list_transform(range(0, 16), pi ->
-         |    list_min(list_transform(hs, hv ->
-         |      (((1103515245*pi + 12345) % $P) * hv + ((1234567891*pi + 987654321) % $P)) % $P))) AS sig
-         |  FROM sh),
-         |bands AS (SELECT doc_id, sig, bi AS band,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[(bi*2+1):(bi*2+2)]),
-         |      (hb, vb) -> (hb*31+vb) % $P) AS bucket
-         |  FROM sigs, (SELECT unnest(range(0, 8)) AS bi)),
-         |bsz AS (SELECT band, bucket FROM bands GROUP BY band, bucket
-         |  HAVING count(1) <= 8),
-         |pruned AS (SELECT bands.* FROM bands JOIN bsz USING (band, bucket)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.bucket = b.bucket
-         |    AND a.doc_id < b.doc_id)
+      s"""WITH $dLshCand
          |SELECT id_a, id_b,
          |  CAST(len(list_filter(range(1, 17), ki -> sa.sig[ki] = sb.sig[ki])) AS DOUBLE)
          |    / CAST(16 AS DOUBLE) AS est_jaccard
          |FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // PageRank mirror: the shared LSH candidate chain as the edge set,
+    // then the power iterations unrolled as CTEs; each node's neighbor
+    // contributions fold in ascending neighbor-id order and the base is
+    // written CAST(1.0)-CAST(0.85) IN DOUBLE — Scala folds the constant
+    // in IEEE (0.15000000000000002) while bare DuckDB literals subtract
+    // in exact DECIMAL (0.15), a last-ulp mismatch the casts remove
+    "g1_pagerank" -> {
+      val steps = (1 to 3).map { i =>
+        s"""pr$i AS (SELECT dst AS id,
+           |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |      + CAST(0.85 AS DOUBLE) * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list(sc$i ORDER BY s$i), xg$i -> xg$i.c)),
+           |      (ag$i, vg$i) -> ag$i + vg$i) AS score
+           |  FROM (SELECT e$i.dst, e$i.src AS s$i,
+           |      {'src': e$i.src, 'c': p$i.score / d$i.deg} AS sc$i
+           |    FROM edges e$i JOIN pr${i - 1} p$i ON p$i.id = e$i.src
+           |      JOIN degr d$i ON d$i.src = e$i.src)
+           |  GROUP BY dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $dLshCand,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM cand),
+         |degr AS (SELECT src, CAST(count(1) AS DOUBLE) AS deg FROM edges GROUP BY src),
+         |pr0 AS (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS score FROM edges),
+         |$steps
+         |SELECT id, score FROM pr3 ORDER BY id""".stripMargin
+    },
 
     "d3_simhash" ->
       s"""WITH $dToks,
@@ -1781,6 +1852,25 @@ object PipelineQueries {
          |    ORDER BY ${dPhash("CAST(doc_id AS VARCHAR)", "sa")}, doc_id) AS rk
          |  FROM documents) WHERE rk <= 7
          |ORDER BY lang, source, doc_id""".stripMargin,
+
+    "w3_window_suite2" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |            FROM events WHERE user_id < 20)
+        |SELECT user_id, event_id, ts_us,
+        |  first_value(event_id) OVER wf AS first_event,
+        |  last_value(event_id) OVER wf AS last_event,
+        |  nth_value(event_id, 2) OVER wf AS second_event,
+        |  percent_rank() OVER w AS prk,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(count(1) OVER wr AS BIGINT) AS n_last_30s
+        |FROM ev
+        |WINDOW
+        |  w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  wr AS (PARTITION BY user_id ORDER BY ts_us
+        |         RANGE BETWEEN 30000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "s10_incremental_agg" ->
       """SELECT l_returnflag, l_linestatus, count(1) AS order_count,

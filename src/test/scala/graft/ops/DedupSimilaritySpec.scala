@@ -157,6 +157,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.subsetOf((11L to 20L).toSet), s"probe must stay in the y-axis blob: $out")
   }
 
+  test("pagerankCentrality: hubs outrank leaves, symmetric graphs tie, runs repeat") {
+    // star: 100 -- {1,2,3}; plus a detached symmetric pair 200 -- 201
+    val pairs = Seq((100L, 1L), (100L, 2L), (100L, 3L), (200L, 201L))
+      .toDF("id_a", "id_b")
+    val pr = Dedup.pagerankCentrality(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 100L, 200L, 201L))
+    assert(pr(100L) > pr(1L), "the hub must outrank its leaves")
+    assert(pr(1L) == pr(2L) && pr(2L) == pr(3L), "symmetric leaves tie exactly")
+    assert(pr(200L) == pr(201L), "a symmetric pair ties exactly")
+    val again = Dedup.pagerankCentrality(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == pr, "bit-deterministic across runs")
+  }
+
   test("nearestCentroidClassify labels holdout vectors by their blob") {
     val all = (
       (1L to 20L).map(i => (i, Array(10f + i * 0.01f, 0f, 0f), 0)) ++
