@@ -231,6 +231,35 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // LSH recall evaluation — the dedup counterpart of n4/n7's ANN
+    // recall loop: ground-truth near-dup pairs (exact blocked Jaccard,
+    // the offline-sample pass a production pipeline runs when tuning
+    // bands/rows) vs what the LSH+verify path finds, bucketed by true
+    // Jaccard. Shows exactly where the 8-band sketch loses pairs (low
+    // buckets) and that high-similarity pairs are caught. The TRUTH side
+    // is d4's deliberately-quadratic shape, so like d4 this query is
+    // tuning-sample scale only (sf0.01: recall 0.015 at j∈[0.05,0.1),
+    // 1.0 at j≥0.9 — the textbook banding S-curve), never a corpus pass.
+    "d12_lsh_recall" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          Seq("lang", "source"), n = 2, minJaccard = 0.05)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val found = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+          minJaccard = 0.05, k = 16, bands = 8, shingleN = 2,
+          maxBucketSize = Some(8))
+        .select(col("id_a").as("fa"), col("id_b").as("fb"))
+      truth
+        .join(found, col("id_a") === col("fa") && col("id_b") === col("fb"),
+          "left_outer")
+        .withColumn("bucket", floor(col("jaccard") * 10).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_truth"), count(col("fa")).as("n_found"))
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_truth").cast("double"))
+        .orderBy("bucket")
+    },
+
     // Exact duplicated-SPAN detection (Lee et al. ACL'22 substring
     // dedup): maximal token spans whose 5-grams all occur in ≥2 docs —
     // the cut-don't-drop stage that localizes boilerplate/quotes inside
@@ -1198,6 +1227,37 @@ object PipelineQueries {
          |      / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
          |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
          |WHERE jaccard >= 0.02 ORDER BY id_a, id_b""".stripMargin,
+
+    // recall-eval mirror: the shared LSH chain (sh/cand in scope) for the
+    // found side, a lang/source-carrying shingle CTE for the blocked
+    // ground truth, bucketed left join
+    "d12_lsh_recall" ->
+      s"""WITH $dLshCand,
+         |shr AS (SELECT doc_id, lang, source, list_distinct(list_transform(range(1, len(tk)),
+         |         sr -> ${dPhash("tk[sr] || ' ' || tk[sr+1]", "r")})) AS hs
+         |       FROM toks WHERE len(tk) >= 2),
+         |truth AS (SELECT id_a, id_b, jaccard FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CAST(len(list_filter(a.hs, xr -> list_contains(b.hs, xr))) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
+         |    FROM shr a JOIN shr b ON a.lang = b.lang AND a.source = b.source
+         |      AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.05),
+         |found AS (SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      CAST(len(list_filter(a.hs, xf -> list_contains(b.hs, xf))) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jv
+         |    FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+         |  WHERE jv >= 0.05)
+         |SELECT bucket, n_truth, n_found,
+         |  CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT CAST(floor(t.jaccard * 10) AS BIGINT) AS bucket,
+         |    CAST(count(1) AS BIGINT) AS n_truth,
+         |    CAST(count(f.id_a) AS BIGINT) AS n_found
+         |  FROM truth t LEFT JOIN found f ON f.id_a = t.id_a AND f.id_b = t.id_b
+         |  GROUP BY 1)
+         |ORDER BY bucket""".stripMargin,
 
     // duplicated-span mirror: 1-indexed 5-gram positions hashed with the
     // same polynomial hash, per-hash distinct-doc counts, flagged
