@@ -152,4 +152,45 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(sessions.head.session_end == ts(20))
     } finally q.stop()
   }
+
+  test("streaming corpus gate: normalize → quality filter → dedup → store merge") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextAnalytics => TA}
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_ckpt").toString
+    val store = new graft.store.TableStore(spark, root, numBuckets = 4)
+    store.createTable("corpus",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content_hash", org.apache.spark.sql.types.LongType))),
+      keys = Seq("doc_id"))
+    val mem = MemoryStream[(Long, String)]
+    // the same per-row operators the batch pipeline uses, applied inline
+    // on the stream: normalization-keyed exact dedup is STATEFUL across
+    // micro-batches (dropDuplicates state), quality gates are stateless
+    val gated = mem.toDF().toDF("doc_id", "text")
+      .withColumn("content_hash", TA.phash(TA.normalizeText(col("text"))))
+      .filter(TA.qualityScore(col("text")) > lit(0.4))
+      .dropDuplicates("content_hash")
+    val q = EventStreams.mergeSink(gated, store, "corpus", ckpt)
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "a stream of fresh tokens flows into the corpus nightly"),
+        (3L, "!!! ??? !!!"), // gibberish: fails the quality gate
+        (4L, "The quick brown fox -- jumps over the lazy dog!")) // normalizes to doc 1
+      q.processAllAvailable()
+      val ids1 = store.read("corpus").collect().map(_.getLong(0)).toSet
+      assert(ids1 == Set(1L, 2L), s"gate must keep 1,2 only: $ids1")
+      // cross-batch dedup state: another copy of doc 1 arrives later
+      mem.addData(
+        (5L, "entirely new material keeps the training mix growing daily"),
+        (6L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"))
+      q.processAllAvailable()
+      val ids2 = store.read("corpus").collect().map(_.getLong(0)).toSet
+      assert(ids2 == Set(1L, 2L, 5L), s"cross-batch duplicate must be dropped: $ids2")
+    } finally q.stop()
+  }
 }
