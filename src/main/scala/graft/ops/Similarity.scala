@@ -239,6 +239,17 @@ object Similarity {
     *
     * @return (id, cluster) assignments; cluster ∈ [0, k). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 10): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
+    val v = df.select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+    v.select(col("id"), nearestIdx(col("v"), cents).as("cluster"))
+  }
+
+  /** The kmeans TRAINING loop alone: returns the k learned centroids
+    * (driver-side k×dim — bounded), for callers that need the CODEBOOK
+    * rather than assignments (product quantization trains one per
+    * subspace). [[kmeans]] delegates here, so training is one code path. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Seq[Double]] = {
     val v = df.select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
     // Training runs 2 jobs per Lloyd iteration (assign + mean fold) plus
     // the init scan — persist the projected working set once so those
@@ -257,11 +268,65 @@ object Similarity {
         means.getOrElse(i, old) // empty cluster keeps its centroid
       }
     }
-    // Drop the training cache before handing back the lazy assignment —
-    // the caller's one action re-derives the projection in a single scan
-    // (what every call paid per-job before), and no cache outlives us.
+    // Drop the training cache before handing back — the caller's actions
+    // re-derive the projection in a single scan, and no cache outlives us.
     v.unpersist(blocking = false)
-    v.select(col("id"), nearestIdx(col("v"), cents).as("cluster"))
+    cents
+  }
+
+  /** TRUE product quantization top-k (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11 — public
+    * method): split each vector into `m` subvectors, train an
+    * independent `codebookK`-word kmeans codebook per subspace
+    * ([[kmeansCentroids]]), encode the corpus as m small codes, and
+    * answer queries by ASYMMETRIC DISTANCE COMPUTATION — each query
+    * precomputes its m×K table of exact subspace distances ONCE, then
+    * every corpus vector costs only m table lookups + (m−1) adds.
+    *
+    * This is the memory-bound ANN scale path beyond int8: codes are
+    * m·⌈log2 K⌉ bits per vector (4 bytes here vs 256 for float32[64] —
+    * 64× less scan bandwidth), and scan cost is independent of dim.
+    * Compose with an IVF probe for partition pruning (as `n6` does for
+    * the int8 variant), and exact re-rank of the shortlist when full
+    * precision matters.
+    *
+    * Deterministic end to end: per-subspace training is the id-ordered
+    * [[kmeansCentroids]] loop, encoding ties break first-wins, the ADC
+    * sum adds subspace terms in ascending-s order — oracle-replayable.
+    *
+    * @return (query_id, rank, neighbor_id, adist) — adist the ADC
+    *   estimate of squared L2, ascending. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      m: Int, codebookK: Int, kmIters: Int, k: Int): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val d = dim / m
+    def sub(vc: Column, s: Int): Column =
+      slice(transform(vc, x => x.cast("double")), lit(s * d + 1), lit(d))
+    val books: IndexedSeq[Array[Seq[Double]]] = (0 until m).map { s =>
+      kmeansCentroids(corpus.select(col(idCol), sub(col(vecCol), s).as("__sub")),
+        idCol, "__sub", codebookK, kmIters)
+    }
+    val enc = corpus.select(col(idCol).as("neighbor_id") +:
+      (0 until m).map(s => nearestIdx(sub(col(vecCol), s), books(s)).as(s"__c$s")): _*)
+    // ADC tables ride the (broadcast) query side: m×K exact subspace
+    // distances per query, computed once — the per-pair work below is
+    // lookups only, never an l2 over the vectors
+    val q = broadcast(queries.select(
+      Seq(col(idCol).as("query_id")) ++
+      (0 until m).map(s => array(books(s).map(c =>
+        call_function("graft_l2sq", sub(col(vecCol), s),
+          array(c.map(lit(_)): _*))): _*).as(s"__t$s")): _*))
+    val adist = (0 until m)
+      .map(s => element_at(col(s"__t$s"), col(s"__c$s") + 1))
+      .reduce(_ + _) // ascending-s left fold — mirrored by the oracle
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    q.join(enc, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
   }
 
   /** Nearest-centroid (Rocchio) classifier: label each test vector with

@@ -79,9 +79,9 @@ object PipelineQueries {
   /** DuckDB left-fold squared-L2 distance between two 64-dim double
     * lists, in index order from 0.0 — mirrors `Similarity.nearestIdx`'s
     * aggregate over `zip_with` exactly. */
-  private def dL2(a: String, b: String, sfx: String): String =
+  private def dL2(a: String, b: String, sfx: String, dim: Int = 64): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(range(1, 65), li$sfx -> " +
+      s"list_transform(range(1, ${dim + 1}), li$sfx -> " +
       s"(($a)[li$sfx] - ($b)[li$sfx]) * (($a)[li$sfx] - ($b)[li$sfx]))), " +
       s"(la$sfx, lb$sfx) -> la$sfx + lb$sfx)"
 
@@ -92,9 +92,9 @@ object PipelineQueries {
     * groups that fit one chunk), so the oracle stays valid at scale
     * factors where a group exceeds the chunk. Emits a SELECT producing
     * (`grp`, centroid, n) from `src` rows (`grp`, vec_id, v). */
-  private def dCentroids(src: String, grp: String, sfx: String): String =
+  private def dCentroids(src: String, grp: String, sfx: String, dim: Int = 64): String =
     s"""SELECT $grp,
-       |    list_transform(range(1, 65), fd$sfx ->
+       |    list_transform(range(1, ${dim + 1}), fd$sfx ->
        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |        list_transform(css$sfx, cw$sfx -> cw$sfx[fd$sfx])),
        |        (fa$sfx, fb$sfx) -> fa$sfx + fb$sfx) / nn$sfx) AS centroid,
@@ -104,7 +104,7 @@ object PipelineQueries {
        |      CAST(sum(cn$sfx) AS DOUBLE) AS nn$sfx
        |    FROM (
        |      SELECT $grp, ch$sfx,
-       |        list_transform(range(1, 65), cd$sfx ->
+       |        list_transform(range(1, ${dim + 1}), cd$sfx ->
        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |            list_transform(vs$sfx, vw$sfx -> vw$sfx[cd$sfx])),
        |            (ca$sfx, cb$sfx) -> ca$sfx + cb$sfx)) AS cs$sfx,
@@ -126,21 +126,22 @@ object PipelineQueries {
     * centroid. Every operation replays the Spark plan's IEEE ops in the
     * same order, so assignments (and therefore the downstream IVF answer)
     * are bit-identical. */
-  private def dKmeans(k: Int, iters: Int): String = {
+  private def dKmeans(k: Int, iters: Int, src: String = "vecs",
+      pfx: String = "", dim: Int = 64): String = {
     val init =
-      s"""cent0 AS (SELECT CAST(rn0 - 1 AS INTEGER) AS cluster, v AS centroid
-         |  FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn0 FROM vecs)
-         |  WHERE rn0 <= $k)""".stripMargin
+      s"""cent${pfx}0 AS (SELECT CAST(rn${pfx}0 - 1 AS INTEGER) AS cluster, v AS centroid
+         |  FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn${pfx}0 FROM $src)
+         |  WHERE rn${pfx}0 <= $k)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""asg$i AS (SELECT vec_id, v, cluster FROM (
-         |    SELECT va$i.vec_id, va$i.v, cc$i.cluster,
-         |      row_number() OVER (PARTITION BY va$i.vec_id
-         |        ORDER BY ${dL2(s"va$i.v", s"cc$i.centroid", s"z$i")}, cc$i.cluster) AS ar$i
-         |    FROM vecs va$i CROSS JOIN cent${i - 1} cc$i) WHERE ar$i = 1),
-         |mean$i AS (${dCentroids(s"asg$i", "cluster", s"m$i")}),
-         |cent$i AS (SELECT pp$i.cluster,
-         |    COALESCE(mm$i.centroid, pp$i.centroid) AS centroid
-         |  FROM cent${i - 1} pp$i LEFT JOIN mean$i mm$i ON pp$i.cluster = mm$i.cluster)""".stripMargin
+      s"""asg$pfx$i AS (SELECT vec_id, v, cluster FROM (
+         |    SELECT va$pfx$i.vec_id, va$pfx$i.v, cc$pfx$i.cluster,
+         |      row_number() OVER (PARTITION BY va$pfx$i.vec_id
+         |        ORDER BY ${dL2(s"va$pfx$i.v", s"cc$pfx$i.centroid", s"z$pfx$i", dim)}, cc$pfx$i.cluster) AS ar$pfx$i
+         |    FROM $src va$pfx$i CROSS JOIN cent$pfx${i - 1} cc$pfx$i) WHERE ar$pfx$i = 1),
+         |mean$pfx$i AS (${dCentroids(s"asg$pfx$i", "cluster", s"m$pfx$i", dim)}),
+         |cent$pfx$i AS (SELECT pp$pfx$i.cluster,
+         |    COALESCE(mm$pfx$i.centroid, pp$pfx$i.centroid) AS centroid
+         |  FROM cent$pfx${i - 1} pp$pfx$i LEFT JOIN mean$pfx$i mm$pfx$i ON pp$pfx$i.cluster = mm$pfx$i.cluster)""".stripMargin
     }
     (init +: steps).mkString(",\n")
   }
@@ -828,6 +829,18 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // TRUE product quantization (per-subspace codebooks + asymmetric
+    // distance): 4 subspaces × 8 codewords over the 64-dim embeddings —
+    // 64× less scan bandwidth than float32, per-pair cost = 4 lookups.
+    // The whole thing (4 independent kmeans trainings, encoding, ADC)
+    // replays bit-exactly in the oracle.
+    "n10_ann_pq" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          m = 4, codebookK = 8, kmIters = 3, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Nearest-centroid (Rocchio) classification: hold out every 5th
     // vector, classify it by the squared-L2-nearest label centroid of
     // the remaining 80% — the model-free domain classifier / label
@@ -1483,6 +1496,49 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
          |  FROM scored) WHERE rnk <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // PQ mirror: 4 independent dKmeans training replays over the
+    // 16-dim subvector slices, argmin encoding per subspace, per-query
+    // ADC tables via CROSS JOIN, adist = t0+t1+t2+t3 (ascending-s left
+    // fold, matching the Spark reduce)
+    "n10_ann_pq" -> {
+      val S = 0 until 4
+      val slices = S.map(s =>
+        s"vv$s AS (SELECT vec_id, v[${s * 16 + 1}:${s * 16 + 16}] AS v FROM vecs)")
+        .mkString(",\n")
+      val trainings = S.map(s => dKmeans(8, 3, s"vv$s", s"p${s}_", 16)).mkString(",\n")
+      val encs = S.map(s =>
+        s"""enc$s AS (SELECT vec_id, cluster AS c$s FROM (
+           |    SELECT vv.vec_id, cc.cluster, row_number() OVER (PARTITION BY vv.vec_id
+           |      ORDER BY ${dL2("vv.v", "cc.centroid", s"e$s", 16)}, cc.cluster) AS er$s
+           |    FROM vv$s vv CROSS JOIN centp${s}_3 cc) WHERE er$s = 1)""".stripMargin)
+        .mkString(",\n")
+      val tabs = S.map(s =>
+        s"""tab$s AS (SELECT q.query_id, cc.cluster AS c$s,
+           |    ${dL2("q.qv", "cc.centroid", s"t$s", 16)} AS t$s
+           |  FROM (SELECT vec_id AS query_id, v AS qv FROM vv$s WHERE vec_id < 10) q
+           |  CROSS JOIN centp${s}_3 cc)""".stripMargin).mkString(",\n")
+      val tabJoins = S.map(s =>
+        s"JOIN tab$s t$s ON t$s.query_id = q.query_id AND t$s.c$s = e.c$s")
+        .mkString("\n|    ")
+      s"""WITH ${dVecs("pq2")},
+         |$slices,
+         |$trainings,
+         |$encs,
+         |enc AS (SELECT vec_id, c0, c1, c2, c3 FROM enc0
+         |  JOIN enc1 USING (vec_id) JOIN enc2 USING (vec_id) JOIN enc3 USING (vec_id)),
+         |$tabs,
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    t0.t0 + t1.t1 + t2.t2 + t3.t3 AS adist
+         |  FROM (SELECT vec_id AS query_id FROM vecs WHERE vec_id < 10) q
+         |    JOIN enc e ON e.vec_id <> q.query_id
+         |    $tabJoins)
+         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, adist FROM (
+         |  SELECT query_id, neighbor_id, adist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     // Rocchio mirror: per-label hierarchical centroid fold over the
     // 80% train split, argmin of the same left-fold squared L2 with

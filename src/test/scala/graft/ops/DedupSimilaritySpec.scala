@@ -157,6 +157,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.subsetOf((11L to 20L).toSet), s"probe must stay in the y-axis blob: $out")
   }
 
+  test("pqTopK: ADC ranking finds the true neighborhood on separated blobs") {
+    // two 16-dim blobs; PQ with 4 subspaces of 4 dims
+    def blob(base: Float, ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(16)(d => base + (i * 17 + d * 3) % 7 * 0.01f))
+    }
+    val vecs = (blob(10f, 1 to 12) ++ blob(-10f, 13 to 24)).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs, vecs.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", m = 4, codebookK = 4, kmIters = 3, k = 5)
+    val neighbors = out.collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(neighbors.subsetOf((2L to 12L).toSet),
+      s"ADC top-5 must stay inside the query's blob: $neighbors")
+    // adist ascending with rank
+    val ranked = out.orderBy("rank").collect().map(_.getAs[Double]("adist"))
+    assert(ranked.toSeq == ranked.sorted.toSeq)
+    // deterministic re-run (training, encoding, and ADC are all replayable)
+    val again = Similarity.pqTopK(vecs, vecs.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", m = 4, codebookK = 4, kmIters = 3, k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(again == out.orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq)
+  }
+
   test("pagerankCentrality: hubs outrank leaves, symmetric graphs tie, runs repeat") {
     // star: 100 -- {1,2,3}; plus a detached symmetric pair 200 -- 201
     val pairs = Seq((100L, 1L), (100L, 2L), (100L, 3L), (200L, 201L))
