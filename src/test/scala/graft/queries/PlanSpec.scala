@@ -158,6 +158,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "the window form's full stratum sort must be gone")
   }
 
+  test("PQ: native l2 only on the broadcast query side, no interpreted folds") {
+    val p = plan("n10_ann_pq")
+    assert(p.contains("graft_l2sq"), "ADC tables must use the native expression")
+    assert(!p.contains("zip_with"), "no interpreted distance folds anywhere")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the query side (ids + ADC tables) must broadcast")
+  }
+
+  test("pagerank: hash-keyed joins only, no cartesian in the iteration chain") {
+    val p = plan("g1_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      "score propagation must equi-join on node ids")
+    assert(p.contains("graft_phash"), "the LSH edge derivation stays native")
+  }
+
   test("hybrid RRF: no corpus-sized shuffle joins downstream of the two rankers") {
     val p = plan("r2_hybrid_rrf")
     assert(!p.contains("CartesianProduct"),
