@@ -253,6 +253,48 @@ object CorpusOps {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Epoch-aware token-budget mixing — the UPSAMPLING half of the
+    * mixing story [[tokenBudgetMix]] leaves open: a source smaller than
+    * its budget REPEATS (epoch 0, 1, 2, …) until the budget is reached,
+    * the way under-represented high-quality sources (books, reference
+    * text) are multiplied in real training mixes; a source larger than
+    * its budget is cut exactly like [[tokenBudgetMix]]. Documents stream
+    * in the same deterministic hash order within every epoch, and the
+    * budget-crossing document is kept.
+    *
+    * Scale: one tokenize-count pass, one per-source window for the
+    * within-epoch running sum (computed ONCE and reused by every epoch),
+    * a per-source totals agg, and a generator bounded by
+    * ⌈budget/total⌉ epochs — no state grows with epochs. All-integer
+    * arithmetic, so oracles hash-match. Sources without a budget entry
+    * (or with zero tokens) are excluded.
+    *
+    * @return (idCol, sourceCol, epoch, n_tokens, cum_tokens);
+    *   cum_tokens = epoch·total + within-epoch running sum. */
+  def epochMix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgets: Map[String, Long]): DataFrame = {
+    val n = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+      size(TA.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+      when(col("src") === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy("src")
+      .orderBy(TA.phash(col("id").cast("string")), col("id"))
+    val withCum = n.withColumn("cum_w", sum(col("n_tokens")).over(w))
+    val totals = n.groupBy("src").agg(sum("n_tokens").as("total"))
+      .filter(col("total") > 0)
+    withCum.join(totals, Seq("src"))
+      .withColumn("budget", budget)
+      .withColumn("epochs", greatest(
+        floor((col("budget") + col("total") - 1) / col("total")).cast("long"),
+        lit(1L)))
+      .withColumn("epoch", explode(sequence(lit(0L), col("epochs") - 1)))
+      .withColumn("cum_tokens", col("epoch") * col("total") + col("cum_w"))
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col("id").as(idCol), col("src").as(sourceCol), col("epoch"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Unigram-LM surprise per document — the perplexity-style quality
     * filter of CCNet-descended pipelines (Wenzek et al., "CCNet",
     * LREC'20 — public method), scored against a vocabulary learned from

@@ -1010,6 +1010,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Epoch-aware mixing: src0 is UPSAMPLED (budget ≈ 2.3× its tokens →
+    // docs repeat across epochs 0..2), src1 downsampled (cut mid-epoch
+    // 0), every other source excluded (budget 0) — the three behaviors
+    // of a real training-mix spec in one query.
+    "e21_epoch_mix" -> { (s, dir) =>
+      graft.ops.CorpusOps.epochMix(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+          budgets = Map("src0" -> 3000L, "src1" -> 800L))
+        .orderBy("source", "cum_tokens")
+    },
+
     // CCNet-style unigram-LM surprise filter: bits-per-token against a
     // corpus-learned top-5000 vocabulary. Integer floor-log2 surprise
     // (see CorpusOps.unigramBits) so the oracle hash-matches — IEEE log2
@@ -2175,6 +2186,30 @@ object PipelineQueries {
          |WHERE cum_tokens - n_tokens <
          |  CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 900 ELSE 600 END
          |ORDER BY doc_id""".stripMargin,
+
+    // epoch-mix mirror: same hash-ordered within-epoch running sum
+    // (computed once), integer ceil-division epoch bound, integer
+    // cumulative positions — budget arithmetic all-BIGINT
+    "e21_epoch_mix" ->
+      s"""WITH $dToks,
+         |ntk AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+         |cumw AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY ${dPhash("CAST(doc_id AS VARCHAR)", "em")}, doc_id) AS BIGINT) AS cum_w
+         |  FROM ntk),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+         |  FROM ntk GROUP BY source HAVING sum(n_tokens) > 0),
+         |jb AS (SELECT c.doc_id, c.source, c.n_tokens, c.cum_w, t.total,
+         |    CAST(CASE c.source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 800
+         |         ELSE 0 END AS BIGINT) AS budget
+         |  FROM cumw c JOIN tot t USING (source)),
+         |ep AS (SELECT jb.*, CAST(ee.r AS BIGINT) AS epoch FROM jb,
+         |    LATERAL (SELECT unnest(range(0,
+         |      greatest((budget + total - 1) // total, 1))) AS r) ee)
+         |SELECT doc_id, source, epoch, n_tokens,
+         |  epoch * total + cum_w AS cum_tokens
+         |FROM ep WHERE epoch * total + cum_w - n_tokens < budget
+         |ORDER BY source, cum_tokens""".stripMargin,
 
     // unigram-surprise mirror: same corpus-learned top-5000 vocabulary
     // (count desc, token asc — the deterministic cut), same integer

@@ -143,6 +143,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(full(0).getAs[Double]("bits_per_bigram") < 1.0)
   }
 
+  test("epochMix upsamples small sources by repetition, cuts large ones") {
+    val docs = Seq(
+      (1L, "a b c d e", "small"),   // small: 10 tokens total
+      (2L, "f g h i j", "small"),
+      (3L, (1 to 50).map(i => s"t$i").mkString(" "), "big"), // big: 100 tokens
+      (4L, (51 to 100).map(i => s"u$i").mkString(" "), "big"),
+      (5L, "never seen", "unlisted")).toDF("doc_id", "text", "source")
+    val out = CorpusOps.epochMix(docs, "doc_id", "text", "source",
+        budgets = Map("small" -> 25L, "big" -> 60L))
+      .collect()
+    val small = out.filter(_.getString(1) == "small")
+    val big = out.filter(_.getString(1) == "big")
+    // small (10 tokens) upsamples: epochs 0,1 full + epoch 2 crossing doc
+    assert(small.map(_.getAs[Long]("epoch")).max == 2L, small.mkString(","))
+    assert(small.length == 5, s"2 full epochs + 1 crossing doc: ${small.length}")
+    assert(small.map(_.getAs[Long]("cum_tokens")).max >= 25L)
+    // big (100 tokens) cuts mid-epoch 0: first doc crosses 60
+    assert(big.forall(_.getAs[Long]("epoch") == 0L))
+    assert(big.length == 2 && big.map(_.getAs[Long]("n_tokens")).sum == 100L)
+    // unlisted source excluded entirely
+    assert(!out.exists(_.getString(1) == "unlisted"))
+    // within every (source, epoch) the docs arrive in the same hash order
+    val e0 = small.filter(_.getAs[Long]("epoch") == 0L).map(_.getLong(0)).toSeq
+    val e1 = small.filter(_.getAs[Long]("epoch") == 1L).map(_.getLong(0)).toSeq
+    assert(e0 == e1, "every epoch replays the same deterministic order")
+  }
+
   test("normalizeText collapses case/punctuation variants for dedup") {
     import graft.functions.{TextAnalytics => TA}
     val docs = Seq(
