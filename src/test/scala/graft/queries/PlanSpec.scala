@@ -150,6 +150,14 @@ class PlanSpec extends AnyFunSuite {
       "the interpreted zip_with/aggregate fold must be gone from assignment")
   }
 
+  test("epoch mix: one per-source window, generator-bounded epochs, no cartesian") {
+    val p = plan("e21_epoch_mix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "totals join on the source key")
+    assert("Window".r.findAllIn(p).size >= 1 && p.contains("Generate"),
+      "within-epoch cum is a window; epochs come from a bounded generator")
+  }
+
   test("agg sampler: bounded native top-k heap, no per-stratum window sort") {
     val p = plan("e19_sample_agg")
     assert(p.contains("graft_topk_min"), "must aggregate with the native bounded heap")
