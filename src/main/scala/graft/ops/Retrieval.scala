@@ -75,6 +75,74 @@ object Retrieval {
       .select("qid", "doc_id", "score", "rank")
   }
 
+  /** BM25 with pseudo-relevance feedback (Rocchio-style query
+    * expansion — public method): score once, take each query's top
+    * `fbDocs` documents as pseudo-relevant, add the `fbTerms` terms with
+    * the highest summed tf·idf mass in that feedback set (excluding the
+    * original terms), and score again with the expanded query — the
+    * classic recall lift for short/underspecified queries.
+    *
+    * Bit-determinism: both scoring passes fold contributions in sorted
+    * term order ([[bm25TopK]]'s trick); expansion weights fold their
+    * ≤fbDocs contributions in doc-id order; term selection ties break on
+    * the term. Everything odds-idf (no log), so the oracle hash-matches.
+    *
+    * Scale: two posting-join passes, each bounded by the (expanded)
+    * query vocabulary; the feedback set is queries × fbDocs rows; the
+    * expansion candidate pool is the feedback docs' vocabularies, never
+    * the corpus vocabulary.
+    *
+    * @return (qid, doc_id, score, rank), rank <= k by expanded score. */
+  def bm25PrfTopK(docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qidCol: String, qTextCol: String,
+      k: Int, fbDocs: Int = 5, fbTerms: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TA.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val gl = dl.agg(count(lit(1)).cast("double").as("n"), sum("dl").as("tot"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val q0 = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(TA.tokens(col(qTextCol)))).as("term"))
+
+    val idfC = (col("n") - col("df") + 0.5) / (col("df") + 0.5)
+    val tfn = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / (col("tot") / col("n"))))
+    def scoreOf(qterms: DataFrame): DataFrame = qterms
+      .join(tf, "term").join(dft, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(gl))
+      .select(col("qid"), col("doc_id"),
+        struct(col("term").as("t"), (idfC * tfn).as("c")).as("tc"))
+      .groupBy("qid", "doc_id")
+      .agg(array_sort(collect_list(col("tc"))).as("tcs"))
+      .select(col("qid"), col("doc_id"),
+        aggregate(col("tcs"), lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    val fb = scoreOf(q0)
+      .withColumn("r", row_number().over(w)).filter(col("r") <= fbDocs)
+      .select("qid", "doc_id")
+    val expTerms = fb
+      .join(tf, "doc_id").join(dft, "term").crossJoin(broadcast(gl))
+      .select(col("qid"), col("term"),
+        struct(col("doc_id").as("d"), (col("tf") * idfC).as("c")).as("dc"))
+      .groupBy("qid", "term")
+      .agg(array_sort(collect_list(col("dc"))).as("dcs"))
+      .select(col("qid"), col("term"),
+        aggregate(col("dcs"), lit(0.0), (acc, x) => acc + x.getField("c")).as("wt"))
+      .join(q0, Seq("qid", "term"), "left_anti") // never re-add original terms
+      .withColumn("rw", row_number().over(
+        Window.partitionBy("qid").orderBy(col("wt").desc, col("term"))))
+      .filter(col("rw") <= fbTerms)
+      .select("qid", "term")
+    scoreOf(q0.unionByName(expTerms))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "score", "rank")
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09 —
     * public method): fuse N ranked lists into one, score(q, d) =
     * Σ_lists 1/(k0 + rank). The standard way to combine the lexical

@@ -537,6 +537,23 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     },
 
+    // BM25 + pseudo-relevance feedback: the classic Rocchio recall lift
+    // for short queries — top-5 feedback docs donate their 10 heaviest
+    // tf·idf terms (originals excluded), then a second full BM25 pass on
+    // the expanded query. Both passes and the expansion weights fold in
+    // deterministic orders, so every double hash-matches.
+    "r3_bm25_prf" -> { (s, dir) =>
+      import s.implicits._
+      val queries = Seq(
+        (1L, "vector hash join"),
+        (2L, "merge batch stream window"),
+        (3L, "customer query filter")).toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25PrfTopK(
+          Tables.load(s, dir, "documents"), queries,
+          "doc_id", "text", "qid", "qtext", k = 10, fbDocs = 5, fbTerms = 10)
+        .orderBy("qid", "rank")
+    },
+
     // Hybrid retrieval: RRF fusion of the lexical (BM25 over text) and
     // semantic (exact cosine over the aligned embeddings) views of three
     // seed documents — the related-document / hard-negative-mining query.
@@ -1884,6 +1901,58 @@ object PipelineQueries {
         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM scored)
         |SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // PRF mirror: r1's BM25 CTEs run twice — pass 1 picks the top-5
+    // feedback docs, expansion terms are the 10 heaviest tf·idf terms of
+    // that set (doc-id-ordered fold, term tiebreak, ANTI JOIN vs the
+    // original terms), pass 2 scores the expanded term set
+    "r3_bm25_prf" ->
+      s"""WITH ftoks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
+         |ftf AS (SELECT doc_id, term, CAST(count(1) AS DOUBLE) AS tf FROM ftoks GROUP BY 1, 2),
+         |fdl AS (SELECT doc_id, CAST(count(1) AS DOUBLE) AS dl FROM ftoks GROUP BY 1),
+         |fgl AS (SELECT CAST(count(1) AS DOUBLE) AS n, sum(dl) AS tot FROM fdl),
+         |fdf AS (SELECT term, CAST(count(1) AS DOUBLE) AS df FROM ftf GROUP BY 1),
+         |fq(qid, qtext) AS (VALUES (CAST(1 AS BIGINT), 'vector hash join'),
+         |                          (CAST(2 AS BIGINT), 'merge batch stream window'),
+         |                          (CAST(3 AS BIGINT), 'customer query filter')),
+         |fq0 AS (SELECT qid, unnest(list_distinct(regexp_split_to_array(trim(qtext), '\\s+'))) AS term FROM fq),
+         |con1 AS (SELECT qid, doc_id,
+         |    {'t': fq0.term, 'c': ((n - df + 0.5) / (df + 0.5)) *
+         |      (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (tot / n))))} AS tc
+         |  FROM fq0 JOIN ftf USING (term) JOIN fdf USING (term)
+         |    JOIN fdl USING (doc_id) CROSS JOIN fgl),
+         |sc1 AS (SELECT qid, doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(tc)), x1 -> x1.c)), (a1, v1) -> a1 + v1) AS score
+         |  FROM con1 GROUP BY qid, doc_id),
+         |fb AS (SELECT qid, doc_id FROM (SELECT qid, doc_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS r1 FROM sc1) WHERE r1 <= 5),
+         |expw AS (SELECT qid, term,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list(dc ORDER BY dd), x2 -> x2.c)), (a2, v2) -> a2 + v2) AS wt
+         |  FROM (SELECT f.qid, t.term, t.doc_id AS dd,
+         |      {'d': t.doc_id, 'c': t.tf * ((n - df + 0.5) / (df + 0.5))} AS dc
+         |    FROM fb f JOIN ftf t USING (doc_id) JOIN fdf USING (term) CROSS JOIN fgl)
+         |  GROUP BY qid, term),
+         |expx AS (SELECT e.qid, e.term, e.wt FROM expw e
+         |  ANTI JOIN fq0 q USING (qid, term)),
+         |expt AS (SELECT qid, term FROM (SELECT qid, term, row_number() OVER (
+         |    PARTITION BY qid ORDER BY wt DESC, term) AS rw FROM expx) WHERE rw <= 10),
+         |fq2 AS (SELECT qid, term FROM fq0 UNION ALL SELECT qid, term FROM expt),
+         |con2 AS (SELECT qid, doc_id,
+         |    {'t': fq2.term, 'c': ((n - df + 0.5) / (df + 0.5)) *
+         |      (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (tot / n))))} AS tc
+         |  FROM fq2 JOIN ftf USING (term) JOIN fdf USING (term)
+         |    JOIN fdl USING (doc_id) CROSS JOIN fgl),
+         |sc2 AS (SELECT qid, doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(tc)), x3 -> x3.c)), (a3, v3) -> a3 + v3) AS score
+         |  FROM con2 GROUP BY qid, doc_id)
+         |SELECT qid, doc_id, score, rank FROM (
+         |  SELECT qid, doc_id, score, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc2)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     // hybrid-RRF mirror: r1's BM25 shape with the three seed documents as
     // queries (k=11, self-filtered, re-ranked 1..10), n1's exact-cosine

@@ -54,6 +54,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b, "scores must be bit-deterministic across runs")
   }
 
+  test("bm25PrfTopK: expansion retrieves docs sharing no original term") {
+    val c = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta gamma delta"), // no 'alpha' — invisible to the raw query
+      (3L, "totally unrelated cooking recipe text")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha")).toDF("qid", "qtext")
+    val plain = Retrieval.bm25TopK(c, q, "doc_id", "text", "qid", "qtext",
+        k = 10, idf = "odds")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(plain == Set(1L), s"raw query must only reach doc 1: $plain")
+    val prf = Retrieval.bm25PrfTopK(c, q, "doc_id", "text", "qid", "qtext",
+        k = 10, fbDocs = 1, fbTerms = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("doc_id"))
+    assert(prf.contains(2L),
+      s"feedback terms beta/gamma must surface doc 2: ${prf.toSeq}")
+    assert(!prf.contains(3L), "expansion must not drag in unrelated docs")
+    // determinism across runs
+    val again = Retrieval.bm25PrfTopK(c, q, "doc_id", "text", "qid", "qtext",
+        k = 10, fbDocs = 1, fbTerms = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(again == Retrieval.bm25PrfTopK(c, q, "doc_id", "text", "qid", "qtext",
+        k = 10, fbDocs = 1, fbTerms = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("rrfFuse: overlap wins, scores are the exact reciprocal-rank sums") {
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "doc_id", "rank")
     val sem = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("qid", "doc_id", "rank")
