@@ -425,8 +425,12 @@ object Dedup {
     val candidates = minhashLshPairs(df, idCol, textCol, k, bands, shingleN,
         portable = portable, maxBucketSize = maxBucketSize)
       .select("id_a", "id_b")
+    // the distinct shingle rows feed three consumers (per-doc sizes + both
+    // sides of the intersection join) — persist so tokenize+hash+distinct
+    // runs once, not three times
     val ex = shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
       .dropDuplicates("id", "h") // jaccard is over DISTINCT shingle sets
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
