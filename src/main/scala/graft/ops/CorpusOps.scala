@@ -335,6 +335,92 @@ object CorpusOps {
         col("bits_total").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** BPE merge learning (Sennrich et al., "Neural Machine Translation of
+    * Rare Words with Subword Units", ACL'16 — public method): learn the
+    * top `numMerges` byte-pair merges from the corpus — the training
+    * step of every BPE/WordPiece-family tokenizer. Standard formulation:
+    * count adjacent symbol pairs over the WORD-FREQUENCY table (never
+    * the token stream — the state is vocabulary-bounded), merge the most
+    * frequent pair everywhere, repeat.
+    *
+    * Merge application is POSITIONAL, not a sequential scan: for a
+    * pair (a,b) with a≠b matches can never overlap, and for a==b greedy
+    * left-to-right non-overlapping selection equals "even offset within
+    * the run of a's" — so each merge step is a pure per-row map the
+    * oracle replays exactly (no order-dependent fold anywhere). Ties in
+    * pair counts break on (left, right) ascending, so the learned table
+    * is bit-deterministic.
+    *
+    * Scale: per step, one explode+sum over the vocabulary (map-side
+    * partials), a driver-bounded top-1, and a map stage applying the
+    * merge; the working vocabulary persists across steps and each step's
+    * result replaces it (lineage stays flat).
+    *
+    * @return (step, lsym, rsym, cnt) — the merge table in learn order. */
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    var current = df
+      .select(explode(TA.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("word"), "").as("syms"))
+    current.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (step <- 1 to numMerges) {
+      val top = current
+        .select(col("freq"), explode(transform(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          (p, i) => struct(p.as("l"), element_at(col("syms"), i + 2).as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, a, b, c))
+        val next = current
+          .withColumn("__sel", mergeSelect(col("syms"), a, b))
+          .withColumn("syms", mergeApply(col("syms"), col("__sel"), a, b))
+          .drop("__sel")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent cache
+        current.unpersist(blocking = false)
+        current = next
+      }
+    }
+    current.unpersist(blocking = false)
+    spark.createDataFrame(merges.toSeq).toDF("step", "lsym", "rsym", "cnt")
+  }
+
+  /** Greedy left-to-right non-overlapping match selection for merge
+    * (a,b), as a boolean array over 1-based positions: a≠b matches can't
+    * overlap (selected iff matched); a==b matches select at even offsets
+    * within each run of a's (= what a sequential greedy scan picks). */
+  private def mergeSelect(syms: Column, a: String, b: String): Column = {
+    val n = size(syms)
+    transform(sequence(lit(1), n), i => {
+      val matched = i < n &&
+        element_at(syms, i) === a && element_at(syms, i + 1) === b
+      if (a != b) matched
+      else {
+        // run start = 1 + last position before i holding a symbol ≠ a
+        val runStart = coalesce(array_max(transform(
+          slice(syms, lit(1), i - 1),
+          (s, j) => when(s =!= a, j + 2).otherwise(lit(1)))), lit(1))
+        matched && ((i - runStart) % 2 === 0)
+      }
+    })
+  }
+
+  /** Emit the merged symbol at selected positions, drop the consumed
+    * right symbol, pass everything else through. */
+  private def mergeApply(syms: Column, sel: Column, a: String, b: String): Column =
+    filter(
+      transform(sequence(lit(1), size(syms)), i =>
+        when(element_at(sel, i), lit(a + b))
+          .when(i > 1 && element_at(sel, i - 1), lit(null).cast("string"))
+          .otherwise(element_at(syms, i))),
+      x => x.isNotNull)
+
   /** Hashing-trick TF-IDF document vectors (Weinberger et al., "Feature
     * Hashing for Large Scale Multitask Learning", ICML'09 — public
     * method): each token lands in bucket `phash(token) mod dim`, weighted

@@ -1038,6 +1038,17 @@ object PipelineQueries {
         .orderBy("source", "cum_tokens")
     },
 
+    // BPE merge learning: the first 6 merges of a subword tokenizer
+    // trained on the corpus word-frequency table — pair counting, argmax
+    // with (left,right) tiebreak, positional greedy merge application
+    // (no sequential fold — see CorpusOps.bpeMerges), repeated. The
+    // whole training loop replays in the oracle.
+    "e22_bpe_merges" -> { (s, dir) =>
+      graft.ops.CorpusOps.bpeMerges(
+          Tables.load(s, dir, "documents"), "text", numMerges = 6)
+        .orderBy("step")
+    },
+
     // CCNet-style unigram-LM surprise filter: bits-per-token against a
     // corpus-learned top-5000 vocabulary. Integer floor-log2 surprise
     // (see CorpusOps.unigramBits) so the oracle hash-matches — IEEE log2
@@ -2255,6 +2266,42 @@ object PipelineQueries {
          |WHERE cum_tokens - n_tokens <
          |  CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 900 ELSE 600 END
          |ORDER BY doc_id""".stripMargin,
+
+    // BPE mirror: the six merge-learning stages unrolled — per stage,
+    // pair counts over the word-frequency table, row_number argmax
+    // (cnt desc, pair asc), and the POSITIONAL greedy merge application
+    // (a≠b matches can't overlap; a==b selects even offsets within each
+    // run — identical formulas to CorpusOps.mergeSelect/mergeApply)
+    "e22_bpe_merges" -> {
+      val stages = (1 to 6).map { s =>
+        s"""p$s AS (SELECT u$s.l AS l, u$s.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |      ib$s -> {'l': syms[ib$s], 'r': syms[ib$s+1]})) AS u$s FROM w${s - 1}) GROUP BY 1, 2),
+           |t$s AS (SELECT l, r, cnt FROM (SELECT l, r, cnt,
+           |    row_number() OVER (ORDER BY cnt DESC, l, r) AS rt$s FROM p$s) WHERE rt$s = 1),
+           |w$s AS (SELECT freq, list_filter(list_transform(range(1, len(syms) + 1), oi$s ->
+           |      CASE WHEN sel[oi$s] THEN l || r
+           |           WHEN oi$s > 1 AND sel[oi$s-1] THEN NULL
+           |           ELSE syms[oi$s] END), ox$s -> ox$s IS NOT NULL) AS syms
+           |  FROM (SELECT freq, syms, l, r,
+           |      list_transform(range(1, len(syms) + 1), si$s ->
+           |        CASE WHEN si$s < len(syms) AND syms[si$s] = l AND syms[si$s+1] = r
+           |             THEN (l <> r) OR (((si$s - coalesce(list_max(list_transform(range(1, si$s),
+           |                    sj$s -> CASE WHEN syms[sj$s] <> l THEN sj$s + 1 ELSE CAST(1 AS BIGINT) END)), 1)) % 2) = 0)
+           |             ELSE FALSE END) AS sel
+           |    FROM w${s - 1} CROSS JOIN t$s))""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 6)
+        .map(s => s"SELECT CAST($s AS BIGINT) AS step, l AS lsym, r AS rsym, cnt FROM t$s")
+        .mkString("\nUNION ALL ")
+      s"""WITH $dToks,
+         |wd AS (SELECT unnest(tk) AS word FROM toks),
+         |w0 AS (SELECT CAST(count(1) AS BIGINT) AS freq, string_split(word, '') AS syms
+         |  FROM wd WHERE length(word) > 0 GROUP BY word),
+         |$stages
+         |$out
+         |ORDER BY step""".stripMargin
+    },
 
     // epoch-mix mirror: same hash-ordered within-epoch running sum
     // (computed once), integer ceil-division epoch bound, integer

@@ -143,6 +143,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(full(0).getAs[Double]("bits_per_bigram") < 1.0)
   }
 
+  test("bpeMerges learns the hand-computed merge table, greedy on runs") {
+    // words: "aaab" ×2, "ab" ×1
+    // pairs: (a,a)=4, (a,b)=3 → merge 1 = (a,a), applied greedily:
+    //   [a,a,a,b] → [aa,a,b] (run of 3 a's merges once, leftmost)
+    // then (a,b)=3 beats (aa,a)=2 → merge 2 = (a,b) → [aa,ab] / [ab]
+    // then merge 3 = (aa,ab)=2
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = CorpusOps.bpeMerges(docs, "text", numMerges = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 4L),
+      (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 2L)), s"got ${out.toSeq}")
+  }
+
   test("epochMix upsamples small sources by repetition, cuts large ones") {
     val docs = Seq(
       (1L, "a b c d e", "small"),   // small: 10 tokens total
