@@ -52,7 +52,7 @@ object ConcurrentScale {
       ("item", "part", "p_partkey"),
       ("order", "orders", "o_orderkey"))
 
-    case class Built(name: String, orch: Orchestrator, tickRows: Long)
+    case class Built(name: String, orch: Orchestrator)
     val built = entities.map { case (name, src, key) =>
       val source = Tables.load(spark, sfDir, src)
       val schema = source.schema
@@ -84,7 +84,7 @@ object ConcurrentScale {
         after = Seq(s"srv_${name}_tsk")))
       Seq(s"land_$name", s"raw_${name}_tsk", s"srv_${name}_tsk", s"trunc_$name")
         .foreach(orch.resume)
-      Built(name, orch, source.count() / cycles)
+      Built(name, orch)
     }
 
     val start = new CountDownLatch(1)

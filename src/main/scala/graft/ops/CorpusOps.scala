@@ -213,7 +213,16 @@ object CorpusOps {
       k: Int, pad: Int = 20): DataFrame = {
     val idType = df.schema(idCol).dataType
     val idStr = col(idCol).cast("string")
-    val payload = if (pad > 0) lpad(idStr, pad, "0") else idStr
+    // zero-padding assumes non-negative ids that FIT the pad: a '-' sign
+    // or a wider id would silently sort wrong (lpad truncates), so both
+    // fail loudly instead; use pad = 0 (plain byte order) for such ids
+    val payload =
+      if (pad > 0)
+        when(length(idStr) > pad || idStr.startsWith("-"),
+          raise_error(concat(lit(s"stratifiedSampleAgg: id does not fit pad=$pad "
+            + "or is negative — use pad = 0: "), idStr)))
+          .otherwise(lpad(idStr, pad, "0"))
+      else idStr
     df.groupBy(strata.map(col): _*)
       .agg(call_function("graft_topk_min", TA.phash(idStr), payload, lit(k))
         .as("__picks"))
@@ -273,6 +282,8 @@ object CorpusOps {
     *   cum_tokens = epoch·total + within-epoch running sum. */
   def epochMix(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(b => b >= 0 && b < Long.MaxValue / 2),
+      "epochMix budgets are token counts — must be non-negative and far from Long.MaxValue")
     val n = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
       size(TA.tokens(col(textCol))).cast("long").as("n_tokens"))
     val budget = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
@@ -285,9 +296,10 @@ object CorpusOps {
       .filter(col("total") > 0)
     withCum.join(totals, Seq("src"))
       .withColumn("budget", budget)
-      .withColumn("epochs", greatest(
-        floor((col("budget") + col("total") - 1) / col("total")).cast("long"),
-        lit(1L)))
+      // integer ceil-division (`div`, not `/`: long / long is IEEE double
+      // in Spark and would drift from the oracle's `//` above 2^53)
+      .withColumn("epochs",
+        greatest(expr("(budget + total - 1) div total"), lit(1L)))
       .withColumn("epoch", explode(sequence(lit(0L), col("epochs") - 1)))
       .withColumn("cum_tokens", col("epoch") * col("total") + col("cum_w"))
       .filter(col("cum_tokens") - col("n_tokens") < col("budget"))

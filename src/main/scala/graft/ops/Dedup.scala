@@ -427,7 +427,10 @@ object Dedup {
       .select("id_a", "id_b")
     // the distinct shingle rows feed three consumers (per-doc sizes + both
     // sides of the intersection join) — persist so tokenize+hash+distinct
-    // runs once, not three times
+    // runs once, not three times. The cache has no in-op release point
+    // (the result is lazy and still reads it); Spark's LRU storage
+    // eviction reclaims it under pressure, or callers batching many
+    // corpora can spark.catalog.clearCache() between runs
     val ex = shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
       .dropDuplicates("id", "h") // jaccard is over DISTINCT shingle sets
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -462,7 +465,10 @@ object Dedup {
     * + one grouped fold; per-node state is its neighbor list, bounded by
     * the LSH bucket cap upstream when the graph comes from
     * [[minhashLshPairs]]. The edge list + degrees persist across the
-    * `iters` joins instead of re-deriving the candidate graph each time. */
+    * `iters` joins instead of re-deriving the candidate graph each time
+    * (no in-op release point — the returned scores still read the cache;
+    * LRU eviction reclaims it, or callers batching many graphs can
+    * `spark.catalog.clearCache()` between runs). */
   def pagerankCentrality(pairs: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -163,8 +163,10 @@ object Retrieval {
     * @return (qid, doc_id, rrf, rank), rank <= topK per query. */
   def rrfFuse(ranked: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {
     require(ranked.nonEmpty, "need at least one ranked list")
+    // ids keep their input types (string ids fuse fine); all lists must
+    // agree on the qid/doc_id types or the union below rejects the plan
     val tagged = ranked.zipWithIndex.map { case (df, i) =>
-      df.select(col("qid").cast("long").as("qid"), col("doc_id").cast("long").as("doc_id"),
+      df.select(col("qid"), col("doc_id"),
         struct(lit(i).as("l"),
           (lit(1.0) / (lit(k0.toDouble) + col("rank").cast("double"))).as("c")).as("tc"))
     }

@@ -21,16 +21,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Registered as `graft_vecsum` by [[GraftExtensions]].
   */
 object VecSum {
+  /** Ragged inputs clamp to each vector's own length like the sibling
+    * expressions (graft_dot / graft_l2sq) rather than reading past an
+    * UnsafeArrayData's element region; a null inner vector raises a
+    * descriptive error (the codegen wrapper only null-checks the OUTER
+    * array, so silently reading a null element would NPE). */
   def sum(vs: ArrayData): ArrayData = {
     val n = vs.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Double])
+    if (vs.isNullAt(0)) throw new IllegalArgumentException(
+      "graft_vecsum: null inner vector")
     val dim = vs.getArray(0).numElements()
     val acc = new Array[Double](dim)
     var i = 0
     while (i < n) {
+      if (vs.isNullAt(i)) throw new IllegalArgumentException(
+        "graft_vecsum: null inner vector")
       val a = vs.getArray(i)
+      val m = math.min(dim, a.numElements())
       var d = 0
-      while (d < dim) { acc(d) += a.getDouble(d); d += 1 }
+      while (d < m) { acc(d) += a.getDouble(d); d += 1 }
       i += 1
     }
     new GenericArrayData(acc)

@@ -249,5 +249,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(sagg.collect().length == 2)
     assert(sagg.schema("doc_id").dataType ==
       org.apache.spark.sql.types.StringType)
+    // ids the padding can't represent fail loudly instead of sorting wrong
+    val neg = Seq((-5L, "en"), (1L, "en")).toDF("doc_id", "lang")
+    val err = intercept[Exception] {
+      CorpusOps.stratifiedSampleAgg(neg, Seq("lang"), "doc_id", k = 2).collect()
+    }
+    assert(err.getMessage != null)
+    // ...but pad = 0 handles them (byte order, documented)
+    assert(CorpusOps.stratifiedSampleAgg(neg, Seq("lang"), "doc_id", k = 2, pad = 0)
+      .collect().length == 2)
   }
 }

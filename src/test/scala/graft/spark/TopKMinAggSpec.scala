@@ -90,6 +90,19 @@ class TopKMinAggSpec extends AnyFunSuite {
       "same per-dim fold order must give the same bits")
   }
 
+  test("graft_vecsum: ragged inputs clamp, null inner vectors error clearly") {
+    val ragged = Seq(Tuple1(Seq(Seq(1.0, 2.0, 3.0), Seq(10.0)))).toDF("vs")
+      .select(call_function("graft_vecsum", col("vs")))
+      .head().getSeq[Double](0)
+    assert(ragged == Seq(11.0, 2.0, 3.0), s"short vectors clamp: $ragged")
+    val err = intercept[Exception] {
+      Seq(Tuple1(Seq(Seq(1.0), null))).toDF("vs")
+        .select(call_function("graft_vecsum", col("vs"))).head()
+    }
+    assert(err.getMessage.contains("graft_vecsum") ||
+      err.getCause != null, s"descriptive error expected: ${err.getMessage}")
+  }
+
   test("rejects wrong types and non-literal k") {
     val df = Seq((1L, "a")).toDF("k", "p")
     intercept[Exception] {
