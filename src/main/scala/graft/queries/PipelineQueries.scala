@@ -858,6 +858,16 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // SRP-LSH bucketing (the cosine-similarity candidate generator): 12
+    // deterministic integer-derived hyperplanes, bucket bit p set iff
+    // the projection on plane p is non-negative — previously spec-only,
+    // now hash-checked end to end (projection folds ascending-dim).
+    "n11_srp_buckets" -> { (s, dir) =>
+      Similarity.srpBuckets(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", planes = 12)
+        .orderBy("id")
+    },
+
     // Nearest-centroid (Rocchio) classification: hold out every 5th
     // vector, classify it by the squared-L2-nearest label centroid of
     // the remaining 80% — the model-free domain classifier / label
@@ -1578,6 +1588,25 @@ object PipelineQueries {
          |  FROM scored) WHERE rnk <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // SRP mirror: the same integer-derived plane components
+    // (((p·73856093 + d·19349663 + 83492791) % 2001) − 1000)/1000, the
+    // same ascending-dimension projection fold, the same 2^p bit sum
+    "n11_srp_buckets" ->
+      s"""WITH ${dVecs("sb")}
+         |SELECT vec_id AS id, bucket FROM (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, 12), pb -> CASE WHEN
+         |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(range(1, 65), db -> v[db] *
+         |              (CAST(((pb*73856093 + (db-1)*19349663 + 83492791) % 2001) - 1000
+         |                 AS DOUBLE) / 1000.0))),
+         |            (pa, pz) -> pa + pz) >= 0
+         |        THEN CAST(pow(2, pb) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (ba, bz) -> ba + bz) AS bucket
+         |  FROM vecs)
+         |ORDER BY id""".stripMargin,
 
     // Rocchio mirror: per-label hierarchical centroid fold over the
     // 80% train split, argmin of the same left-fold squared L2 with
