@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,6 +9,10 @@ object Bench {
     // swings on untouched queries between rounds (r7→r8), which can mask
     // a real regression; a third sample cuts the drift to <3%.
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // soak/endurance mode: run the whole suite N times in ONE JVM and
+    // report per-pass totals — the regression guard for cache-lifecycle
+    // bugs (a leaked cache shows up as monotonic pass-over-pass growth)
+    val soak = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOAK", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,11 +33,6 @@ object Bench {
     // reflect steady state rather than first-query startup cost
     try SparkEntry.queries.get("p2_select_star").foreach(run)
     catch { case _: Throwable => () }
-    // Each query runs `iterations` times; we report the min so one-off
-    // JIT/codegen warm-up for a query's unique operators doesn't get
-    // attributed to the query itself. A failure is reported, not swallowed:
-    // the failing query times as the wall cost of the attempt and its error
-    // message lands in the "errors" map (and errCount > 0 flags the run).
     // optional subset (scale-proof runs): comma-separated query names.
     // Unknown names fail loudly — a typo'd filter must not produce a
     // vacuously clean zero-query "pass".
@@ -45,30 +45,68 @@ object Bench {
             s"SPARK_GRAFT_BENCH_ONLY: empty or unknown queries ${unknown.mkString(",")}")
           names
         }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
-        val t0 = System.nanoTime()
-        try run(fn)
-        catch {
-          case e: Throwable =>
-            if (!errors.contains(name))
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
-    }
+    // Each query runs `iterations` times; the headline is the min so
+    // one-off JIT/codegen warm-up for a query's unique operators doesn't
+    // get attributed to the query itself — but ALL iteration times are
+    // recorded in the JSON ("iterTimes"): a degraded host shows up as a
+    // wide min↔max spread, so a poisoned capture (the BENCH_r09.json
+    // incident — 4× host slowdown read as a 55× query regression)
+    // self-identifies instead of masquerading as a code change. A failure
+    // is reported, not swallowed: the failing query times as the wall cost
+    // of the attempt and its error message lands in the "errors" map (and
+    // errCount > 0 flags the run).
+    def runSuite(): Seq[(String, Seq[Double])] =
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val times = (1 to iterations).map { _ =>
+            val t0 = System.nanoTime()
+            try run(fn)
+            catch {
+              case e: Throwable =>
+                if (!errors.contains(name))
+                  errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                    .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            }
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> times
+        }.toSeq
+    val passes = (1 to soak).map(_ => runSuite())
+    val first = passes.head
+    val loadAfter = osBean.getSystemLoadAverage
     def jstr(s: String) = "\"" + s + "\""
+    def jarr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    val results = first.map { case (k, ts) => k -> ts.min }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val iterTimes = first.map { case (k, ts) => jstr(k) + ":" + jarr(ts) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errCount":${errors.size},"errors":$errs,"iters":$iterations,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // provenance: heap + cpus + load average bracket the run, so a
+    // capture taken on a degraded/oversubscribed host is distinguishable
+    // from a real regression when rounds are compared
+    val env = s"""{"heapMaxBytes":${Runtime.getRuntime.maxMemory},""" +
+      s""""availableProcessors":${Runtime.getRuntime.availableProcessors},""" +
+      s""""sparkCpus":"$cpus","loadAvgBefore":$loadBefore,"loadAvgAfter":$loadAfter}"""
+    // soak block: per-pass min-total; a leaked cache / state accumulation
+    // shows as monotonic growth across passes
+    val passTotals = passes.map(_.map(_._2.min).sum)
+    val soakJson =
+      s"""{"passes":$soak,"passTotals":${jarr(passTotals)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errCount":${errors.size},"errors":$errs,"iters":$iterations,"sf":"$sfDir","env":$env,"iterTimes":$iterTimes,"soak":$soakJson}""")
     spark.stop()
+    if (soak > 1) {
+      val drift = (passTotals.max - passTotals.min) / passTotals.min
+      require(drift <= 0.20,
+        f"soak: pass-over-pass total drift ${drift * 100}%.1f%% exceeds 20%% " +
+          s"(totals ${passTotals.map(t => f"$t%.1f").mkString(", ")}) — " +
+          "suspect a cache/state leak across passes")
+    }
   }
 }

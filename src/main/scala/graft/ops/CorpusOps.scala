@@ -90,8 +90,13 @@ object CorpusOps {
       idCol: String, textCol: String, n: Int, fpp: Double = 0.01,
       portable: Boolean = true): DataFrame = {
     val corpusGrams = Dedup.shingleHashRows(corpus, idCol, textCol, n, portable = portable)
-    // cached: the benchmark grams feed three consumers (count, bloom
-    // build, exact verify join) and are the deliberately small side
+    // cached for the two EAGER driver-side consumers (count + bloom
+    // build), then released before returning: the lazy exact-verify join
+    // below re-derives the bench grams from source instead — one extra
+    // tokenize of the deliberately-MB-scale benchmark side buys an op
+    // that leaves no cache entry behind (caches pinned past the op are
+    // the 100 TB session killer; see [[Similarity.kmeansCentroids]] for
+    // the same persist→consume→unpersist contract).
     val benchGrams = Dedup.shingleHashRows(benchmark, idCol, textCol, n, portable = portable)
       .select(col("id").as("__bench_id"), col("h").as("__bench_h"))
       .persist()
@@ -102,6 +107,7 @@ object CorpusOps {
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    benchGrams.unpersist(blocking = false) // the verify join recomputes it
     // native codegen'd probe (graft.spark.BloomContains) — the filter runs
     // map-side precisely to AVOID the shuffle a join-based formulation
     // would cost, and staying out of ScalaUDF keeps the scan stage inside
@@ -207,6 +213,14 @@ object CorpusOps {
     * for non-negative numeric ids equals numeric order. `pad` must cover
     * the widest id (default 20 digits = any uint64); set `pad = 0` for
     * string ids (plain byte order).
+    *
+    * The identical-output contract assumes NON-NULL, UNIQUE ids (the
+    * normal shape of a primary-key column): the heap's update skips
+    * null keys/payloads where the window form sorts NULL hashes first
+    * and would keep them, and an id duplicated exactly at the k-boundary
+    * is kept by `row_number` but rejected by the heap's strict-less
+    * offer. Null/duplicate ids are a data bug upstream; dedup or filter
+    * them before sampling.
     *
     * @return (strata..., idCol) — idCol cast back to its input type. */
   def stratifiedSampleAgg(df: DataFrame, strata: Seq[String], idCol: String,
@@ -355,21 +369,39 @@ object CorpusOps {
     * the token stream — the state is vocabulary-bounded), merge the most
     * frequent pair everywhere, repeat.
     *
-    * Merge application is POSITIONAL, not a sequential scan: for a
-    * pair (a,b) with a≠b matches can never overlap, and for a==b greedy
-    * left-to-right non-overlapping selection equals "even offset within
-    * the run of a's" — so each merge step is a pure per-row map the
-    * oracle replays exactly (no order-dependent fold anywhere). Ties in
-    * pair counts break on (left, right) ascending, so the learned table
-    * is bit-deterministic.
+    * Merge application is the native greedy left-to-right scan
+    * (`graft_bpe_apply`, [[graft.spark.BpeApplyMerges]]) — a pure
+    * per-row map whose result the oracle replays POSITIONALLY in SQL
+    * (for a pair (a,b) with a≠b matches can never overlap, and for a==b
+    * greedy selection equals "even offset within the run of a's", so the
+    * scan's output is expressible without any order-dependent fold).
+    * Ties in pair counts break on (left, right) ascending, so the
+    * learned table is bit-deterministic.
     *
-    * Scale: per step, one explode+sum over the vocabulary (map-side
-    * partials), a driver-bounded top-1, and a map stage applying the
-    * merge; the working vocabulary persists across steps and each step's
-    * result replaces it (lineage stays flat).
+    * Scale: per ROUND, one explode+sum over the vocabulary (map-side
+    * partials), a driver-bounded top-`batchK` collect, and one map stage
+    * applying the round's merges; the working vocabulary persists across
+    * rounds and each round's result replaces it (lineage stays flat).
+    * `batchK = 1` is the exact serial algorithm (one Spark round-trip per
+    * merge — fine for small merge tables, hours of scheduler overhead at
+    * a production 30k-merge training). `batchK > 1` is the standard
+    * fast-BPE batching trick: per round take the longest PREFIX of the
+    * top-`batchK` pairs whose symbols are pairwise disjoint and apply
+    * them together, cutting driver round-trips to ~numMerges/batchK.
+    * Within such a prefix each merge neither creates nor destroys
+    * instances of the others (disjoint symbols), so the batch equals
+    * applying its members serially WITHOUT recounting; the first
+    * conflicting pair is re-ranked with fresh counts next round. The one
+    * divergence from serial remains the textbook one: a pair CREATED by
+    * an earlier merge in the round (count ≤ its parent's) can in serial
+    * outrank a later prefix pick — identical results are guaranteed only
+    * when that doesn't occur (CorpusOpsSpec proves equality on such a
+    * fixture and e22's oracle pins batchK = 1 bit-exact).
     *
     * @return (step, lsym, rsym, cnt) — the merge table in learn order. */
-  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+      batchK: Int = 1): DataFrame = {
+    require(batchK >= 1, "batchK must be >= 1")
     val spark = df.sparkSession
     var current = df
       .select(explode(TA.tokens(col(textCol))).as("word"))
@@ -378,21 +410,42 @@ object CorpusOps {
       .select(col("freq"), split(col("word"), "").as("syms"))
     current.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    for (step <- 1 to numMerges) {
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(batchK, numMerges - merges.size)
       val top = current
         .select(col("freq"), explode(transform(
           slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
           (p, i) => struct(p.as("l"), element_at(col("syms"), i + 2).as("r")))).as("pr"))
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()
-      if (top.nonEmpty) {
-        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step.toLong, a, b, c))
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(want).collect()
+      if (top.isEmpty) {
+        // no adjacent pair left anywhere (every word is one symbol) —
+        // stop instead of burning a full count job per remaining step
+        exhausted = true
+      } else {
+        // longest prefix with pairwise-disjoint symbols; the head is
+        // always selected, so progress is guaranteed every round
+        val used = scala.collection.mutable.Set[String]()
+        val picked = top.iterator.map { r =>
+          (r.getString(0), r.getString(1), r.getLong(2))
+        }.takeWhile { case (a, b, _) =>
+          val ok = !used(a) && !used(b)
+          if (ok) { used += a; used += b }
+          ok
+        }.toArray
+        picked.foreach { case (a, b, c) =>
+          merges += ((merges.size + 1L, a, b, c))
+        }
+        // the whole round applies in ONE native call (k linear greedy
+        // scans per row — see graft.spark.BpeApplyMerges for why k
+        // composed column transforms are not an option: ~7^k tree nodes)
+        val roundMerges = array(picked.flatMap {
+          case (a, b, _) => Seq(lit(a), lit(b))
+        }.toIndexedSeq: _*)
         val next = current
-          .withColumn("__sel", mergeSelect(col("syms"), a, b))
-          .withColumn("syms", mergeApply(col("syms"), col("__sel"), a, b))
-          .drop("__sel")
+          .withColumn("syms", call_function("graft_bpe_apply", col("syms"), roundMerges))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before releasing the parent cache
         current.unpersist(blocking = false)
@@ -402,36 +455,6 @@ object CorpusOps {
     current.unpersist(blocking = false)
     spark.createDataFrame(merges.toSeq).toDF("step", "lsym", "rsym", "cnt")
   }
-
-  /** Greedy left-to-right non-overlapping match selection for merge
-    * (a,b), as a boolean array over 1-based positions: a≠b matches can't
-    * overlap (selected iff matched); a==b matches select at even offsets
-    * within each run of a's (= what a sequential greedy scan picks). */
-  private def mergeSelect(syms: Column, a: String, b: String): Column = {
-    val n = size(syms)
-    transform(sequence(lit(1), n), i => {
-      val matched = i < n &&
-        element_at(syms, i) === a && element_at(syms, i + 1) === b
-      if (a != b) matched
-      else {
-        // run start = 1 + last position before i holding a symbol ≠ a
-        val runStart = coalesce(array_max(transform(
-          slice(syms, lit(1), i - 1),
-          (s, j) => when(s =!= a, j + 2).otherwise(lit(1)))), lit(1))
-        matched && ((i - runStart) % 2 === 0)
-      }
-    })
-  }
-
-  /** Emit the merged symbol at selected positions, drop the consumed
-    * right symbol, pass everything else through. */
-  private def mergeApply(syms: Column, sel: Column, a: String, b: String): Column =
-    filter(
-      transform(sequence(lit(1), size(syms)), i =>
-        when(element_at(sel, i), lit(a + b))
-          .when(i > 1 && element_at(sel, i - 1), lit(null).cast("string"))
-          .otherwise(element_at(syms, i))),
-      x => x.isNotNull)
 
   /** Hashing-trick TF-IDF document vectors (Weinberger et al., "Feature
     * Hashing for Large Scale Multitask Learning", ICML'09 — public

@@ -427,10 +427,10 @@ object Dedup {
       .select("id_a", "id_b")
     // the distinct shingle rows feed three consumers (per-doc sizes + both
     // sides of the intersection join) — persist so tokenize+hash+distinct
-    // runs once, not three times. The cache has no in-op release point
-    // (the result is lazy and still reads it); Spark's LRU storage
-    // eviction reclaims it under pressure, or callers batching many
-    // corpora can spark.catalog.clearCache() between runs
+    // runs once, not three times. The cache is CORPUS-sized, so it must
+    // not outlive the op: the candidate-bounded pair list (small by the
+    // output-bound argument above) is materialized eagerly below and the
+    // shingle cache released before returning.
     val ex = shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
       .dropDuplicates("id", "h") // jaccard is over DISTINCT shingle sets
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -439,13 +439,21 @@ object Dedup {
       .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
       .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
+    val pairs = inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+      // EAGER materialization of the bounded result (same pattern as
+      // [[Similarity.kmeansCentroids]]'s persist→fold→unpersist): the
+      // checkpointed blocks are result-sized and GC-cleaned by Spark's
+      // ContextCleaner when the returned frame goes out of scope, unlike
+      // an explicit persist, which CacheManager pins until unpersist.
+      .localCheckpoint(true)
+    ex.unpersist(blocking = false) // corpus-sized cache dies with the op
+    pairs
   }
 
   /** PageRank centrality over an undirected pair graph (Page et al.,
@@ -464,11 +472,12 @@ object Dedup {
     * Scale: each iteration is one edge⋈score join (shuffles on node id)
     * + one grouped fold; per-node state is its neighbor list, bounded by
     * the LSH bucket cap upstream when the graph comes from
-    * [[minhashLshPairs]]. The edge list + degrees persist across the
-    * `iters` joins instead of re-deriving the candidate graph each time
-    * (no in-op release point — the returned scores still read the cache;
-    * LRU eviction reclaims it, or callers batching many graphs can
-    * `spark.catalog.clearCache()` between runs). */
+    * [[minhashLshPairs]]. The edge list persists across the `iters` joins
+    * instead of re-deriving the candidate graph each time, then the
+    * node-bounded score list is materialized eagerly and the edge cache
+    * released before returning (the [[graft.ops.Similarity.kmeansCentroids]]
+    * persist→fold→unpersist pattern) — no cache outlives the op, and the
+    * final localCheckpoint also flattens the iters-deep join lineage. */
   def pagerankCentrality(pairs: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -489,7 +498,9 @@ object Dedup {
           (lit(1.0 - damping) + lit(damping) * aggregate(col("scs"), lit(0.0),
             (a, x) => a + x.getField("c"))).as("score"))
     }
-    scores
+    val out = scores.localCheckpoint(true) // node-bounded (id, score) rows
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** The embedding near-dup pipeline: SRP-LSH bucket candidates → exact

@@ -503,7 +503,10 @@ object PipelineQueries {
     "d8_contamination_matrix" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       // the gram vocabulary feeds both self-join sides AND the totals —
-      // persist it once or the tokenize+hash+distinct pipeline runs 3×
+      // persist it once or the tokenize+hash+distinct pipeline runs 3×;
+      // the #sources²-row matrix is materialized eagerly below so the
+      // vocabulary cache can be released inside the query (the
+      // kmeansCentroids persist→fold→unpersist contract)
       val g = Dedup.shingleHashRows(docs, "doc_id", "text", n = 5, extra = Seq(col("source")))
         .select(col("source"), col("h")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -512,7 +515,7 @@ object PipelineQueries {
           col("h") === col("hb") && col("src_a") < col("src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_grams"))
       val totals = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
-      overlap
+      val matrix = overlap
         .join(totals.select(col("source").as("src_a"), col("n_grams").as("grams_a")), "src_a")
         .join(totals.select(col("source").as("src_b"), col("n_grams").as("grams_b")), "src_b")
         .select(col("src_a"), col("src_b"), col("shared_grams"),
@@ -521,6 +524,9 @@ object PipelineQueries {
             (col("grams_a") + col("grams_b") - col("shared_grams")).cast("double"))
             .as("gram_jaccard"))
         .orderBy("src_a", "src_b")
+        .localCheckpoint(true) // #sources² rows — tiny
+      g.unpersist(blocking = false)
+      matrix
     },
 
     // BM25 top-10 per query (odds idf: +−×÷ only, so scores are IEEE
@@ -1056,6 +1062,19 @@ object PipelineQueries {
     "e22_bpe_merges" -> { (s, dir) =>
       graft.ops.CorpusOps.bpeMerges(
           Tables.load(s, dir, "documents"), "text", numMerges = 6)
+        .orderBy("step")
+    },
+
+    // Production-shape BPE training: 100 merges with batched rounds
+    // (batchK = 8 → ~13 driver round-trips instead of 100) — the mode a
+    // real 30k-merge tokenizer training runs, where per-merge driver
+    // sync is the scale bottleneck. No SQL oracle: a 100-step training
+    // replay is not SQL-expressible (e22's 6-step oracle pins the exact
+    // serial semantics; CorpusOpsSpec pins batch≡serial on disjoint
+    // top-k and the conflict-prefix rule) — rows-only check by design.
+    "e23_bpe_batch100" -> { (s, dir) =>
+      graft.ops.CorpusOps.bpeMerges(
+          Tables.load(s, dir, "documents"), "text", numMerges = 100, batchK = 8)
         .orderBy("step")
     },
 

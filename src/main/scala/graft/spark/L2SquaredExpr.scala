@@ -5,23 +5,33 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native squared-L2 distance over two equal-length numeric arrays:
+/** Native squared-L2 distance over two EQUAL-LENGTH numeric arrays:
   * left fold s = s + (a[i] − b[i])² in ascending index order from 0.0 —
   * the exact op sequence of the HOF form
   * `aggregate(zip_with(a, b, (x, y) => (x−y)·(x−y)), 0.0, _+_)` used by
   * [[graft.ops.Similarity]]'s kmeans assignment (and mirrored by the
-  * DuckDB `dL2` oracle fold), so swapping it in changes NOTHING about
-  * results — only the cost: the HOF path materializes a zipped array and
-  * interprets three lambda frames per element; this compiles to one
-  * subtract-multiply-add loop. The kmeans assignment evaluates it
-  * k times per row per Lloyd iteration, which made it the training
-  * hot path.
+  * DuckDB `dL2` oracle fold), so on equal-length inputs swapping it in
+  * changes NOTHING about results — only the cost: the HOF path
+  * materializes a zipped array and interprets three lambda frames per
+  * element; this compiles to one subtract-multiply-add loop. The kmeans
+  * assignment evaluates it k times per row per Lloyd iteration, which
+  * made it the training hot path.
+  *
+  * Mismatched lengths THROW (the HOF form would yield NULL there via
+  * zip_with's null padding; silently returning a prefix distance — the
+  * usual min-length clamp — would let a bad pipeline rank neighbors by
+  * garbage, the same fail-loud posture as `graft_vecsum`).
   *
   * Registered as `graft_l2sq` by [[GraftExtensions]].
   */
 object L2Squared {
+  private def checkLen(na: Int, nb: Int): Unit =
+    if (na != nb) throw new IllegalArgumentException(
+      s"graft_l2sq: array length mismatch ($na vs $nb)")
+
   def l2Float(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    checkLen(n, b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -33,7 +43,8 @@ object L2Squared {
   }
 
   def l2Double(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    checkLen(n, b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -97,5 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_vecsum"),
       new ExpressionInfo(classOf[VecSum].getName, "graft_vecsum"),
       (children: Seq[Expression]) => VecSum(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_apply"),
+      new ExpressionInfo(classOf[BpeApplyMerges].getName, "graft_bpe_apply"),
+      (children: Seq[Expression]) => BpeApplyMerges(children(0), children(1))))
   }
 }

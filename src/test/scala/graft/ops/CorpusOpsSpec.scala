@@ -159,6 +159,42 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, "aa", "ab", 2L)), s"got ${out.toSeq}")
   }
 
+  test("bpeMerges batchK>1 equals serial when the top-k pairs are disjoint") {
+    // words of length 2 over disjoint symbol pairs: merging one pair
+    // neither creates nor destroys instances of another, so one batched
+    // round must reproduce the serial table exactly
+    val docs = Seq((1L, "ab ab ab ab ab cd cd cd cd ef ef ef")).toDF("doc_id", "text")
+    val serial = CorpusOps.bpeMerges(docs, "text", numMerges = 3)
+      .orderBy("step").collect().map(_.toSeq)
+    val batched = CorpusOps.bpeMerges(docs, "text", numMerges = 3, batchK = 3)
+      .orderBy("step").collect().map(_.toSeq)
+    assert(batched.toSeq == serial.toSeq, s"batched ${batched.toSeq} vs serial ${serial.toSeq}")
+    assert(serial.map(r => (r(1), r(2), r(3))).toSeq ==
+      Seq(("a", "b", 5L), ("c", "d", 4L), ("e", "f", 3L)))
+  }
+
+  test("bpeMerges batchK stops the batch at the first symbol conflict") {
+    // "aaab"×2 + "ab": round-1 top-3 is (a,a)=4 then (a,b)=3, which
+    // shares 'a' — the batch must apply ONLY (a,a) and re-rank (a,b)
+    // with fresh counts next round, landing on the serial table
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val serial = CorpusOps.bpeMerges(docs, "text", numMerges = 3)
+      .orderBy("step").collect().map(_.toSeq)
+    val batched = CorpusOps.bpeMerges(docs, "text", numMerges = 3, batchK = 3)
+      .orderBy("step").collect().map(_.toSeq)
+    assert(batched.toSeq == serial.toSeq, s"batched ${batched.toSeq} vs serial ${serial.toSeq}")
+  }
+
+  test("bpeMerges stops early when no adjacent pair remains") {
+    // one merge exhausts the vocabulary (every word becomes one symbol);
+    // asking for 5 must return 1 row, not run 4 dead count jobs
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val out = CorpusOps.bpeMerges(docs, "text", numMerges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", "b", 2L)), s"got ${out.toSeq}")
+  }
+
   test("epochMix upsamples small sources by repetition, cuts large ones") {
     val docs = Seq(
       (1L, "a b c d e", "small"),   // small: 10 tokens total
