@@ -58,8 +58,14 @@ object Bench {
     // is reported, not swallowed: the failing query times as the wall cost
     // of the attempt and its error message lands in the "errors" map (and
     // errCount > 0 flags the run).
-    def runSuite(): Seq[(String, Seq[Double])] =
-      SparkEntry.queries
+    // per-pass failed-attempt counts: in soak mode, an intermittent
+    // pass-2+ failure inflates that pass's total — tagging errors with
+    // their pass and counting per pass keeps a drift-guard trip
+    // distinguishable from a genuine cache/state leak
+    val passErrAttempts = scala.collection.mutable.ArrayBuffer[Int]()
+    def runSuite(passIdx: Int): Seq[(String, Seq[Double])] = {
+      var failedAttempts = 0
+      val rows = SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
           val times = (1 to iterations).map { _ =>
@@ -67,15 +73,20 @@ object Bench {
             try run(fn)
             catch {
               case e: Throwable =>
+                failedAttempts += 1
                 if (!errors.contains(name))
-                  errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                    .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+                  errors(name) = s"pass$passIdx: " +
+                    Option(e.getMessage).getOrElse(e.getClass.getName)
+                      .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
             }
             (System.nanoTime() - t0) / 1e9
           }
           name -> times
         }.toSeq
-    val passes = (1 to soak).map(_ => runSuite())
+      passErrAttempts += failedAttempts
+      rows
+    }
+    val passes = (1 to soak).map(runSuite)
     val first = passes.head
     val loadAfter = osBean.getSystemLoadAverage
     def jstr(s: String) = "\"" + s + "\""
@@ -98,7 +109,8 @@ object Bench {
     // shows as monotonic growth across passes
     val passTotals = passes.map(_.map(_._2.min).sum)
     val soakJson =
-      s"""{"passes":$soak,"passTotals":${jarr(passTotals)}}"""
+      s"""{"passes":$soak,"passTotals":${jarr(passTotals)},""" +
+        s""""passErrAttempts":${passErrAttempts.mkString("[", ",", "]")}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errCount":${errors.size},"errors":$errs,"iters":$iterations,"sf":"$sfDir","env":$env,"iterTimes":$iterTimes,"soak":$soakJson}""")
     spark.stop()
     if (soak > 1) {

@@ -380,14 +380,27 @@ object CorpusOps {
     *
     * Scale: per ROUND, one explode+sum over the vocabulary (map-side
     * partials), a driver-bounded top-`batchK` collect, and one map stage
-    * applying the round's merges; the working vocabulary persists across
-    * rounds and each round's result replaces it (lineage stays flat).
+    * applying the round's merges. The working vocabulary is eagerly
+    * `localCheckpoint`ed every round — NOT persisted — because persist
+    * caches data but leaves the logical plan nested (round i's plan
+    * contains round i−1's entire plan inside its `InMemoryRelation`, and
+    * Spark stringifies the full plan on every job submission, so plan
+    * cost grows ~2× per round: at ~13 rounds that pinned the driver for
+    * minutes and then OOMed it). A checkpoint truncates the plan to a
+    * constant-size `ExistingRDD` scan, so round cost is flat in the
+    * number of rounds; superseded checkpoint blocks are GC-cleaned by
+    * Spark's ContextCleaner when the previous round's frame drops out
+    * of scope (the [[graft.ops.Dedup.lshVerifiedPairs]] pattern).
     * `batchK = 1` is the exact serial algorithm (one Spark round-trip per
     * merge — fine for small merge tables, hours of scheduler overhead at
     * a production 30k-merge training). `batchK > 1` is the standard
     * fast-BPE batching trick: per round take the longest PREFIX of the
-    * top-`batchK` pairs whose symbols are pairwise disjoint and apply
-    * them together, cutting driver round-trips to ~numMerges/batchK.
+    * top-`batchK` pairs whose symbols AND merged-output symbols are
+    * pairwise disjoint and apply them together, cutting driver
+    * round-trips to ~numMerges/batchK. The output symbol `l+r` counts as
+    * used too: a later pick reading or producing an earlier pick's merged
+    * symbol would consume/create instances the pre-round counts never
+    * saw, so it ends the prefix and is re-ranked with fresh counts.
     * Within such a prefix each merge neither creates nor destroys
     * instances of the others (disjoint symbols), so the batch equals
     * applying its members serially WITHOUT recounting; the first
@@ -408,7 +421,7 @@ object CorpusOps {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), split(col("word"), "").as("syms"))
-    current.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // constant-size plan root for every round
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
@@ -425,16 +438,9 @@ object CorpusOps {
         // stop instead of burning a full count job per remaining step
         exhausted = true
       } else {
-        // longest prefix with pairwise-disjoint symbols; the head is
-        // always selected, so progress is guaranteed every round
-        val used = scala.collection.mutable.Set[String]()
-        val picked = top.iterator.map { r =>
+        val picked = disjointPrefix(top.map { r =>
           (r.getString(0), r.getString(1), r.getLong(2))
-        }.takeWhile { case (a, b, _) =>
-          val ok = !used(a) && !used(b)
-          if (ok) { used += a; used += b }
-          ok
-        }.toArray
+        })
         picked.foreach { case (a, b, c) =>
           merges += ((merges.size + 1L, a, b, c))
         }
@@ -444,16 +450,41 @@ object CorpusOps {
         val roundMerges = array(picked.flatMap {
           case (a, b, _) => Seq(lit(a), lit(b))
         }.toIndexedSeq: _*)
-        val next = current
+        // eager localCheckpoint: materializes the round AND truncates the
+        // plan to an ExistingRDD scan — persist would nest the previous
+        // round's plan inside an InMemoryRelation, doubling per-job plan
+        // stringification cost every round (driver OOM by ~13 rounds)
+        current = current
           .withColumn("syms", call_function("graft_bpe_apply", col("syms"), roundMerges))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parent cache
-        current.unpersist(blocking = false)
-        current = next
+          .localCheckpoint(true)
       }
     }
-    current.unpersist(blocking = false)
     spark.createDataFrame(merges.toSeq).toDF("step", "lsym", "rsym", "cnt")
+  }
+
+  /** Longest prefix of a ranked pair list safe to merge as ONE batch:
+    * every symbol a pick reads (l, r) AND the symbol it writes (l+r)
+    * must be untouched by every earlier pick in the prefix. Reserving
+    * the concatenation closes both conflict directions: a later pick
+    * READING an earlier pick's output would consume instances created
+    * mid-round that its pre-round count never saw, and a later pick
+    * WRITING a symbol an earlier pick read would re-create instances
+    * mid-round — either way the batch≡serial contract breaks, so the
+    * conflicting pick ends the prefix and is re-ranked with fresh
+    * counts next round. The head is always selected, so progress is
+    * guaranteed every round. (Randomized search over small corpora
+    * never reached the concat collision organically from character
+    * splits — once (x,y) is merged that adjacency can never re-form —
+    * so this is a defense-in-depth guard, unit-tested directly.) */
+  private[graft] def disjointPrefix(
+      top: Seq[(String, String, Long)]): Array[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set[String]()
+    top.iterator.takeWhile { case (a, b, _) =>
+      val ab = a + b
+      val ok = !used(a) && !used(b) && !used(ab)
+      if (ok) { used += a; used += b; used += ab }
+      ok
+    }.toArray
   }
 
   /** Hashing-trick TF-IDF document vectors (Weinberger et al., "Feature

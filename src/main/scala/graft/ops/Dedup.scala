@@ -472,17 +472,23 @@ object Dedup {
     * Scale: each iteration is one edge⋈score join (shuffles on node id)
     * + one grouped fold; per-node state is its neighbor list, bounded by
     * the LSH bucket cap upstream when the graph comes from
-    * [[minhashLshPairs]]. The edge list persists across the `iters` joins
-    * instead of re-deriving the candidate graph each time, then the
-    * node-bounded score list is materialized eagerly and the edge cache
-    * released before returning (the [[graft.ops.Similarity.kmeansCentroids]]
-    * persist→fold→unpersist pattern) — no cache outlives the op, and the
-    * final localCheckpoint also flattens the iters-deep join lineage. */
+    * [[minhashLshPairs]]. The candidate PAIR list (output-bounded by the
+    * LSH bucket cap) is materialized ONCE up front with an eager
+    * `localCheckpoint` — so the expensive candidate derivation never
+    * re-runs, its blocks are GC-cleaned by Spark's ContextCleaner when
+    * the op's result goes out of scope (no CacheManager pin to leak),
+    * and every edge/degree reference in the iteration chain is a cheap
+    * block re-scan. The returned scores frame stays LAZY: the iters-deep
+    * hash-join chain is visible to plan guards and computed exactly once
+    * at the caller's sink — an eager checkpoint here would pay the
+    * pipeline in its own job and then re-read blocks for the sink
+    * (measured 2.5× slower at sf0.1), for a lineage that is already
+    * constant-depth thanks to the checkpointed root. */
   def pagerankCentrality(pairs: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = pairs.select("id_a", "id_b").localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     var scores = edges.select(col("src").as("id")).distinct()
       .withColumn("score", lit(1.0))
@@ -498,9 +504,7 @@ object Dedup {
           (lit(1.0 - damping) + lit(damping) * aggregate(col("scs"), lit(0.0),
             (a, x) => a + x.getField("c"))).as("score"))
     }
-    val out = scores.localCheckpoint(true) // node-bounded (id, score) rows
-    edges.unpersist(blocking = false)
-    out
+    scores
   }
 
   /** The embedding near-dup pipeline: SRP-LSH bucket candidates → exact

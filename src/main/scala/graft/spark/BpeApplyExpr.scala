@@ -59,7 +59,12 @@ object BpeApplyMerges {
 
 case class BpeApplyMerges(left: Expression, right: Expression) extends BinaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null input elements pass through the scan untouched, so the output
+  // is null-free exactly when the input is — don't promise tighter
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
   override def prettyName: String = "graft_bpe_apply"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -185,6 +185,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(batched.toSeq == serial.toSeq, s"batched ${batched.toSeq} vs serial ${serial.toSeq}")
   }
 
+  test("bpeMerges batch prefix defers picks that touch an earlier pick's merged symbol") {
+    // dangerous direction: pick 2 READS pick 1's output "ab" — applying
+    // (a,b) creates ab instances mid-round that ("ab","c")'s pre-round
+    // count never saw, so the prefix must end at pick 1 (the trailing
+    // disjoint (d,e) is prefix-deferred too, by construction)
+    assert(CorpusOps.disjointPrefix(
+      Seq(("a", "b", 9L), ("ab", "c", 8L), ("d", "e", 7L))).toSeq ==
+      Seq(("a", "b", 9L)))
+    // symmetric direction: pick 2 WRITES "ab", a symbol pick 1 read
+    assert(CorpusOps.disjointPrefix(
+      Seq(("ab", "c", 9L), ("a", "b", 8L))).toSeq ==
+      Seq(("ab", "c", 9L)))
+    // r-side read of an earlier output is caught as well
+    assert(CorpusOps.disjointPrefix(
+      Seq(("a", "b", 9L), ("c", "ab", 8L))).toSeq ==
+      Seq(("a", "b", 9L)))
+    // fully disjoint prefix is untouched
+    assert(CorpusOps.disjointPrefix(
+      Seq(("a", "b", 9L), ("c", "d", 8L), ("e", "f", 7L))).length == 3)
+  }
+
   test("bpeMerges stops early when no adjacent pair remains") {
     // one merge exhausts the vocabulary (every word becomes one symbol);
     // asking for 5 must return 1 row, not run 4 dead count jobs

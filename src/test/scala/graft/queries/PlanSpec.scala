@@ -176,9 +176,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("pagerank: hash-keyed joins only, no cartesian in the iteration chain") {
     val p = plan("g1_pagerank")
-    assert(!p.contains("CartesianProduct"),
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "score propagation must equi-join on node ids")
-    assert(p.contains("graft_phash"), "the LSH edge derivation stays native")
+    // 3 iterations × (edges⋈scores + ⋈deg) = 6 equi-joins must be visible —
+    // the returned frame is lazy by contract so this chain stays guardable
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).size >= 6,
+      "expected the iters-deep hash-join chain in the returned plan")
+    // the candidate pair derivation is checkpointed ONCE up front: every
+    // edge/deg reference must re-scan those blocks, not re-run the LSH
+    assert(p.contains("ExistingRDD"),
+      "expected the eagerly-checkpointed pair list as the plan root")
   }
 
   test("hybrid RRF: no corpus-sized shuffle joins downstream of the two rankers") {
