@@ -41,6 +41,10 @@ import graft.store.TableStore
   *    (SELECT monitoring queries, E3), with
   *    `table(information_schema.task_history())` rewritten to the
   *    orchestrator's run-log table and streams readable as views
+  *  - `TABLE(graft_*(…))` table functions in queries / CTAS / INSERT
+  *    bodies expose the flagship LLM-pipeline operators (near-dup
+  *    filter, decontamination, BM25, kmeans-IVF ANN, token-budget mix)
+  *    to SQL — see [[TableFunctions]]
   *
   * Snowflake-style qualified names (`stg.stg_customer`) are normalized to
   * their flat last segment via the session's name map. SELECT subqueries
@@ -193,8 +197,8 @@ object GraftSql {
       case CreateTableAsRe(replace, name, keys, body) =>
         registerViews()
         val flat = session.map(_.recordCreate(name)).getOrElse(name)
-        val rows = spark.sql(rewriteQualify(
-          timeTravel(spark, store, session, stripOuterParens(body)), spark))
+        val rows = spark.sql(rewriteQualify(TableFunctions.rewrite(spark, store,
+          session, timeTravel(spark, store, session, stripOuterParens(body))), spark))
         val keyCols = Option(keys).map(_.split(",").toIndexedSeq.map(_.trim)).getOrElse(Nil)
         if (store.exists(flat)) {
           if (replace == null) sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
@@ -373,7 +377,8 @@ object GraftSql {
       case InsertRe(mode, name, colList, body) =>
         registerViews()
         val flat = session.map(_.recordName(name)).getOrElse(name)
-        val rows = spark.sql(rewriteQualify(timeTravel(spark, store, session, body), spark))
+        val rows = spark.sql(rewriteQualify(TableFunctions.rewrite(spark, store,
+          session, timeTravel(spark, store, session, body)), spark))
         // INSERT ... SELECT is POSITIONAL (Snowflake semantics): rename
         // the query's columns to the target names by position before the
         // store's by-name align. An explicit column list narrows the
@@ -432,8 +437,9 @@ object GraftSql {
             .findFirstIn(other).isDefined)
           sys.error(s"unsupported CREATE TABLE form (not columns/CTAS/CLONE): ${other.take(200)}")
         registerViews()
-        Some(spark.sql(rewriteQualify(timeTravel(spark, store, session,
-          other.replaceAll(TaskHistoryFnRe, "task_history")), spark)))
+        Some(spark.sql(rewriteQualify(TableFunctions.rewrite(spark, store, session,
+          timeTravel(spark, store, session,
+            other.replaceAll(TaskHistoryFnRe, "task_history"))), spark)))
     }
   }
 

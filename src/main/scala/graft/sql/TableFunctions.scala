@@ -1,0 +1,162 @@
+package graft.sql
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSession
+import graft.ops.{CorpusOps, Dedup, Retrieval, Similarity}
+import graft.store.TableStore
+
+/** SQL table-function surface for the flagship LLM-pipeline operators —
+  * the warehouse user model of the reference (everything is SQL:
+  * customer-end-to-end-pipeline-script.sql:62-179) extended to the ops
+  * the Scala API added. A `TABLE(graft_*(…))` call anywhere in a query
+  * evaluates the named library operator and substitutes a temp view over
+  * its result, so the ops compose with ordinary SQL (joins, filters,
+  * CTAS, INSERT … SELECT) exactly like Snowflake table functions:
+  *
+  *  - `TABLE(graft_neardup_filter(t, 'id', 'text'[, min_jaccard[, k,
+  *    bands, shingle_n]]))` → [[Dedup.nearDupFilter]]: the input rows
+  *    minus non-representative members of near-dup clusters
+  *  - `TABLE(graft_decontaminate(corpus, benchmark, 'id', 'text', n))`
+  *    → [[CorpusOps.decontaminate]]: corpus + `contaminated` flag
+  *  - `TABLE(graft_bm25_topk(docs, queries, 'id', 'text', 'qid',
+  *    'qtext', k))` → [[Retrieval.bm25TopK]]
+  *  - `TABLE(graft_kmeans_ivf_topk(corpus, queries, 'id', 'vec',
+  *    k_clusters, iters, k, nprobe))` → [[Similarity.kmeans]] training +
+  *    [[Similarity.ivfTopK]] probe-pruned search over the learned
+  *    partitions (the n5 pipeline as one call)
+  *  - `TABLE(graft_token_budget_mix(t, 'id', 'text', 'source',
+  *    'src1=1000,src2=500'[, default_budget]))` →
+  *    [[CorpusOps.tokenBudgetMix]]
+  *
+  * Table arguments name store tables (schema-qualified names normalize
+  * through the session, same as every other statement) or temp views;
+  * string arguments are single-quoted literals; numbers are unquoted.
+  * The call is evaluated ONCE per statement at rewrite time — Snowflake
+  * lateral-join semantics (per-row arguments) are out of scope, matching
+  * the reference's usage where table functions take constant arguments
+  * (`table(information_schema.task_history())`).
+  *
+  * Scale: the rewrite adds nothing to the physical plan — the substituted
+  * view IS the operator's lazy frame, so Catalyst optimizes the enclosing
+  * query and the operator's plan as one tree (filters on the result push
+  * into the op where semantics allow, exactly as in the Scala API). */
+object TableFunctions {
+
+  private val viewCounter = new AtomicInteger(0)
+  private val CallStart = """(?i)\bTABLE\s*\(\s*(graft_\w+)\s*\(""".r
+
+  /** Rewrite every `TABLE(graft_*(…))` call in `sql` to a temp view over
+    * the evaluated operator; returns the statement with calls replaced.
+    * Statements without calls pass through untouched (single regex probe,
+    * no per-statement cost). */
+  def rewrite(spark: SparkSession, store: TableStore,
+      session: Option[GraftSession], sql: String): String =
+    CallStart.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val argsStart = m.end
+        val argsEnd = closingParen(sql, argsStart)
+        var j = argsEnd + 1
+        while (j < sql.length && sql(j).isWhitespace) j += 1
+        require(j < sql.length && sql(j) == ')',
+          s"malformed TABLE(${m.group(1)}(…)) call: missing closing paren")
+        val fn = m.group(1).toLowerCase
+        val args = MergeSql.splitTopLevel(sql.substring(argsStart, argsEnd), ',')
+          .map(_.trim).filter(_.nonEmpty)
+        val df = eval(spark, store, session, fn, args)
+        val view = s"__tf_${fn}_${viewCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        rewrite(spark, store, session,
+          sql.substring(0, m.start) + view + sql.substring(j + 1))
+    }
+
+  /** Index of the ')' closing the paren just before `from`, respecting
+    * single-quoted strings (with '' escapes) and nested parens. */
+  private def closingParen(sql: String, from: Int): Int = {
+    var depth = 1
+    var inStr = false
+    var i = from
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inStr) {
+        if (c == '\'') inStr = false // a doubled '' re-enters on the next quote
+      } else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    sys.error(s"malformed table-function call (unbalanced parens): $sql")
+  }
+
+  private def eval(spark: SparkSession, store: TableStore,
+      session: Option[GraftSession], fn: String, args: Seq[String]): DataFrame = {
+    def rel(a: String): DataFrame = {
+      val flat = session.map(_.recordName(a)).getOrElse(a)
+      if (store != null && store.exists(flat)) store.read(flat)
+      else spark.table(a)
+    }
+    def str(a: String): String = {
+      require(a.length >= 2 && a.head == '\'' && a.last == '\'',
+        s"$fn: expected a quoted string literal, got $a")
+      a.substring(1, a.length - 1).replace("''", "'")
+    }
+    def arity(ok: Boolean, want: String): Unit =
+      require(ok, s"$fn takes $want arguments, got ${args.length}: ${args.mkString(", ")}")
+    def budgets(a: String): Map[String, Long] =
+      str(a).split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.lastIndexOf('=')
+        require(i > 0, s"$fn: budget entries are source=tokens, got '$kv'")
+        kv.take(i).trim -> kv.drop(i + 1).trim.toLong
+      }.toMap
+
+    fn match {
+      case "graft_neardup_filter" =>
+        arity(args.length >= 3 && args.length <= 7, "3 to 7")
+        Dedup.nearDupFilter(rel(args(0)), str(args(1)), str(args(2)),
+          minJaccard = if (args.length > 3) args(3).toDouble else 0.8,
+          k = if (args.length > 4) args(4).toInt else 16,
+          bands = if (args.length > 5) args(5).toInt else 8,
+          shingleN = if (args.length > 6) args(6).toInt else 2)
+
+      case "graft_decontaminate" =>
+        arity(args.length == 5, "5 (corpus, benchmark, 'id', 'text', n)")
+        CorpusOps.decontaminate(rel(args(0)), rel(args(1)),
+          str(args(2)), str(args(3)), args(4).toInt)
+
+      case "graft_bm25_topk" =>
+        arity(args.length == 7,
+          "7 (docs, queries, 'id', 'text', 'qid', 'qtext', k)")
+        Retrieval.bm25TopK(rel(args(0)), rel(args(1)), str(args(2)),
+          str(args(3)), str(args(4)), str(args(5)), args(6).toInt)
+
+      case "graft_kmeans_ivf_topk" =>
+        arity(args.length == 8,
+          "8 (corpus, queries, 'id', 'vec', k_clusters, iters, k, nprobe)")
+        val corpus = rel(args(0))
+        val idCol = str(args(2))
+        val vecCol = str(args(3))
+        val km = Similarity
+          .kmeans(corpus, idCol, vecCol, args(4).toInt, args(5).toInt)
+          .withColumnRenamed("id", idCol)
+        Similarity.ivfTopK(corpus.join(km, Seq(idCol)), rel(args(1)),
+          idCol, vecCol, "cluster", args(6).toInt, args(7).toInt)
+
+      case "graft_token_budget_mix" =>
+        arity(args.length == 5 || args.length == 6,
+          "5 or 6 (t, 'id', 'text', 'source', 'src=tokens,…'[, default_budget])")
+        CorpusOps.tokenBudgetMix(rel(args(0)), str(args(1)), str(args(2)),
+          str(args(3)), budgets(args(4)),
+          defaultBudget = if (args.length > 5) args(5).toLong else Long.MaxValue)
+
+      case other => sys.error(s"unknown table function $other — supported: " +
+        "graft_neardup_filter, graft_decontaminate, graft_bm25_topk, " +
+        "graft_kmeans_ivf_topk, graft_token_budget_mix")
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.{CorpusOps, Dedup, Retrieval, Similarity}
+
+/** The SQL table-function surface must return EXACTLY what the Scala API
+  * returns — same rows, same values — and compose with ordinary SQL
+  * (outer filters, CTAS, INSERT bodies, store-table name resolution). */
+class TableFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def sess() = graft.GraftSession(spark,
+    Files.createTempDirectory("graft_tf").toString, 2)
+
+  /** Order-insensitive row comparison (same plan ⇒ same values, but the
+    * SQL path may emit partitions in a different order). */
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("graft_neardup_filter: SQL call equals Dedup.nearDupFilter") {
+    val g = sess()
+    docs.createOrReplaceTempView("docs_tf")
+    val viaSql = g.sql(
+      "SELECT * FROM TABLE(graft_neardup_filter(docs_tf, 'doc_id', 'text', 0.8))").get
+    val viaApi = Dedup.nearDupFilter(docs, "doc_id", "text", minJaccard = 0.8)
+    assert(rows(viaSql) == rows(viaApi))
+    // composes: an outer filter applies to the op's result like any view
+    val filtered = g.sql("SELECT doc_id FROM TABLE(graft_neardup_filter(" +
+      "docs_tf, 'doc_id', 'text', 0.8)) WHERE doc_id < 100").get
+    assert(rows(filtered) ==
+      rows(viaApi.filter(col("doc_id") < 100).select("doc_id")))
+  }
+
+  test("graft_decontaminate: SQL call equals CorpusOps.decontaminate") {
+    val g = sess()
+    docs.createOrReplaceTempView("docs_tf")
+    docs.filter(col("doc_id") % 10 === 0).createOrReplaceTempView("bench_tf")
+    val viaSql = g.sql("SELECT doc_id, contaminated FROM TABLE(" +
+      "graft_decontaminate(docs_tf, bench_tf, 'doc_id', 'text', 8))").get
+    val viaApi = CorpusOps
+      .decontaminate(docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+      .select("doc_id", "contaminated")
+    assert(rows(viaSql) == rows(viaApi))
+  }
+
+  test("graft_bm25_topk: SQL call equals Retrieval.bm25TopK") {
+    val g = sess()
+    docs.createOrReplaceTempView("docs_tf")
+    docs.filter(col("doc_id") < 5).createOrReplaceTempView("queries_tf")
+    val viaSql = g.sql("SELECT * FROM TABLE(graft_bm25_topk(" +
+      "docs_tf, queries_tf, 'doc_id', 'text', 'doc_id', 'text', 5))").get
+    val viaApi = Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+      "doc_id", "text", "doc_id", "text", k = 5)
+    assert(rows(viaSql) == rows(viaApi))
+  }
+
+  test("graft_kmeans_ivf_topk: SQL call equals the kmeans + ivfTopK pipeline") {
+    val g = sess()
+    embs.createOrReplaceTempView("embs_tf")
+    embs.filter(col("vec_id") < 10).createOrReplaceTempView("eq_tf")
+    val viaSql = g.sql("SELECT * FROM TABLE(graft_kmeans_ivf_topk(" +
+      "embs_tf, eq_tf, 'vec_id', 'embedding', 8, 3, 5, 2))").get
+    val km = Similarity.kmeans(embs, "vec_id", "embedding", k = 8, iters = 3)
+      .withColumnRenamed("id", "vec_id")
+    val viaApi = Similarity.ivfTopK(embs.join(km, Seq("vec_id")),
+      embs.filter(col("vec_id") < 10), "vec_id", "embedding", "cluster",
+      k = 5, nprobe = 2)
+    assert(rows(viaSql) == rows(viaApi))
+  }
+
+  test("graft_token_budget_mix: SQL call equals CorpusOps.tokenBudgetMix") {
+    val g = sess()
+    docs.createOrReplaceTempView("docs_tf")
+    // default budget omitted: unlisted sources pass through whole
+    val viaSql = g.sql("SELECT * FROM TABLE(graft_token_budget_mix(" +
+      "docs_tf, 'doc_id', 'text', 'source', 'src0=200,src1=100'))").get
+    val viaApi = CorpusOps.tokenBudgetMix(docs, "doc_id", "text", "source",
+      Map("src0" -> 200L, "src1" -> 100L))
+    assert(rows(viaSql) == rows(viaApi))
+    // explicit default budget caps every unlisted source
+    val viaSqlDef = g.sql("SELECT * FROM TABLE(graft_token_budget_mix(" +
+      "docs_tf, 'doc_id', 'text', 'source', 'src0=200', 50))").get
+    val viaApiDef = CorpusOps.tokenBudgetMix(docs, "doc_id", "text", "source",
+      Map("src0" -> 200L), defaultBudget = 50L)
+    assert(rows(viaSqlDef) == rows(viaApiDef))
+  }
+
+  test("table functions resolve store tables and feed CTAS / INSERT bodies") {
+    val g = sess()
+    docs.createOrReplaceTempView("docs_tf")
+    g.sqlScript(
+      """CREATE TABLE corpus KEYS (doc_id) AS SELECT doc_id, text, source FROM docs_tf;
+        |CREATE TABLE mix AS SELECT * FROM TABLE(graft_token_budget_mix(
+        |  corpus, 'doc_id', 'text', 'source', 'src0=200,src1=100'))""".stripMargin)
+    val expect = CorpusOps.tokenBudgetMix(docs.select("doc_id", "text", "source"),
+      "doc_id", "text", "source", Map("src0" -> 200L, "src1" -> 100L))
+    assert(rows(g.table("mix")) == rows(expect))
+    // INSERT INTO … SELECT FROM TABLE(…) — the warehouse idiom for
+    // materializing a cleaned corpus
+    g.sqlScript(
+      """CREATE TABLE kept (doc_id BIGINT) KEYS (doc_id);
+        |INSERT INTO kept SELECT doc_id FROM TABLE(graft_neardup_filter(
+        |  corpus, 'doc_id', 'text', 0.8))""".stripMargin)
+    val keptExpect = Dedup.nearDupFilter(docs.select("doc_id", "text", "source"),
+      "doc_id", "text", minJaccard = 0.8).select("doc_id")
+    assert(rows(g.table("kept")) == rows(keptExpect))
+  }
+
+  test("unknown table functions and malformed literals error loudly") {
+    val g = sess()
+    docs.createOrReplaceTempView("docs_tf")
+    val e1 = intercept[RuntimeException](
+      g.sql("SELECT * FROM TABLE(graft_no_such_fn(docs_tf, 'a'))"))
+    assert(e1.getMessage.contains("unknown table function"))
+    val e2 = intercept[IllegalArgumentException](
+      g.sql("SELECT * FROM TABLE(graft_neardup_filter(docs_tf, doc_id, 'text'))"))
+    assert(e2.getMessage.contains("string literal"))
+    val e3 = intercept[IllegalArgumentException](
+      g.sql("SELECT * FROM TABLE(graft_bm25_topk(docs_tf, 'x'))"))
+    assert(e3.getMessage.contains("arguments"))
+  }
+}
