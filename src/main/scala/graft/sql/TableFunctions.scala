@@ -30,6 +30,20 @@ import graft.store.TableStore
   *  - `TABLE(graft_token_budget_mix(t, 'id', 'text', 'source',
   *    'src1=1000,src2=500'[, default_budget]))` →
   *    [[CorpusOps.tokenBudgetMix]]
+  *  - `TABLE(graft_epoch_mix(t, 'id', 'text', 'source',
+  *    'src1=1000,src2=500'))` → [[CorpusOps.epochMix]] (upsampling
+  *    variant: small sources repeat per epoch until their budget)
+  *  - `TABLE(graft_decontaminate_bloom(corpus, benchmark, 'id', 'text',
+  *    n[, fpp]))` → [[CorpusOps.decontaminateBloom]] (the 100 TB path:
+  *    broadcast Bloom pre-prune, identical output)
+  *  - `TABLE(graft_neardup_pairs(t, 'id', 'text', min_jaccard[, k,
+  *    bands, shingle_n]))` → [[Dedup.lshVerifiedPairs]]: the verified
+  *    (id_a, id_b, jaccard) pair list itself, for audits and custom
+  *    cluster policies
+  *  - `TABLE(graft_chunk(t, 'id', 'text', size[, overlap]))` →
+  *    [[CorpusOps.chunk]]
+  *  - `TABLE(graft_brute_topk(corpus, queries, 'id', 'vec', k))` →
+  *    [[Similarity.bruteForceTopK]] (exact cosine baseline)
   *
   * Table arguments name store tables (schema-qualified names normalize
   * through the session, same as every other statement) or temp views;
@@ -154,9 +168,42 @@ object TableFunctions {
           str(args(3)), budgets(args(4)),
           defaultBudget = if (args.length > 5) args(5).toLong else Long.MaxValue)
 
+      case "graft_epoch_mix" =>
+        arity(args.length == 5, "5 (t, 'id', 'text', 'source', 'src=tokens,…')")
+        CorpusOps.epochMix(rel(args(0)), str(args(1)), str(args(2)),
+          str(args(3)), budgets(args(4)))
+
+      case "graft_decontaminate_bloom" =>
+        arity(args.length == 5 || args.length == 6,
+          "5 or 6 (corpus, benchmark, 'id', 'text', n[, fpp])")
+        CorpusOps.decontaminateBloom(rel(args(0)), rel(args(1)),
+          str(args(2)), str(args(3)), args(4).toInt,
+          fpp = if (args.length > 5) args(5).toDouble else 0.01)
+
+      case "graft_neardup_pairs" =>
+        arity(args.length >= 4 && args.length <= 7,
+          "4 to 7 (t, 'id', 'text', min_jaccard[, k, bands, shingle_n])")
+        Dedup.lshVerifiedPairs(rel(args(0)), str(args(1)), str(args(2)),
+          args(3).toDouble,
+          k = if (args.length > 4) args(4).toInt else 16,
+          bands = if (args.length > 5) args(5).toInt else 8,
+          shingleN = if (args.length > 6) args(6).toInt else 2)
+
+      case "graft_chunk" =>
+        arity(args.length == 4 || args.length == 5,
+          "4 or 5 (t, 'id', 'text', size[, overlap])")
+        CorpusOps.chunk(rel(args(0)), str(args(1)), str(args(2)),
+          args(3).toInt, overlap = if (args.length > 4) args(4).toInt else 0)
+
+      case "graft_brute_topk" =>
+        arity(args.length == 5, "5 (corpus, queries, 'id', 'vec', k)")
+        Similarity.bruteForceTopK(rel(args(0)), rel(args(1)),
+          str(args(2)), str(args(3)), args(4).toInt)
+
       case other => sys.error(s"unknown table function $other — supported: " +
-        "graft_neardup_filter, graft_decontaminate, graft_bm25_topk, " +
-        "graft_kmeans_ivf_topk, graft_token_budget_mix")
+        "graft_neardup_filter, graft_neardup_pairs, graft_decontaminate, " +
+        "graft_decontaminate_bloom, graft_bm25_topk, graft_kmeans_ivf_topk, " +
+        "graft_brute_topk, graft_token_budget_mix, graft_epoch_mix, graft_chunk")
     }
   }
 }

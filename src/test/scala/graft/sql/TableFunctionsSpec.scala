@@ -95,6 +95,33 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(rows(viaSqlDef) == rows(viaApiDef))
   }
 
+  test("remaining table functions each equal their Scala API call") {
+    val g = sess()
+    docs.createOrReplaceTempView("docs_tf")
+    docs.filter(col("doc_id") % 10 === 0).createOrReplaceTempView("bench_tf")
+    embs.createOrReplaceTempView("embs_tf")
+    embs.filter(col("vec_id") < 10).createOrReplaceTempView("eq_tf")
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_epoch_mix(" +
+      "docs_tf, 'doc_id', 'text', 'source', 'src0=2000,src1=100'))").get) ==
+      rows(CorpusOps.epochMix(docs, "doc_id", "text", "source",
+        Map("src0" -> 2000L, "src1" -> 100L))))
+    assert(rows(g.sql("SELECT doc_id, contaminated FROM TABLE(" +
+      "graft_decontaminate_bloom(docs_tf, bench_tf, 'doc_id', 'text', 8))").get) ==
+      rows(CorpusOps.decontaminateBloom(docs,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 8)
+        .select("doc_id", "contaminated")))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_neardup_pairs(" +
+      "docs_tf, 'doc_id', 'text', 0.8))").get) ==
+      rows(Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.8)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_chunk(" +
+      "docs_tf, 'doc_id', 'text', 32, 8))").get) ==
+      rows(CorpusOps.chunk(docs, "doc_id", "text", size = 32, overlap = 8)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_brute_topk(" +
+      "embs_tf, eq_tf, 'vec_id', 'embedding', 5))").get) ==
+      rows(Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)))
+  }
+
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
     val g = sess()
     docs.createOrReplaceTempView("docs_tf")
