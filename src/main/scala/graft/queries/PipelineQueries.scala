@@ -1118,9 +1118,13 @@ object PipelineQueries {
           percentile_approx(col("n_chars"), lit(0.5), lit(1000)).cast("double").as("approx_med"),
           expr("percentile(n_chars, 0.5)").as("exact_med"))
         .select(col("source"), col("exact_docs"),
-          // HLL++ rsd=0.02: allow 5σ-ish slack (5% relative, floor of 1)
+          // HLL++ rsd=0.02: allow 5σ-ish slack — 5% relative with an
+          // ABSOLUTE floor of 3: below ~50 distinct values the sparse-mode
+          // estimate is discrete and can sit 2 off exact (observed at
+          // sf0.001's 25 docs/source), which a floor of 1 misflags as a
+          // sketch regression; from sf0.01 up the 5% term dominates
           (abs(col("approx_docs") - col("exact_docs")).cast("double") <=
-            greatest(lit(1.0), col("exact_docs").cast("double") * 0.05)).as("hll_ok"),
+            greatest(lit(3.0), col("exact_docs").cast("double") * 0.05)).as("hll_ok"),
           // quantile sketch accuracy=1000: approx median within 5% (floor 2)
           // of the exact interpolated median
           (abs(col("approx_med") - col("exact_med")) <=
