@@ -143,6 +143,21 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(rows(g.table("kept")) == rows(keptExpect))
   }
 
+  test("outer predicates push through the table-function boundary to the scan") {
+    // the substituted view is the operator's LAZY frame, so Catalyst
+    // optimizes the enclosing query and the op as one tree — an outer
+    // filter on the id must reach the parquet scan, not run post-hoc
+    val g = sess()
+    spark.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView("docs_pq")
+    val df = g.sql("SELECT doc_id, chunk_id FROM TABLE(graft_chunk(" +
+      "docs_pq, 'doc_id', 'text', 32)) WHERE doc_id < 100").get
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters") && p.contains("LessThan(doc_id,100)"),
+      s"expected the outer filter at the scan:\n${p.take(1500)}")
+  }
+
   test("unknown table functions and malformed literals error loudly") {
     val g = sess()
     docs.createOrReplaceTempView("docs_tf")
