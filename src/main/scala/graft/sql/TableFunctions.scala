@@ -44,6 +44,12 @@ import graft.store.TableStore
   *    [[CorpusOps.chunk]]
   *  - `TABLE(graft_brute_topk(corpus, queries, 'id', 'vec', k))` →
   *    [[Similarity.bruteForceTopK]] (exact cosine baseline)
+  *  - `TABLE(graft_bm25_prf_topk(docs, queries, 'id', 'text', 'qid',
+  *    'qtext', k[, fb_docs, fb_terms]))` → [[Retrieval.bm25PrfTopK]]
+  *    (Rocchio pseudo-relevance-feedback expansion)
+  *  - `TABLE(graft_semantic_dedup(t, 'id', 'vec'[, min_cosine[,
+  *    planes]]))` → [[Dedup.semanticDedup]]: SRP-bucketed embedding
+  *    near-dup removal, returns the surviving rows
   *
   * Table arguments name store tables (schema-qualified names normalize
   * through the session, same as every other statement) or temp views;
@@ -200,10 +206,26 @@ object TableFunctions {
         Similarity.bruteForceTopK(rel(args(0)), rel(args(1)),
           str(args(2)), str(args(3)), args(4).toInt)
 
+      case "graft_bm25_prf_topk" =>
+        arity(args.length >= 7 && args.length <= 9,
+          "7 to 9 (docs, queries, 'id', 'text', 'qid', 'qtext', k[, fb_docs, fb_terms])")
+        Retrieval.bm25PrfTopK(rel(args(0)), rel(args(1)), str(args(2)),
+          str(args(3)), str(args(4)), str(args(5)), args(6).toInt,
+          fbDocs = if (args.length > 7) args(7).toInt else 5,
+          fbTerms = if (args.length > 8) args(8).toInt else 10)
+
+      case "graft_semantic_dedup" =>
+        arity(args.length >= 3 && args.length <= 5,
+          "3 to 5 (t, 'id', 'vec'[, min_cosine[, planes]])")
+        Dedup.semanticDedup(rel(args(0)), str(args(1)), str(args(2)),
+          minCosine = if (args.length > 3) args(3).toDouble else 0.95,
+          planes = if (args.length > 4) args(4).toInt else 12)
+
       case other => sys.error(s"unknown table function $other — supported: " +
-        "graft_neardup_filter, graft_neardup_pairs, graft_decontaminate, " +
-        "graft_decontaminate_bloom, graft_bm25_topk, graft_kmeans_ivf_topk, " +
-        "graft_brute_topk, graft_token_budget_mix, graft_epoch_mix, graft_chunk")
+        "graft_neardup_filter, graft_neardup_pairs, graft_semantic_dedup, " +
+        "graft_decontaminate, graft_decontaminate_bloom, graft_bm25_topk, " +
+        "graft_bm25_prf_topk, graft_kmeans_ivf_topk, graft_brute_topk, " +
+        "graft_token_budget_mix, graft_epoch_mix, graft_chunk")
     }
   }
 }

@@ -120,6 +120,14 @@ class TableFunctionsSpec extends AnyFunSuite {
       "embs_tf, eq_tf, 'vec_id', 'embedding', 5))").get) ==
       rows(Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_bm25_prf_topk(" +
+      "docs_tf, bench_tf, 'doc_id', 'text', 'doc_id', 'text', 5, 3, 8))").get) ==
+      rows(Retrieval.bm25PrfTopK(docs, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", "doc_id", "text", k = 5, fbDocs = 3, fbTerms = 8)))
+    assert(rows(g.sql("SELECT vec_id FROM TABLE(graft_semantic_dedup(" +
+      "embs_tf, 'vec_id', 'embedding', 0.99))").get) ==
+      rows(Dedup.semanticDedup(embs, "vec_id", "embedding", minCosine = 0.99)
+        .select("vec_id")))
   }
 
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
