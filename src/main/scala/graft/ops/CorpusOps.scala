@@ -581,4 +581,133 @@ object CorpusOps {
       .withColumn("bits_per_bigram",
         col("bits_total").cast("double") / col("n_bigrams").cast("double"))
   }
+
+  /** Multinomial Naive Bayes text classifier (public method — McCallum &
+    * Nigam, AAAI-98 Workshop on Learning for Text Categorization):
+    * learn per-class token counts from a labeled train slice in ONE
+    * aggregation pass, then label each test document with the class
+    * whose unigram LM compresses it best (min total surprise + prior).
+    * The counting counterpart of fastText-style linear classifiers used
+    * for pretraining-data domain tagging and quality gating; the
+    * vector-space sibling is [[Similarity.nearestCentroidClassify]].
+    *
+    * Bit-exactness: same integer floor-log2 scheme as [[unigramBits]].
+    * A token t costs class c `bitlen(totc + V) − bitlen(cnt(t,c) + 1)`
+    * bits (Laplace add-one over the learned vocabulary, V = |vocab|);
+    * tokens with no (t,c) model row — OOV anywhere or unseen in c —
+    * cost the same with count 0. The class prior adds `bitlen(nDocs) −
+    * bitlen(nDocs_c)`. All-integer, so the DuckDB replay hash-matches;
+    * score ties break on class label ascending.
+    *
+    * Scale: training is one explode + (class, token) hash aggregate with
+    * map-side partials; the model is vocabulary-bounded (top-`vocabSize`
+    * tokens by train count, count desc / token asc — deterministic) and
+    * BROADCASTS with the per-class constants to the scoring side, so
+    * the corpus-side scan never shuffles on token content; scoring
+    * shuffles once on the doc id, and the per-doc state is one row per
+    * class, never doc × vocab.
+    *
+    * @return (idCol, labelCol, pred_<labelCol>, correct, bits) — the
+    *   test rows labeled, with the winning class's total bits. */
+  def nbClassifyBits(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, labelCol: String, vocabSize: Int = 30000): DataFrame = {
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val trToks = train.select(col(labelCol).as("lbl"),
+      explode(TA.tokens(col(textCol))).as("tok"))
+    val cnts = trToks.groupBy("lbl", "tok").agg(count(lit(1)).as("n"))
+    val vocab = cnts.groupBy("tok").agg(sum(col("n")).as("tn"))
+      .orderBy(desc("tn"), asc("tok")).limit(vocabSize).select("tok")
+    val model = cnts.join(vocab, Seq("tok"))
+    // per-class constants: LM denominator bits + prior bits
+    val vsize = vocab.agg(count(lit(1)).as("vn"))
+    val nDocs = train.agg(count(lit(1)).as("nd"))
+    val classes = train.groupBy(col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("ndc"))
+      .join(model.groupBy("lbl").agg(sum(col("n")).as("totc")), Seq("lbl"), "left_outer")
+      .crossJoin(vsize).crossJoin(nDocs)
+      .select(col("lbl"),
+        bitlen(coalesce(col("totc"), lit(0L)) + col("vn")).as("den_bits"),
+        (bitlen(col("nd")) - bitlen(col("ndc"))).as("prior_bits"))
+    val teToks = test.select(col(idCol).as("id"),
+      explode(TA.tokens(col(textCol))).as("tok"))
+    val docStats = teToks.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+    // sparse matched-token bits per (doc, class); unmatched tokens cost
+    // bitlen(0 + 1) = 1 each, folded in from the per-doc token count
+    val matched = teToks
+      .join(broadcast(model.select(col("tok"), col("lbl"),
+        bitlen(col("n") + 1L).as("mb"))), Seq("tok"))
+      .groupBy("id", "lbl")
+      .agg(sum(col("mb")).as("mbs"), count(lit(1)).as("mc"))
+    val scored = docStats.crossJoin(broadcast(classes))
+      .join(matched, Seq("id", "lbl"), "left_outer")
+      .select(col("id"), col("lbl"),
+        (col("n_tokens") * col("den_bits")
+          - (coalesce(col("mbs"), lit(0L))
+            + (col("n_tokens") - coalesce(col("mc"), lit(0L))))
+          + col("prior_bits")).as("bits"))
+    val w = Window.partitionBy("id").orderBy(asc("bits"), asc("lbl"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(test.select(col(idCol).as("id"), col(labelCol)), Seq("id"))
+      .select(col("id").as(idCol), col(labelCol),
+        col("lbl").as(s"pred_$labelCol"),
+        (col(labelCol) === col("lbl")).as("correct"), col("bits"))
+  }
+
+  /** DSIR-style importance selection (public method — Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023): pick the `k` raw-pool documents whose hashed-unigram LM
+    * importance ratio p_target/p_raw is highest — i.e. the raw documents
+    * that look most like the target domain, the standard way a 100 TB
+    * crawl is narrowed onto a curated target before training.
+    *
+    * Both LMs live on HASHED token buckets (the paper's hashed-n-gram
+    * trick): model state is exactly `dim` counters per side regardless
+    * of corpus vocabulary, so the models always broadcast. Deterministic
+    * variant: the paper's Gumbel-noise resampling is replaced by the
+    * top-`k` cut on (log-weight desc, id asc) — reproducible across
+    * engines and runs, which the sampled form cannot be.
+    *
+    * Bit-exactness: per-token log-weight is the integer floor-log2 form
+    * (same bitlen scheme as [[unigramBits]]): `[bitlen(totRaw + dim) −
+    * bitlen(cntRaw + 1)] − [bitlen(totTgt + dim) − bitlen(cntTgt + 1)]`
+    * — raw-side surprise minus target-side surprise, Laplace add-one on
+    * both, summed per document. All-integer, so the DuckDB replay
+    * hash-matches.
+    *
+    * Scale: two bucket-count aggregates (map-side partials, `dim` rows
+    * out) + one broadcast-joined scoring scan of the raw pool; the only
+    * shuffle is the per-doc aggregation on the id, and the final cut is
+    * a bounded TakeOrdered, never a global sort.
+    *
+    * @return top-`k` of (idCol, n_tokens, logw_bits, logw_per_token). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, dim: Int = 4096): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    require(k > 0, "k must be positive")
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    def bucketed(df: DataFrame, withId: Boolean): DataFrame = {
+      val toks = if (withId)
+        df.select(col(idCol).as("id"), explode(TA.tokens(col(textCol))).as("tok"))
+      else df.select(explode(TA.tokens(col(textCol))).as("tok"))
+      toks.withColumn("bucket", TA.phash(col("tok")) % dim).drop("tok")
+    }
+    val tgtModel = bucketed(target, withId = false)
+      .groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val rawModel = bucketed(raw, withId = false)
+      .groupBy("bucket").agg(count(lit(1)).as("rc"))
+    val tgtTot = tgtModel.agg(sum(col("tc")).as("ttot"))
+    val rawTot = rawModel.agg(sum(col("rc")).as("rtot"))
+    bucketed(raw, withId = true)
+      .join(broadcast(tgtModel), Seq("bucket"), "left_outer")
+      .join(broadcast(rawModel), Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+      .withColumn("lw",
+        (bitlen(col("rtot") + dim) - bitlen(coalesce(col("rc"), lit(0L)) + 1L))
+          - (bitlen(col("ttot") + dim) - bitlen(coalesce(col("tc"), lit(0L)) + 1L)))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lw")).as("logw_bits"))
+      .withColumn("logw_per_token",
+        col("logw_bits").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(desc("logw_bits"), asc(idCol)).limit(k)
+  }
 }

@@ -184,6 +184,21 @@ object PipelineQueries {
       Dedup.pagerankCentrality(pairs, iters = 3).orderBy("id")
     },
 
+    // Connected components over the same LSH candidate graph via the
+    // alternating large-star/small-star contraction (Kiveris et al.
+    // SoCC'14) — the cluster labels every "keep one per dup cluster"
+    // decision reads. The fixpoint labels each node with its
+    // component's MIN id, an algorithm-independent answer the oracle
+    // re-derives by recursive min-label propagation, so the O(log n)
+    // contraction is checked against ground truth it cannot share.
+    "g2_connected_components" -> { (s, dir) =>
+      val pairs = Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 16, bands = 8, shingleN = 2,
+          maxBucketSize = Some(8))
+        .select("id_a", "id_b")
+      Dedup.clusterPairs(pairs).orderBy("id")
+    },
+
     // Normalization-aware exact dedup: hash AFTER CCNet-style text
     // normalization (lowercase, strip punctuation to spaces, collapse
     // whitespace) so case/punctuation variants of the same content land
@@ -1102,6 +1117,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Multinomial Naive Bayes source classifier: train on the 80%
+    // doc_id-hash slice, label the held-out 20% — the counting
+    // counterpart of fastText-style domain/quality classifiers (n9 is
+    // the vector-space sibling with the same split). Same all-integer
+    // bitlen arithmetic as e16/e18 so the full train+apply replay
+    // hash-matches in DuckDB.
+    "e24_nb_classify" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      graft.ops.CorpusOps.nbClassifyBits(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "source", vocabSize = 5000)
+        .orderBy("doc_id")
+    },
+
+    // DSIR importance selection: the 500 non-src0 documents whose
+    // hashed-unigram importance ratio p(src0-domain)/p(raw-pool) is
+    // highest — domain-targeted narrowing of a raw crawl. Hashed-bucket
+    // LMs (2048 counters per side, always broadcastable) + the same
+    // integer bitlen log-weights as e16, deterministic top-k cut.
+    "e25_dsir_select" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      graft.ops.CorpusOps.dsirSelect(
+          d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+          "doc_id", "text", k = 500, dim = 2048)
+    },
+
     // Approximate sketches (HLL++ distinct, quantile sketch). The raw
     // estimates are engine-specific and can't hash-match another engine,
     // so the query emits exact values PLUS within-epsilon booleans
@@ -1257,6 +1298,23 @@ object PipelineQueries {
          |$steps
          |SELECT id, score FROM pr3 ORDER BY id""".stripMargin
     },
+
+    // Connected-components mirror: same LSH edge set, labels re-derived
+    // from scratch by recursive min-label propagation (propagate a label
+    // across an edge only when it undercuts the destination id — the
+    // component min survives, the closure stays pruned). Algorithm-
+    // independent ground truth for the star-contraction fixpoint.
+    "g2_connected_components" ->
+      s"""WITH RECURSIVE $dLshCand,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM cand),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT eg2.dst AS id, rg2.lbl AS lbl
+         |  FROM reach rg2 JOIN edges eg2 ON eg2.src = rg2.id
+         |  WHERE rg2.lbl < eg2.dst)
+         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "d3_simhash" ->
       s"""WITH $dToks,
@@ -2434,6 +2492,71 @@ object PipelineQueries {
          |FROM big g LEFT JOIN bgm m ON g.prev = m.prev AND g.cur = m.cur
          |  LEFT JOIN uv v ON g.cur = v.tok CROSS JOIN tot t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // NB classifier mirror: the full train+apply replay — per-class
+    // token counts over the 80% slice, the same deterministic top-5000
+    // vocabulary cut, and the decomposed integer scoring (every token
+    // costs den_bits; matched model rows refund bitlen(cnt+1), the rest
+    // refund bitlen(1)=1), then argmin with (bits, label) tie-break.
+    "e24_nb_classify" ->
+      s"""WITH $dToks,
+         |tr AS (SELECT source AS lbl, unnest(tk) AS tok FROM toks WHERE doc_id % 5 <> 0),
+         |cnts AS (SELECT lbl, tok, CAST(count(1) AS BIGINT) AS n FROM tr GROUP BY lbl, tok),
+         |vocab AS (SELECT tok FROM (SELECT tok, CAST(sum(n) AS BIGINT) AS tn FROM cnts
+         |    GROUP BY tok ORDER BY tn DESC, tok LIMIT 5000)),
+         |vc AS (SELECT c.lbl, c.tok, c.n FROM cnts c JOIN vocab USING (tok)),
+         |vn AS (SELECT CAST(count(1) AS BIGINT) AS v FROM vocab),
+         |nd AS (SELECT CAST(count(1) AS BIGINT) AS nd FROM documents WHERE doc_id % 5 <> 0),
+         |cls AS (SELECT d.lbl,
+         |    CAST(length(bin(coalesce(t.totc, 0) + vn.v)) AS BIGINT) AS den_bits,
+         |    CAST(length(bin(nd.nd)) - length(bin(d.ndc)) AS BIGINT) AS prior_bits
+         |  FROM (SELECT source AS lbl, CAST(count(1) AS BIGINT) AS ndc FROM documents
+         |      WHERE doc_id % 5 <> 0 GROUP BY 1) d
+         |  LEFT JOIN (SELECT lbl, CAST(sum(n) AS BIGINT) AS totc FROM vc GROUP BY lbl) t
+         |    USING (lbl)
+         |  CROSS JOIN vn CROSS JOIN nd),
+         |te AS (SELECT doc_id, unnest(tk) AS tok FROM toks WHERE doc_id % 5 = 0),
+         |ds AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS ntok FROM te GROUP BY doc_id),
+         |mt AS (SELECT te.doc_id, vc.lbl,
+         |    CAST(sum(length(bin(vc.n + 1))) AS BIGINT) AS mbs,
+         |    CAST(count(1) AS BIGINT) AS mc
+         |  FROM te JOIN vc USING (tok) GROUP BY te.doc_id, vc.lbl),
+         |sc AS (SELECT ds.doc_id, cls.lbl,
+         |    CAST(ds.ntok * cls.den_bits
+         |      - (coalesce(mt.mbs, 0) + (ds.ntok - coalesce(mt.mc, 0)))
+         |      + cls.prior_bits AS BIGINT) AS bits
+         |  FROM ds CROSS JOIN cls
+         |  LEFT JOIN mt ON mt.doc_id = ds.doc_id AND mt.lbl = cls.lbl)
+         |SELECT doc_id, source, pred_source, source = pred_source AS correct, bits
+         |FROM (SELECT sc.doc_id, dd.source, sc.lbl AS pred_source, sc.bits,
+         |    row_number() OVER (PARTITION BY sc.doc_id ORDER BY sc.bits, sc.lbl) AS rn
+         |  FROM sc JOIN documents dd ON dd.doc_id = sc.doc_id) WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR mirror: both hashed-bucket LMs re-learned from scratch (the
+    // portable-hash fold mod 2048), the same decomposed integer
+    // log-weight per token, and the same (lw desc, doc_id asc) top-500
+    // cut. rc is never NULL (raw model is learned on the scored pool)
+    // but the coalesce mirrors the Spark plan exactly.
+    "e25_dsir_select" ->
+      s"""WITH $dToks,
+         |tg AS (SELECT ${dPhash("tok", "dp")} % 2048 AS bucket FROM
+         |    (SELECT unnest(tk) AS tok FROM toks WHERE source = 'src0')),
+         |rw AS (SELECT doc_id, ${dPhash("tok", "dq")} % 2048 AS bucket FROM
+         |    (SELECT doc_id, unnest(tk) AS tok FROM toks WHERE source <> 'src0')),
+         |tm AS (SELECT bucket, CAST(count(1) AS BIGINT) AS tc FROM tg GROUP BY bucket),
+         |rm AS (SELECT bucket, CAST(count(1) AS BIGINT) AS rc FROM rw GROUP BY bucket),
+         |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS ttot FROM tm),
+         |rt AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot FROM rm)
+         |SELECT doc_id, ntok AS n_tokens, lw AS logw_bits,
+         |  CAST(lw AS DOUBLE) / CAST(ntok AS DOUBLE) AS logw_per_token
+         |FROM (SELECT rw.doc_id, CAST(count(1) AS BIGINT) AS ntok,
+         |    CAST(sum((length(bin(rt.rtot + 2048)) - length(bin(coalesce(rm.rc, 0) + 1)))
+         |      - (length(bin(tt.ttot + 2048)) - length(bin(coalesce(tm.tc, 0) + 1)))) AS BIGINT) AS lw
+         |  FROM rw LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket)
+         |    CROSS JOIN tt CROSS JOIN rt
+         |  GROUP BY rw.doc_id)
+         |ORDER BY lw DESC, doc_id LIMIT 500""".stripMargin,
 
     // exact side of the sketch-bound check: the booleans assert Spark's
     // sketch estimates sit within ε of Spark's own exact aggregates, so

@@ -316,4 +316,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.stratifiedSampleAgg(neg, Seq("lang"), "doc_id", k = 2, pad = 0)
       .collect().length == 2)
   }
+
+  test("nbClassifyBits: hand-checked bits, OOV-everywhere ties break on label") {
+    val train = Seq(("a", 1L, "cat cat dog"), ("a", 2L, "cat fish"),
+      ("b", 3L, "car car bus"), ("b", 4L, "car road")).toDF("source", "doc_id", "text")
+    val held = Seq(("a", 10L, "cat dog"), ("b", 11L, "car bus"),
+      ("b", 12L, "zebra zebra")).toDF("source", "doc_id", "text")
+    val out = CorpusOps.nbClassifyBits(train, held, "doc_id", "text", "source")
+      .orderBy("doc_id").collect()
+    // V = 6 distinct train tokens, totc = 5 per class -> den_bits =
+    // bitlen(11) = 4; priors equal: bitlen(4) - bitlen(2) = 1.
+    // "cat dog" under a: (4-bitlen(3+1)) + (4-bitlen(1+1)) + 1 = 4
+    //            under b: (4-1) + (4-1) + 1 = 7 -> a, bits 4
+    assert(out.map(r => (r.getLong(0), r.getString(2), r.getBoolean(3))).toSeq ==
+      Seq((10L, "a", true), (11L, "b", true), (12L, "a", false)))
+    assert(out(0).getAs[Long]("bits") == 4L)
+    assert(out(1).getAs[Long]("bits") == 4L)
+    // zebra is OOV in both classes and priors are equal -> identical
+    // bits; the (bits, label) tie-break must pick "a" deterministically
+    assert(out(2).getString(1) == "b" && out(2).getString(2) == "a")
+  }
+
+  test("dsirSelect ranks target-like raw docs first and cuts at k") {
+    val target = Seq((100L, "x x y"), (101L, "x y y")).toDF("doc_id", "text")
+    val raw = Seq((1L, "x y"), (2L, "p q"), (3L, "x p")).toDF("doc_id", "text")
+    val out = CorpusOps.dsirSelect(raw, target, "doc_id", "text", k = 2, dim = 4096)
+      .collect()
+    // doc 1 (all target tokens) outranks doc 3 (half), doc 2 is cut
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out(0).getAs[Long]("logw_bits") > out(1).getAs[Long]("logw_bits"))
+    assert(out.forall(_.getAs[Long]("n_tokens") == 2L))
+    // k larger than the pool returns the whole pool, still ordered
+    assert(CorpusOps.dsirSelect(raw, target, "doc_id", "text", k = 10, dim = 4096)
+      .collect().map(_.getLong(0)).head == 1L)
+  }
 }
