@@ -50,6 +50,12 @@ import graft.store.TableStore
   *  - `TABLE(graft_semantic_dedup(t, 'id', 'vec'[, min_cosine[,
   *    planes]]))` → [[Dedup.semanticDedup]]: SRP-bucketed embedding
   *    near-dup removal, returns the surviving rows
+  *  - `TABLE(graft_nb_classify(train, test, 'id', 'text', 'label'[,
+  *    vocab_size]))` → [[CorpusOps.nbClassifyBits]] (Naive Bayes
+  *    train+apply; test rows labeled with the argmin-bits class)
+  *  - `TABLE(graft_dsir_select(raw, target, 'id', 'text', k[, dim]))`
+  *    → [[CorpusOps.dsirSelect]]: the k raw rows most like the target
+  *    domain by hashed-unigram importance ratio
   *
   * Table arguments name store tables (schema-qualified names normalize
   * through the session, same as every other statement) or temp views;
@@ -221,11 +227,26 @@ object TableFunctions {
           minCosine = if (args.length > 3) args(3).toDouble else 0.95,
           planes = if (args.length > 4) args(4).toInt else 12)
 
+      case "graft_nb_classify" =>
+        arity(args.length == 5 || args.length == 6,
+          "5 or 6 (train, test, 'id', 'text', 'label'[, vocab_size])")
+        CorpusOps.nbClassifyBits(rel(args(0)), rel(args(1)), str(args(2)),
+          str(args(3)), str(args(4)),
+          vocabSize = if (args.length > 5) args(5).toInt else 30000)
+
+      case "graft_dsir_select" =>
+        arity(args.length == 5 || args.length == 6,
+          "5 or 6 (raw, target, 'id', 'text', k[, dim])")
+        CorpusOps.dsirSelect(rel(args(0)), rel(args(1)), str(args(2)),
+          str(args(3)), args(4).toInt,
+          dim = if (args.length > 5) args(5).toInt else 4096)
+
       case other => sys.error(s"unknown table function $other — supported: " +
         "graft_neardup_filter, graft_neardup_pairs, graft_semantic_dedup, " +
         "graft_decontaminate, graft_decontaminate_bloom, graft_bm25_topk, " +
         "graft_bm25_prf_topk, graft_kmeans_ivf_topk, graft_brute_topk, " +
-        "graft_token_budget_mix, graft_epoch_mix, graft_chunk")
+        "graft_token_budget_mix, graft_epoch_mix, graft_chunk, " +
+        "graft_nb_classify, graft_dsir_select")
     }
   }
 }

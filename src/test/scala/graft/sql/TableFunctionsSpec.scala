@@ -128,6 +128,14 @@ class TableFunctionsSpec extends AnyFunSuite {
       "embs_tf, 'vec_id', 'embedding', 0.99))").get) ==
       rows(Dedup.semanticDedup(embs, "vec_id", "embedding", minCosine = 0.99)
         .select("vec_id")))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_nb_classify(" +
+      "docs_tf, bench_tf, 'doc_id', 'text', 'source', 500))").get) ==
+      rows(CorpusOps.nbClassifyBits(docs, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", "source", vocabSize = 500)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_dsir_select(" +
+      "docs_tf, bench_tf, 'doc_id', 'text', 20))").get) ==
+      rows(CorpusOps.dsirSelect(docs, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 20)))
   }
 
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
