@@ -1058,6 +1058,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Composed preprocessing pipeline — the flagship composition: carve
+    // out the benchmark slice, quality-gate (e2's score ≥ 0.4),
+    // normalization-aware exact dedup (d11's hash, min-id rep),
+    // 5-gram decontamination against the benchmark (d6), then the
+    // per-source token-budget mix (e17) — the standard LLM pretraining
+    // prep chain declared as ONE DataFrame plan, so Catalyst optimizes
+    // the whole chain together (broadcast semi-joins, one bounded mix
+    // window at the end). The oracle replays every stage.
+    "c1_prep_pipeline" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val pool = docs.filter(col("doc_id") % 20 =!= 0)
+      val st = graft.ops.TextStats.perDoc(pool, "doc_id", "text")
+      val n = col("n_tokens").cast("double")
+      val stop = col("c_en").cast("double") / n
+      val quality = lit(0.4) * (col("n_distinct").cast("double") / n) +
+        lit(0.4) * least(stop * lit(5.0), lit(1.0)) +
+        lit(0.2) * least(n / lit(100.0), lit(1.0))
+      val quali = pool.join(
+        st.filter(quality >= lit(0.4)).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val hashed = quali.withColumn("nh", TA.phash(TA.normalizeText(col("text"))))
+      val deduped = hashed
+        .join(hashed.groupBy("nh").agg(min("doc_id").as("doc_id")),
+          Seq("nh", "doc_id"), "left_semi")
+        .drop("nh")
+      val clean = graft.ops.CorpusOps
+        .decontaminate(deduped, bench, "doc_id", "text", n = 5)
+        .filter(!col("contaminated"))
+      graft.ops.CorpusOps.tokenBudgetMix(clean, "doc_id", "text", "source",
+          budgets = Map("src0" -> 200L, "src1" -> 800L), defaultBudget = 400L)
+        .orderBy("doc_id")
+    },
+
     // Epoch-aware mixing: src0 is UPSAMPLED (budget ≈ 2.3× its tokens →
     // docs repeat across epochs 0..2), src1 downsampled (cut mid-epoch
     // 0), every other source excluded (budget 0) — the three behaviors
@@ -2376,6 +2410,55 @@ object PipelineQueries {
          |WHERE cum_tokens - n_tokens <
          |  CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 900 ELSE 600 END
          |ORDER BY doc_id""".stripMargin,
+
+    // Composed-pipeline mirror: every stage replayed — the e2 quality
+    // formula gating the non-benchmark pool, the d11 normalize+hash
+    // with min-id representative, the d6 5-gram semi-join against the
+    // benchmark slice (pool and bench are disjoint, so no self-match
+    // clause), and the e17 hash-ordered budget window over survivors.
+    "c1_prep_pipeline" -> {
+      val en = TA.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      val gram5 = (0 until 5).map(j => if (j == 0) "tk[sg]" else s"tk[sg+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH $dToks,
+         |m AS (SELECT doc_id, len(tk) AS n_tokens,
+         |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr,
+         |    CAST(len(list_filter(tk, tq -> list_contains($en, tq))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE) AS stop_ratio
+         |  FROM toks WHERE doc_id % 20 <> 0),
+         |ql AS (SELECT doc_id FROM m WHERE
+         |    CAST(0.4 AS DOUBLE) * ttr
+         |      + CAST(0.4 AS DOUBLE) * least(stop_ratio * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |      + CAST(0.2 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE),
+         |          CAST(1.0 AS DOUBLE)) >= CAST(0.4 AS DOUBLE)),
+         |nrm AS (SELECT d.doc_id, trim(regexp_replace(regexp_replace(
+         |      lower(d.text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS ntext
+         |    FROM documents d JOIN ql ON ql.doc_id = d.doc_id),
+         |hh AS (SELECT doc_id, ${dPhash("ntext", "pp")} AS nh FROM nrm),
+         |ded AS (SELECT hh.doc_id FROM hh
+         |    JOIN (SELECT nh, min(doc_id) AS keep FROM hh GROUP BY nh) r
+         |    ON r.nh = hh.nh AND r.keep = hh.doc_id),
+         |grams AS (SELECT t.doc_id,
+         |      unnest(list_transform(range(1, len(tk)-3), sg -> ${dPhash(gram5, "pg")})) AS h
+         |    FROM toks t JOIN ded ON ded.doc_id = t.doc_id WHERE len(tk) >= 5),
+         |bgrams AS (SELECT doc_id,
+         |      unnest(list_transform(range(1, len(tk)-3), sg -> ${dPhash(gram5, "pb")})) AS h
+         |    FROM toks WHERE doc_id % 20 = 0 AND len(tk) >= 5),
+         |hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams b ON g.h = b.h),
+         |clean AS (SELECT ded.doc_id FROM ded
+         |    WHERE ded.doc_id NOT IN (SELECT doc_id FROM hits)),
+         |nn AS (SELECT t.doc_id, t.source, CAST(len(t.tk) AS BIGINT) AS n_tokens
+         |    FROM toks t JOIN clean ON clean.doc_id = t.doc_id),
+         |cw AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY ${dPhash("CAST(doc_id AS VARCHAR)", "pm")}, doc_id) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM nn)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM cw
+         |WHERE cum_tokens - n_tokens <
+         |  CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 800 ELSE 400 END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // BPE mirror: the six merge-learning stages unrolled — per stage,
     // pair counts over the word-frequency table, row_number argmax
