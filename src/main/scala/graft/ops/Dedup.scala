@@ -507,6 +507,86 @@ object Dedup {
     scores
   }
 
+  /** Incremental near-dup filter — the OPERATIONAL dedup shape at corpus
+    * scale: a NEW ingest batch is deduplicated against the EXISTING
+    * corpus (and against earlier batch members) without ever pairing the
+    * corpus with itself. Returns the batch rows that survive.
+    *
+    * A batch document is dropped when an LSH candidate partner — any
+    * corpus document, or a batch document with a SMALLER id — verifies
+    * at true n-gram Jaccard ≥ `minJaccard`. "Corpus or earlier id" is
+    * first-writer-wins ingestion semantics: representatives already in
+    * the corpus stay authoritative, and within the batch the smallest id
+    * of a dup group survives (independent of whether the earlier member
+    * itself survives — each doc checks the same fixed partner set, so
+    * the decision is per-row deterministic and order-free).
+    *
+    * Scale: the signature pass is per-document (one map + min-agg over
+    * the UNION — at production scale the corpus band rows and distinct
+    * shingle rows are precomputed once and stored alongside the corpus,
+    * making per-batch cost O(batch + touched buckets); the plan shape
+    * here is identical, just with the corpus side derived inline). The
+    * candidate bucket join keeps the BATCH side on the right, so a
+    * bucket holding c corpus + n batch docs emits c·n + n² candidate
+    * rows — never the (c+n)² a full-corpus re-dedup would pay. The skew
+    * guard (`maxBucketSize`, union-wide — same cap the full-corpus run
+    * would apply) and the pair-keyed verification join carry over from
+    * [[lshVerifiedPairs]] unchanged. */
+  def incrementalNearDupFilter(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, minJaccard: Double = 0.8,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 2,
+      portable: Boolean = true,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    require(minJaccard > 0, "minJaccard must be > 0")
+    val rows = k / bands
+    require(bands * rows == k, s"bands ($bands) must divide k ($k)")
+    val all = corpus.select(col(idCol), col(textCol), lit(false).as("__new"))
+      .unionByName(batch.select(col(idCol), col(textCol), lit(true).as("__new")))
+    val hashed = shingleHashRows(all, idCol, textCol, shingleN,
+      extra = Seq(col("__new")), portable = portable)
+    val minAggs = (0 until k).map { i =>
+      val a = (1103515245L * i + 12345L) % TA.P
+      val b = (1234567891L * i + 987654321L) % TA.P
+      min((lit(a) * col("h") + lit(b)) % lit(TA.P)).as(s"s_$i")
+    }
+    val sigs = hashed.groupBy("id", "__new").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"), col("__new"),
+        array((0 until k).map(i => col(s"s_$i")): _*).as("sig"))
+    val buckets = sigs
+      .select(col("id"), col("__new"), posexplode(TA.bandSigs(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val pruned = maxBucketSize match {
+      case None => buckets
+      case Some(m) =>
+        val sizes = buckets.groupBy("band", "bucket").count().filter(col("count") <= m)
+        buckets.join(sizes.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+    }
+    val a = pruned.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("__new").as("new_a"))
+    val b = pruned.filter(col("__new"))
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(!col("new_a") || col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // true-Jaccard verification, pair-keyed (the lshVerifiedPairs plan)
+    val ex = shingleHashRows(all, idCol, textCol, shingleN, portable = portable)
+      .dropDuplicates("id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val dropped = candidates
+      .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .filter(col("n_inter").cast("double")
+        / (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(true) // bounded by the batch size; frees the shingle cache
+    ex.unpersist(blocking = false)
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** The embedding near-dup pipeline: SRP-LSH bucket candidates → exact
     * cosine verification → transitive clustering → representative filter. */
   def semanticDedup(

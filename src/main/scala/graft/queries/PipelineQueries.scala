@@ -45,7 +45,7 @@ object PipelineQueries {
     * (shingle→minhash→band→bucket-join with the size-8 skew guard),
     * ending in `cand` (distinct id_a < id_b pairs) with `sigs` also in
     * scope — reused by d2 (signature estimate) and g1 (pair graph). */
-  private lazy val dLshCand =
+  private lazy val dLshPrefix =
     s"""$dToks,
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
        |         si -> ${dPhash("tk[si] || ' ' || tk[si+1]", "b")})) AS hs
@@ -60,7 +60,10 @@ object PipelineQueries {
        |  FROM sigs, (SELECT unnest(range(0, 8)) AS bi)),
        |bsz AS (SELECT band, bucket FROM bands GROUP BY band, bucket
        |  HAVING count(1) <= 8),
-       |pruned AS (SELECT bands.* FROM bands JOIN bsz USING (band, bucket)),
+       |pruned AS (SELECT bands.* FROM bands JOIN bsz USING (band, bucket))""".stripMargin
+
+  private lazy val dLshCand =
+    s"""$dLshPrefix,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.bucket = b.bucket
        |    AND a.doc_id < b.doc_id)""".stripMargin
@@ -182,6 +185,21 @@ object PipelineQueries {
           maxBucketSize = Some(8))
         .select("id_a", "id_b")
       Dedup.pagerankCentrality(pairs, iters = 3).orderBy("id")
+    },
+
+    // Incremental near-dup dedup: the 10% "new ingest batch" slice is
+    // deduplicated against the 90% existing corpus (and earlier batch
+    // ids) — the operational per-ingest shape that never re-pairs the
+    // corpus with itself. Same LSH family as d2 (k=16, bands=8, 2-gram,
+    // bucket cap 8) so the oracle shares the signature chain; survivors
+    // are batch docs with no verified partner at true Jaccard ≥ 0.3.
+    "d13_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incrementalNearDupFilter(
+          docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", minJaccard = 0.3,
+          k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))
+        .select("doc_id", "source").orderBy("doc_id")
     },
 
     // Connected components over the same LSH candidate graph via the
@@ -1332,6 +1350,25 @@ object PipelineQueries {
          |$steps
          |SELECT id, score FROM pr3 ORDER BY id""".stripMargin
     },
+
+    // Incremental-dedup mirror: the shared LSH signature chain, an
+    // ASYMMETRIC candidate join (partner is corpus, or an earlier batch
+    // id — never corpus×corpus), d4b's true-Jaccard verification, and
+    // the surviving-batch anti-join.
+    "d13_incremental_dedup" ->
+      s"""WITH $dLshPrefix,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND b.doc_id % 10 = 0
+         |    AND (a.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)),
+         |ver AS (SELECT c.id_b FROM cand c
+         |    JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+         |  WHERE CAST(len(list_filter(sa.hs, xe -> list_contains(sb.hs, xe))) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE)
+         |    >= CAST(0.3 AS DOUBLE))
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT id_b FROM ver)
+         |ORDER BY doc_id""".stripMargin,
 
     // Connected-components mirror: same LSH edge set, labels re-derived
     // from scratch by recursive min-label propagation (propagate a label

@@ -421,6 +421,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L), s"got $kept")
   }
 
+  test("incrementalNearDupFilter drops batch docs matching corpus or earlier batch ids") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val corpus = Seq((1L, t1), (2L, "other corpus text entirely distinct words"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, t2),                                            // first of a batch-internal dup pair
+      (21L, t2),                                            // dups 20 (earlier id) -> dropped
+      (30L, t1),                                            // dups corpus doc 1 -> dropped
+      (40L, "totally unique content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupFilter(corpus, batch, "doc_id", "text",
+        minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(20L, 40L), s"got ${out.toSeq}")
+    // the batch never shrinks the corpus: survivors carry their columns
+    assert(Dedup.incrementalNearDupFilter(corpus, batch, "doc_id", "text",
+      minJaccard = 0.5).columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("portable phash matches hand-computed fold") {
     // 'abc': ((0*31+97)*31+98)*31+99 = 96354 (mod P no-ops at this size)
     val out = docs.limit(1).select(TA.phash(lit("abc"))).head().getLong(0)
