@@ -53,6 +53,9 @@ import graft.store.TableStore
   *  - `TABLE(graft_nb_classify(train, test, 'id', 'text', 'label'[,
   *    vocab_size]))` → [[CorpusOps.nbClassifyBits]] (Naive Bayes
   *    train+apply; test rows labeled with the argmin-bits class)
+  *  - `TABLE(graft_incremental_neardup(corpus, batch, 'id', 'text'[,
+  *    min_jaccard]))` → [[Dedup.incrementalNearDupFilter]]: the batch
+  *    rows surviving dedup against the corpus + earlier batch ids
   *  - `TABLE(graft_dsir_select(raw, target, 'id', 'text', k[, dim]))`
   *    → [[CorpusOps.dsirSelect]]: the k raw rows most like the target
   *    domain by hashed-unigram importance ratio
@@ -234,6 +237,13 @@ object TableFunctions {
           str(args(3)), str(args(4)),
           vocabSize = if (args.length > 5) args(5).toInt else 30000)
 
+      case "graft_incremental_neardup" =>
+        arity(args.length == 4 || args.length == 5,
+          "4 or 5 (corpus, batch, 'id', 'text'[, min_jaccard])")
+        Dedup.incrementalNearDupFilter(rel(args(0)), rel(args(1)),
+          str(args(2)), str(args(3)),
+          minJaccard = if (args.length > 4) args(4).toDouble else 0.8)
+
       case "graft_dsir_select" =>
         arity(args.length == 5 || args.length == 6,
           "5 or 6 (raw, target, 'id', 'text', k[, dim])")
@@ -246,7 +256,7 @@ object TableFunctions {
         "graft_decontaminate, graft_decontaminate_bloom, graft_bm25_topk, " +
         "graft_bm25_prf_topk, graft_kmeans_ivf_topk, graft_brute_topk, " +
         "graft_token_budget_mix, graft_epoch_mix, graft_chunk, " +
-        "graft_nb_classify, graft_dsir_select")
+        "graft_nb_classify, graft_dsir_select, graft_incremental_neardup")
     }
   }
 }

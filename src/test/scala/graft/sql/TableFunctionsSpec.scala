@@ -136,6 +136,14 @@ class TableFunctionsSpec extends AnyFunSuite {
       "docs_tf, bench_tf, 'doc_id', 'text', 20))").get) ==
       rows(CorpusOps.dsirSelect(docs, docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", k = 20)))
+    docs.filter(col("doc_id") % 10 =!= 0).createOrReplaceTempView("pool_tf")
+    val incSql = g.sql("SELECT doc_id FROM TABLE(graft_incremental_neardup(" +
+      "pool_tf, bench_tf, 'doc_id', 'text', 0.3))").get
+    assert(rows(incSql) ==
+      rows(Dedup.incrementalNearDupFilter(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", minJaccard = 0.3)
+        .select("doc_id")))
+    assert(incSql.count() > 0)
   }
 
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
