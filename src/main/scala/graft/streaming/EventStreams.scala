@@ -147,4 +147,37 @@ object EventStreams {
         if (!batch.isEmpty) store.merge(table, batch)
       }
       .start()
+
+  /** The streaming incremental-ingest loop: per micro-batch, the arriving
+    * documents are near-dup-deduplicated against the LIVE corpus table
+    * (and against earlier ids within the batch) via
+    * [[graft.ops.Dedup.incrementalNearDupFilter]], and the survivors
+    * merge in — so the corpus that batch N+1 dedups against already
+    * contains batch N's survivors. `store.read` inside foreachBatch
+    * re-resolves the manifest every tick (a fresh MVCC snapshot), which
+    * is exactly the read-your-own-writes loop a continuous ingestion
+    * pipeline needs.
+    *
+    * Exactly-once on replay: a replayed batch's rows either match
+    * themselves in the corpus (same id — dropped by the corpus-partner
+    * rule, nothing re-merges) or merge idempotently on their keys.
+    *
+    * Scale: per-tick cost is the incremental filter's O(batch + touched
+    * buckets) candidate work + the bucket-pruned merge — never a
+    * corpus×corpus pass; at production scale the corpus signature pass
+    * is served from a precomputed signature table (see the op's note). */
+  def dedupIngestSink(stream: DataFrame, store: graft.store.TableStore,
+      table: String, checkpoint: String, idCol: String, textCol: String,
+      minJaccard: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val survivors = graft.ops.Dedup.incrementalNearDupFilter(
+            store.read(table), batch, idCol, textCol, minJaccard)
+          if (!survivors.isEmpty) store.merge(table, survivors)
+        }
+      }
+      .start()
 }

@@ -193,4 +193,35 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(ids2 == Set(1L, 2L, 5L), s"cross-batch duplicate must be dropped: $ids2")
     } finally q.stop()
   }
+
+  test("dedupIngestSink: per-batch near-dup dedup against the live corpus") {
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_inc_ckpt").toString
+    val store = new graft.store.TableStore(spark, root, numBuckets = 4)
+    store.createTable("corpus",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))),
+      keys = Seq("doc_id"))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupIngestSink(mem.toDF().toDF("doc_id", "text"),
+      store, "corpus", ckpt, "doc_id", "text", minJaccard = 0.5)
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "a stream of fresh tokens flows into the corpus nightly"),
+        (3L, "the quick brown fox jumps over the lazy dog")) // in-batch dup of 1
+      q.processAllAvailable()
+      val ids1 = store.read("corpus").collect().map(_.getLong(0)).toSet
+      assert(ids1 == Set(1L, 2L), s"in-batch dup must drop, survivors merge: $ids1")
+      mem.addData(
+        (4L, "the quick brown fox jumps over the lazy dog"), // dups the LIVE corpus
+        (5L, "entirely new material keeps the training mix growing daily"))
+      q.processAllAvailable()
+      val ids2 = store.read("corpus").collect().map(_.getLong(0)).toSet
+      assert(ids2 == Set(1L, 2L, 5L), s"live-corpus dup must be dropped: $ids2")
+    } finally q.stop()
+  }
 }
