@@ -1225,6 +1225,31 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Count-min-sketch heavy hitters over the corpus token stream — the
+    // x1 pattern for frequency sketches: the output carries the EXACT
+    // top-20 token counts (deterministic: count desc, token asc) plus a
+    // boolean asserting the CMS estimate respects its contract (never
+    // under-counts; over-counts by ≤ max(3, eps·N) at eps=0.001, fixed
+    // seed so the sketch is bit-deterministic). The sketch itself is
+    // mergeable counter arrays — map-side partials, order-independent
+    // merge — and the probe is k-bounded driver work, so the plan is
+    // one token scan + one bounded TakeOrdered at any corpus size.
+    "x2_cms_heavyhitters" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), asc("tok")).limit(20).collect()
+      val total = toks.count()
+      val cms = toks.stat.countMinSketch("tok", eps = 0.001,
+        confidence = 0.99, seed = 42)
+      exact.toSeq.map { r =>
+        val t = r.getString(0); val e = r.getLong(1)
+        val est = cms.estimateCount(t)
+        (t, e, est >= e && est - e <= math.max(3L, (0.001 * total).toLong))
+      }.toDF("tok", "exact_n", "cms_ok").orderBy(desc("exact_n"), asc("tok"))
+    },
+
     // ---- event-time windows ----------------------------------------------
 
     // Tumbling 1-minute event-time windows over the events table — the
@@ -2677,6 +2702,15 @@ object PipelineQueries {
          |    CROSS JOIN tt CROSS JOIN rt
          |  GROUP BY rw.doc_id)
          |ORDER BY lw DESC, doc_id LIMIT 500""".stripMargin,
+
+    // CMS heavy-hitter mirror: exact top-20 token counts with the same
+    // deterministic cut; the sketch contract boolean is constant TRUE
+    // (x1 pattern — a sketch regression flips it and fails the hash)
+    "x2_cms_heavyhitters" ->
+      s"""WITH $dToks, tok AS (SELECT unnest(tk) AS tok FROM toks)
+         |SELECT tok, exact_n, TRUE AS cms_ok FROM (
+         |  SELECT tok, CAST(count(1) AS BIGINT) AS exact_n FROM tok GROUP BY tok)
+         |ORDER BY exact_n DESC, tok LIMIT 20""".stripMargin,
 
     // exact side of the sketch-bound check: the booleans assert Spark's
     // sketch estimates sit within ε of Spark's own exact aggregates, so
