@@ -196,4 +196,44 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
       "the bounded query/top-k sides must broadcast")
   }
+
+  test("NB classifier: model broadcasts, counting is two-phase, no cartesian") {
+    val p = plan("e24_nb_classify")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "the vocabulary-bounded model must broadcast to the token scan")
+    assert(!p.contains("CartesianProduct"),
+      "the per-class fan-out is a bounded broadcast, never a cartesian")
+    assert(p.contains("partial_count"),
+      "token counting must be two-phase (map-side partials)")
+  }
+
+  test("DSIR: both bucket models broadcast; the cut is bounded, not a global sort") {
+    val p = plan("e25_dsir_select")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "target and raw bucket models must both broadcast to the scoring scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the raw-pool scan must never shuffle on bucket content")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k selection must be a bounded TakeOrdered, never a global sort")
+  }
+
+  test("composed prep pipeline: every prune set broadcasts end to end") {
+    val p = plan("c1_prep_pipeline")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "quality gate, dedup reps, decontam hits must all broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no corpus-sized shuffle join anywhere in the chain")
+  }
+
+  test("incremental dedup: checkpointed bounded drop set, anti-join streams the batch") {
+    val p = plan("d13_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the survivor filter must be an id equi-join")
+    // the dropped-id set (bounded by the batch) is derived eagerly with a
+    // localCheckpoint — the returned plan must anti-join the batch scan
+    // against those blocks, never re-run the LSH chain per sink
+    assert(p.contains("ExistingRDD"),
+      "expected the eagerly-materialized dropped-id set as a checkpoint scan")
+    assert(p.contains("LeftAnti"), "survivors = batch anti-join dropped ids")
+  }
 }
