@@ -45,6 +45,30 @@ object PipelineQueries {
     * (shingle→minhash→band→bucket-join with the size-8 skew guard),
     * ending in `cand` (distinct id_a < id_b pairs) with `sigs` also in
     * scope — reused by d2 (signature estimate) and g1 (pair graph). */
+  /** Shared CTE chain: e22's six unrolled BPE merge-learning stages over
+    * the word-frequency table w0 — per stage, pair counts (p$s), the
+    * (cnt desc, l, r) argmax (t$s), and the POSITIONAL greedy merge
+    * application (w$s). Ends with w6 (the fully-merged word table) and
+    * t1..t6 (the learned merges) in scope; callers provide w0. */
+  private lazy val dBpeStages = (1 to 6).map { s =>
+    s"""p$s AS (SELECT u$s.l AS l, u$s.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+       |      ib$s -> {'l': syms[ib$s], 'r': syms[ib$s+1]})) AS u$s FROM w${s - 1}) GROUP BY 1, 2),
+       |t$s AS (SELECT l, r, cnt FROM (SELECT l, r, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, l, r) AS rt$s FROM p$s) WHERE rt$s = 1),
+       |w$s AS (SELECT freq, list_filter(list_transform(range(1, len(syms) + 1), oi$s ->
+       |      CASE WHEN sel[oi$s] THEN l || r
+       |           WHEN oi$s > 1 AND sel[oi$s-1] THEN NULL
+       |           ELSE syms[oi$s] END), ox$s -> ox$s IS NOT NULL) AS syms
+       |  FROM (SELECT freq, syms, l, r,
+       |      list_transform(range(1, len(syms) + 1), si$s ->
+       |        CASE WHEN si$s < len(syms) AND syms[si$s] = l AND syms[si$s+1] = r
+       |             THEN (l <> r) OR (((si$s - coalesce(list_max(list_transform(range(1, si$s),
+       |                    sj$s -> CASE WHEN syms[sj$s] <> l THEN sj$s + 1 ELSE CAST(1 AS BIGINT) END)), 1)) % 2) = 0)
+       |             ELSE FALSE END) AS sel
+       |    FROM w${s - 1} CROSS JOIN t$s))""".stripMargin
+  }.mkString(",\n")
+
   private lazy val dLshPrefix =
     s"""$dToks,
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
@@ -1130,6 +1154,28 @@ object PipelineQueries {
       graft.ops.CorpusOps.bpeMerges(
           Tables.load(s, dir, "documents"), "text", numMerges = 6)
         .orderBy("step")
+    },
+
+    // BPE tokenizer APPLY at corpus scale — the other half of e22: the
+    // learned 6-merge table (bounded, collected once) is applied to
+    // every corpus token by the native greedy scan and the resulting
+    // subword vocabulary histogrammed (top-30, count desc / subword
+    // asc). Train → apply → audit, the full tokenizer loop; the oracle
+    // replays the training stages and re-derives the histogram from the
+    // fully-merged word-frequency table.
+    "e26_bpe_tokenize" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val mergeRows = graft.ops.CorpusOps.bpeMerges(docs, "text", numMerges = 6)
+        .orderBy("step").collect()
+      val mergeArr = array(mergeRows.flatMap(r =>
+        Seq(lit(r.getString(1)), lit(r.getString(2)))).toIndexedSeq: _*)
+      docs.select(explode(TA.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .select(explode(call_function("graft_bpe_apply",
+          split(col("word"), ""), mergeArr)).as("subword"))
+        .groupBy("subword").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("subword")).limit(30)
     },
 
     // Production-shape BPE training: 100 merges with batched rounds
@@ -2527,25 +2573,22 @@ object PipelineQueries {
     // (cnt desc, pair asc), and the POSITIONAL greedy merge application
     // (a≠b matches can't overlap; a==b selects even offsets within each
     // run — identical formulas to CorpusOps.mergeSelect/mergeApply)
+    // BPE-apply mirror: the training stages replayed (shared CTEs), then
+    // the subword histogram re-derived from the fully-merged word table
+    // w6 — each word type contributes its frequency per subword slot.
+    "e26_bpe_tokenize" ->
+      s"""WITH $dToks,
+         |wd AS (SELECT unnest(tk) AS word FROM toks),
+         |w0 AS (SELECT CAST(count(1) AS BIGINT) AS freq, string_split(word, '') AS syms
+         |  FROM wd WHERE length(word) > 0 GROUP BY word),
+         |$dBpeStages
+         |SELECT subword, n FROM (
+         |  SELECT u AS subword, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(syms) AS u FROM w6) GROUP BY u)
+         |ORDER BY n DESC, subword LIMIT 30""".stripMargin,
+
     "e22_bpe_merges" -> {
-      val stages = (1 to 6).map { s =>
-        s"""p$s AS (SELECT u$s.l AS l, u$s.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
-           |      ib$s -> {'l': syms[ib$s], 'r': syms[ib$s+1]})) AS u$s FROM w${s - 1}) GROUP BY 1, 2),
-           |t$s AS (SELECT l, r, cnt FROM (SELECT l, r, cnt,
-           |    row_number() OVER (ORDER BY cnt DESC, l, r) AS rt$s FROM p$s) WHERE rt$s = 1),
-           |w$s AS (SELECT freq, list_filter(list_transform(range(1, len(syms) + 1), oi$s ->
-           |      CASE WHEN sel[oi$s] THEN l || r
-           |           WHEN oi$s > 1 AND sel[oi$s-1] THEN NULL
-           |           ELSE syms[oi$s] END), ox$s -> ox$s IS NOT NULL) AS syms
-           |  FROM (SELECT freq, syms, l, r,
-           |      list_transform(range(1, len(syms) + 1), si$s ->
-           |        CASE WHEN si$s < len(syms) AND syms[si$s] = l AND syms[si$s+1] = r
-           |             THEN (l <> r) OR (((si$s - coalesce(list_max(list_transform(range(1, si$s),
-           |                    sj$s -> CASE WHEN syms[sj$s] <> l THEN sj$s + 1 ELSE CAST(1 AS BIGINT) END)), 1)) % 2) = 0)
-           |             ELSE FALSE END) AS sel
-           |    FROM w${s - 1} CROSS JOIN t$s))""".stripMargin
-      }.mkString(",\n")
+      val stages = dBpeStages
       val out = (1 to 6)
         .map(s => s"SELECT CAST($s AS BIGINT) AS step, l AS lsym, r AS rsym, cnt FROM t$s")
         .mkString("\nUNION ALL ")
