@@ -511,6 +511,46 @@ object Dedup {
     scores
   }
 
+  /** Winnowing fingerprints (public method — Schleimer, Wilkerson &
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS algorithm): slide a window of `window`
+    * consecutive `shingleN`-gram hashes over each document and record
+    * the window's MINIMUM hash (rightmost occurrence on ties — the
+    * paper's robust-winnowing tie rule), deduplicated. Guarantees every
+    * shared substring of ≥ window+shingleN−1 tokens produces at least
+    * one matching fingerprint, at ~2/(window+1) the density of the full
+    * gram set — the local, position-aware upgrade of a global min-hash.
+    *
+    * Scale: one shingle-hash pass (the [[shingleHashRows]] map stage),
+    * then a single per-doc ordered window — one shuffle on the doc id,
+    * state bounded by `window`. No joins, nothing corpus-global; the
+    * fingerprint set is what downstream overlap detection joins on,
+    * at 1/Θ(window) the row count of raw gram matching.
+    *
+    * @return (idCol, fp_pos, fp_hash) distinct — fp_pos is the 0-based
+    *   gram position the selected fingerprint starts at. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, window: Int = 4,
+      portable: Boolean = true): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val grams = shingleHashRows(df, idCol, textCol, shingleN,
+      portable = portable, keepPos = true)
+    val w = Window.partitionBy("id").orderBy("tokpos")
+    val wr = w.rowsBetween(Window.currentRow, window - 1)
+    grams
+      // windows that would run past the last gram emit nothing (the
+      // paper's definition: exactly len - window + 1 windows per doc)
+      .withColumn("__full", lead(col("h"), window - 1).over(w).isNotNull)
+      // rightmost-min: lexicographic struct min on (hash, -pos)
+      .withColumn("__sel",
+        min(struct(col("h").as("h"), (-col("tokpos")).as("np"))).over(wr))
+      .filter(col("__full"))
+      .select(col("id").as(idCol),
+        (-col("__sel.np")).cast("long").as("fp_pos"),
+        col("__sel.h").as("fp_hash"))
+      .distinct()
+  }
+
   /** Incremental near-dup filter — the OPERATIONAL dedup shape at corpus
     * scale: a NEW ingest batch is deduplicated against the EXISTING
     * corpus (and against earlier batch members) without ever pairing the

@@ -211,6 +211,17 @@ object PipelineQueries {
       Dedup.pagerankCentrality(pairs, iters = 3).orderBy("id")
     },
 
+    // Winnowing fingerprints (MOSS): per document, the rightmost-min
+    // 3-gram hash of every 4-gram-hash window, distinct — guarantees a
+    // shared fingerprint for any ≥6-token overlap at ~2/5 the density
+    // of the full gram set. The positional, local upgrade of e4's
+    // global min-shingle.
+    "d14_winnow_fp" -> { (s, dir) =>
+      Dedup.winnowFingerprints(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, window = 4)
+        .orderBy("doc_id", "fp_pos", "fp_hash")
+    },
+
     // Incremental near-dup dedup: the 10% "new ingest batch" slice is
     // deduplicated against the 90% existing corpus (and earlier batch
     // ids) — the operational per-ingest shape that never re-pairs the
@@ -1421,6 +1432,25 @@ object PipelineQueries {
          |$steps
          |SELECT id, score FROM pr3 ORDER BY id""".stripMargin
     },
+
+    // Winnowing mirror: gram hash LISTS are positional, so each window's
+    // rightmost-min is pure list arithmetic — min over the w-slice, the
+    // largest in-window offset attaining it, 1-based list index mapped
+    // to the 0-based gram position.
+    "d14_winnow_fp" ->
+      s"""WITH $dToks,
+         |g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1),
+         |    si -> ${dPhash("tk[si] || ' ' || tk[si+1] || ' ' || tk[si+2]", "wf")}) AS hs
+         |  FROM toks WHERE len(tk) >= 3),
+         |f AS (SELECT doc_id, list_transform(range(1, len(hs) - 2), wi ->
+         |    {'p': wi + list_max(list_transform(range(1, 5), wj ->
+         |        CASE WHEN hs[CAST(wi + wj - 1 AS INTEGER)] = list_min(hs[wi:wi+3])
+         |             THEN wj ELSE 0 END)) - 2,
+         |     'h': list_min(hs[wi:wi+3])}) AS fps
+         |  FROM g WHERE len(hs) >= 4)
+         |SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS fp_pos, u.h AS fp_hash
+         |FROM (SELECT doc_id, unnest(fps) AS u FROM f)
+         |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
 
     // Incremental-dedup mirror: the shared LSH signature chain, an
     // ASYMMETRIC candidate join (partner is corpus, or an earlier batch

@@ -421,6 +421,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L), s"got $kept")
   }
 
+  test("winnowFingerprints: rightmost-min tie rule and overlap guarantee") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x x x"),          // 4 identical grams -> one all-tie window
+      (2L, "p q r s t u v w"),      // clean 8-token doc
+      (3L, "a a p q r s t u b b")   // shares the 6-token run "p q r s t u"
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text",
+      shingleN = 3, window = 4).collect()
+    val d1 = fp.filter(_.getLong(0) == 1L)
+    assert(d1.length == 1 && d1(0).getLong(1) == 3L,
+      s"all-tie window must keep the RIGHTMOST min, got ${d1.toSeq}")
+    // winnowing guarantee: any shared run of >= window+shingleN-1 = 6
+    // tokens must surface at least one common fingerprint hash
+    val h2 = fp.filter(_.getLong(0) == 2L).map(_.getLong(2)).toSet
+    val h3 = fp.filter(_.getLong(0) == 3L).map(_.getLong(2)).toSet
+    assert((h2 & h3).nonEmpty, "6-token overlap must share a fingerprint")
+    // density: doc 2 has 6 grams -> 3 windows -> at most 3 fingerprints
+    assert(fp.count(_.getLong(0) == 2L) <= 3)
+  }
+
   test("incrementalNearDupFilter drops batch docs matching corpus or earlier batch ids") {
     import spark.implicits._
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"
