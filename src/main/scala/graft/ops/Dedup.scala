@@ -551,6 +551,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Document-overlap report over [[winnowFingerprints]] — the MOSS
+    * output: pairs of documents sharing ≥ `minShared` distinct
+    * fingerprint hashes, with the shared count. The winnowing guarantee
+    * makes this a COMPLETE detector for overlaps of ≥ window+shingleN−1
+    * tokens, at ~2/(window+1) the join fan-in of raw gram matching.
+    *
+    * Scale: the pair space is keyed by the fingerprint hash, and
+    * `maxDocFreq` drops fingerprints appearing in more documents (the
+    * boilerplate guard — same role as LSH's bucket cap), so a hash seen
+    * in m docs fans out m² only up to the cap; everything else is
+    * hash-keyed equi-joins + one (id_a, id_b) aggregate. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, window: Int = 4, minShared: Int = 3,
+      maxDocFreq: Int = 8, portable: Boolean = true): DataFrame = {
+    val dh = winnowFingerprints(df, idCol, textCol, shingleN, window, portable)
+      .select(col(idCol).as("id"), col("fp_hash")).distinct()
+    val rare = dh.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val pr = dh.join(rare.select("fp_hash"), Seq("fp_hash"), "left_semi")
+    pr.select(col("fp_hash"), col("id").as("id_a"))
+      .join(pr.select(col("fp_hash"), col("id").as("id_b")), Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Incremental near-dup filter — the OPERATIONAL dedup shape at corpus
     * scale: a NEW ingest batch is deduplicated against the EXISTING
     * corpus (and against earlier batch members) without ever pairing the

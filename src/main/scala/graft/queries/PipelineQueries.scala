@@ -69,6 +69,20 @@ object PipelineQueries {
        |    FROM w${s - 1} CROSS JOIN t$s))""".stripMargin
   }.mkString(",\n")
 
+  /** Shared CTE chain: winnowing fingerprints (3-gram hashes, window 4,
+    * rightmost-min) — ends with `f(doc_id, fps)` where fps is the
+    * per-window {'p': pos, 'h': hash} struct list (pre-distinct). */
+  private lazy val dWinnow =
+    s"""g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1),
+       |    si -> ${dPhash("tk[si] || ' ' || tk[si+1] || ' ' || tk[si+2]", "wf")}) AS hs
+       |  FROM toks WHERE len(tk) >= 3),
+       |f AS (SELECT doc_id, list_transform(range(1, len(hs) - 2), wi ->
+       |    {'p': wi + list_max(list_transform(range(1, 5), wj ->
+       |        CASE WHEN hs[CAST(wi + wj - 1 AS INTEGER)] = list_min(hs[wi:wi+3])
+       |             THEN wj ELSE 0 END)) - 2,
+       |     'h': list_min(hs[wi:wi+3])}) AS fps
+       |  FROM g WHERE len(hs) >= 4)""".stripMargin
+
   private lazy val dLshPrefix =
     s"""$dToks,
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
@@ -220,6 +234,19 @@ object PipelineQueries {
       Dedup.winnowFingerprints(Tables.load(s, dir, "documents"),
           "doc_id", "text", shingleN = 3, window = 4)
         .orderBy("doc_id", "fp_pos", "fp_hash")
+    },
+
+    // The MOSS overlap report over d14's fingerprints: document pairs
+    // sharing ≥3 distinct winnow hashes (the doc-frequency cap plays the
+    // boilerplate-guard role LSH's bucket cap plays; 60 clears the
+    // sf5 corpus's ~50-copy near-dup groups so real overlap stays
+    // detectable at every test scale). Complete for overlaps of ≥6
+    // tokens by the winnowing guarantee.
+    "d15_winnow_overlap" -> { (s, dir) =>
+      Dedup.winnowOverlapPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, window = 4, minShared = 3,
+          maxDocFreq = 60)
+        .orderBy("id_a", "id_b")
     },
 
     // Incremental near-dup dedup: the 10% "new ingest batch" slice is
@@ -1439,18 +1466,26 @@ object PipelineQueries {
     // to the 0-based gram position.
     "d14_winnow_fp" ->
       s"""WITH $dToks,
-         |g AS (SELECT doc_id, list_transform(range(1, len(tk) - 1),
-         |    si -> ${dPhash("tk[si] || ' ' || tk[si+1] || ' ' || tk[si+2]", "wf")}) AS hs
-         |  FROM toks WHERE len(tk) >= 3),
-         |f AS (SELECT doc_id, list_transform(range(1, len(hs) - 2), wi ->
-         |    {'p': wi + list_max(list_transform(range(1, 5), wj ->
-         |        CASE WHEN hs[CAST(wi + wj - 1 AS INTEGER)] = list_min(hs[wi:wi+3])
-         |             THEN wj ELSE 0 END)) - 2,
-         |     'h': list_min(hs[wi:wi+3])}) AS fps
-         |  FROM g WHERE len(hs) >= 4)
+         |$dWinnow
          |SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS fp_pos, u.h AS fp_hash
          |FROM (SELECT doc_id, unnest(fps) AS u FROM f)
          |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+
+    // MOSS overlap mirror: distinct (doc, hash) fingerprints, the
+    // doc-frequency boilerplate cap, hash-keyed pair join, shared-count
+    // threshold.
+    "d15_winnow_overlap" ->
+      s"""WITH $dToks,
+         |$dWinnow,
+         |dh AS (SELECT DISTINCT doc_id, u.h AS h
+         |  FROM (SELECT doc_id, unnest(fps) AS u FROM f)),
+         |rare AS (SELECT h FROM dh GROUP BY h HAVING count(1) <= 60),
+         |pr AS (SELECT dh.doc_id, dh.h FROM dh JOIN rare USING (h))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(1) AS BIGINT) AS n_shared
+         |FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(1) >= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Incremental-dedup mirror: the shared LSH signature chain, an
     // ASYMMETRIC candidate join (partner is corpus, or an earlier batch
