@@ -165,6 +165,36 @@ object Multimodal {
         java.util.Arrays.copyOf(media, target)
     }
 
+  /** Difference-hash (dHash) perceptual fingerprint. REAL for image
+    * bytes: area-average downscale to 9×8 luma, one bit per horizontal
+    * gradient sign (64 bits total) — the standard perceptual hash of
+    * large-scale image-dedup pipelines (robust to re-encode, resize and
+    * mild brightness shifts; visually distinct images land ~32 bits
+    * apart). None for bytes no ImageIO reader accepts — a curation
+    * pipeline treats those as their own identity class, never a crash. */
+  private[multimodal] def dHashKernel(media: Array[Byte]): Option[Long] =
+    decodeImage(media).map { img =>
+      val (w, h) = (9, 8)
+      val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(
+        img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      finally g.dispose()
+      def luma(px: Int): Int = (px >> 16 & 0xff) * 299 + (px >> 8 & 0xff) * 587 + (px & 0xff) * 114
+      var bits = 0L
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w - 1) {
+          if (luma(scaled.getRGB(x, y)) < luma(scaled.getRGB(x + 1, y))) bits |= 1L << i
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
   /** Image dimension probe. REAL: reads only the header via ImageIO's
     * reader API (no full pixel decode — cheap even for huge images).
     * None for non-image bytes. */
@@ -436,6 +466,26 @@ object Multimodal {
       .select(col("media_id"), col("media"),
         struct(col("format"), col("width"), col("height"),
           col("duration_ms"), col("uri"), col("byte_len")).as("meta"))
+  }
+
+  /** Perceptual image hash: media table → (media_id, dhash) for rows
+    * ImageIO can decode (others are dropped — report them via the
+    * anti-join if a pipeline wants the undecodable list). Feed the
+    * result to [[graft.ops.Dedup.exact]] on `dhash` for exact
+    * perceptual groups, or to the SimHash hamming-pair join for
+    * near-dup pairs at a bit threshold — dhash IS a 64-bit simhash-
+    * shaped key, so the whole text near-dup toolchain applies
+    * unchanged. Decode cost is the map stage; everything downstream
+    * shuffles 16 bytes/row. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        dHashKernel(bytes).map(hc => (id, hc))
+      })
+      .toDF("media_id", "dhash")
   }
 
   /** Fill meta.duration_ms (width/height stay untouched) for audio rows

@@ -276,6 +276,34 @@ object CorpusOps {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Deterministic hash train/val/test split — membership as a PURE
+    * FUNCTION of the id (stable across reruns, machines, data order and
+    * appends; no RNG state, no global sort): bucket =
+    * phash("split|" + id) mod Σweights, mapped through the cumulative
+    * weight ranges in `splits` order. Stratification comes free: a
+    * uniform hash splits every subpopulation (source, language) at the
+    * same ratios in expectation, and a doc can never migrate between
+    * splits as the corpus grows — the property that keeps eval sets
+    * uncontaminated across corpus versions.
+    *
+    * Scale: a pure map, zero shuffles; the split column is a
+    * partition-friendly key for downstream writes.
+    *
+    * @param splits ordered (name, weight), weights positive — default
+    *   the classic 80/10/10. */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] = Seq(("train", 8), ("val", 1), ("test", 1))): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "hashSplit weights must be positive")
+    val total = splits.map(_._2).sum.toLong
+    val bucket = pmod(TA.phash(concat(lit("split|"), col(idCol).cast("string"))), lit(total))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(cum).tail.foldLeft(
+      when(bucket < cum.head, splits.head._1)) { case (acc, ((nm, _), c)) =>
+      acc.when(bucket < c, nm)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Epoch-aware token-budget mixing — the UPSAMPLING half of the
     * mixing story [[tokenBudgetMix]] leaves open: a source smaller than
     * its budget REPEATS (epoch 0, 1, 2, …) until the budget is reached,

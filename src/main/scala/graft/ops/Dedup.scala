@@ -384,6 +384,35 @@ object Dedup {
     df.join(toDrop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware canonical-representative selection per duplicate
+    * cluster — the "keep the BEST copy, not the first" upgrade of
+    * [[dropDuplicateClusters]]' min-id policy (the spirit of SemDeDup's
+    * keep-one-per-semantic-cluster, Abbas et al. 2023, with a pluggable
+    * per-doc score standing in for centroid proximity): label the pair
+    * graph's components ([[clusterPairs]]), join each member's score,
+    * and keep the arg-max (score DESC, id ASC tie-break) per cluster.
+    *
+    * Returns (cluster, rep_id, rep_score, n_members) — one row per
+    * component of the pair graph. Docs outside the graph are their own
+    * representatives and don't appear.
+    *
+    * Scale: labels cost the O(log n)-round star contraction; the score
+    * join and the arg-max shuffle only (id, score) label rows — never
+    * text — and max/count aggregate with map-side partials, so the
+    * largest dup cluster bounds one partial's key width, not a sort. */
+  def clusterRepresentatives(pairs: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val labels = clusterPairs(pairs)
+    labels
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).cast("double").as("__s")), "id")
+      .groupBy("cluster")
+      .agg(
+        max(struct(col("__s").as("s"), (-col("id")).as("ni"), col("id").as("i"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("m.i").as("rep_id"), col("m.s").as("rep_score"),
+        col("n_members"))
+  }
+
   /** The complete text near-dup pipeline in one call:
     * LSH candidate generation → exact n-gram-Jaccard verification →
     * transitive clustering → keep the min-id representative per cluster.

@@ -279,6 +279,21 @@ object PipelineQueries {
       Dedup.clusterPairs(pairs).orderBy("id")
     },
 
+    // Quality-aware canonical representative per dup cluster: g2's
+    // component labels joined with e2's quality score, arg-max per
+    // cluster (score DESC, id ASC) — the "keep the BEST copy" policy a
+    // curation pipeline applies after clustering, instead of min-id.
+    "g3_cluster_reps" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))
+        .select("id_a", "id_b")
+      Dedup.clusterRepresentatives(pairs,
+          docs.select(col("doc_id"), TA.qualityScore(col("text")).as("q")),
+          "doc_id", "q")
+        .orderBy("cluster")
+    },
+
     // Normalization-aware exact dedup: hash AFTER CCNet-style text
     // normalization (lowercase, strip punctuation to spaces, collapse
     // whitespace) so case/punctuation variants of the same content land
@@ -1138,6 +1153,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic hash 80/10/10 split: membership is a pure function
+    // of the doc id (phash mod 10 through cumulative weight ranges) —
+    // stable across reruns and corpus appends, stratified for free.
+    "e27_hash_split" -> { (s, dir) =>
+      graft.ops.CorpusOps.hashSplit(Tables.load(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // Composed preprocessing pipeline — the flagship composition: carve
     // out the benchmark slice, quality-gate (e2's score ≥ 0.4),
     // normalization-aware exact dedup (d11's hash, min-id rep),
@@ -1522,6 +1546,37 @@ object PipelineQueries {
          |  FROM reach rg2 JOIN edges eg2 ON eg2.src = rg2.id
          |  WHERE rg2.lbl < eg2.dst)
          |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // Representative-selection mirror: g2's recursive min-label ground
+    // truth + e2's exact quality formula, arg-max per cluster via a
+    // (quality DESC, id ASC) row_number — the same order the Spark
+    // max(struct(score, -id)) aggregate encodes.
+    "g3_cluster_reps" -> {
+      val en = TA.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE $dLshCand,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM cand),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT eg3.dst AS id, rg3.lbl AS lbl
+         |  FROM reach rg3 JOIN edges eg3 ON eg3.src = rg3.id
+         |  WHERE rg3.lbl < eg3.dst),
+         |lbl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |    CAST(0.4 AS DOUBLE) * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))
+         |    + CAST(0.4 AS DOUBLE) * least(CAST(len(list_filter(tk, tg3 -> list_contains($en, tg3))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |    + CAST(0.2 AS DOUBLE) * least(CAST(len(tk) AS DOUBLE) / CAST(100.0 AS DOUBLE),
+         |        CAST(1.0 AS DOUBLE)) AS quality
+         |  FROM toks),
+         |mem AS (SELECT lbl.cluster, lbl.id, q.quality,
+         |    row_number() OVER (PARTITION BY lbl.cluster ORDER BY q.quality DESC, lbl.id) AS rn,
+         |    count(1) OVER (PARTITION BY lbl.cluster) AS nm
+         |  FROM lbl JOIN q ON q.doc_id = lbl.id)
+         |SELECT cluster, id AS rep_id, quality AS rep_score, CAST(nm AS BIGINT) AS n_members
+         |FROM mem WHERE rn = 1 ORDER BY cluster""".stripMargin
+    },
 
     "d3_simhash" ->
       s"""WITH $dToks,
@@ -2583,6 +2638,16 @@ object PipelineQueries {
          |WHERE cum_tokens - n_tokens <
          |  CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 900 ELSE 600 END
          |ORDER BY doc_id""".stripMargin,
+
+    // Hash-split mirror: the same "split|"-prefixed polynomial hash mod
+    // the summed weights, mapped through the cumulative ranges.
+    "e27_hash_split" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |    ${dPhash("'split|' || CAST(doc_id AS VARCHAR)", "hs")} % 10 AS bk
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CASE WHEN bk < 8 THEN 'train' WHEN bk < 9 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // Composed-pipeline mirror: every stage replayed — the e2 quality
     // formula gating the non-benchmark pool, the d11 normalize+hash

@@ -88,6 +88,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(21L).isNullAt(byId(21L).fieldIndex("width")))
   }
 
+  // a real 36x32 PNG of 4x4 luma blocks (deterministic per-block level)
+  // — block-structured so the 9x8 dHash grid sees distinct averages
+  private def blockPng(invert: Boolean = false, brighten: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 36) {
+      val base = ((x / 4) * 37 + (y / 4) * 101) % 256
+      val v0 = if (invert) 255 - base else base
+      val v = math.min(255, math.max(0, v0 + brighten))
+      img.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageDHash: stable under resize + brightness, far for distinct images, drops non-images") {
+    val orig = blockPng()
+    // same content re-rendered at 27x24 with a +12 brightness shift —
+    // the re-encode/rescale survivor class a perceptual hash must group
+    val variantSrc = blockPng(brighten = 12)
+    val variant = Multimodal.resizeKernel(variantSrc, 27, 24)
+    val inverted = blockPng(invert = true)
+    val tbl = Multimodal.toMediaTable(
+      Seq((1L, orig), (2L, variant), (3L, inverted),
+        (4L, "not an image".getBytes("UTF-8"))).toDF("id", "bin"), "id", "bin")
+    val hs = Multimodal.imageDHash(tbl).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L)) // undecodable bytes dropped, not crashed
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(2L)) <= 12,
+      s"resize+brightness variant drifted ${hamming(hs(1L), hs(2L))} bits")
+    assert(hamming(hs(1L), hs(3L)) >= 24,
+      s"inverted image only ${hamming(hs(1L), hs(3L))} bits away")
+  }
+
+  test("imageDHash feeds Dedup.exact: byte-identical copies form one perceptual group") {
+    val orig = blockPng()
+    val tbl = Multimodal.toMediaTable(
+      Seq((1L, orig), (2L, orig), (3L, blockPng(invert = true))).toDF("id", "bin"), "id", "bin")
+    val hashed = Multimodal.imageDHash(tbl)
+    val groups = graft.ops.Dedup.exact(hashed, "media_id", col("dhash")).collect()
+      .map(r => (r.getAs[Long]("rep_id"), r.getAs[Long]("n_copies")))
+    assert(groups.toSet == Set((1L, 2L), (3L, 1L)))
+  }
+
   // a real 1-second 440 Hz sine WAV at 8 kHz mono, amplitude 0.5
   private def realWav: Array[Byte] = {
     val hz = 8000
