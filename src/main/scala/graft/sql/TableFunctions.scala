@@ -59,6 +59,13 @@ import graft.store.TableStore
   *  - `TABLE(graft_dsir_select(raw, target, 'id', 'text', k[, dim]))`
   *    → [[CorpusOps.dsirSelect]]: the k raw rows most like the target
   *    domain by hashed-unigram importance ratio
+  *  - `TABLE(graft_cluster_reps(t, 'id', 'text'[, 'score_col']))` →
+  *    [[Dedup.clusterRepresentatives]]: (cluster, rep_id, rep_score,
+  *    n_members) — the best-scoring doc per near-dup cluster (default
+  *    score: the e2 quality formula)
+  *  - `TABLE(graft_hash_split(t, 'id'[, 'train=8,val=1,test=1']))` →
+  *    [[CorpusOps.hashSplit]]: the input + a deterministic `split`
+  *    column
   *
   * Table arguments name store tables (schema-qualified names normalize
   * through the session, same as every other statement) or temp views;
@@ -251,12 +258,42 @@ object TableFunctions {
           str(args(3)), args(4).toInt,
           dim = if (args.length > 5) args(5).toInt else 4096)
 
+      case "graft_cluster_reps" =>
+        arity(args.length == 3 || args.length == 4,
+          "3 or 4 (t, 'id', 'text'[, 'score_col'])")
+        val t = rel(args(0))
+        val id = str(args(1))
+        val text = str(args(2))
+        val pairs = Dedup.minhashLshPairs(t, id, text, k = 16, bands = 8,
+          shingleN = 2, maxBucketSize = Some(8)).select("id_a", "id_b")
+        val score =
+          if (args.length > 3) org.apache.spark.sql.functions.col(str(args(3)))
+          else graft.functions.TextAnalytics
+            .qualityScore(org.apache.spark.sql.functions.col(text))
+        Dedup.clusterRepresentatives(pairs,
+          t.select(org.apache.spark.sql.functions.col(id), score.as("__sc")),
+          id, "__sc")
+
+      case "graft_hash_split" =>
+        arity(args.length == 2 || args.length == 3,
+          "2 or 3 (t, 'id'[, 'name=weight,…'])")
+        val splits =
+          if (args.length > 2)
+            str(args(2)).split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+              val i = kv.lastIndexOf('=')
+              require(i > 0, s"$fn: split entries are name=weight, got '$kv'")
+              kv.take(i).trim -> kv.drop(i + 1).trim.toInt
+            }.toSeq
+          else Seq(("train", 8), ("val", 1), ("test", 1))
+        CorpusOps.hashSplit(rel(args(0)), str(args(1)), splits)
+
       case other => sys.error(s"unknown table function $other — supported: " +
         "graft_neardup_filter, graft_neardup_pairs, graft_semantic_dedup, " +
         "graft_decontaminate, graft_decontaminate_bloom, graft_bm25_topk, " +
         "graft_bm25_prf_topk, graft_kmeans_ivf_topk, graft_brute_topk, " +
         "graft_token_budget_mix, graft_epoch_mix, graft_chunk, " +
-        "graft_nb_classify, graft_dsir_select, graft_incremental_neardup")
+        "graft_nb_classify, graft_dsir_select, graft_incremental_neardup, " +
+        "graft_cluster_reps, graft_hash_split")
     }
   }
 }

@@ -144,6 +144,26 @@ class TableFunctionsSpec extends AnyFunSuite {
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", minJaccard = 0.3)
         .select("doc_id")))
     assert(incSql.count() > 0)
+    val pairsG3 = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16,
+      bands = 8, shingleN = 2, maxBucketSize = Some(8)).select("id_a", "id_b")
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_cluster_reps(" +
+      "docs_tf, 'doc_id', 'text'))").get) ==
+      rows(Dedup.clusterRepresentatives(pairsG3,
+        docs.select(col("doc_id"),
+          graft.functions.TextAnalytics.qualityScore(col("text")).as("q")),
+        "doc_id", "q")))
+    // explicit score column: n_chars stands in for a model-made score
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_cluster_reps(" +
+      "docs_tf, 'doc_id', 'text', 'n_chars'))").get) ==
+      rows(Dedup.clusterRepresentatives(pairsG3,
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")))
+    assert(rows(g.sql("SELECT doc_id, split FROM TABLE(graft_hash_split(" +
+      "docs_tf, 'doc_id'))").get) ==
+      rows(CorpusOps.hashSplit(docs, "doc_id").select("doc_id", "split")))
+    assert(rows(g.sql("SELECT doc_id, split FROM TABLE(graft_hash_split(" +
+      "docs_tf, 'doc_id', 'tr=1,te=1'))").get) ==
+      rows(CorpusOps.hashSplit(docs, "doc_id", Seq(("tr", 1), ("te", 1)))
+        .select("doc_id", "split")))
   }
 
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
