@@ -276,6 +276,47 @@ object CorpusOps {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Temperature-based source mixing (the α-weighted sampling of
+    * GPT-3 / T5 / multilingual-LM training mixes, Raffel et al. JMLR'20
+    * §3.4.3 — public method): per-source budgets are DERIVED from the
+    * corpus itself instead of hand-chosen — source i gets budget
+    * B·cᵢ^α / Σⱼ cⱼ^α where cᵢ is its token count. α < 1 flattens the
+    * natural distribution (upweights small sources, the reason the
+    * trick exists); α = 1 is proportional sampling.
+    *
+    * This is the α = 1/2 point of the family, computed INTEGER-EXACTLY:
+    * wᵢ = ⌊√cᵢ⌋ (IEEE sqrt is correctly rounded and cᵢ ≪ 2⁵², so both
+    * engines floor to the same integer — a cross-engine `pow` would not
+    * be bit-safe), budgetᵢ = ⌊B·wᵢ / Σwⱼ⌋ in pure Long arithmetic.
+    * Document pick order within a source is the same deterministic
+    * portable-hash order as [[tokenBudgetMix]], which this composes.
+    *
+    * Scale: one map-side-combine count aggregate (bounded by #sources,
+    * collected like [[graft.ops.Similarity.kmeansCentroids]]'s model
+    * state), then [[tokenBudgetMix]]'s single per-source window — the
+    * corpus is scanned twice (count pass + mix pass), never globally
+    * sorted.
+    *
+    * @return (idCol, sourceCol, n_tokens, cum_tokens, budget) of kept
+    *   docs — `budget` is the derived per-source cut for auditability. */
+  def temperatureMix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    val counts = df
+      .select(col(sourceCol).as("src"), size(TA.tokens(col(textCol))).cast("long").as("n"))
+      .groupBy("src").agg(sum("n").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val weights = counts.map { case (s, c) => (s, math.floor(math.sqrt(c.toDouble)).toLong) }
+    val wTotal = weights.map(_._2).sum
+    require(wTotal > 0, "temperatureMix: corpus has no tokens")
+    val budgets = weights.map { case (s, w) => (s, totalBudget * w / wTotal) }.toMap
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, b)) => when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    tokenBudgetMix(df, idCol, textCol, sourceCol, budgets, defaultBudget = 0L)
+      .withColumn("budget", budgetCol)
+  }
+
   /** Deterministic hash train/val/test split — membership as a PURE
     * FUNCTION of the id (stable across reruns, machines, data order and
     * appends; no RNG state, no global sort): bucket =

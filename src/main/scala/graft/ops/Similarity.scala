@@ -223,6 +223,44 @@ object Similarity {
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
     df.select(col(idCol).as("id"), VA.srpBucket(col(vecCol), planes).as("bucket"))
 
+  /** Exact MUTUAL k-nearest-neighbor graph over the embedding column —
+    * the edge set SemDeDup-style semantic clustering and graph-based
+    * curation build on: an (a, b) edge exists iff b is among a's k
+    * nearest AND a is among b's k nearest (the standard symmetrization
+    * that drops hub-to-satellite edges a τ-ball graph keeps). Cosine is
+    * direction-symmetric bit-exactly — the index-ordered dot fold
+    * multiplies the same component pairs either way — so the mutual
+    * join never disagrees with itself on the score.
+    *
+    * Scale: this is the EXACT O(n²/k)-edge formulation — the per-node
+    * top-k window bounds the directed set to n·k rows, but the scoring
+    * self-join is all-pairs (fine to the ~10⁶-vector range where one
+    * side broadcasts; the bench plan runs it as a broadcast
+    * nested-loop). Past that, block the self-join first: join on
+    * [[srpBuckets]] (or a [[kmeans]] cell) per side so only same-bucket
+    * pairs score, then take the same mutual top-k — the recall-vs-exact
+    * gap of that composition is measurable with the n4-style recall
+    * query. Ties break on neighbor id ascending, so the graph is
+    * deterministic.
+    *
+    * @return (id_a, id_b, cosine) with id_a < id_b, one row per mutual
+    *   edge — feeds [[graft.ops.Dedup.clusterPairs]] directly. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = normalized(df, idCol, vecCol, "id", "av", "an")
+    val b = normalized(df, idCol, vecCol, "nbr", "bv", "bn")
+    val scored = a.join(b, col("id") =!= col("nbr"))
+      .withColumn("cosine", VA.dot(col("av"), col("bv")) / (col("an") * col("bn")))
+    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr"))
+    val directed = scored
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("id"), col("nbr"), col("cosine"))
+    directed.as("x")
+      .join(directed.as("y"),
+        col("x.id") === col("y.nbr") && col("x.nbr") === col("y.id"), "left_semi")
+      .filter(col("x.id") < col("x.nbr"))
+      .select(col("x.id").as("id_a"), col("x.nbr").as("id_b"), col("x.cosine"))
+  }
+
   /** Deterministic Lloyd's k-means over the embedding column — trains the
     * coarse quantizer for [[ivfTopK]] when no natural partition column
     * exists. Initialization is the first k vectors by ascending id (no

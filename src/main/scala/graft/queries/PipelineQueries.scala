@@ -294,6 +294,17 @@ object PipelineQueries {
         .orderBy("cluster")
     },
 
+    // SemDeDup-style semantic clustering: connected components over the
+    // mutual-kNN edge set (n12) — groups whose neighbor relations are
+    // reciprocal, the clusters semantic dedup keeps one member of.
+    "g4_semantic_clusters" -> { (s, dir) =>
+      Dedup.clusterPairs(
+          Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
+              "vec_id", "embedding", k = 5)
+            .select("id_a", "id_b"))
+        .orderBy("id")
+    },
+
     // Normalization-aware exact dedup: hash AFTER CCNet-style text
     // normalization (lowercase, strip punctuation to spaces, collapse
     // whitespace) so case/punctuation variants of the same content land
@@ -984,6 +995,15 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // Exact mutual-kNN graph: each vector's 5 cosine-nearest, edge kept
+    // iff it appears in BOTH directions — the symmetrized neighbor set
+    // SemDeDup-style clustering and graph curation build on.
+    "n12_knn_graph" -> { (s, dir) =>
+      Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5)
+        .orderBy("id_a", "id_b")
+    },
+
     // Nearest-centroid (Rocchio) classification: hold out every 5th
     // vector, classify it by the squared-L2-nearest label centroid of
     // the remaining 80% — the model-free domain classifier / label
@@ -1159,6 +1179,15 @@ object PipelineQueries {
     "e27_hash_split" -> { (s, dir) =>
       graft.ops.CorpusOps.hashSplit(Tables.load(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    // Temperature (α = 1/2) source mixing: per-source budgets derived
+    // from the corpus's own token counts — B·⌊√cᵢ⌋/Σ⌊√cⱼ⌋ in pure
+    // integer arithmetic — then the e17 deterministic hash-order cut.
+    "e28_temperature_mix" -> { (s, dir) =>
+      graft.ops.CorpusOps.temperatureMix(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", totalBudget = 8000L)
         .orderBy("doc_id")
     },
 
@@ -1951,6 +1980,47 @@ object PipelineQueries {
          |  FROM vecs)
          |ORDER BY id""".stripMargin,
 
+    // Mutual-kNN mirror: the n1 scored self-join, per-id top-5 window
+    // (cosine DESC, nbr), then the reciprocal join with id_a < id_b.
+    "n12_knn_graph" ->
+      s"""WITH ${dVecs("kg")},
+         |scored AS (SELECT a.vec_id AS id, c.vec_id AS nbr,
+         |    ${dDot("a.v", "c.v", "kg")} / (a.nrm * c.nrm) AS cosine
+         |  FROM normed a JOIN normed c ON c.vec_id <> a.vec_id),
+         |directed AS (SELECT id, nbr, cosine FROM (
+         |    SELECT id, nbr, cosine,
+         |      row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rkg
+         |    FROM scored) WHERE rkg <= 5)
+         |SELECT x.id AS id_a, x.nbr AS id_b, x.cosine AS cosine
+         |FROM directed x JOIN directed y ON x.id = y.nbr AND x.nbr = y.id
+         |WHERE x.id < x.nbr
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Semantic-cluster mirror: the n12 mutual edge set, then g2's
+    // recursive min-label propagation — algorithm-independent ground
+    // truth for the star-contraction fixpoint over kNN edges.
+    "g4_semantic_clusters" ->
+      s"""WITH RECURSIVE ${dVecs("gc")},
+         |scored AS (SELECT a.vec_id AS id, c.vec_id AS nbr,
+         |    ${dDot("a.v", "c.v", "gc")} / (a.nrm * c.nrm) AS cosine
+         |  FROM normed a JOIN normed c ON c.vec_id <> a.vec_id),
+         |directed AS (SELECT id, nbr, cosine FROM (
+         |    SELECT id, nbr, cosine,
+         |      row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rgc
+         |    FROM scored) WHERE rgc <= 5),
+         |mut AS (SELECT x.id AS id_a, x.nbr AS id_b
+         |  FROM directed x JOIN directed y ON x.id = y.nbr AND x.nbr = y.id
+         |  WHERE x.id < x.nbr),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mut
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT eg4.dst AS id, rg4.lbl AS lbl
+         |  FROM reach rg4 JOIN edges eg4 ON eg4.src = rg4.id
+         |  WHERE rg4.lbl < eg4.dst)
+         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
     // Rocchio mirror: per-label hierarchical centroid fold over the
     // 80% train split, argmin of the same left-fold squared L2 with
     // label tiebreak.
@@ -2637,6 +2707,27 @@ object PipelineQueries {
          |SELECT doc_id, source, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens - n_tokens <
          |  CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 900 ELSE 600 END
+         |ORDER BY doc_id""".stripMargin,
+
+    // Temperature-mix mirror: integer-exact α = 1/2 budgets —
+    // ⌊√cᵢ⌋ (IEEE sqrt is correctly rounded, so both engines floor the
+    // same), B·wᵢ // Σwⱼ in BIGINT — then e17's hash-order running cut.
+    "e28_temperature_mix" ->
+      s"""WITH $dToks,
+         |n AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+         |w AS (SELECT source,
+         |    CAST(floor(sqrt(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE))) AS BIGINT) AS w
+         |  FROM n GROUP BY source),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w),
+         |b AS (SELECT source, CAST((8000 * w) // wt AS BIGINT) AS budget FROM w, tot),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY ${dPhash("CAST(doc_id AS VARCHAR)", "tx")}, doc_id) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM n)
+         |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, b.budget
+         |FROM c JOIN b USING (source)
+         |WHERE c.cum_tokens - c.n_tokens < b.budget
          |ORDER BY doc_id""".stripMargin,
 
     // Hash-split mirror: the same "split|"-prefixed polynomial hash mod

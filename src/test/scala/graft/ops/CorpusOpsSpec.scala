@@ -105,6 +105,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.toSet == relaid.toSet, "pick must not depend on physical layout")
   }
 
+  test("temperatureMix derives integer-exact sqrt budgets from corpus counts") {
+    // a: 22 docs × 4 tokens = 88 → w=⌊√88⌋=9; b: 100 × 4 = 400 → w=20;
+    // B=58 → budgets a: 58·9/29 = 18, b: 58·20/29 = 40 (pure Long floor
+    // division). Budget 18 over 4-token docs keeps cum−4 < 18 → 5 docs
+    // (the cum-20 doc crosses and is kept); budget 40 keeps 10.
+    val docs = ((1L to 22L).map(i => (i, "tok tok tok tok", "a")) ++
+      (101L to 200L).map(i => (i, "tok tok tok tok", "b"))).toDF("doc_id", "text", "source")
+    val mix = CorpusOps.temperatureMix(docs, "doc_id", "text", "source", totalBudget = 58L)
+      .collect().map(r => (r.getString(1), r.getLong(4)))
+    assert(mix.filter(_._1 == "a").map(_._2).distinct.toSeq == Seq(18L), s"got ${mix.toSeq}")
+    assert(mix.filter(_._1 == "b").map(_._2).distinct.toSeq == Seq(40L))
+    assert(mix.count(_._1 == "a") == 5 && mix.count(_._1 == "b") == 10)
+  }
+
   test("stratified sample is deterministic and respects k per stratum") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

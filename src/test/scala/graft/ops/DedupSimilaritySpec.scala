@@ -474,4 +474,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select(VA.cosine(col("embedding"), col("embedding"))).head().getDouble(0)
     assert(c == 1.0)
   }
+
+  test("knnGraph keeps only mutual edges, id_a < id_b") {
+    // 1-NN picks: 1↔2 and 4↔5 are reciprocal; 3's pick (2, by the
+    // ascending-id tiebreak over equal cosines) is not reciprocated at
+    // k=1, so 3 contributes no edge — the hub-satellite drop the
+    // mutual filter exists for.
+    val e1 = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e1 == Set((1L, 2L), (4L, 5L)), s"got $e1")
+    // at k=2 the reciprocal set widens: 2↔3 and 3↔5 appear, (1,3) stays
+    // one-directional (3's top-2 is {2, 5})
+    val e2 = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e2 == Set((1L, 2L), (2L, 3L), (3L, 5L), (4L, 5L)), s"got $e2")
+    // every edge is oriented small-id first exactly once
+    assert(e2.forall { case (a, b) => a < b })
+  }
 }
