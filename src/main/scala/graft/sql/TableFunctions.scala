@@ -287,13 +287,24 @@ object TableFunctions {
           else Seq(("train", 8), ("val", 1), ("test", 1))
         CorpusOps.hashSplit(rel(args(0)), str(args(1)), splits)
 
+      case "graft_temperature_mix" =>
+        arity(args.length == 5, "5 (t, 'id', 'text', 'source', total_budget)")
+        CorpusOps.temperatureMix(rel(args(0)), str(args(1)), str(args(2)),
+          str(args(3)), args(4).toLong)
+
+      case "graft_knn_graph" =>
+        arity(args.length == 4, "4 (t, 'id', 'vec', k)")
+        Similarity.knnGraph(rel(args(0)), str(args(1)), str(args(2)),
+          args(3).toInt)
+
       case other => sys.error(s"unknown table function $other — supported: " +
         "graft_neardup_filter, graft_neardup_pairs, graft_semantic_dedup, " +
         "graft_decontaminate, graft_decontaminate_bloom, graft_bm25_topk, " +
         "graft_bm25_prf_topk, graft_kmeans_ivf_topk, graft_brute_topk, " +
-        "graft_token_budget_mix, graft_epoch_mix, graft_chunk, " +
-        "graft_nb_classify, graft_dsir_select, graft_incremental_neardup, " +
-        "graft_cluster_reps, graft_hash_split")
+        "graft_token_budget_mix, graft_epoch_mix, graft_temperature_mix, " +
+        "graft_chunk, graft_nb_classify, graft_dsir_select, " +
+        "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
+        "graft_knn_graph")
     }
   }
 }

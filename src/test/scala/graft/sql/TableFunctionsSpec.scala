@@ -164,6 +164,13 @@ class TableFunctionsSpec extends AnyFunSuite {
       "docs_tf, 'doc_id', 'tr=1,te=1'))").get) ==
       rows(CorpusOps.hashSplit(docs, "doc_id", Seq(("tr", 1), ("te", 1)))
         .select("doc_id", "split")))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_temperature_mix(" +
+      "docs_tf, 'doc_id', 'text', 'source', 500))").get) ==
+      rows(CorpusOps.temperatureMix(docs, "doc_id", "text", "source",
+        totalBudget = 500L)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_knn_graph(" +
+      "embs_tf, 'vec_id', 'embedding', 3))").get) ==
+      rows(Similarity.knnGraph(embs, "vec_id", "embedding", k = 3)))
   }
 
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
