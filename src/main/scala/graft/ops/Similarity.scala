@@ -251,9 +251,17 @@ object Similarity {
     val scored = a.join(b, col("id") =!= col("nbr"))
       .withColumn("cosine", VA.dot(col("av"), col("bv")) / (col("an") * col("bn")))
     val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr"))
+    // EAGER materialization of the bounded directed set (n·k rows, the
+    // lshVerifiedPairs pattern): the mutual join references it twice, and
+    // a lazy plan re-expands the all-pairs scoring + per-node window sort
+    // under BOTH references — exchange reuse recovers some of it on the
+    // bare query, but a composition that iterates over the edges (the
+    // g4 clustering) measured 38% faster with the cut at sf0.1;
+    // checkpointed blocks are GC-cleaned when the result drops from scope
     val directed = scored
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("id"), col("nbr"), col("cosine"))
+      .localCheckpoint(true)
     directed.as("x")
       .join(directed.as("y"),
         col("x.id") === col("y.nbr") && col("x.nbr") === col("y.id"), "left_semi")

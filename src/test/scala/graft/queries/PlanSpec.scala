@@ -225,6 +225,29 @@ class PlanSpec extends AnyFunSuite {
       "no corpus-sized shuffle join anywhere in the chain")
   }
 
+  test("temperature mix: same single per-source window as e17, budgets driver-derived") {
+    val p = plan("e28_temperature_mix")
+    // tokenBudgetMix windows on its internal `src` projection
+    assert("windowspecdefinition\\(src".r.findFirstIn(p.toLowerCase.replace("#", "")).isDefined
+      || p.contains("partitionBy=[src"),
+      "the running cut must window per source, never globally sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the derived budgets are literals — no join may appear in the mix plan")
+  }
+
+  test("kNN graph: mutual filter is a hash semi join over the bounded directed set") {
+    val p = plan("n12_knn_graph")
+    // the all-pairs scoring + per-node top-k window materialize ONCE
+    // into the checkpointed directed set (n·k rows) — the returned plan
+    // must be a hash-keyed reciprocal semi join over those blocks, never
+    // a re-run of the scoring chain per reference
+    assert(p.contains("ExistingRDD"),
+      "expected the eagerly-materialized directed top-k as a checkpoint scan")
+    assert(p.contains("LeftSemi"), "mutual filter = left-semi on the swapped keys")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the reciprocal join is equi-keyed on (id, nbr) — no unkeyed join in the result plan")
+  }
+
   test("incremental dedup: checkpointed bounded drop set, anti-join streams the batch") {
     val p = plan("d13_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
