@@ -246,11 +246,6 @@ object Similarity {
     * @return (id_a, id_b, cosine) with id_a < id_b, one row per mutual
     *   edge — feeds [[graft.ops.Dedup.clusterPairs]] directly. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val a = normalized(df, idCol, vecCol, "id", "av", "an")
-    val b = normalized(df, idCol, vecCol, "nbr", "bv", "bn")
-    val scored = a.join(b, col("id") =!= col("nbr"))
-      .withColumn("cosine", VA.dot(col("av"), col("bv")) / (col("an") * col("bn")))
-    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr"))
     // EAGER materialization of the bounded directed set (n·k rows, the
     // lshVerifiedPairs pattern): the mutual join references it twice, and
     // a lazy plan re-expands the all-pairs scoring + per-node window sort
@@ -258,15 +253,57 @@ object Similarity {
     // bare query, but a composition that iterates over the edges (the
     // g4 clustering) measured 38% faster with the cut at sf0.1;
     // checkpointed blocks are GC-cleaned when the result drops from scope
-    val directed = scored
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("id"), col("nbr"), col("cosine"))
-      .localCheckpoint(true)
+    val directed = knnDirected(df, idCol, vecCol, k).localCheckpoint(true)
     directed.as("x")
       .join(directed.as("y"),
         col("x.id") === col("y.nbr") && col("x.nbr") === col("y.id"), "left_semi")
       .filter(col("x.id") < col("x.nbr"))
       .select(col("x.id").as("id_a"), col("x.nbr").as("id_b"), col("x.cosine"))
+  }
+
+  /** Directed exact top-k neighbor lists — [[knnGraph]]'s first stage,
+    * public because the recall evaluation needs the pre-mutualized
+    * lists of BOTH the exact and the blocked path.
+    * @return (id, nbr, cosine), k rows per id, ties on nbr ascending. */
+  def knnDirected(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = normalized(df, idCol, vecCol, "id", "av", "an")
+    val b = normalized(df, idCol, vecCol, "nbr", "bv", "bn")
+    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr"))
+    a.join(b, col("id") =!= col("nbr"))
+      .withColumn("cosine", VA.dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("id"), col("nbr"), col("cosine"))
+  }
+
+  /** SRP-blocked directed top-k — the 100 TB path [[knnGraph]]'s scaladoc
+    * promises: the corpus side carries its [[srpBuckets]] signed-random-
+    * projection bucket and the scoring join is EQUI-KEYED on it, so only
+    * probed-bucket pairs score (expected pair count (probes/2^planes)·n²
+    * instead of n²; the join is a plain hash join, broadcastable per
+    * bucket). The query side probes its OWN bucket plus every Hamming-1
+    * neighbor (each single plane-bit flipped — the standard multiprobe
+    * recovery for near-hyperplane vectors, XOR being integer-exact in
+    * both engines); a true neighbor ≥2 plane-flips away is still missed,
+    * and that residual loss is exactly what the n13 evaluation measures
+    * against [[knnDirected]] — the planes/probes tuning loop. A probed
+    * pair is matched at most once (the neighbor lives in one bucket).
+    * Nodes whose probed buckets hold fewer than k others return short
+    * lists. */
+  def knnDirectedBlocked(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int): DataFrame = {
+    val a = normalized(df, idCol, vecCol, "id", "av", "an")
+      .withColumn("bk0", VA.srpBucket(col("av"), planes))
+      .withColumn("bk", explode(array(
+        col("bk0") +: (0 until planes).map(p =>
+          col("bk0").bitwiseXOR(lit(1L << p))): _*)))
+      .drop("bk0")
+    val b = normalized(df, idCol, vecCol, "nbr", "bv", "bn")
+      .withColumn("bk", VA.srpBucket(col("bv"), planes))
+    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr"))
+    a.join(b, "bk").filter(col("id") =!= col("nbr"))
+      .withColumn("cosine", VA.dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("id"), col("nbr"), col("cosine"))
   }
 
   /** Deterministic Lloyd's k-means over the embedding column — trains the

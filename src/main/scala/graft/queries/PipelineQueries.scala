@@ -1004,6 +1004,25 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // kNN-graph recall eval: the SRP-blocked scale path (same-bucket
+    // scoring only, 4 planes) against the exact directed top-5 — the
+    // planes/probes tuning loop for the blocked kNN at 100 TB.
+    "n13_knn_recall" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val exact = Similarity.knnDirected(e, "vec_id", "embedding", k = 5)
+        .select("id", "nbr")
+      val blocked = Similarity
+        .knnDirectedBlocked(e, "vec_id", "embedding", k = 5, planes = 4)
+        .select("id", "nbr").withColumn("hit", lit(1))
+      exact.join(blocked, Seq("id", "nbr"), "left_outer")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("n_exact").cast("double"))
+        .orderBy("id")
+    },
+
     // Nearest-centroid (Rocchio) classification: hold out every 5th
     // vector, classify it by the squared-L2-nearest label centroid of
     // the remaining 80% — the model-free domain classifier / label
@@ -1995,6 +2014,47 @@ object PipelineQueries {
          |FROM directed x JOIN directed y ON x.id = y.nbr AND x.nbr = y.id
          |WHERE x.id < x.nbr
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // kNN-recall mirror: exact directed top-5 (n12's first stage), the
+    // 4-plane SRP bucket (n11's integer-derived formula), Hamming-1
+    // multiprobe (self + each bit flipped, xor is integer-exact),
+    // probed-bucket top-5, then per-id hit counting over a left join.
+    "n13_knn_recall" ->
+      s"""WITH ${dVecs("kr")},
+         |sc AS (SELECT a.vec_id AS id, c.vec_id AS nbr,
+         |    ${dDot("a.v", "c.v", "kr")} / (a.nrm * c.nrm) AS cosine
+         |  FROM normed a JOIN normed c ON c.vec_id <> a.vec_id),
+         |ex AS (SELECT id, nbr FROM (SELECT id, nbr,
+         |    row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rkr
+         |  FROM sc) WHERE rkr <= 5),
+         |bkt AS (SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, 4), pk -> CASE WHEN
+         |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |            list_transform(range(1, 65), dk -> v[dk] *
+         |              (CAST(((pk*73856093 + (dk-1)*19349663 + 83492791) % 2001) - 1000
+         |                 AS DOUBLE) / 1000.0))),
+         |            (pa, pz) -> pa + pz) >= 0
+         |        THEN CAST(pow(2, pk) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (ba, bz) -> ba + bz) AS bk
+         |  FROM vecs),
+         |prb AS (SELECT vec_id,
+         |    unnest([bk, xor(bk, 1), xor(bk, 2), xor(bk, 4), xor(bk, 8)]) AS bk
+         |  FROM bkt),
+         |bsc AS (SELECT a.vec_id AS id, c.vec_id AS nbr,
+         |    ${dDot("a.v", "c.v", "kb")} / (a.nrm * c.nrm) AS cosine
+         |  FROM normed a JOIN prb ba ON ba.vec_id = a.vec_id
+         |  JOIN bkt bc ON bc.bk = ba.bk
+         |  JOIN normed c ON c.vec_id = bc.vec_id AND c.vec_id <> a.vec_id),
+         |bl AS (SELECT id, nbr FROM (SELECT id, nbr,
+         |    row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rkb
+         |  FROM bsc) WHERE rkb <= 5)
+         |SELECT ex.id, CAST(count(1) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN bl.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN bl.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(1) AS DOUBLE) AS recall
+         |FROM ex LEFT JOIN bl ON bl.id = ex.id AND bl.nbr = ex.nbr
+         |GROUP BY ex.id ORDER BY ex.id""".stripMargin,
 
     // Semantic-cluster mirror: the n12 mutual edge set, then g2's
     // recursive min-label propagation — algorithm-independent ground

@@ -491,4 +491,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // every edge is oriented small-id first exactly once
     assert(e2.forall { case (a, b) => a < b })
   }
+
+  test("blocked kNN with planes=1 probes both buckets — equals the exact lists") {
+    // Hamming-1 multiprobe over a 1-plane split covers the whole space,
+    // so the blocked path must reproduce knnDirected exactly; at more
+    // planes it returns a subset of true-cosine rows (recall < 1 is
+    // measured by n13, never wrong scores)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(Similarity.knnDirected(vecs, "vec_id", "embedding", k = 2))
+    val full = rows(Similarity.knnDirectedBlocked(vecs, "vec_id", "embedding",
+      k = 2, planes = 1))
+    assert(full == exact, s"planes=1 multiprobe must be exhaustive: $full vs $exact")
+    val blocked = rows(Similarity.knnDirectedBlocked(vecs, "vec_id", "embedding",
+      k = 2, planes = 3))
+    assert(blocked.forall { case (id, nbr, cos) =>
+      exact.exists(e => e._1 == id && e._3 >= cos) || exact.contains((id, nbr, cos)) },
+      "blocked lists may miss neighbors but never invent better ones")
+  }
 }
