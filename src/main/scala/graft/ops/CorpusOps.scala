@@ -317,6 +317,33 @@ object CorpusOps {
       .withColumn("budget", budgetCol)
   }
 
+  /** Deterministic corpus shuffle + shard assignment — the training-order
+    * step between mixing and sequence packing: a LLM data loader wants
+    * documents in a fixed pseudo-random order, split into n equal-ish
+    * shards it can stream independently. Both coordinates derive from ONE
+    * portable hash h = phash("shuf|" + id): shard = h mod nShards
+    * (append-stable membership, like [[hashSplit]]), position =
+    * row_number within the shard ordered by (h, id) — the same
+    * deterministic pseudo-random order [[stratifiedSample]] picks in, so
+    * the "shuffle" needs no RNG state and replays identically on any
+    * layout or engine.
+    *
+    * Scale: a pure map for the shard, one PER-SHARD window for the
+    * position — never a global sort; the shard column is the natural
+    * write-partition key, and downstream packing ([[packSequences]])
+    * windows over the same shards.
+    *
+    * @return input columns + (shard, pos); pos is 1-based within shard. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = TA.phash(concat(lit("shuf|"), col(idCol).cast("string")))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Deterministic hash train/val/test split — membership as a PURE
     * FUNCTION of the id (stable across reruns, machines, data order and
     * appends; no RNG state, no global sort): bucket =

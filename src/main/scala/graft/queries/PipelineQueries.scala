@@ -1201,6 +1201,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic corpus shuffle into 8 training shards: shard and
+    // in-shard position both derive from one portable hash — fixed
+    // pseudo-random order with no RNG state and no global sort.
+    "e30_shuffle_shards" -> { (s, dir) =>
+      graft.ops.CorpusOps.shuffleShards(
+          Tables.load(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", nShards = 8)
+        .orderBy("doc_id")
+    },
+
     // Temperature (α = 1/2) source mixing: per-source budgets derived
     // from the corpus's own token counts — B·⌊√cᵢ⌋/Σ⌊√cⱼ⌋ in pure
     // integer arithmetic — then the e17 deterministic hash-order cut.
@@ -2768,6 +2778,17 @@ object PipelineQueries {
          |WHERE cum_tokens - n_tokens <
          |  CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 900 ELSE 600 END
          |ORDER BY doc_id""".stripMargin,
+
+    // Shuffle-shard mirror: the same "shuf|"-prefixed polynomial hash,
+    // shard = h mod 8, position = row_number per shard over (h, id).
+    "e30_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |    ${dPhash("'shuf|' || CAST(doc_id AS VARCHAR)", "ss")} AS hv
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(hv % 8 AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     // Temperature-mix mirror: integer-exact α = 1/2 budgets —
     // ⌊√cᵢ⌋ (IEEE sqrt is correctly rounded, so both engines floor the

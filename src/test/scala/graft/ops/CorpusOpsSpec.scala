@@ -119,6 +119,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(mix.count(_._1 == "a") == 5 && mix.count(_._1 == "b") == 10)
   }
 
+  test("shuffleShards: layout-independent, shards partition, positions contiguous") {
+    val docs = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = CorpusOps.shuffleShards(docs, "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(out.length == 200 && out.map(_._1).distinct.length == 200)
+    assert(out.map(_._2).distinct.sorted.toSeq.forall(s => s >= 0 && s < 8))
+    // within each shard positions are exactly 1..n
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val relaid = CorpusOps.shuffleShards(docs.repartition(13), "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(out.toSet == relaid.toSet, "shard and position must not depend on layout")
+    // the order is a shuffle: not the identity permutation within shards
+    assert(out.groupBy(_._2).exists { case (_, rows) =>
+      rows.sortBy(_._3).map(_._1).toSeq != rows.map(_._1).sorted.toSeq
+    }, "hash order should differ from id order somewhere")
+  }
+
   test("stratified sample is deterministic and respects k per stratum") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

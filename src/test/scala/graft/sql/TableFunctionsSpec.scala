@@ -171,6 +171,10 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(rows(g.sql("SELECT * FROM TABLE(graft_knn_graph(" +
       "embs_tf, 'vec_id', 'embedding', 3))").get) ==
       rows(Similarity.knnGraph(embs, "vec_id", "embedding", k = 3)))
+    assert(rows(g.sql("SELECT doc_id, shard, pos FROM TABLE(graft_shuffle_shards(" +
+      "docs_tf, 'doc_id', 4))").get) ==
+      rows(CorpusOps.shuffleShards(docs, "doc_id", 4)
+        .select("doc_id", "shard", "pos")))
   }
 
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
