@@ -11,8 +11,14 @@ import org.apache.spark.sql.functions._
   * so the corpus does not become `factor` identical replicas — that
   * would inflate near-dup density quadratically and misrepresent the
   * dedup workload. Dims that grow slower than facts in real deployments
-  * (region, nation) and tables outside the scale-proof query set
-  * (events, embeddings) are copied verbatim.
+  * (region, nation) and embeddings (the exact-kNN ground truths are
+  * quadratic — scale-proof for vector ops is the blocked/IVF path, not
+  * bigger exact baselines) are copied verbatim. Events scale like facts
+  * (event_id/user_id strides, timestamps untouched — the event queries
+  * are self-contained on those keys, so sessions/windows/asof chains
+  * multiply by the factor); the one exception is legacy
+  * TIMESTAMP(NANOS) sources, which must be byte-copied because a Spark
+  * rewrite under nanosAsLong would retype ts to BIGINT.
   *
   * Usage: runMain graft.ScaleGen <srcDir> <dstDir> <factor>
   */
@@ -81,6 +87,20 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents", 2 * factor)
 
+    // events: scaled like a fact when the source timestamp survives a
+    // Spark rewrite (micros, any tz-ness); legacy TIMESTAMP(NANOS) reads
+    // as BIGINT under nanosAsLong and must stay a byte copy
+    val evScalable = !tbl("events").schema("ts").dataType
+      .isInstanceOf[org.apache.spark.sql.types.LongType.type]
+    if (evScalable) {
+      val (evS, usrS) =
+        (stride(tbl("events"), "event_id"), stride(tbl("events"), "user_id"))
+      write(scaled("events") { (df, i) =>
+        df.withColumn("event_id", col("event_id") + lit(i * evS))
+          .withColumn("user_id", col("user_id") + lit(i * usrS))
+      }, "events", 2 * factor)
+    }
+
     // verbatim tables are FILE copies: a spark read+write would rewrite
     // types the session coerces (events' TIMESTAMP(NANOS) becomes BIGINT
     // under nanosAsLong) and break engines that read the original type.
@@ -95,7 +115,8 @@ object ScaleGen {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     }
-    Seq("region", "nation", "events", "embeddings").foreach { n =>
+    (Seq("region", "nation", "embeddings") ++
+        (if (evScalable) Nil else Seq("events"))).foreach { n =>
       copyRec(java.nio.file.Paths.get(src, s"$n.parquet"),
         java.nio.file.Paths.get(dst, s"$n.parquet"))
     }
