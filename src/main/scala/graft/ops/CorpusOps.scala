@@ -372,6 +372,42 @@ object CorpusOps {
     df.withColumn("split", label)
   }
 
+  /** Per-language quality-quantile retention (the calibration step of
+    * CCNet-style filtering): score every document with the composite
+    * quality score, then keep the top `retention` fraction WITHIN each
+    * language via a per-language percent_rank cut. The threshold is
+    * data-derived — each language is cut against its OWN score
+    * distribution, so a low-resource language is never starved because
+    * a high-resource one scores systematically higher, and no absolute
+    * cutoff needs re-tuning as the corpus grows.
+    *
+    * Scale: one tokenize-score map pass, then ONE shuffle on the
+    * language key for the window rank — per-partition work is a sort
+    * bounded by the largest language. percent_rank is
+    * (rank−1)/(n−1) in exact integer counts over a deterministic
+    * (quality, id) order, so the DuckDB oracle reproduces the cut
+    * bit-for-bit. At 100 TB a language big enough to overflow one
+    * partition's sort switches to a two-pass approximate-quantile
+    * threshold (computed per language, broadcast back) — same
+    * semantics, no global window.
+    *
+    * Edge: a single-document language has percent_rank 0 and is
+    * dropped at any retention < 1 — by definition there is no
+    * within-language distribution to calibrate against; route such
+    * tails through an absolute floor upstream if they must survive.
+    *
+    * @return (idCol, langCol, quality, pr) for retained docs only. */
+  def qualityRetention(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, retention: Double): DataFrame = {
+    require(retention > 0.0 && retention <= 1.0, "retention must be in (0, 1]")
+    val scored = docs.select(col(idCol), col(langCol),
+      TA.qualityScore(col(textCol)).as("quality"))
+    val pr = percent_rank().over(
+      Window.partitionBy(langCol).orderBy(col("quality"), col(idCol)))
+    scored.withColumn("pr", pr)
+      .filter(col("pr") >= lit(1.0 - retention))
+  }
+
   /** Epoch-aware token-budget mixing — the UPSAMPLING half of the
     * mixing story [[tokenBudgetMix]] leaves open: a source smaller than
     * its budget REPEATS (epoch 0, 1, 2, …) until the budget is reached,

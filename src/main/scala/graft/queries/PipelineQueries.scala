@@ -1220,6 +1220,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Per-language quality-quantile retention: keep the top 30% of each
+    // language's documents by e2's composite quality score — the cut is
+    // each language's OWN percent_rank, so thresholds self-calibrate
+    // per distribution instead of one hand-tuned absolute value.
+    "e31_quality_retention" -> { (s, dir) =>
+      graft.ops.CorpusOps.qualityRetention(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "lang", retention = 0.3)
+        .orderBy("doc_id")
+    },
+
     // Composed preprocessing pipeline — the flagship composition: carve
     // out the benchmark slice, quality-gate (e2's score ≥ 0.4),
     // normalization-aware exact dedup (d11's hash, min-id rep),
@@ -2810,6 +2820,30 @@ object PipelineQueries {
          |FROM c JOIN b USING (source)
          |WHERE c.cum_tokens - c.n_tokens < b.budget
          |ORDER BY doc_id""".stripMargin,
+
+    // Quality-retention mirror: the e2 composite score, percent_rank
+    // per language over the same deterministic (quality, doc_id) order,
+    // and the SAME IEEE 1.0−0.3 cut constant (0.7's double literal is a
+    // DIFFERENT double — both engines must subtract).
+    "e31_quality_retention" -> {
+      val en = TA.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $dToks,
+         |m AS (SELECT doc_id, lang,
+         |    CAST(0.4 AS DOUBLE) * (CAST(len(list_distinct(tk)) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE))
+         |      + CAST(0.4 AS DOUBLE) * least(
+         |          (CAST(len(list_filter(tk, tq31 -> list_contains($en, tq31))) AS DOUBLE)
+         |            / CAST(len(tk) AS DOUBLE)) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |      + CAST(0.2 AS DOUBLE) * least(CAST(len(tk) AS DOUBLE) / CAST(100.0 AS DOUBLE),
+         |          CAST(1.0 AS DOUBLE)) AS quality
+         |  FROM toks),
+         |r AS (SELECT doc_id, lang, quality,
+         |    percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
+         |  FROM m)
+         |SELECT doc_id, lang, quality, pr FROM r
+         |WHERE pr >= CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Hash-split mirror: the same "split|"-prefixed polynomial hash mod
     // the summed weights, mapped through the cumulative ranges.

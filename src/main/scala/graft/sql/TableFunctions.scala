@@ -296,6 +296,11 @@ object TableFunctions {
         arity(args.length == 3, "3 (t, 'id', n_shards)")
         CorpusOps.shuffleShards(rel(args(0)), str(args(1)), args(2).toInt)
 
+      case "graft_quality_retention" =>
+        arity(args.length == 5, "5 (t, 'id', 'text', 'lang', retention)")
+        CorpusOps.qualityRetention(rel(args(0)), str(args(1)), str(args(2)),
+          str(args(3)), args(4).toDouble)
+
       case "graft_knn_graph" =>
         arity(args.length == 4, "4 (t, 'id', 'vec', k)")
         Similarity.knnGraph(rel(args(0)), str(args(1)), str(args(2)),
@@ -308,7 +313,7 @@ object TableFunctions {
         "graft_token_budget_mix, graft_epoch_mix, graft_temperature_mix, " +
         "graft_chunk, graft_nb_classify, graft_dsir_select, " +
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
-        "graft_shuffle_shards, graft_knn_graph")
+        "graft_shuffle_shards, graft_knn_graph, graft_quality_retention")
     }
   }
 }

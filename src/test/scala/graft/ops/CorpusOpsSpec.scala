@@ -383,4 +383,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.dsirSelect(raw, target, "doc_id", "text", k = 10, dim = 4096)
       .collect().map(_.getLong(0)).head == 1L)
   }
+
+  test("qualityRetention cuts each language against its own distribution") {
+    // lang "a": 5 docs with strictly increasing quality (longer + more
+    // diverse + more stopwords); lang "b": 1 doc (no distribution —
+    // dropped, the documented edge); lang "c": 2 docs.
+    val docs = Seq(
+      (1L, "a", "x x x x"),
+      (2L, "a", "x y x y"),
+      (3L, "a", "the x y z"),
+      (4L, "a", "the and x y z w"),
+      (5L, "a", "the and of x y z w v u t"),
+      (6L, "b", "the and of is in lone"),
+      (7L, "c", "x x"),
+      (8L, "c", "the and x y")
+    ).toDF("doc_id", "lang", "text")
+    // retention 0.4 on 5 docs: pr >= 0.6 keeps ranks 4,5 of lang a
+    val out = CorpusOps.qualityRetention(docs, "doc_id", "text", "lang", 0.4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(4L, 5L, 8L))
+    // the kept rows carry their percent_rank and it respects the cut
+    assert(out.forall(_.getAs[Double]("pr") >= 0.6))
+    // retention 1.0 keeps everything (pr >= 0), including singletons
+    assert(CorpusOps.qualityRetention(docs, "doc_id", "text", "lang", 1.0)
+      .count() == 8L)
+  }
 }

@@ -259,4 +259,19 @@ class PlanSpec extends AnyFunSuite {
       "expected the eagerly-materialized dropped-id set as a checkpoint scan")
     assert(p.contains("LeftAnti"), "survivors = batch anti-join dropped ids")
   }
+
+  test("quality retention: one language-keyed window, no global sort before it") {
+    val p = plan("e31_quality_retention")
+    assert("windowspecdefinition\\(lang".r.findFirstIn(p.toLowerCase.replace("#", "")).isDefined
+      || p.contains("partitionBy=[lang"),
+      s"percent_rank must partition by lang:\n${p.linesIterator.filter(_.contains("Window")).mkString("\n")}")
+    // the score+rank pipeline needs exactly two exchanges: the lang hash
+    // partitioning and the final presentation sort — nothing corpus-global
+    // (FormattedMode prints exchange args on their own "Arguments:" line)
+    val ex = "Arguments: hashpartitioning\\(lang".r.findAllIn(p).size
+    val range = "Arguments: rangepartitioning".r.findAllIn(p).size
+    assert(ex == 1 && range == 1,
+      s"expected 1 lang-hash + 1 range exchange, got hash=$ex range=$range")
+    assert(!p.contains("SinglePartition"), "no corpus-global single partition")
+  }
 }

@@ -175,6 +175,10 @@ class TableFunctionsSpec extends AnyFunSuite {
       "docs_tf, 'doc_id', 4))").get) ==
       rows(CorpusOps.shuffleShards(docs, "doc_id", 4)
         .select("doc_id", "shard", "pos")))
+    assert(rows(g.sql("SELECT doc_id, lang FROM TABLE(graft_quality_retention(" +
+      "docs_tf, 'doc_id', 'text', 'lang', 0.5))").get) ==
+      rows(CorpusOps.qualityRetention(docs, "doc_id", "text", "lang", 0.5)
+        .select("doc_id", "lang")))
   }
 
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
