@@ -408,6 +408,40 @@ object CorpusOps {
       .filter(col("pr") >= lit(1.0 - retention))
   }
 
+  /** Difficulty-ordered curriculum construction (Bengio et al. ICML'09
+    * curriculum learning, easy→hard): rank every document globally by a
+    * difficulty proxy — [[unigramBits]]'s bits-per-token, so gibberish
+    * and rare-token-heavy docs land in the last phases — and cut the
+    * ranked corpus into `nPhases` equal training phases.
+    *
+    * Scale: the global rank deliberately avoids
+    * `row_number() OVER (ORDER BY …)` — a windowless global window
+    * funnels the entire corpus through ONE partition. Instead the
+    * scored frame gets a distributed range-partitioned sort and the
+    * rank comes from RDD `zipWithIndex` (partition sizes from one
+    * lightweight count job + a map — the [[SurrogateKey]] pattern), so
+    * ranking is fully parallel at any corpus size. Phase assignment is
+    * pure integer arithmetic (`rank·nPhases div N`), bit-stable
+    * cross-engine.
+    *
+    * @return (idCol, n_tokens, bits_per_token, difficulty_rank ∈
+    *   [0,N), phase ∈ [0,nPhases)). */
+  def curriculum(df: DataFrame, idCol: String, textCol: String,
+      nPhases: Int, vocabSize: Int = 30000): DataFrame = {
+    require(nPhases > 0, "nPhases must be positive")
+    val scored = unigramBits(df, idCol, textCol, vocabSize)
+      .select(col(idCol), col("n_tokens"), col("bits_per_token"))
+    // strict total order (id tiebreak) -> zipWithIndex rank is unique
+    // and deterministic regardless of physical layout
+    val sorted = scored.orderBy(col("bits_per_token"), col(idCol))
+    val ranked = SurrogateKey.attach(sorted, "difficulty_rank", startAfter = -1L)
+    val total = broadcast(df.select(col(idCol)).agg(count(lit(1)).as("__n")))
+    ranked.crossJoin(total)
+      .withColumn("phase",
+        expr(s"(difficulty_rank * $nPhases) div __n").cast("int"))
+      .drop("__n")
+  }
+
   /** Epoch-aware token-budget mixing — the UPSAMPLING half of the
     * mixing story [[tokenBudgetMix]] leaves open: a source smaller than
     * its budget REPEATS (epoch 0, 1, 2, …) until the budget is reached,

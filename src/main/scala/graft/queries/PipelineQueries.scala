@@ -1220,6 +1220,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Curriculum construction: global easy→hard rank by e16's unigram
+    // bits-per-token, cut into 4 equal phases — ranked WITHOUT a
+    // single-partition global window (range sort + zipWithIndex).
+    "e32_curriculum" -> { (s, dir) =>
+      graft.ops.CorpusOps.curriculum(Tables.load(s, dir, "documents"),
+          "doc_id", "text", nPhases = 4, vocabSize = 5000)
+        .orderBy("doc_id")
+    },
+
     // Per-language quality-quantile retention: keep the top 30% of each
     // language's documents by e2's composite quality score — the cut is
     // each language's OWN percent_rank, so thresholds self-calibrate
@@ -2820,6 +2829,31 @@ object PipelineQueries {
          |FROM c JOIN b USING (source)
          |WHERE c.cum_tokens - c.n_tokens < b.budget
          |ORDER BY doc_id""".stripMargin,
+
+    // Curriculum mirror: the e16 scoring CTEs, a strict-total-order
+    // row_number (bits_per_token, doc_id) minus 1 as the global rank —
+    // the oracle CAN afford the single-partition window the Spark side
+    // avoids — and the same integer phase arithmetic.
+    "e32_curriculum" ->
+      s"""WITH $dToks,
+         |tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         |counts AS (SELECT tok, CAST(count(1) AS BIGINT) AS n FROM tok GROUP BY tok),
+         |vocab AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 5000),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+         |m AS (SELECT doc_id,
+         |    CAST(count(1) AS BIGINT) AS n_tokens,
+         |    CAST(CAST(sum(length(bin(t.total)) - length(bin(coalesce(v.n, 1)))) AS BIGINT)
+         |        AS DOUBLE) / CAST(count(1) AS DOUBLE) AS bits_per_token
+         |  FROM tok LEFT JOIN vocab v USING (tok) CROSS JOIN tot t
+         |  GROUP BY doc_id),
+         |r AS (SELECT doc_id, n_tokens, bits_per_token,
+         |    CAST(row_number() OVER (ORDER BY bits_per_token, doc_id) - 1 AS BIGINT)
+         |      AS difficulty_rank
+         |  FROM m),
+         |nn AS (SELECT CAST(count(1) AS BIGINT) AS n_docs FROM m)
+         |SELECT doc_id, n_tokens, bits_per_token, difficulty_rank,
+         |  CAST((difficulty_rank * 4) // n_docs AS INTEGER) AS phase
+         |FROM r, nn ORDER BY doc_id""".stripMargin,
 
     // Quality-retention mirror: the e2 composite score, percent_rank
     // per language over the same deterministic (quality, doc_id) order,

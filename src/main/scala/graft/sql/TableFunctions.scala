@@ -301,6 +301,13 @@ object TableFunctions {
         CorpusOps.qualityRetention(rel(args(0)), str(args(1)), str(args(2)),
           str(args(3)), args(4).toDouble)
 
+      case "graft_curriculum" =>
+        arity(args.length == 4 || args.length == 5,
+          "4 or 5 (t, 'id', 'text', n_phases[, vocab_size])")
+        CorpusOps.curriculum(rel(args(0)), str(args(1)), str(args(2)),
+          args(3).toInt,
+          if (args.length > 4) args(4).toInt else 30000)
+
       case "graft_knn_graph" =>
         arity(args.length == 4, "4 (t, 'id', 'vec', k)")
         Similarity.knnGraph(rel(args(0)), str(args(1)), str(args(2)),
@@ -313,7 +320,8 @@ object TableFunctions {
         "graft_token_budget_mix, graft_epoch_mix, graft_temperature_mix, " +
         "graft_chunk, graft_nb_classify, graft_dsir_select, " +
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
-        "graft_shuffle_shards, graft_knn_graph, graft_quality_retention")
+        "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
+        "graft_curriculum")
     }
   }
 }

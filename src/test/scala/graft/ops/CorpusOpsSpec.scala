@@ -384,6 +384,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).head == 1L)
   }
 
+  test("curriculum equals the window-rank form, layout-independent") {
+    val docs = Seq(
+      (1L, "x x x x"), (2L, "x x y"), (3L, "y y z"),
+      (4L, "z q"), (5L, "q r s"), (6L, "u v w t")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.curriculum(docs, "doc_id", "text", nPhases = 3,
+      vocabSize = 100).collect()
+    // ranks are a permutation of 0..5; phases are the integer cut
+    assert(out.map(_.getAs[Long]("difficulty_rank")).sorted.toSeq == (0L to 5L))
+    assert(out.forall(r => r.getAs[Int]("phase") ==
+      (r.getAs[Long]("difficulty_rank") * 3 / 6).toInt))
+    // rank order agrees with the reference single-partition window form
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      CorpusOps.unigramBits(docs, "doc_id", "text", 100)
+        .select(col("doc_id"), col("bits_per_token"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("bits_per_token"), col("doc_id"))) - 1)
+        .collect().map(r => r.getLong(0) -> r.getAs[Int]("rk").toLong).toMap
+    }
+    assert(out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("difficulty_rank"))
+      .toMap == expected)
+    // physical layout must not leak into the rank
+    val shuffled = CorpusOps.curriculum(docs.repartition(7), "doc_id", "text",
+      nPhases = 3, vocabSize = 100).collect()
+    assert(shuffled.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("difficulty_rank"))
+      .toMap == expected)
+  }
+
   test("qualityRetention cuts each language against its own distribution") {
     // lang "a": 5 docs with strictly increasing quality (longer + more
     // diverse + more stopwords); lang "b": 1 doc (no distribution —

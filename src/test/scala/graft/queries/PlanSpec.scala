@@ -260,6 +260,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "survivors = batch anti-join dropped ids")
   }
 
+  test("curriculum: global rank never funnels through one partition") {
+    val p = plan("e32_curriculum")
+    // the rank comes from a range-partitioned sort + zipWithIndex, NOT a
+    // row_number window — a windowless OVER () would show a Window over a
+    // single-partition exchange here and serialize the whole corpus. The
+    // only single-partition stage allowed is the ONE-ROW total-count agg.
+    assert(!p.contains("Window"), "no window rank expected")
+    assert("Arguments: SinglePartition".r.findAllIn(p).size <= 1,
+      "only the scalar count agg may single-partition")
+  }
+
   test("quality retention: one language-keyed window, no global sort before it") {
     val p = plan("e31_quality_retention")
     assert("windowspecdefinition\\(lang".r.findFirstIn(p.toLowerCase.replace("#", "")).isDefined

@@ -179,6 +179,10 @@ class TableFunctionsSpec extends AnyFunSuite {
       "docs_tf, 'doc_id', 'text', 'lang', 0.5))").get) ==
       rows(CorpusOps.qualityRetention(docs, "doc_id", "text", "lang", 0.5)
         .select("doc_id", "lang")))
+    assert(rows(g.sql("SELECT doc_id, phase FROM TABLE(graft_curriculum(" +
+      "docs_tf, 'doc_id', 'text', 4, 100))").get) ==
+      rows(CorpusOps.curriculum(docs, "doc_id", "text", 4, 100)
+        .select("doc_id", "phase")))
   }
 
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
