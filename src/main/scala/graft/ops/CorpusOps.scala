@@ -395,6 +395,11 @@ object CorpusOps {
     * dropped at any retention < 1 — by definition there is no
     * within-language distribution to calibrate against; route such
     * tails through an absolute floor upstream if they must survive.
+    * NULL-text documents (quality undefined) are excluded BEFORE the
+    * window: Spark's ORDER BY floats nulls first while DuckDB/ANSI
+    * defaults to NULLS LAST, so letting them into the rank would shift
+    * every other row's percent_rank differently per engine — the
+    * cross-engine ordering contract only holds over non-null scores.
     *
     * @return (idCol, langCol, quality, pr) for retained docs only. */
   def qualityRetention(docs: DataFrame, idCol: String, textCol: String,
@@ -402,6 +407,7 @@ object CorpusOps {
     require(retention > 0.0 && retention <= 1.0, "retention must be in (0, 1]")
     val scored = docs.select(col(idCol), col(langCol),
       TA.qualityScore(col(textCol)).as("quality"))
+      .filter(col("quality").isNotNull)
     val pr = percent_rank().over(
       Window.partitionBy(langCol).orderBy(col("quality"), col(idCol)))
     scored.withColumn("pr", pr)
@@ -434,12 +440,19 @@ object CorpusOps {
     // strict total order (id tiebreak) -> zipWithIndex rank is unique
     // and deterministic regardless of physical layout
     val sorted = scored.orderBy(col("bits_per_token"), col(idCol))
-    val ranked = SurrogateKey.attach(sorted, "difficulty_rank", startAfter = -1L)
-    val total = broadcast(df.select(col(idCol)).agg(count(lit(1)).as("__n")))
-    ranked.crossJoin(total)
+    // phase denominator = the SCORED/ranked row count, not the raw
+    // input's: NULL-text rows (dropped by the tokenize explode) and
+    // duplicate ids (merged by the per-doc groupBy) never reach the
+    // ranked set, and counting them would under-fill trailing phases.
+    // attachWithCount surfaces N from the rank pass's own count job —
+    // no extra lineage pass, no single-partition count agg.
+    val (ranked, n) = SurrogateKey.attachWithCount(sorted, "difficulty_rank",
+      startAfter = -1L)
+    ranked
       .withColumn("phase",
-        expr(s"(difficulty_rank * $nPhases) div __n").cast("int"))
-      .drop("__n")
+        expr(s"(difficulty_rank * $nPhases) div ${math.max(n, 1L)}").cast("int"))
+      .select(col(idCol), col("n_tokens"), col("bits_per_token"),
+        col("difficulty_rank"), col("phase"))
   }
 
   /** Epoch-aware token-budget mixing — the UPSAMPLING half of the

@@ -48,12 +48,26 @@ object SurrogateKey {
 
   /** Convenience: add a key column named `keyCol` to `df` (which lacks it)
     * starting after `startAfter`. */
-  def attach(df: DataFrame, keyCol: String, startAfter: Long = 0L): DataFrame = {
+  def attach(df: DataFrame, keyCol: String, startAfter: Long = 0L): DataFrame =
+    attachWithCount(df, keyCol, startAfter)._1
+
+  /** [[attach]] plus the total row count, for FREE: the zipWithIndex
+    * pattern already runs one partition-sizes count job to compute the
+    * per-partition rank offsets, and the total is their sum — callers
+    * that need N alongside a dense 0..N-1 rank (e.g. a phase or quantile
+    * denominator) reuse it instead of paying a second lineage pass. */
+  def attachWithCount(df: DataFrame, keyCol: String,
+      startAfter: Long = 0L): (DataFrame, Long) = {
     val spark = df.sparkSession
     val schema = StructType(StructField(keyCol, LongType, nullable = false) +: df.schema.fields)
-    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq((startAfter + i + 1L) +: row.toSeq)
+    val base = df.rdd
+    val sizes = base.mapPartitions(it => Iterator(it.size.toLong),
+      preservesPartitioning = true).collect()
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val rdd = base.mapPartitionsWithIndex { case (pi, it) =>
+      var i = offsets(pi)
+      it.map { row => val k = startAfter + i + 1L; i += 1; Row.fromSeq(k +: row.toSeq) }
     }
-    spark.createDataFrame(rdd, schema)
+    (spark.createDataFrame(rdd, schema), offsets.last)
   }
 }

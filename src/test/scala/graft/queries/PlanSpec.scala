@@ -261,14 +261,32 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("curriculum: global rank never funnels through one partition") {
+    // SCOPE: SurrogateKey.attach rebuilds the frame via
+    // createDataFrame(rdd, schema), so everything upstream of the rank
+    // hides behind a Scan ExistingRDD in the registered query's plan —
+    // these two asserts only cover the post-rank join/agg stages.
     val p = plan("e32_curriculum")
-    // the rank comes from a range-partitioned sort + zipWithIndex, NOT a
-    // row_number window — a windowless OVER () would show a Window over a
-    // single-partition exchange here and serialize the whole corpus. The
-    // only single-partition stage allowed is the ONE-ROW total-count agg.
-    assert(!p.contains("Window"), "no window rank expected")
-    assert("Arguments: SinglePartition".r.findAllIn(p).size <= 1,
-      "only the scalar count agg may single-partition")
+    assert(!p.contains("Window"), "no window rank expected post-rank")
+    assert(!p.contains("SinglePartition"),
+      "no single-partition stage expected post-rank")
+    // The load-bearing guard runs where the lineage IS visible: the
+    // pre-attach sorted frame (exactly what curriculum() hands to
+    // zipWithIndex) must be a distributed RANGE-partitioned sort — never
+    // a row_number window, never a single-partition funnel.
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val pre = graft.ops.CorpusOps.unigramBits(docs, "doc_id", "text", 5000)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_tokens"),
+        org.apache.spark.sql.functions.col("bits_per_token"))
+      .orderBy("bits_per_token", "doc_id")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(pre.contains("rangepartitioning"),
+      "the global rank order must come from a range-partitioned sort")
+    assert(!pre.contains("Window"), "no window rank in the scoring+sort lineage")
+    // the only allowed single-partition stage is unigramBits' ONE-ROW
+    // corpus-total token count (broadcast back into the scoring join)
+    assert("Arguments: SinglePartition".r.findAllIn(pre).size <= 1,
+      "only the scalar corpus-total agg may single-partition")
   }
 
   test("quality retention: one language-keyed window, no global sort before it") {
