@@ -361,6 +361,11 @@ object Dedup {
       // round pair keeps the plan flat (LogicalRDD base) and materializes
       // work the next round needs anyway; on a cluster, swap for reliable
       // checkpoint to survive executor loss
+      // cut cadence: ONE eager materialization per round pair. Measured
+      // at sf0.1 (this host, min-of-3): batching the cut to every 2
+      // round pairs made the contraction SLOWER (g2 cold 15.3→19.1 s) —
+      // the 4-star nested plan's analysis/codegen cost exceeds the
+      // saved job-launch overhead — so per-pair stays.
       for (_ <- 1 to batch) edges = smallStar(largeStar(edges)).localCheckpoint(true)
       done += batch
       // star forest iff no chains (an edge's center is another edge's
@@ -401,8 +406,17 @@ object Dedup {
     * text — and max/count aggregate with map-side partials, so the
     * largest dup cluster bounds one partial's key width, not a sort. */
   def clusterRepresentatives(pairs: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    representativesFromLabels(clusterPairs(pairs), scored, idCol, scoreCol)
+
+  /** [[clusterRepresentatives]] taking PRE-COMPUTED component labels
+    * ((id, cluster), e.g. [[clusterPairs]]' output) — the form a real
+    * pipeline uses: at 100 TB you run the O(log n) contraction ONCE per
+    * corpus version and every downstream policy (drop-to-min-id,
+    * keep-best-copy, cluster stats) reads the same label table instead
+    * of re-contracting the pair graph per consumer. */
+  def representativesFromLabels(labels: DataFrame, scored: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
-    val labels = clusterPairs(pairs)
     labels
       .join(scored.select(col(idCol).as("id"), col(scoreCol).cast("double").as("__s")), "id")
       .groupBy("cluster")
