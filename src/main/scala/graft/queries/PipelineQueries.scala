@@ -95,6 +95,77 @@ object PipelineQueries {
        |    FROM w${s - 1} CROSS JOIN t$s))""".stripMargin
   }.mkString(",\n")
 
+  /** Stage-unrolled BATCHED BPE replay (e23b's oracle): `rounds` unrolled
+    * training rounds, each = pair counts over the current word table →
+    * the top-`want` ranked pairs (cnt desc, l, r; want = min(batchK,
+    * total − done) so the budget caps the rank BEFORE prefix selection,
+    * exactly like the Scala `limit(want)`) → the longest DISJOINT PREFIX
+    * (a pick enters iff none of {l, r, l||r} was read OR written by an
+    * earlier included pick — the [[graft.ops.CorpusOps.disjointPrefix]]
+    * rule) → up to `batchK` conditional positional merge applications
+    * chained in rank order. Rounds past budget exhaustion see want ≤ 0,
+    * pick nothing, and pass the word table through unchanged, so any
+    * `rounds` ≥ the data's actual round count replays exactly; ends with
+    * bm`rounds` = the full merge table (step, lsym, rsym, cnt).
+    * Callers provide bwp0 (the word-frequency table) and bm0 (empty,
+    * typed (step BIGINT, lsym VARCHAR, rsym VARCHAR, cnt BIGINT)). */
+  private def dBpeBatchStages(rounds: Int, total: Int, batchK: Int): String = {
+    def used(upTo: Int): String =
+      (1 to upTo).flatMap(j => Seq(s"l$j", s"r$j", s"l$j || r$j")).mkString("[", ", ", "]")
+    (1 to rounds).map { s =>
+      val x = s"q$s"
+      // one conditional positional apply per candidate rank j: a no-op
+      // row passthrough unless pick j made the disjoint prefix (i$j)
+      val applies = (1 to batchK).map { j =>
+        val in = if (j == 1) s"bwp${s - 1}" else s"bw${s}_${j - 1}"
+        val out = if (j == batchK) s"bwp$s" else s"bw${s}_$j"
+        val z = s"${x}_$j"
+        s"""$out AS MATERIALIZED (SELECT freq,
+           |    CASE WHEN inc$z THEN list_filter(list_transform(range(1, len(syms) + 1), oi$z ->
+           |      CASE WHEN sel$z[oi$z] THEN ml$z || mr$z
+           |           WHEN oi$z > 1 AND sel$z[oi$z-1] THEN NULL
+           |           ELSE syms[oi$z] END), ox$z -> ox$z IS NOT NULL)
+           |    ELSE syms END AS syms
+           |  FROM (SELECT freq, syms, l$j AS ml$z, r$j AS mr$z, i$j AS inc$z,
+           |      list_transform(range(1, len(syms) + 1), si$z ->
+           |        CASE WHEN i$j AND si$z < len(syms) AND syms[si$z] = l$j AND syms[si$z+1] = r$j
+           |             THEN (l$j <> r$j) OR (((si$z - coalesce(list_max(list_transform(range(1, si$z),
+           |                    sj$z -> CASE WHEN syms[sj$z] <> l$j THEN sj$z + 1 ELSE CAST(1 AS BIGINT) END)), 1)) % 2) = 0)
+           |             ELSE FALSE END) AS sel$z
+           |    FROM $in CROSS JOIN bsel$s))""".stripMargin
+      }.mkString(",\n")
+      val pivot = (1 to batchK).map { j =>
+        s"max(CASE WHEN rk = $j THEN l END) AS l$j, " +
+          s"max(CASE WHEN rk = $j THEN r END) AS r$j, " +
+          s"max(CASE WHEN rk = $j THEN cnt END) AS c$j"
+      }.mkString(",\n    ")
+      val incs = (1 to batchK).map { j =>
+        if (j == 1) s"(l1 IS NOT NULL) AS i1"
+        else s"(i${j - 1} AND l$j IS NOT NULL AND NOT list_has_any(" +
+          s"[l$j, r$j, l$j || r$j], ${used(j - 1)})) AS i$j"
+      }.mkString(",\n    ")
+      val picks = (1 to batchK).map { j =>
+        s"SELECT $j AS j, l$j AS l, r$j AS r, c$j AS cnt FROM bsel$s WHERE i$j"
+      }.mkString("\n  UNION ALL ")
+      s"""bd$s AS MATERIALIZED (SELECT CAST(count(1) AS BIGINT) AS done FROM bm${s - 1}),
+         |bp$s AS MATERIALIZED (SELECT u$x.l AS l, u$x.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      ib$x -> {'l': syms[ib$x], 'r': syms[ib$x+1]})) AS u$x FROM bwp${s - 1}) GROUP BY 1, 2),
+         |bt$s AS (SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rk FROM bp$s),
+         |btp$s AS (SELECT bt$s.l, bt$s.r, bt$s.cnt, bt$s.rk FROM bt$s CROSS JOIN bd$s
+         |  WHERE rk <= least($batchK, $total - done)),
+         |bsel$s AS MATERIALIZED (SELECT *,
+         |    $incs
+         |  FROM (SELECT
+         |    $pivot
+         |  FROM btp$s)),
+         |bpk$s AS ($picks),
+         |bm$s AS MATERIALIZED (SELECT step, lsym, rsym, cnt FROM bm${s - 1} UNION ALL
+         |  SELECT done + j AS step, l AS lsym, r AS rsym, cnt FROM bpk$s CROSS JOIN bd$s),
+         |$applies""".stripMargin
+    }.mkString(",\n")
+  }
+
   /** Shared CTE chain: winnowing fingerprints (3-gram hashes, window 4,
     * rightmost-min) — ends with `f(doc_id, fps)` where fps is the
     * per-window {'p': pos, 'h': hash} struct list (pre-distinct). */
@@ -1350,6 +1421,20 @@ object PipelineQueries {
     "e23_bpe_batch100" -> { (s, dir) =>
       graft.ops.CorpusOps.bpeMerges(
           Tables.load(s, dir, "documents"), "text", numMerges = 100, batchK = 8)
+        .orderBy("step")
+    },
+
+    // Oracle-checked BATCHED BPE (e23's little sibling): 20 merges at
+    // batchK = 4 — deep enough that several rounds exercise the batch
+    // path (top-want ranking, disjoint-prefix selection, multi-merge
+    // rounds) yet shallow enough for DuckDB to replay stage-unrolled
+    // ([[dBpeBatchStages]]: 12 rounds with the want = min(batchK,
+    // total − done) budget cap and the {l, r, l||r} prefix rule). This
+    // pins the production batching trick itself against ground truth;
+    // e23 remains the rows-only 100-merge stress form.
+    "e23b_bpe_batch20" -> { (s, dir) =>
+      graft.ops.CorpusOps.bpeMerges(
+          Tables.load(s, dir, "documents"), "text", numMerges = 20, batchK = 4)
         .orderBy("step")
     },
 
@@ -2979,6 +3064,23 @@ object PipelineQueries {
          |  SELECT u AS subword, CAST(sum(freq) AS BIGINT) AS n FROM (
          |    SELECT freq, unnest(syms) AS u FROM w6) GROUP BY u)
          |ORDER BY n DESC, subword LIMIT 30""".stripMargin,
+
+    // batched-BPE mirror: the full 12-round unrolled replay of the
+    // batchK = 4 training loop — budget-capped top-want ranking,
+    // disjoint-prefix batch selection, chained conditional positional
+    // applies (see dBpeBatchStages). Rounds after the 20-merge budget
+    // exhausts are no-ops, so 12 covers any conflict pattern the data
+    // can produce (≥ ceil(20/4) = 5 full rounds + headroom for
+    // prefix-shortened ones).
+    "e23b_bpe_batch20" ->
+      s"""WITH $dToks,
+         |wd AS (SELECT unnest(tk) AS word FROM toks),
+         |bwp0 AS (SELECT CAST(count(1) AS BIGINT) AS freq, string_split(word, '') AS syms
+         |  FROM wd WHERE length(word) > 0 GROUP BY word),
+         |bm0 AS (SELECT CAST(NULL AS BIGINT) AS step, CAST(NULL AS VARCHAR) AS lsym,
+         |  CAST(NULL AS VARCHAR) AS rsym, CAST(NULL AS BIGINT) AS cnt WHERE FALSE),
+         |${dBpeBatchStages(rounds = 12, total = 20, batchK = 4)}
+         |SELECT step, lsym, rsym, cnt FROM bm12 ORDER BY step""".stripMargin,
 
     "e22_bpe_merges" -> {
       val stages = dBpeStages
