@@ -87,13 +87,20 @@ object VectorAnalytics {
 
   /** Signed-random-projection LSH bucket id over `planes` hyperplanes:
     * bit p set iff Σ_d v[d]·plane(p,d) ≥ 0. Vectors in the same bucket
-    * are cosine-similar candidates. */
-  def srpBucket(v: Column, planes: Int): Column =
+    * are cosine-similar candidates.
+    *
+    * `planeOffset` shifts WHICH hyperplanes are used (plane indices
+    * planeOffset..planeOffset+planes−1) while bit positions stay
+    * 0..planes−1 — table t of a multi-table LSH index passes
+    * t·planes, giving L independent hash tables from the same
+    * deterministic plane family (no RNG state to coordinate). */
+  def srpBucket(v: Column, planes: Int, planeOffset: Int = 0): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p => {
         val proj = aggregate(
           zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, d) => x.cast("double") * planeComponent(p.cast("long"), d.cast("long"))),
+            (x, d) => x.cast("double") * planeComponent(
+              p.cast("long") + lit(planeOffset.toLong), d.cast("long"))),
           lit(0.0), (s, x) => s + x)
         when(proj >= 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
       }),

@@ -288,19 +288,51 @@ object Similarity {
     * against [[knnDirected]] — the planes/probes tuning loop. A probed
     * pair is matched at most once (the neighbor lives in one bucket).
     * Nodes whose probed buckets hold fewer than k others return short
-    * lists. */
+    * lists.
+    *
+    * `hamming` widens the probe ring: 1 = self + every single-bit flip
+    * (planes+1 probes), 2 adds every two-bit flip (+C(planes,2)) — the
+    * recovery for true neighbors split across TWO near-hyperplanes. The
+    * measured operating points at sf0.01 (1k vecs, dim 64, k=5; n13b
+    * pins the production one): planes=4/h=1 → 0.50 recall@5 scoring
+    * 5/16 of pairs; planes=4/h=2 → 0.84 at 11/16; planes=6/h=2 → 0.62
+    * at 22/64; planes=8/h=2 → 0.48 at 37/256. Scoring fraction scales
+    * as probes/2^planes, so at corpus scale you hold the fraction and
+    * buy recall with MORE PLANES + the wider ring (the recall-vs-cost
+    * table lives in SCALE.md). */
   def knnDirectedBlocked(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, planes: Int): DataFrame = {
+      k: Int, planes: Int, hamming: Int = 1, tables: Int = 1): DataFrame = {
+    require(hamming == 1 || hamming == 2, "hamming must be 1 or 2")
+    require(tables >= 1, "tables must be >= 1")
+    def ring(bk: Column): Seq[Column] =
+      Seq(bk) ++
+        (0 until planes).map(p => bk.bitwiseXOR(lit(1L << p))) ++
+        (if (hamming >= 2)
+          for { p <- 0 until planes; q <- (p + 1) until planes }
+            yield bk.bitwiseXOR(lit((1L << p) | (1L << q)))
+        else Nil)
+    // table t hashes with plane family t·planes.. — L independent
+    // tables; probe keys are (table, bucket) so the scoring join stays
+    // a single equi-keyed hash join across all tables
     val a = normalized(df, idCol, vecCol, "id", "av", "an")
-      .withColumn("bk0", VA.srpBucket(col("av"), planes))
-      .withColumn("bk", explode(array(
-        col("bk0") +: (0 until planes).map(p =>
-          col("bk0").bitwiseXOR(lit(1L << p))): _*)))
-      .drop("bk0")
+      .withColumn("pr", explode(array((0 until tables).flatMap { t =>
+        ring(VA.srpBucket(col("av"), planes, t * planes)).map(bk =>
+          struct(lit(t).as("t"), bk.as("b")))
+      }: _*)))
+      .select(col("id"), col("av"), col("an"),
+        col("pr.t").as("tbl"), col("pr.b").as("bk"))
     val b = normalized(df, idCol, vecCol, "nbr", "bv", "bn")
-      .withColumn("bk", VA.srpBucket(col("bv"), planes))
+      .withColumn("pr", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"), VA.srpBucket(col("bv"), planes, t * planes).as("b"))
+      }: _*)))
+      .select(col("nbr"), col("bv"), col("bn"),
+        col("pr.t").as("tbl"), col("pr.b").as("bk"))
     val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr"))
-    a.join(b, "bk").filter(col("id") =!= col("nbr"))
+    // a candidate found by several tables must score ONCE (duplicate
+    // rows would occupy duplicate ranks in the top-k window)
+    a.join(b, Seq("tbl", "bk")).filter(col("id") =!= col("nbr"))
+      .select("id", "nbr", "av", "an", "bv", "bn")
+      .dropDuplicates("id", "nbr")
       .withColumn("cosine", VA.dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("id"), col("nbr"), col("cosine"))
