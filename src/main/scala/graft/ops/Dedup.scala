@@ -96,8 +96,6 @@ object Dedup {
       k: Int = 16, bands: Int = 8, shingleN: Int = 1,
       portable: Boolean = true,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    val rows = k / bands
-    require(bands * rows == k, s"bands ($bands) must divide k ($k)")
     // Plan note: the signature is NOT computed with nested array lambdas
     // (array HOFs are interpreted and re-evaluate their input per outer-
     // lambda iteration — k× re-hashing, and O(tokens²) tokenizer re-runs
@@ -108,6 +106,19 @@ object Dedup {
     // cluster scale the heavy part (hashing) is a pure map stage with
     // map-side combine on the doc key.
     val hashed = shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
+    minhashCandidates(hashed, k, bands, maxBucketSize)
+  }
+
+  /** The banding half of [[minhashLshPairs]], over PRECOMPUTED shingle-hash
+    * rows (id, h) — shared by [[lshVerifiedPairs]]/[[lshRecallReport]] so the
+    * tokenize+hash pass runs once per op, not once per consumer. min() is
+    * duplicate-insensitive, so deduplicated rows yield bit-identical
+    * signatures to the raw stream. */
+  private[graft] def minhashCandidates(
+      hashed: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Option[Int]): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, s"bands ($bands) must divide k ($k)")
     val minAggs = (0 until k).map { i =>
       val a = (1103515245L * i + 12345L) % TA.P
       val b = (1234567891L * i + 987654321L) % TA.P
@@ -469,30 +480,20 @@ object Dedup {
       portable: Boolean = true,
       maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     require(minJaccard > 0, "minJaccard must be > 0 (zero-overlap pairs are never emitted)")
-    val candidates = minhashLshPairs(df, idCol, textCol, k, bands, shingleN,
-        portable = portable, maxBucketSize = maxBucketSize)
-      .select("id_a", "id_b")
-    // the distinct shingle rows feed three consumers (per-doc sizes + both
-    // sides of the intersection join) — persist so tokenize+hash+distinct
-    // runs once, not three times. The cache is CORPUS-sized, so it must
-    // not outlive the op: the candidate-bounded pair list (small by the
-    // output-bound argument above) is materialized eagerly below and the
-    // shingle cache released before returning.
+    // ONE shingle pass feeds every consumer — the k signature minima (min
+    // is duplicate-insensitive, so the deduplicated rows are signature-
+    // exact), the per-doc sizes, and both sides of the intersection join.
+    // Persisted so tokenize+hash+distinct runs once, not three times; the
+    // cache is CORPUS-sized, so it must not outlive the op: the
+    // candidate-bounded pair list (small by the output-bound argument
+    // above) is materialized eagerly below and the shingle cache released
+    // before returning.
     val ex = shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
       .dropDuplicates("id", "h") // jaccard is over DISTINCT shingle sets
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
-      .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    val pairs = inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
+      .select("id_a", "id_b")
+    val pairs = verifiedJaccard(candidates, ex, minJaccard)
       // EAGER materialization of the bounded result (same pattern as
       // [[Similarity.kmeansCentroids]]'s persist→fold→unpersist): the
       // checkpointed blocks are result-sized and GC-cleaned by Spark's
@@ -501,6 +502,85 @@ object Dedup {
       .localCheckpoint(true)
     ex.unpersist(blocking = false) // corpus-sized cache dies with the op
     pairs
+  }
+
+  /** Exact distinct-shingle Jaccard for a bounded CANDIDATE pair list,
+    * against precomputed deduplicated shingle rows `ex` (id, h, …).
+    * The intersection count is keyed by the candidate pair (see
+    * [[lshVerifiedPairs]]'s plan note) — popular shingles only ever meet
+    * pairs the candidate stage already nominated. */
+  private[graft] def verifiedJaccard(
+      candidates: DataFrame, ex: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** LSH recall evaluation in ONE shingle pass — ground-truth near-dup
+    * pairs (exact blocked Jaccard, the offline tuning sample) vs what the
+    * LSH+verify path finds, bucketed by true Jaccard (floor(j·10)). The
+    * report shows exactly where the banding S-curve loses pairs.
+    *
+    * Plan: the deduplicated shingle rows are computed ONCE (with the
+    * block key attached) and persisted; the truth side's set-similarity
+    * self-join, the signature minima, and the verify join all re-scan the
+    * same cached blocks — previously three independent tokenize+hash
+    * passes. The truth side is deliberately pair-quadratic within blocks
+    * (it IS the ground truth), so this is a tuning-sample-scale op, never
+    * a corpus pass. The bounded report is materialized eagerly and the
+    * corpus-sized cache released before returning.
+    *
+    * @return (bucket, n_truth, n_found, recall), one row per non-empty
+    *   decile bucket of true Jaccard ≥ minJaccard. */
+  def lshRecallReport(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], minJaccard: Double,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 2,
+      portable: Boolean = true,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    require(minJaccard > 0, "minJaccard must be > 0 (zero-overlap pairs are never emitted)")
+    val ex = shingleHashRows(df, idCol, textCol, shingleN,
+        extra = Seq(xxhash64(blockCols.map(col): _*).as("blk")),
+        portable = portable)
+      .dropDuplicates("id", "h") // blk is functionally dependent on id
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // truth: the [[ngramJaccardPairs]] set-similarity plan over the block key
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val ta = ex.select(col("blk"), col("h"), col("id").as("id_a"))
+    val tb = ex.select(col("blk"), col("h"), col("id").as("id_b"))
+    val truth = ta.join(tb, Seq("blk", "h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+    // found: candidates from the SAME cached rows, verified the same way
+    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
+      .select("id_a", "id_b")
+    val found = verifiedJaccard(candidates, ex, minJaccard)
+      .select(col("id_a").as("fa"), col("id_b").as("fb"))
+    val report = truth
+      .join(found, col("id_a") === col("fa") && col("id_b") === col("fb"),
+        "left_outer")
+      .withColumn("bucket", floor(col("jaccard") * 10).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_truth"), count(col("fa")).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_truth").cast("double"))
+      .localCheckpoint(true) // report-sized; frees the cache for release
+    ex.unpersist(blocking = false)
+    report
   }
 
   /** PageRank centrality over an undirected pair graph (Page et al.,

@@ -92,6 +92,16 @@ object Retrieval {
     * expansion candidate pool is the feedback docs' vocabularies, never
     * the corpus vocabulary.
     *
+    * Plan note: the (doc, term) postings feed BOTH scoring passes plus
+    * the expansion weights — five lazy references that would each replay
+    * the corpus tokenize+explode+agg. The postings are persisted for the
+    * op's lifetime instead; per-doc length comes from summing the cached
+    * postings (Σ_terms tf ≡ token count, integer-exact in doubles), so
+    * the explode runs ONCE total. The tiny chained intermediates
+    * (feedback docs → expansion terms) and the bounded top-k result are
+    * materialized eagerly so the first scoring pass never re-runs inside
+    * the second, and the corpus-sized cache is released before returning.
+    *
     * @return (qid, doc_id, score, rank), rank <= k by expanded score. */
   def bm25PrfTopK(docs: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, qidCol: String, qTextCol: String,
@@ -101,7 +111,8 @@ object Retrieval {
       explode(TA.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val gl = dl.agg(count(lit(1)).cast("double").as("n"), sum("dl").as("tot"))
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val q0 = queries.select(col(qidCol).as("qid"),
@@ -137,10 +148,16 @@ object Retrieval {
         Window.partitionBy("qid").orderBy(col("wt").desc, col("term"))))
       .filter(col("rw") <= fbTerms)
       .select("qid", "term")
-    scoreOf(q0.unionByName(expTerms))
+      // queries × fbTerms rows — eager, so the pass-1 scoring chain above
+      // is paid exactly once and never replays under the final pass
+      .localCheckpoint(true)
+    val out = scoreOf(q0.unionByName(expTerms))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "doc_id", "score", "rank")
+      .localCheckpoint(true) // queries × k rows; frees the postings cache
+    tf.unpersist(blocking = false)
+    out
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09 —

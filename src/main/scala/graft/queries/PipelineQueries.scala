@@ -457,22 +457,9 @@ object PipelineQueries {
     // tuning-sample scale only (sf0.01: recall 0.015 at j∈[0.05,0.1),
     // 1.0 at j≥0.9 — the textbook banding S-curve), never a corpus pass.
     "d12_lsh_recall" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          Seq("lang", "source"), n = 2, minJaccard = 0.05)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-      val found = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
-          minJaccard = 0.05, k = 16, bands = 8, shingleN = 2,
-          maxBucketSize = Some(8))
-        .select(col("id_a").as("fa"), col("id_b").as("fb"))
-      truth
-        .join(found, col("id_a") === col("fa") && col("id_b") === col("fb"),
-          "left_outer")
-        .withColumn("bucket", floor(col("jaccard") * 10).cast("long"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_truth"), count(col("fa")).as("n_found"))
-        .withColumn("recall",
-          col("n_found").cast("double") / col("n_truth").cast("double"))
+      Dedup.lshRecallReport(Tables.load(s, dir, "documents"), "doc_id", "text",
+          Seq("lang", "source"), minJaccard = 0.05,
+          k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))
         .orderBy("bucket")
     },
 
