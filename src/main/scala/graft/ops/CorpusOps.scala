@@ -889,4 +889,94 @@ object CorpusOps {
         col("logw_bits").cast("double") / col("n_tokens").cast("double"))
       .orderBy(desc("logw_bits"), asc(idCol)).limit(k)
   }
+
+  /** Systematic probability-proportional-to-size (PPS) sampling without
+    * randomness (Madow's systematic selection, 1949 — public method):
+    * order documents by a deterministic hash permutation, accumulate
+    * integer weights, and select every document whose running total
+    * crosses a multiple of stride = ⌊total/n⌋. Inclusion probability is
+    * proportional to weight (weight ≥ stride ⇒ always selected), the
+    * sample is reproducible on any engine, and — unlike weighted
+    * A-ES/exponential-key sampling — every arithmetic step is integer,
+    * so the oracle matches bit-for-bit with no transcendental drift.
+    *
+    * Scale: the global running sum is the classic two-level prefix-sum —
+    * the hash key is range-bucketed (bucket = key·B ÷ P is monotonic in
+    * key, so per-bucket order concatenates to the global order), each
+    * bucket computes its local cumsum in one window, and the B bucket
+    * totals (driver-bounded) broadcast back as prefix offsets. No
+    * single-partition window ever sees the corpus.
+    *
+    * @return (idCol, weight, cum_w) for selected rows; |result| ∈
+    *   {n, n+1} by the stride-crossing arithmetic. */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String, n: Int,
+      buckets: Int = 64): DataFrame = {
+    require(n > 0, "n must be positive")
+    val keyed = df
+      .select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("__key", TA.phash(col(idCol).cast("string")))
+      // integer `div`, not double `/`: a double quotient can round UP
+      // across an integer boundary and truncate to the wrong bucket
+      .withColumn("__bk", expr(s"(__key * ${buckets}L) div ${TA.P}L"))
+    val w = Window.partitionBy("__bk")
+      .orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("__cumloc", sum("weight").over(w))
+    // bucket totals: ≤ `buckets` rows — driver-side prefix offsets
+    val totals = keyed.groupBy("__bk").agg(sum("weight").as("__bw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = totals.map(_._2).sum
+    val stride = total / n
+    require(stride >= 1, s"total weight $total < n=$n — nothing to stride over")
+    val offsets = totals.scanLeft((-1L, 0L)) {
+      case ((_, acc), (bk, bw)) => (bk, acc + bw)
+    }.sliding(2).map { case Array((_, off), (bk, _)) => (bk, off) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__bk", "__off")
+    local.join(broadcast(offDf), Seq("__bk"))
+      .withColumn("cum_w", col("__cumloc") + col("__off"))
+      .filter(expr(s"(cum_w div $stride) > ((cum_w - weight) div $stride)"))
+      .select(col(idCol), col("weight"), col("cum_w"))
+  }
+
+  /** Per-cluster keyword extraction via class-based TF-IDF (the c-TF-IDF
+    * of Grootendorst's BERTopic, 2022 — public method), odds-idf form:
+    * treat each cluster's concatenated documents as one pseudo-document,
+    * score every (cluster, term) as tf · (K − cdf + 0.5)/(cdf + 0.5)
+    * with cdf = number of clusters containing the term, and keep each
+    * cluster's topM terms. The labeling step downstream of semantic
+    * clustering ([[graft.ops.Similarity.kmeans]], `g4`): names what each
+    * cluster IS, which is how corpus browsers and mixture dashboards
+    * summarize a web-scale crawl. The odds idf ((K−cdf+0.5)/(cdf+0.5),
+    * BM25's log-free idf) keeps every arithmetic step exactly rounded,
+    * so scores hash-match the oracle float-for-float.
+    *
+    * Scale: one tokenize+explode pass, two hash aggregations with
+    * map-side partials ((cluster, term) tf, then per-term cluster df —
+    * both bounded by the vocabulary), a broadcast-sized join, and a
+    * per-cluster top-M window. Nothing corpus-global but the explode.
+    *
+    * @param labels (id, cluster) assignment, e.g. [[Similarity.kmeans]].
+    * @return (cluster, rank, term, score), rank ≤ topM per cluster. */
+  def clusterKeywords(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, kClusters: Int, topM: Int): DataFrame = {
+    require(kClusters > 0 && topM > 0, "kClusters and topM must be positive")
+    val toks = docs
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol))
+      .select(col("cluster").cast("long").as("cluster"),
+        explode(TA.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("cluster", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val cdf = tf.groupBy("term").agg(count(lit(1)).cast("double").as("cdf"))
+    val scored = tf.join(cdf, "term")
+      .withColumn("score",
+        col("tf") * (lit(kClusters.toDouble) - col("cdf") + 0.5) / (col("cdf") + 0.5))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= topM)
+      .select("cluster", "rank", "term", "score")
+  }
 }

@@ -583,6 +583,83 @@ object Dedup {
     report
   }
 
+  /** MinHash-containment pairs — the ASYMMETRIC complement of
+    * [[lshVerifiedPairs]]: containment C = |A∩B| / min(|A|, |B|), the
+    * fraction of the SMALLER document's shingles present in the larger.
+    * Jaccard misses the quote/boilerplate case (a 50-shingle license
+    * block inside a 5000-shingle document has j ≈ 0.01 but C = 1.0);
+    * containment is how substring-level inclusion is caught at document
+    * granularity (Broder's resemblance/containment pair, 1997 — public
+    * method).
+    *
+    * Same one-shingle-pass plan as [[lshVerifiedPairs]] (shared cached
+    * rows feed signatures, sizes, and the intersection join); candidates
+    * still come from the Jaccard-tuned banding sketch, so very skewed
+    * size ratios need smaller bands upstream — the standard caveat.
+    *
+    * @return (id_a, id_b, containment) with id_a < id_b, containment ≥
+    *   minContainment. */
+  def lshContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minContainment: Double,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 2,
+      portable: Boolean = true,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    require(minContainment > 0,
+      "minContainment must be > 0 (zero-overlap pairs are never emitted)")
+    val ex = shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
+      .dropDuplicates("id", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
+      .select("id_a", "id_b")
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = candidates
+      .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
+      .localCheckpoint(true)
+    ex.unpersist(blocking = false)
+    pairs
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023 — public method):
+    * semantic near-dup removal via LEARNED coarse clusters — k-means
+    * over the embedding space — instead of text shingles. Within each
+    * cluster, any pair at cosine ≥ minCosine marks the LARGER id a
+    * duplicate; survivors keep their cluster label. The keep-min-id
+    * policy is the pairwise-greedy form: the drop decision is local to
+    * the pair (no transitive closure), so a → b → c chains keep a and
+    * drop both b and c — deterministic, order-free, and exactly one
+    * EXISTS in the oracle where a component-based policy needs a
+    * recursive CC replay.
+    *
+    * Scale: training is [[Similarity.kmeansCentroids]]' bounded Lloyd
+    * loop; assignment is a broadcast argmin map; the pair scan is
+    * cluster-blocked (the whole point of the coarse quantizer — pairs
+    * never cross clusters), so per-partition work is bounded by the
+    * largest cluster, with √n·k cluster counts the paper's recipe for
+    * keeping blocks balanced at corpus scale.
+    *
+    * @return (idCol, cluster) survivors, cluster ∈ [0, kClusters). */
+  def semDedupKmeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, kClusters: Int = 20, iters: Int = 5): DataFrame = {
+    val assign = graft.ops.Similarity.kmeans(df, idCol, vecCol, kClusters, iters)
+      .withColumnRenamed("id", idCol)
+      .withColumn("cluster", col("cluster").cast("long"))
+    val withC = df.join(assign, Seq(idCol))
+    val drops = embeddingNearDupPairs(withC, idCol, vecCol, Seq("cluster"), minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    assign.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** PageRank centrality over an undirected pair graph (Page et al.,
     * 1999 — public method), unnormalized form: score = (1−d) + d·Σ_nbrs
     * score/deg. A dedup pipeline uses it to pick CANONICAL

@@ -399,6 +399,18 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // Per-cluster keyword labels via class-based TF-IDF (odds idf, so
+    // scores hash-match float-for-float): names what each semantic
+    // cluster IS — the browse/summarize step downstream of clustering.
+    // The oracle replays the kmeans training AND the c-TF-IDF scoring.
+    "g5_cluster_keywords" -> { (s, dir) =>
+      val labels = Similarity.kmeans(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 10, iters = 3)
+      graft.ops.CorpusOps.clusterKeywords(Tables.load(s, dir, "documents"),
+          "doc_id", "text", labels, kClusters = 10, topM = 5)
+        .orderBy("cluster", "rank")
+    },
+
     // Normalization-aware exact dedup: hash AFTER CCNet-style text
     // normalization (lowercase, strip punctuation to spaces, collapse
     // whitespace) so case/punctuation variants of the same content land
@@ -487,6 +499,27 @@ object PipelineQueries {
     "d5_embed_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           Seq("label"), minCosine = 0.2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SemDeDup (kmeans coarse clusters → within-cluster cosine →
+    // pairwise-greedy keep-min-id): the LEARNED-blocking counterpart of
+    // d5's given-label blocks. The oracle replays the full Lloyd
+    // training (init → 5 iterations → assignment) bit-exactly, so a
+    // green hash certifies training + blocking + the drop policy.
+    "d16_semdedup" -> { (s, dir) =>
+      Dedup.semDedupKmeans(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.2, kClusters = 20, iters = 5)
+        .orderBy("vec_id")
+    },
+
+    // MinHash-containment pairs: |A∩B|/min(|A|,|B|) over the d2 LSH
+    // candidates — catches the quote/boilerplate case (small doc inside
+    // big doc) that Jaccard structurally misses.
+    "d17_containment" -> { (s, dir) =>
+      Dedup.lshContainmentPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          minContainment = 0.3, k = 16, bands = 8, shingleN = 2,
+          maxBucketSize = Some(8))
         .orderBy("id_a", "id_b")
     },
 
@@ -797,6 +830,17 @@ object PipelineQueries {
           Seq("lang", "source"), "doc_id", k = 7)
         .select("doc_id", "lang", "source")
         .orderBy("lang", "source", "doc_id")
+    },
+
+    // Systematic PPS sampling: hash-permuted order, integer running
+    // weight, select at every stride crossing — weight-proportional
+    // inclusion with zero RNG and zero transcendentals, so the sample
+    // (not just its size) is oracle-exact. The running sum is the
+    // two-level bucketed prefix sum, never a single-partition window.
+    "e33_pps_sample" -> { (s, dir) =>
+      graft.ops.CorpusOps.ppsSample(Tables.load(s, dir, "documents"),
+          "doc_id", "n_chars", n = 100)
+        .orderBy("doc_id")
     },
 
     // The hot-strata scale path of e12: same deterministic sample via the
@@ -1931,6 +1975,37 @@ object PipelineQueries {
          |  FROM normed a JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
+    // SemDeDup mirror: full kmeans training replay (n5's verified
+    // pattern) → final assignment under cent5 → within-cluster cosine
+    // pairs → one EXISTS drop of every larger-id member of a pair.
+    "d16_semdedup" ->
+      s"""WITH ${dVecs("sd")},
+         |${dKmeans(20, 5)},
+         |asgsd AS (SELECT vec_id, cluster FROM (
+         |    SELECT vs.vec_id, cs.cluster,
+         |      row_number() OVER (PARTITION BY vs.vec_id
+         |        ORDER BY ${dL2("vs.v", "cs.centroid", "zsd")}, cs.cluster) AS asr
+         |    FROM vecs vs CROSS JOIN cent5 cs) WHERE asr = 1),
+         |nsd AS (SELECT a.vec_id, a.cluster, n.nrm, n.v
+         |  FROM asgsd a JOIN normed n ON n.vec_id = a.vec_id),
+         |dropssd AS (SELECT DISTINCT b.vec_id AS did
+         |  FROM nsd a JOIN nsd b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${dDot("a.v", "b.v", "dd")} / (a.nrm * b.nrm) >= 0.2)
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asgsd
+         |WHERE vec_id NOT IN (SELECT did FROM dropssd)
+         |ORDER BY vec_id""".stripMargin,
+
+    // containment mirror: the shared d2 LSH chain (sh/cand in scope),
+    // |A∩B| / min(|A|,|B|) instead of Jaccard
+    "d17_containment" ->
+      s"""WITH $dLshCand
+         |SELECT id_a, id_b, containment FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_filter(a.hs, xc -> list_contains(b.hs, xc))) AS DOUBLE)
+         |      / CAST(least(len(a.hs), len(b.hs)) AS DOUBLE) AS containment
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+         |WHERE containment >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
     "n1_ann_topk" ->
       s"""WITH ${dVecs("f")},
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM normed WHERE vec_id < 10),
@@ -2303,6 +2378,32 @@ object PipelineQueries {
          |    ORDER BY ${dPhash("CAST(vec_id AS VARCHAR)", "cb")}, vec_id) AS rk
          |  FROM asgb) WHERE rk <= 10
          |ORDER BY cluster, vec_id""".stripMargin,
+
+    // c-TF-IDF mirror: kmeans(10, 3) training replay → assignment →
+    // docs joined on the aligned id → per-(cluster, term) tf, per-term
+    // cluster df, odds-idf score (identical operand order), top-5 window
+    "g5_cluster_keywords" ->
+      s"""WITH ${dVecs("g5")},
+         |$dToks,
+         |${dKmeans(10, 3)},
+         |asgg5 AS (SELECT vec_id, cluster FROM (
+         |    SELECT vg.vec_id, cg.cluster,
+         |      row_number() OVER (PARTITION BY vg.vec_id
+         |        ORDER BY ${dL2("vg.v", "cg.centroid", "zg5")}, cg.cluster) AS ag5
+         |    FROM vecs vg CROSS JOIN cent3 cg) WHERE ag5 = 1),
+         |ctoks AS (SELECT CAST(a.cluster AS BIGINT) AS cluster, unnest(t.tk) AS term
+         |  FROM toks t JOIN asgg5 a ON a.vec_id = t.doc_id),
+         |ctf AS (SELECT cluster, term, CAST(count(1) AS DOUBLE) AS tf
+         |  FROM ctoks GROUP BY 1, 2),
+         |ccdf AS (SELECT term, CAST(count(1) AS DOUBLE) AS cdf FROM ctf GROUP BY 1),
+         |cscored AS (SELECT f.cluster, f.term,
+         |    f.tf * (10.0 - d.cdf + 0.5) / (d.cdf + 0.5) AS score
+         |  FROM ctf f JOIN ccdf d ON d.term = f.term)
+         |SELECT cluster, CAST(rnk AS BIGINT) AS rank, term, score FROM (
+         |  SELECT cluster, term, score,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY score DESC, term) AS rnk
+         |  FROM cscored) WHERE rnk <= 5
+         |ORDER BY cluster, rank""".stripMargin,
 
     "e1_langid" -> {
       val counts = TA.stopwords.map { case (l, ws) =>
@@ -2718,6 +2819,23 @@ object PipelineQueries {
          |    ORDER BY ${dPhash("CAST(doc_id AS VARCHAR)", "ss")}, doc_id) AS rk
          |  FROM documents) WHERE rk <= 7
          |ORDER BY lang, source, doc_id""".stripMargin,
+
+    // systematic-PPS mirror: the Spark bucketed two-level prefix sum
+    // concatenates to exactly this single global window (the bucket key
+    // is monotonic in the hash key), all-integer stride arithmetic.
+    // sum(BIGINT) → HUGEINT in DuckDB, hence the casts.
+    "e33_pps_sample" ->
+      s"""WITH pkeyed AS (SELECT doc_id, n_chars AS weight,
+         |    ${dPhash("CAST(doc_id AS VARCHAR)", "pp")} AS pkey
+         |  FROM documents WHERE n_chars > 0),
+         |ptot AS (SELECT CAST(sum(weight) AS BIGINT) AS t FROM pkeyed),
+         |pcum AS (SELECT doc_id, weight,
+         |    CAST(sum(weight) OVER (ORDER BY pkey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w
+         |  FROM pkeyed)
+         |SELECT doc_id, weight, cum_w FROM pcum, ptot
+         |WHERE (cum_w // (t // 100)) > ((cum_w - weight) // (t // 100))
+         |ORDER BY doc_id""".stripMargin,
 
     // feature-hashing mirror: same phash-mod bucketing, same odds idf
     // (log-free, exactly rounded), per-bucket folds in sorted token

@@ -437,4 +437,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.qualityRetention(docs, "doc_id", "text", "lang", 1.0)
       .count() == 8L)
   }
+
+  test("ppsSample: stride-crossing selection, weight-proportional and deterministic") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i", i % 37 + 1)).toDF("doc_id", "text", "n_chars")
+    val n = 20
+    val out = CorpusOps.ppsSample(docs, "doc_id", "n_chars", n).collect()
+    // systematic selection yields n or n+1 rows
+    assert(out.length == n || out.length == n + 1, s"got ${out.length}")
+    // every document with weight >= stride is always selected
+    val total = (1L to 200L).map(_ % 37 + 1).sum
+    val stride = total / n
+    val heavy = (1L to 200L).filter(i => (i % 37 + 1) >= stride).toSet
+    val picked = out.map(_.getLong(0)).toSet
+    assert(heavy.subsetOf(picked), "weight >= stride implies certain inclusion")
+    // deterministic: an independent run returns the identical sample
+    val again = CorpusOps.ppsSample(docs, "doc_id", "n_chars", n).collect()
+    assert(again.map(_.getLong(0)).toSet == picked)
+    // the two-level cumsum is a true prefix sum: every selected row's
+    // cum_w is consistent with one global stride grid
+    out.foreach { r =>
+      val (w, cum) = (r.getLong(1), r.getLong(2))
+      assert(cum / stride > (cum - w) / stride, s"row $r not on a stride crossing")
+    }
+    // zero/negative weights are excluded, never sampled
+    val withZero = docs.withColumn("n_chars",
+      when(col("doc_id") === 1L, lit(0L)).otherwise(col("n_chars")))
+    assert(!CorpusOps.ppsSample(withZero, "doc_id", "n_chars", n)
+      .collect().map(_.getLong(0)).contains(1L))
+  }
+
+  test("clusterKeywords: cluster-exclusive terms outrank shared ones") {
+    val docs = Seq(
+      (1L, "kernel driver kernel module common"),
+      (2L, "kernel panic driver common"),
+      (3L, "recipe butter sugar common"),
+      (4L, "recipe oven butter common")
+    ).toDF("doc_id", "text")
+    val labels = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("id", "cluster")
+    val out = CorpusOps.clusterKeywords(docs, "doc_id", "text", labels,
+      kClusters = 2, topM = 2).collect()
+    assert(out.length == 4 && out.forall(_.getAs[Long]("rank") <= 2))
+    val c0 = out.filter(_.getAs[Long]("cluster") == 0L).sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[String]("term")).toSeq
+    val c1 = out.filter(_.getAs[Long]("cluster") == 1L).sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[String]("term")).toSeq
+    // "kernel" (tf 3, exclusive) tops cluster 0; "common" (in both
+    // clusters) is idf-damped below every exclusive term
+    assert(c0.head == "kernel", s"got $c0")
+    assert(c1.head == "recipe" || c1.head == "butter", s"got $c1")
+    assert(!c0.contains("common") && !c1.contains("common"),
+      "a term present in every cluster must not be a keyword")
+  }
 }

@@ -538,4 +538,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(f"kmeans-IVF (14/32 cells) mean recall@5 = $m%.3f")
     assert(m >= 0.8, f"production operating point must reach 0.8, got $m%.3f")
   }
+
+  test("semDedupKmeans: drops exactly the larger-id member of every within-cluster pair") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Dedup.semDedupKmeans(emb, "vec_id", "embedding",
+      minCosine = 0.2, kClusters = 20, iters = 5)
+    val survivors = out.select("vec_id").as[Long].collect().toSet
+    // reconstruct the drop set independently from the same assignment
+    val assign = Similarity.kmeans(emb, "vec_id", "embedding", 20, 5)
+      .withColumnRenamed("id", "vec_id")
+    val pairs = Dedup.embeddingNearDupPairs(
+      emb.join(assign, Seq("vec_id")), "vec_id", "embedding", Seq("cluster"), 0.2)
+      .collect()
+    val expected = pairs.map(_.getAs[Long]("id_b")).toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(survivors == all -- expected, "survivors = all ids minus pairwise-greedy drops")
+    assert(pairs.nonEmpty, "fixture must exercise the drop path")
+    // greedy chain semantics: a pair's SMALLER id survives unless it is
+    // itself the larger side of another pair
+    val keptSmall = pairs.map(_.getAs[Long]("id_a")).toSet -- expected
+    assert(keptSmall.subsetOf(survivors))
+  }
+
+  test("lshContainmentPairs: full containment of a quoted doc that Jaccard misses") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")      // 59 2-grams
+    val quote = (1 to 9).map(i => s"w$i").mkString(" ")     // 8 2-grams, all in big
+    val docs = Seq(
+      (1L, big), (2L, quote),
+      (3L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    // bands=16 (1 row per band): an asymmetric pair has LOW jaccard by
+    // construction, so containment detection needs the flattest banding
+    // S-curve — P(candidate) = 1-(1-j)^16 vs 1-(1-j^2)^8 at 2 rows
+    val out = Dedup.lshContainmentPairs(docs, "doc_id", "text",
+      minContainment = 0.9, k = 16, bands = 16, shingleN = 2).collect()
+    val pair = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, "the quote must surface as a containment pair")
+    assert(pair.get.getAs[Double]("containment") == 1.0)
+    // the same pair is invisible at a Jaccard threshold the quote can't reach
+    val j = Dedup.lshVerifiedPairs(docs, "doc_id", "text", minJaccard = 0.5,
+      k = 16, bands = 8, shingleN = 2)
+    assert(!j.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "jaccard 8/59 < 0.5 — containment catches what jaccard misses")
+  }
 }
