@@ -666,6 +666,35 @@ object CorpusOps {
     }.toArray
   }
 
+  /** Train a BPE tokenizer on the corpus and apply it back — the full
+    * train→apply→audit loop of [[bpeMerges]] packaged as one operator:
+    * learn `numMerges` merges from `textCol`'s word-frequency table,
+    * greedily segment every corpus token with the learned merge table
+    * (the native `graft_bpe_apply` scan), and return the resulting
+    * subword histogram. The histogram is the standard audit artifact of
+    * tokenizer training (what fraction of mass is whole words vs
+    * fragments vs single characters) and the shape the SQL surface
+    * exposes as `graft_bpe_tokenize`.
+    *
+    * Scale: training cost is [[bpeMerges]]'s (batched rounds, bounded
+    * driver merge table); the apply pass is one scan with a linear
+    * greedy segmentation per token plus a subword-keyed count — the
+    * merge table broadcasts as a literal array (30k merges ≈ 300 KB).
+    *
+    * @return (subword, n) — unordered; callers rank/limit. */
+  def bpeSubwordHistogram(df: DataFrame, textCol: String, numMerges: Int,
+      batchK: Int = 1): DataFrame = {
+    val mergeRows = bpeMerges(df, textCol, numMerges, batchK)
+      .orderBy("step").collect()
+    val mergeArr = array(mergeRows.flatMap(r =>
+      Seq(lit(r.getString(1)), lit(r.getString(2)))).toIndexedSeq: _*)
+    df.select(explode(TA.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(explode(call_function("graft_bpe_apply",
+        split(col("word"), ""), mergeArr)).as("subword"))
+      .groupBy("subword").agg(count(lit(1)).as("n"))
+  }
+
   /** Hashing-trick TF-IDF document vectors (Weinberger et al., "Feature
     * Hashing for Large Scale Multitask Learning", ICML'09 — public
     * method): each token lands in bucket `phash(token) mod dim`, weighted

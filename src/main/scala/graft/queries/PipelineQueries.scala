@@ -1428,6 +1428,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Curation pipeline — retention feeding curriculum, the real order
+    // of a data-curation pass: each language keeps its own top-30% by
+    // quality (e31's per-language percent_rank cut), and ONLY the
+    // retained corpus is ranked easy→hard and phased (e32) — the
+    // difficulty vocabulary is learned from the kept set, so phase
+    // boundaries self-calibrate to the post-filter distribution rather
+    // than to documents that never reach training. One DataFrame plan:
+    // the retention cut is a doc-id semi-join into the scoring pass
+    // (id-keyed shuffle hash join at scale — the kept set is ~30% of
+    // the corpus, deliberately NOT a broadcast), and the global rank
+    // stays the range-sort + zipWithIndex shape (no single-partition
+    // window — PlanSpec-guarded).
+    "c2_curation_pipeline" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val kept = graft.ops.CorpusOps
+        .qualityRetention(docs, "doc_id", "text", "lang", retention = 0.3)
+        .select("doc_id")
+      val retained = docs.join(kept, Seq("doc_id"), "left_semi")
+      graft.ops.CorpusOps
+        .curriculum(retained, "doc_id", "text", nPhases = 4, vocabSize = 5000)
+        .orderBy("doc_id")
+    },
+
     // Epoch-aware mixing: src0 is UPSAMPLED (budget ≈ 2.3× its tokens →
     // docs repeat across epochs 0..2), src1 downsampled (cut mid-epoch
     // 0), every other source excluded (budget 0) — the three behaviors
@@ -1458,17 +1481,9 @@ object PipelineQueries {
     // replays the training stages and re-derives the histogram from the
     // fully-merged word-frequency table.
     "e26_bpe_tokenize" -> { (s, dir) =>
-      import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-      val mergeRows = graft.ops.CorpusOps.bpeMerges(docs, "text", numMerges = 6)
-        .orderBy("step").collect()
-      val mergeArr = array(mergeRows.flatMap(r =>
-        Seq(lit(r.getString(1)), lit(r.getString(2)))).toIndexedSeq: _*)
-      docs.select(explode(TA.tokens(col("text"))).as("word"))
-        .filter(length(col("word")) > 0)
-        .select(explode(call_function("graft_bpe_apply",
-          split(col("word"), ""), mergeArr)).as("subword"))
-        .groupBy("subword").agg(count(lit(1)).as("n"))
+      graft.ops.CorpusOps
+        .bpeSubwordHistogram(Tables.load(s, dir, "documents"), "text",
+          numMerges = 6)
         .orderBy(desc("n"), asc("subword")).limit(30)
     },
 
@@ -3157,6 +3172,49 @@ object PipelineQueries {
          |SELECT doc_id, lang, quality, pr FROM r
          |WHERE pr >= CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // Curation-pipeline mirror: e31's retention CTEs produce the kept
+    // id set, then e32's scoring/rank/phase CTEs run over toks
+    // restricted to kept — vocabulary, totals, and the phase
+    // denominator all derived from the RETAINED corpus, exactly like
+    // the composed Spark plan.
+    "c2_curation_pipeline" -> {
+      val en = TA.stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $dToks,
+         |m31 AS (SELECT doc_id, lang,
+         |    CAST(0.4 AS DOUBLE) * (CAST(len(list_distinct(tk)) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE))
+         |      + CAST(0.4 AS DOUBLE) * least(
+         |          (CAST(len(list_filter(tk, tc2 -> list_contains($en, tc2))) AS DOUBLE)
+         |            / CAST(len(tk) AS DOUBLE)) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |      + CAST(0.2 AS DOUBLE) * least(CAST(len(tk) AS DOUBLE) / CAST(100.0 AS DOUBLE),
+         |          CAST(1.0 AS DOUBLE)) AS quality
+         |  FROM toks),
+         |r31 AS (SELECT doc_id, quality,
+         |    percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
+         |  FROM m31),
+         |kept AS (SELECT doc_id FROM r31
+         |  WHERE pr >= CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)),
+         |tok AS (SELECT t.doc_id, unnest(tk) AS tok
+         |  FROM toks t JOIN kept USING (doc_id)),
+         |counts AS (SELECT tok, CAST(count(1) AS BIGINT) AS n FROM tok GROUP BY tok),
+         |vocab AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 5000),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+         |m AS (SELECT doc_id,
+         |    CAST(count(1) AS BIGINT) AS n_tokens,
+         |    CAST(CAST(sum(length(bin(t.total)) - length(bin(coalesce(v.n, 1)))) AS BIGINT)
+         |        AS DOUBLE) / CAST(count(1) AS DOUBLE) AS bits_per_token
+         |  FROM tok LEFT JOIN vocab v USING (tok) CROSS JOIN tot t
+         |  GROUP BY doc_id),
+         |r AS (SELECT doc_id, n_tokens, bits_per_token,
+         |    CAST(row_number() OVER (ORDER BY bits_per_token, doc_id) - 1 AS BIGINT)
+         |      AS difficulty_rank
+         |  FROM m),
+         |nn AS (SELECT CAST(count(1) AS BIGINT) AS n_docs FROM m)
+         |SELECT doc_id, n_tokens, bits_per_token, difficulty_rank,
+         |  CAST((difficulty_rank * 4) // n_docs AS INTEGER) AS phase
+         |FROM r, nn ORDER BY doc_id""".stripMargin
     },
 
     // Hash-split mirror: the same "split|"-prefixed polynomial hash mod

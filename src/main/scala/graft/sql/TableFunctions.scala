@@ -66,6 +66,20 @@ import graft.store.TableStore
   *  - `TABLE(graft_hash_split(t, 'id'[, 'train=8,val=1,test=1']))` →
   *    [[CorpusOps.hashSplit]]: the input + a deterministic `split`
   *    column
+  *  - `TABLE(graft_winnow_overlap(t, 'id', 'text'[, shingle_n, window,
+  *    min_shared, max_doc_freq]))` → [[Dedup.winnowOverlapPairs]]: the
+  *    MOSS-style (id_a, id_b, n_shared) overlap report over winnowing
+  *    fingerprints
+  *  - `TABLE(graft_bpe_tokenize(t, 'text', num_merges[, batch_k]))` →
+  *    [[CorpusOps.bpeSubwordHistogram]]: train BPE merges on the corpus,
+  *    apply them back, return the (subword, n) histogram
+  *  - `TABLE(graft_pagerank(pairs[, iters[, damping]]))` →
+  *    [[Dedup.pagerankCentrality]]: (id, score) over an (id_a, id_b)
+  *    pair table — compose with `graft_neardup_pairs` for
+  *    centrality-inside-duplicate-graphs audits
+  *  - `TABLE(graft_hash_tfidf(t, 'id', 'text', dim))` →
+  *    [[CorpusOps.hashingTfidf]]: fixed-dim hashed TF-IDF vectors
+  *    bridging text tables into the vector operators
   *
   * Table arguments name store tables (schema-qualified names normalize
   * through the session, same as every other statement) or temp views;
@@ -313,6 +327,34 @@ object TableFunctions {
         Similarity.knnGraph(rel(args(0)), str(args(1)), str(args(2)),
           args(3).toInt)
 
+      case "graft_winnow_overlap" =>
+        arity(args.length >= 3 && args.length <= 7,
+          "3 to 7 (t, 'id', 'text'[, shingle_n, window, min_shared, max_doc_freq])")
+        Dedup.winnowOverlapPairs(rel(args(0)), str(args(1)), str(args(2)),
+          shingleN = if (args.length > 3) args(3).toInt else 3,
+          window = if (args.length > 4) args(4).toInt else 4,
+          minShared = if (args.length > 5) args(5).toInt else 3,
+          maxDocFreq = if (args.length > 6) args(6).toInt else 8)
+
+      case "graft_bpe_tokenize" =>
+        arity(args.length == 3 || args.length == 4,
+          "3 or 4 (t, 'text', num_merges[, batch_k])")
+        CorpusOps.bpeSubwordHistogram(rel(args(0)), str(args(1)),
+          args(2).toInt,
+          batchK = if (args.length > 3) args(3).toInt else 1)
+
+      case "graft_pagerank" =>
+        arity(args.length >= 1 && args.length <= 3,
+          "1 to 3 (pairs[, iters[, damping]]) — pairs has (id_a, id_b)")
+        Dedup.pagerankCentrality(rel(args(0)),
+          iters = if (args.length > 1) args(1).toInt else 3,
+          damping = if (args.length > 2) args(2).toDouble else 0.85)
+
+      case "graft_hash_tfidf" =>
+        arity(args.length == 4, "4 (t, 'id', 'text', dim)")
+        CorpusOps.hashingTfidf(rel(args(0)), str(args(1)), str(args(2)),
+          args(3).toInt)
+
       case other => sys.error(s"unknown table function $other — supported: " +
         "graft_neardup_filter, graft_neardup_pairs, graft_semantic_dedup, " +
         "graft_decontaminate, graft_decontaminate_bloom, graft_bm25_topk, " +
@@ -321,7 +363,8 @@ object TableFunctions {
         "graft_chunk, graft_nb_classify, graft_dsir_select, " +
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
-        "graft_curriculum")
+        "graft_curriculum, graft_winnow_overlap, graft_bpe_tokenize, " +
+        "graft_pagerank, graft_hash_tfidf")
     }
   }
 }

@@ -289,6 +289,45 @@ class PlanSpec extends AnyFunSuite {
       "only the scalar corpus-total agg may single-partition")
   }
 
+  test("curation pipeline: semi-join retention cut, distributed rank, no global window") {
+    // post-rank stages (same ExistingRDD scope limit as e32's guard)
+    val p = plan("c2_curation_pipeline")
+    assert(!p.contains("Window"), "no window rank expected post-rank")
+    assert(!p.contains("SinglePartition"),
+      "no single-partition stage expected post-rank")
+    // pre-attach lineage, where retention → semi-join → scoring → sort
+    // is actually visible: the kept set must cut in as an id-keyed
+    // LEFT-SEMI (the kept set is ~30% of the corpus — never broadcast
+    // material, never an unkeyed join), the retention window stays
+    // lang-partitioned, and the global difficulty order comes from a
+    // range-partitioned sort, not a window or single-partition funnel.
+    val F = org.apache.spark.sql.functions
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val kept = graft.ops.CorpusOps
+      .qualityRetention(docs, "doc_id", "text", "lang", 0.3)
+      .select("doc_id")
+    val retained = docs.join(kept, Seq("doc_id"), "left_semi")
+    val pre = graft.ops.CorpusOps.unigramBits(retained, "doc_id", "text", 5000)
+      .select(F.col("doc_id"), F.col("n_tokens"), F.col("bits_per_token"))
+      .orderBy("bits_per_token", "doc_id")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(pre.contains("LeftSemi"), "retention cut = doc-id left-semi join")
+    // unigramBits broadcasts its ONE-ROW corpus total as a Cross
+    // BuildRight nested-loop — the only unkeyed join the plan may carry
+    assert(!pre.contains("CartesianProduct"),
+      "the retention cut must stay an id equi-join")
+    assert(!"BroadcastNestedLoopJoin (?!Cross BuildRight)".r.findAllIn(pre).hasNext,
+      "any nested-loop join must be the scalar corpus-total broadcast")
+    assert("windowspecdefinition\\(lang".r
+        .findFirstIn(pre.toLowerCase.replace("#", "")).isDefined
+      || pre.contains("partitionBy=[lang"),
+      "the retention percent_rank must partition by lang")
+    assert(pre.contains("rangepartitioning"),
+      "the global rank order must come from a range-partitioned sort")
+    assert("Arguments: SinglePartition".r.findAllIn(pre).size <= 1,
+      "only the scalar corpus-total agg may single-partition")
+  }
+
   test("quality retention: one language-keyed window, no global sort before it") {
     val p = plan("e31_quality_retention")
     assert("windowspecdefinition\\(lang".r.findFirstIn(p.toLowerCase.replace("#", "")).isDefined

@@ -183,6 +183,24 @@ class TableFunctionsSpec extends AnyFunSuite {
       "docs_tf, 'doc_id', 'text', 4, 100))").get) ==
       rows(CorpusOps.curriculum(docs, "doc_id", "text", 4, 100)
         .select("doc_id", "phase")))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_winnow_overlap(" +
+      "docs_tf, 'doc_id', 'text', 3, 4, 2, 8))").get) ==
+      rows(Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+        shingleN = 3, window = 4, minShared = 2, maxDocFreq = 8)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_bpe_tokenize(" +
+      "docs_tf, 'text', 6))").get) ==
+      rows(CorpusOps.bpeSubwordHistogram(docs, "text", numMerges = 6)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_hash_tfidf(" +
+      "docs_tf, 'doc_id', 'text', 16))").get) ==
+      rows(CorpusOps.hashingTfidf(docs, "doc_id", "text", dim = 16)))
+    // pagerank composes over the pair table another table function made
+    Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").createOrReplaceTempView("prpairs_tf")
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_pagerank(" +
+      "prpairs_tf, 3, 0.85))").get) ==
+      rows(Dedup.pagerankCentrality(
+        Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.5)
+          .select("id_a", "id_b"), iters = 3, damping = 0.85)))
   }
 
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
