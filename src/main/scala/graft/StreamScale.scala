@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.EventStreams
+
+/** Event-time streaming soak (SCALE.md) — the Structured-Streaming twin
+  * of [[ConcurrentScale]]'s DAG proof: replay a ScaleGen-grown events
+  * table (default 50× sf0.1 = 5 M events) through the library's two
+  * state-store-backed stream operators as a sequence of AvailableNow
+  * file-arrival ticks, and print per-tick wall time, throughput, and
+  * state-store size, proving the watermark actually BOUNDS state across
+  * a multi-tick run instead of accreting per event.
+  *
+  * Shape: the grown table is cut into `ticks` CONTIGUOUS event-time
+  * ranges (a live stream arrives in time order — cutting by hash would
+  * make every tick after the first entirely "late" and silently
+  * dropped), each tick's files land in the watched directory, and one
+  * Trigger.AvailableNow pass per tick drains them against a persistent
+  * checkpoint — exactly the periodic-batch replay mode a 100 TB
+  * backfill runs. Two queries per tick, each with its own checkpoint:
+  *
+  *  - [[EventStreams.windowedStats]] (1-minute tumbling windows,
+  *    2-minute watermark, Append): state = open windows × event_type.
+  *    With ~43k one-minute windows × 5 types across the 30-day table,
+  *    unbounded state would reach ~216k rows; the watermark must hold
+  *    the live set to roughly one tick's span (+ the horizon), and
+  *    finalized windows emit exactly once.
+  *  - [[EventStreams.dedupStream]] (dropDuplicatesWithinWatermark on
+  *    event_id): each tick carries a deterministic 1% re-send of its
+  *    own ids (the at-least-once delivery the operator exists to
+  *    repair); survivors per tick must equal the tick's DISTINCT ids,
+  *    and ids older than the watermark are evicted next tick.
+  *
+  * Scale: every per-tick cost is O(tick batch) — the windowed agg is a
+  * partial+final HashAggregate into the state store, dedup is one
+  * state-store lookup per row — nothing rescans prior ticks; at
+  * 1000 executors the same plan shards by (window, type) / event_id.
+  *
+  * Usage: runMain graft.StreamScale [sfDir] [factor] [ticks]
+  */
+object StreamScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 50
+    val ticks = if (args.length > 2) args(2).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = Files.createTempDirectory("graft_stream_scale")
+    val watch = Files.createDirectories(root.resolve("watch"))
+    val ckpt = root.resolve("ckpt")
+
+    // ScaleGen's fact treatment of events, inline: `factor` copies on
+    // disjoint event_id/user_id strides, timestamps untouched (copies
+    // overlay the same 30-day range, so windows get denser, not longer —
+    // the harsher state test).
+    // NTZ→LTZ cast up front (session TZ UTC): watermarks only accept
+    // TIMESTAMP, and the staged files should carry the stream-ready type
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("timestamp").as("ts"))
+    def stride(c: String): Long = {
+      val mx = ev.agg(max(col(c))).head().getLong(0)
+      var s = 10L; while (s <= mx) s *= 10; s
+    }
+    val (evS, usrS) = (stride("event_id"), stride("user_id"))
+    val scaled = (0 until factor).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * evS))
+        .withColumn("user_id", col("user_id") + lit(i * usrS))
+    }.reduce(_ unionByName _)
+
+    // contiguous event-time tick ranges from the base table's ts
+    // quantiles (copies share the range, so base quantiles cut all of
+    // them); the last cut is +∞ so max-ts rows land in the final tick
+    val tsSec = col("ts").cast("long")
+    val cutsD = ev.select(tsSec.as("ts_sec"))
+      .stat.approxQuantile("ts_sec",
+        (1 until ticks).map(_.toDouble / ticks).toArray, 0.001)
+    val cuts = cutsD.map(_.toLong) :+ Long.MaxValue
+
+    val schema = scaled.schema
+    def stageTick(t: Int): Long = {
+      val lo = if (t == 0) Long.MinValue else cuts(t - 1)
+      val chunk = scaled.filter(tsSec >= lit(lo) && tsSec < lit(cuts(t)))
+      // deterministic 1% re-send: the at-least-once duplicates the
+      // dedup query must repair (ids are unique post-stride, so every
+      // re-sent row IS a duplicate and must not survive)
+      val withDups = chunk.unionByName(chunk.filter(col("event_id") % 100 === 0))
+      val tmp = root.resolve(s"tmp_$t")
+      withDups.write.mode("overwrite").parquet(tmp.toString)
+      var n = 0
+      Files.list(tmp).forEach { f: Path =>
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          Files.move(f, watch.resolve(s"t${t}_$n.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+          n += 1
+        }
+      }
+      chunk.count()
+    }
+
+    /** One AvailableNow drain of `sink` over the watched dir; returns
+      * (wall sec, rows emitted downstream, state rows, batches). */
+    def drain(name: String, build: DataFrame => DataFrame,
+        mode: OutputMode): (Double, Long, Long, Int) = {
+      val src = spark.readStream.schema(schema).parquet(watch.toString)
+      var emitted = 0L
+      val q = build(src).writeStream
+        .option("checkpointLocation", ckpt.resolve(name).toString)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) => emitted += b.count() }
+        .start()
+      val t0 = System.nanoTime()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      val stateRows =
+        if (progs.isEmpty) 0L else progs.last.stateOperators.map(_.numRowsTotal).sum
+      (wall, emitted, stateRows, q.recentProgress.count(_.numInputRows > 0))
+    }
+
+    var totalIn = 0L
+    for (t <- 0 until ticks) {
+      val staged = stageTick(t)
+      totalIn += staged
+      val (wWall, wEmit, wState, _) = drain("win",
+        df => EventStreams.windowedStats(df), OutputMode.Append())
+      val (dWall, dEmit, dState, _) = drain("dedup",
+        df => EventStreams.dedupStream(df, Seq("event_id")), OutputMode.Append())
+      require(dEmit == staged,
+        s"tick $t: dedup must emit exactly the distinct ids ($staged), got $dEmit")
+      println(f"""{"tick":$t,"rows":$staged,"win_wall_s":$wWall%.2f,""" +
+        f""""win_emitted":$wEmit,"win_state_rows":$wState,""" +
+        f""""dedup_wall_s":$dWall%.2f,"dedup_state_rows":$dState,""" +
+        f""""win_krows_s":${staged / 1000.0 / wWall}%.1f}""")
+    }
+    println(s"""{"metric":"stream_scale_total_rows","value":$totalIn,"ticks":$ticks,"factor":$factor}""")
+    spark.stop()
+  }
+}
