@@ -80,6 +80,20 @@ import graft.store.TableStore
   *  - `TABLE(graft_hash_tfidf(t, 'id', 'text', dim))` →
   *    [[CorpusOps.hashingTfidf]]: fixed-dim hashed TF-IDF vectors
   *    bridging text tables into the vector operators
+  *  - `TABLE(graft_semdedup_kmeans(t, 'id', 'vec', min_cosine[,
+  *    k_clusters, iters]))` → [[Dedup.semDedupKmeans]]: SemDeDup-style
+  *    embedding dedup inside learned kmeans clusters; returns
+  *    (id, cluster) survivors
+  *  - `TABLE(graft_containment_pairs(t, 'id', 'text', min_containment[,
+  *    k, bands, shingle_n]))` → [[Dedup.lshContainmentPairs]]: the
+  *    asymmetric |A∩B|/min-side pairs that catch quote/boilerplate
+  *    inclusion Jaccard misses
+  *  - `TABLE(graft_pps_sample(t, 'id', 'weight_col', n[, buckets]))` →
+  *    [[CorpusOps.ppsSample]]: deterministic systematic
+  *    probability-proportional-to-size sample
+  *  - `TABLE(graft_cluster_keywords(docs, labels, 'id', 'text',
+  *    k_clusters, top_m))` → [[CorpusOps.clusterKeywords]]: c-TF-IDF
+  *    keyword labels per cluster (labels has (id, cluster))
   *
   * Table arguments name store tables (schema-qualified names normalize
   * through the session, same as every other statement) or temp views;
@@ -355,6 +369,36 @@ object TableFunctions {
         CorpusOps.hashingTfidf(rel(args(0)), str(args(1)), str(args(2)),
           args(3).toInt)
 
+      case "graft_semdedup_kmeans" =>
+        arity(args.length >= 4 && args.length <= 6,
+          "4 to 6 (t, 'id', 'vec', min_cosine[, k_clusters, iters])")
+        Dedup.semDedupKmeans(rel(args(0)), str(args(1)), str(args(2)),
+          args(3).toDouble,
+          kClusters = if (args.length > 4) args(4).toInt else 20,
+          iters = if (args.length > 5) args(5).toInt else 5)
+
+      case "graft_containment_pairs" =>
+        arity(args.length >= 4 && args.length <= 7,
+          "4 to 7 (t, 'id', 'text', min_containment[, k, bands, shingle_n])")
+        Dedup.lshContainmentPairs(rel(args(0)), str(args(1)), str(args(2)),
+          args(3).toDouble,
+          k = if (args.length > 4) args(4).toInt else 16,
+          bands = if (args.length > 5) args(5).toInt else 8,
+          shingleN = if (args.length > 6) args(6).toInt else 2)
+
+      case "graft_pps_sample" =>
+        arity(args.length == 4 || args.length == 5,
+          "4 or 5 (t, 'id', 'weight_col', n[, buckets])")
+        CorpusOps.ppsSample(rel(args(0)), str(args(1)), str(args(2)),
+          args(3).toInt,
+          buckets = if (args.length > 4) args(4).toInt else 64)
+
+      case "graft_cluster_keywords" =>
+        arity(args.length == 6,
+          "6 (docs, labels, 'id', 'text', k_clusters, top_m) — labels has (id, cluster)")
+        CorpusOps.clusterKeywords(rel(args(0)), str(args(2)), str(args(3)),
+          rel(args(1)), args(4).toInt, args(5).toInt)
+
       case other => sys.error(s"unknown table function $other — supported: " +
         "graft_neardup_filter, graft_neardup_pairs, graft_semantic_dedup, " +
         "graft_decontaminate, graft_decontaminate_bloom, graft_bm25_topk, " +
@@ -364,7 +408,8 @@ object TableFunctions {
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
         "graft_curriculum, graft_winnow_overlap, graft_bpe_tokenize, " +
-        "graft_pagerank, graft_hash_tfidf")
+        "graft_pagerank, graft_hash_tfidf, graft_semdedup_kmeans, " +
+        "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords")
     }
   }
 }

@@ -201,6 +201,22 @@ class TableFunctionsSpec extends AnyFunSuite {
       rows(Dedup.pagerankCentrality(
         Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.5)
           .select("id_a", "id_b"), iters = 3, damping = 0.85)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_semdedup_kmeans(" +
+      "embs_tf, 'vec_id', 'embedding', 0.2, 8, 3))").get) ==
+      rows(Dedup.semDedupKmeans(embs, "vec_id", "embedding", 0.2,
+        kClusters = 8, iters = 3)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_containment_pairs(" +
+      "docs_tf, 'doc_id', 'text', 0.3))").get) ==
+      rows(Dedup.lshContainmentPairs(docs, "doc_id", "text", 0.3)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_pps_sample(" +
+      "docs_tf, 'doc_id', 'n_chars', 50))").get) ==
+      rows(CorpusOps.ppsSample(docs, "doc_id", "n_chars", n = 50)))
+    val kmLabels = Similarity.kmeans(embs, "vec_id", "embedding", k = 8, iters = 3)
+    kmLabels.createOrReplaceTempView("klabels_tf")
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_cluster_keywords(" +
+      "docs_tf, klabels_tf, 'doc_id', 'text', 8, 5))").get) ==
+      rows(CorpusOps.clusterKeywords(docs, "doc_id", "text", kmLabels,
+        kClusters = 8, topM = 5)))
   }
 
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
