@@ -94,6 +94,14 @@ import graft.store.TableStore
   *  - `TABLE(graft_cluster_keywords(docs, labels, 'id', 'text',
   *    k_clusters, top_m))` → [[CorpusOps.clusterKeywords]]: c-TF-IDF
   *    keyword labels per cluster (labels has (id, cluster))
+  *  - `TABLE(graft_asof_join(left, right, 'k1;k2', 'ts',
+  *    'rightcol=outname,…'[, 'forward']))` →
+  *    [[graft.ops.TemporalJoins.asofBackward]]/`asofForward`: per key,
+  *    the latest right row at-or-before (or earliest at-or-after) each
+  *    left timestamp — one union + window pass, no nested loop
+  *  - `TABLE(graft_range_join(points, intervals, 'point_ts', 'start',
+  *    'end', bin_width))` → [[graft.ops.TemporalJoins.pointInRange]]:
+  *    interval-overlap pairs via bucket-binned equi-join
   *
   * Table arguments name store tables (schema-qualified names normalize
   * through the session, same as every other statement) or temp views;
@@ -399,6 +407,30 @@ object TableFunctions {
         CorpusOps.clusterKeywords(rel(args(0)), str(args(2)), str(args(3)),
           rel(args(1)), args(4).toInt, args(5).toInt)
 
+      case "graft_asof_join" =>
+        arity(args.length == 5 || args.length == 6,
+          "5 or 6 (left, right, 'k1;k2;…', 'ts', 'rightcol=outname,…'[, 'forward'])")
+        val keys = str(args(2)).split(";").map(_.trim).filter(_.nonEmpty).toSeq
+        val payload = str(args(4)).split(",").iterator.map(_.trim)
+          .filter(_.nonEmpty).map { kv =>
+            val i = kv.lastIndexOf('=')
+            require(i > 0, s"$fn: payload entries are rightcol=outname, got '$kv'")
+            kv.take(i).trim -> kv.drop(i + 1).trim
+          }.toMap
+        val forward = args.length > 5 && str(args(5)).equalsIgnoreCase("forward")
+        if (forward)
+          graft.ops.TemporalJoins.asofForward(rel(args(0)), rel(args(1)),
+            keys, str(args(3)), payload)
+        else
+          graft.ops.TemporalJoins.asofBackward(rel(args(0)), rel(args(1)),
+            keys, str(args(3)), payload)
+
+      case "graft_range_join" =>
+        arity(args.length == 6,
+          "6 (points, intervals, 'point_ts', 'start', 'end', bin_width)")
+        graft.ops.TemporalJoins.pointInRange(rel(args(0)), rel(args(1)),
+          str(args(2)), str(args(3)), str(args(4)), args(5).toLong)
+
       case other => sys.error(s"unknown table function $other — supported: " +
         "graft_neardup_filter, graft_neardup_pairs, graft_semantic_dedup, " +
         "graft_decontaminate, graft_decontaminate_bloom, graft_bm25_topk, " +
@@ -409,7 +441,8 @@ object TableFunctions {
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
         "graft_curriculum, graft_winnow_overlap, graft_bpe_tokenize, " +
         "graft_pagerank, graft_hash_tfidf, graft_semdedup_kmeans, " +
-        "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords")
+        "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
+        "graft_asof_join, graft_range_join")
     }
   }
 }

@@ -219,6 +219,39 @@ class TableFunctionsSpec extends AnyFunSuite {
         kClusters = 8, topM = 5)))
   }
 
+  test("graft_asof_join / graft_range_join: SQL calls equal TemporalJoins") {
+    val g = sess()
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts_us")
+    val views = graft.ops.DedupLatest(
+      ev.filter(col("event_type") === "view")
+        .select("user_id", "event_id", "ts_us", "value"),
+      Seq("user_id", "ts_us"), Seq(col("event_id").desc))
+    clicks.createOrReplaceTempView("clicks_tf")
+    views.createOrReplaceTempView("views_tf")
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_asof_join(clicks_tf, " +
+      "views_tf, 'user_id', 'ts_us', 'event_id=view_event_id,value=view_value'))").get) ==
+      rows(graft.ops.TemporalJoins.asofBackward(clicks, views,
+        Seq("user_id"), "ts_us",
+        Map("event_id" -> "view_event_id", "value" -> "view_value"))))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_asof_join(clicks_tf, " +
+      "views_tf, 'user_id', 'ts_us', 'event_id=view_event_id', 'forward'))").get) ==
+      rows(graft.ops.TemporalJoins.asofForward(clicks, views,
+        Seq("user_id"), "ts_us", Map("event_id" -> "view_event_id"))))
+    val iv = ev.groupBy(col("user_id").as("interval_id"))
+      .agg(min(col("ts_us")).as("start_us"))
+      .filter(col("interval_id") < 20)
+      .withColumn("end_us", col("start_us") + lit(3600000000L))
+    ev.select("event_id", "ts_us").createOrReplaceTempView("pts_tf")
+    iv.createOrReplaceTempView("iv_tf")
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_range_join(pts_tf, iv_tf, " +
+      "'ts_us', 'start_us', 'end_us', 600000000))").get) ==
+      rows(graft.ops.TemporalJoins.pointInRange(ev.select("event_id", "ts_us"),
+        iv, "ts_us", "start_us", "end_us", 600000000L)))
+  }
+
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
     val g = sess()
     docs.createOrReplaceTempView("docs_tf")
