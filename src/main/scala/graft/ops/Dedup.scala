@@ -650,10 +650,21 @@ object Dedup {
     * @return (idCol, cluster) survivors, cluster ∈ [0, kClusters). */
   def semDedupKmeans(
       df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, kClusters: Int = 20, iters: Int = 5): DataFrame = {
-    val assign = graft.ops.Similarity.kmeans(df, idCol, vecCol, kClusters, iters)
-      .withColumnRenamed("id", idCol)
-      .withColumn("cluster", col("cluster").cast("long"))
+      minCosine: Double, kClusters: Int = 20, iters: Int = 5): DataFrame =
+    semDedupWithLabels(df, idCol, vecCol,
+      graft.ops.Similarity.kmeans(df, idCol, vecCol, kClusters, iters)
+        .withColumnRenamed("id", idCol),
+      minCosine)
+
+  /** [[semDedupKmeans]] over PRE-COMPUTED (idCol, cluster) labels — the
+    * pipeline form where one trained quantizer serves SemDeDup, IVF
+    * search, and sampling together ([[Similarity.assignClusters]]);
+    * identical semantics, no per-consumer retraining. */
+  def semDedupWithLabels(
+      df: DataFrame, idCol: String, vecCol: String,
+      labels: DataFrame, minCosine: Double): DataFrame = {
+    val assign = labels
+      .select(col(idCol), col("cluster").cast("long").as("cluster"))
     val withC = df.join(assign, Seq(idCol))
     val drops = embeddingNearDupPairs(withC, idCol, vecCol, Seq("cluster"), minCosine)
       .select(col("id_b").as(idCol)).distinct()

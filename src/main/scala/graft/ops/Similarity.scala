@@ -362,8 +362,21 @@ object Similarity {
     * run exactly.
     *
     * @return (id, cluster) assignments; cluster ∈ [0, k). */
-  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 10): DataFrame = {
-    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 10): DataFrame =
+    assignClusters(df, idCol, vecCol, kmeansCentroids(df, idCol, vecCol, k, iters))
+
+  /** Nearest-centroid assignment against an already-trained codebook —
+    * the consumer half of [[kmeans]], exposed separately because a real
+    * pipeline trains the quantizer ONCE and many downstream stages
+    * (IVF search, SemDeDup, balanced sampling, cluster keywords) assign
+    * against the same centroids; retraining per consumer would repeat
+    * the 2·iters driver-synced Lloyd jobs for an identical result
+    * (training is deterministic). One broadcast-literal argmin map, no
+    * shuffle.
+    *
+    * @return (id, cluster); cluster ∈ [0, cents.length). */
+  def assignClusters(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Seq[Double]]): DataFrame = {
     val v = df.select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
     v.select(col("id"), nearestIdx(col("v"), cents).as("cluster"))
   }
@@ -500,12 +513,19 @@ object Similarity {
     *
     * @return (idCol, cluster) of kept rows. */
   def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, perCluster: Int): DataFrame = {
-    val km = kmeans(df, idCol, vecCol, k, iters)
+      k: Int, iters: Int, perCluster: Int): DataFrame =
+    clusterBalancedSampleWithLabels(
+      kmeans(df, idCol, vecCol, k, iters).withColumnRenamed("id", idCol),
+      idCol, perCluster)
+
+  /** [[clusterBalancedSample]] over PRE-COMPUTED (idCol, cluster)
+    * labels — the form a pipeline uses when one trained quantizer
+    * serves several consumers (see [[assignClusters]]). */
+  def clusterBalancedSampleWithLabels(labels: DataFrame, idCol: String,
+      perCluster: Int): DataFrame =
     CorpusOps.stratifiedSample(
-      km.select(col("id").as(idCol), col("cluster")),
+      labels.select(col(idCol), col("cluster")),
       Seq("cluster"), idCol, perCluster)
-  }
 
   /** Index of the nearest centroid (squared L2, first-wins ties).
     *

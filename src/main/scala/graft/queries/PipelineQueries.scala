@@ -48,6 +48,35 @@ object PipelineQueries {
     })
   }
 
+  /** Session-scoped memo for trained kmeans codebooks over the
+    * embeddings table — the quantizer counterpart of [[lshLabelsMemo]]:
+    * at 100 TB you train the coarse quantizer ONCE per corpus version
+    * and every consumer (IVF search, recall evals, SemDeDup, balanced
+    * sampling, cluster keywords) assigns against the same centroids —
+    * Lloyd's is deterministic here (id-ordered init and folds), so
+    * per-consumer retraining repeats 2·iters driver-synced jobs for
+    * bit-identical output. Keyed by (session, dir, k, iters); the value
+    * is the k×dim driver-side codebook (a few KB), so no Spark state is
+    * cached and staleness follows the key like the label memo. */
+  private val kmeansCentsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), Array[Seq[Double]]]()
+
+  /** Memoized (id, cluster) assignment of the embeddings table against
+    * the (dir, k, iters) codebook — same columns as
+    * [[Similarity.kmeans]], so call sites swap in directly. The
+    * assignment itself stays a lazy broadcast-literal argmin map — only
+    * TRAINING is shared. */
+  private def kmEmbLabels(s: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame = {
+    if (kmeansCentsMemo.size > 32) kmeansCentsMemo.clear()
+    val cents = kmeansCentsMemo.computeIfAbsent((s, dir, k, iters), { _ =>
+      Similarity.kmeansCentroids(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k, iters)
+    })
+    Similarity.assignClusters(Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding", cents)
+  }
+
   private val P = "1000000007"
 
   /** DuckDB portable polynomial string hash of expression `e`; `sfx`
@@ -404,10 +433,9 @@ object PipelineQueries {
     // cluster IS — the browse/summarize step downstream of clustering.
     // The oracle replays the kmeans training AND the c-TF-IDF scoring.
     "g5_cluster_keywords" -> { (s, dir) =>
-      val labels = Similarity.kmeans(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 10, iters = 3)
       graft.ops.CorpusOps.clusterKeywords(Tables.load(s, dir, "documents"),
-          "doc_id", "text", labels, kClusters = 10, topM = 5)
+          "doc_id", "text", kmEmbLabels(s, dir, k = 10, iters = 3),
+          kClusters = 10, topM = 5)
         .orderBy("cluster", "rank")
     },
 
@@ -508,8 +536,11 @@ object PipelineQueries {
     // training (init → 5 iterations → assignment) bit-exactly, so a
     // green hash certifies training + blocking + the drop policy.
     "d16_semdedup" -> { (s, dir) =>
-      Dedup.semDedupKmeans(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-          minCosine = 0.2, kClusters = 20, iters = 5)
+      Dedup.semDedupWithLabels(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding",
+          kmEmbLabels(s, dir, k = 20, iters = 5)
+            .withColumnRenamed("id", "vec_id"),
+          minCosine = 0.2)
         .orderBy("vec_id")
     },
 
@@ -1052,7 +1083,7 @@ object PipelineQueries {
     // whole pipeline, not just the final scan.
     "n5_ann_ivf_kmeans" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val km = Similarity.kmeans(e, "vec_id", "embedding", k = 20, iters = 5)
+      val km = kmEmbLabels(s, dir, k = 20, iters = 5)
         .withColumnRenamed("id", "vec_id")
       Similarity.ivfTopK(e.join(km, Seq("vec_id")), e.filter(col("vec_id") < 10),
           "vec_id", "embedding", "cluster", k = 5, nprobe = 2)
@@ -1070,7 +1101,7 @@ object PipelineQueries {
       val exact = Similarity
         .bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val km = Similarity.kmeans(e, "vec_id", "embedding", k = 20, iters = 5)
+      val km = kmEmbLabels(s, dir, k = 20, iters = 5)
         .withColumnRenamed("id", "vec_id")
       val approx = Similarity
         .ivfTopK(e.join(km, Seq("vec_id")), e.filter(col("vec_id") < 10),
@@ -1163,7 +1194,7 @@ object PipelineQueries {
       val e = Tables.load(s, dir, "embeddings")
       val exact = Similarity.knnDirected(e, "vec_id", "embedding", k = 5)
         .select("id", "nbr")
-      val km = Similarity.kmeans(e, "vec_id", "embedding", k = 32, iters = 5)
+      val km = kmEmbLabels(s, dir, k = 32, iters = 5)
         .withColumnRenamed("id", "vec_id")
       val blocked = Similarity.ivfTopK(e.join(km, Seq("vec_id")), e,
           "vec_id", "embedding", "cluster", k = 5, nprobe = 14)
@@ -1196,8 +1227,10 @@ object PipelineQueries {
     // uniform draw). Same quantizer hyper-parameters as n5/n7 so the
     // oracle reuses the bit-exact kmeans training replay.
     "n8_cluster_sample" -> { (s, dir) =>
-      Similarity.clusterBalancedSample(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 20, iters = 5, perCluster = 10)
+      Similarity.clusterBalancedSampleWithLabels(
+          kmEmbLabels(s, dir, k = 20, iters = 5)
+            .withColumnRenamed("id", "vec_id"),
+          "vec_id", perCluster = 10)
         .orderBy("cluster", "vec_id")
     },
 
