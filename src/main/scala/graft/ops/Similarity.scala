@@ -435,16 +435,38 @@ object Similarity {
     *   estimate of squared L2, ascending. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
-      m: Int, codebookK: Int, kmIters: Int, k: Int): DataFrame = {
+      m: Int, codebookK: Int, kmIters: Int, k: Int): DataFrame =
+    pqTopKWithCodebooks(corpus, queries, idCol, vecCol,
+      pqCodebooks(corpus, idCol, vecCol, m, codebookK, kmIters), k)
+
+  /** The PQ TRAINING half alone — m per-subspace codebooks of
+    * `codebookK` words each (driver-side m×K×(dim/m) doubles, bounded).
+    * Split out for the same reason as [[assignClusters]]: a pipeline
+    * trains the codebooks once per corpus version, then encode/search
+    * reuse them across consumers and query batches. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, codebookK: Int, kmIters: Int): IndexedSeq[Array[Seq[Double]]] = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val d = dim / m
     def sub(vc: Column, s: Int): Column =
       slice(transform(vc, x => x.cast("double")), lit(s * d + 1), lit(d))
-    val books: IndexedSeq[Array[Seq[Double]]] = (0 until m).map { s =>
+    (0 until m).map { s =>
       kmeansCentroids(corpus.select(col(idCol), sub(col(vecCol), s).as("__sub")),
         idCol, "__sub", codebookK, kmIters)
     }
+  }
+
+  /** [[pqTopK]] against PRE-TRAINED codebooks ([[pqCodebooks]]). */
+  def pqTopKWithCodebooks(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      books: IndexedSeq[Array[Seq[Double]]], k: Int): DataFrame = {
+    val m = books.length
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val d = dim / m
+    def sub(vc: Column, s: Int): Column =
+      slice(transform(vc, x => x.cast("double")), lit(s * d + 1), lit(d))
     val enc = corpus.select(col(idCol).as("neighbor_id") +:
       (0 until m).map(s => nearestIdx(sub(col(vecCol), s), books(s)).as(s"__c$s")): _*)
     // ADC tables ride the (broadcast) query side: m×K exact subspace

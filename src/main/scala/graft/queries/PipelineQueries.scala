@@ -61,6 +61,11 @@ object PipelineQueries {
   private val kmeansCentsMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int), Array[Seq[Double]]]()
 
+  /** PQ codebook memo — same rationale, keyed by (session, dir, m,
+    * codebookK, kmIters); values are m driver-side codebooks (a few KB). */
+  private val pqBooksMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int, Int), IndexedSeq[Array[Seq[Double]]]]()
+
   /** Memoized (id, cluster) assignment of the embeddings table against
     * the (dir, k, iters) codebook — same columns as
     * [[Similarity.kmeans]], so call sites swap in directly. The
@@ -1136,8 +1141,12 @@ object PipelineQueries {
     // replays bit-exactly in the oracle.
     "n10_ann_pq" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-          m = 4, codebookK = 8, kmIters = 3, k = 5)
+      val books = pqBooksMemo.computeIfAbsent((s, dir, 4, 8, 3), { _ =>
+        Similarity.pqCodebooks(e, "vec_id", "embedding",
+          m = 4, codebookK = 8, kmIters = 3)
+      })
+      Similarity.pqTopKWithCodebooks(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", books, k = 5)
         .orderBy("query_id", "rank")
     },
 
