@@ -136,6 +136,7 @@ object StreamScale {
     }
 
     var totalIn = 0L
+    var sessionsTotal = 0L
     for (t <- 0 until ticks) {
       val staged = stageTick(t)
       totalIn += staged
@@ -145,11 +146,23 @@ object StreamScale {
         df => EventStreams.dedupStream(df, Seq("event_id")), OutputMode.Append())
       require(dEmit == staged,
         s"tick $t: dedup must emit exactly the distinct ids ($staged), got $dEmit")
+      // custom per-key state: 30-min-gap sessionization via
+      // flatMapGroupsWithState — state is O(users with an open session),
+      // evicted by event-time timeout, never O(events)
+      val (sWall, sEmit, sState, _) = drain("sess",
+        df => EventStreams.sessionize(
+          df.as[EventStreams.Event](org.apache.spark.sql.Encoders.product),
+          gapMs = 30L * 60 * 1000).toDF(),
+        OutputMode.Append())
+      sessionsTotal += sEmit
       println(f"""{"tick":$t,"rows":$staged,"win_wall_s":$wWall%.2f,""" +
         f""""win_emitted":$wEmit,"win_state_rows":$wState,""" +
         f""""dedup_wall_s":$dWall%.2f,"dedup_state_rows":$dState,""" +
+        f""""sess_wall_s":$sWall%.2f,"sessions_closed":$sEmit,""" +
+        f""""sess_state_rows":$sState,""" +
         f""""win_krows_s":${staged / 1000.0 / wWall}%.1f}""")
     }
+    println(s"""{"metric":"stream_scale_sessions","value":$sessionsTotal}""")
     println(s"""{"metric":"stream_scale_total_rows","value":$totalIn,"ticks":$ticks,"factor":$factor}""")
     spark.stop()
   }
