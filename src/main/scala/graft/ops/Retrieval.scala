@@ -37,12 +37,35 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, qidCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      idf: String = "lucene"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TA.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term")
+      idf: String = "lucene"): DataFrame =
+    bm25TopKWithPostings(bm25Postings(docs, idCol, textCol), queries,
+      qidCol, qTextCol, k, k1, b, idf)
+
+  /** The (doc_id, term, tf) postings table alone — BM25's inverted
+    * index. Split out because a retrieval deployment materializes the
+    * index once per corpus version and every query batch (plain BM25,
+    * PRF, hybrid fusion) reads the same postings; recomputing the
+    * corpus explode + aggregation per call is the single largest cost
+    * of each retrieval operator. Derivable stats (per-doc length = Σ tf,
+    * integer-exact in doubles; document frequency; corpus scalars) are
+    * one cheap aggregation each on top, so only this table needs to be
+    * stored. */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TA.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+
+  /** [[bm25TopK]] against a PRE-COMPUTED postings table
+    * ([[bm25Postings]] — or a stored copy of it). Per-doc length is
+    * Σ_terms tf (≡ the token count, exact: integer-valued doubles far
+    * below 2^53), so scores are bit-identical to the self-contained
+    * form. */
+  def bm25TopKWithPostings(tf: DataFrame, queries: DataFrame,
+      qidCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      idf: String = "lucene"): DataFrame = {
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val gl = dl.agg(count(lit(1)).cast("double").as("n"),
       sum("dl").as("tot")) // token counts ≪ 2^53: the double sum is exact
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
@@ -107,11 +130,25 @@ object Retrieval {
       idCol: String, textCol: String, qidCol: String, qTextCol: String,
       k: Int, fbDocs: Int = 5, fbTerms: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TA.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val tf = bm25Postings(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the returned frame is eagerly materialized inside, so the cache
+    // can be released before handing back
+    val out = bm25PrfTopKWithPostings(tf, queries, qidCol, qTextCol,
+      k, fbDocs, fbTerms, k1, b)
+    tf.unpersist(blocking = false)
+    out
+  }
+
+  /** [[bm25PrfTopK]] against a PRE-COMPUTED postings table — callers
+    * own the postings' lifecycle (persist/checkpoint/store); both
+    * scoring passes, the feedback weights, and per-doc lengths all read
+    * the given frame. Result is eagerly materialized (queries × k rows)
+    * before returning, exactly like the self-contained form. */
+  def bm25PrfTopKWithPostings(tf: DataFrame, queries: DataFrame,
+      qidCol: String, qTextCol: String,
+      k: Int, fbDocs: Int = 5, fbTerms: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val gl = dl.agg(count(lit(1)).cast("double").as("n"), sum("dl").as("tot"))
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
@@ -151,13 +188,11 @@ object Retrieval {
       // queries × fbTerms rows — eager, so the pass-1 scoring chain above
       // is paid exactly once and never replays under the final pass
       .localCheckpoint(true)
-    val out = scoreOf(q0.unionByName(expTerms))
+    scoreOf(q0.unionByName(expTerms))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "doc_id", "score", "rank")
-      .localCheckpoint(true) // queries × k rows; frees the postings cache
-    tf.unpersist(blocking = false)
-    out
+      .localCheckpoint(true) // queries × k rows; frees the postings reads
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09 —

