@@ -75,6 +75,58 @@ object Dedup {
     if (keepPos) out.drop("tok") else out.drop("tok", "tokpos")
   }
 
+  /** Deduplicated (id, h) shingle-hash rows — the SIGNATURE TABLE of the
+    * text-dedup family, split out because a dedup deployment computes it
+    * once per corpus version and every consumer (LSH candidates,
+    * Jaccard/containment verification, incremental ingest) reads the
+    * same rows; the tokenize+window-hash+distinct pass is each
+    * operator's dominant cost. min() signatures are duplicate-
+    * insensitive, so the deduplicated rows are bit-identical inputs for
+    * banding AND the exact set-overlap verifiers. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, portable: Boolean = true): DataFrame =
+    shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
+      .dropDuplicates("id", "h")
+
+  /** [[minhashLshPairs]] over PRE-COMPUTED [[shingleRows]]. */
+  def minhashLshPairsWithShingles(ex: DataFrame, k: Int = 16,
+      bands: Int = 8, maxBucketSize: Option[Int] = None): DataFrame =
+    minhashCandidates(ex, k, bands, maxBucketSize)
+
+  /** [[lshVerifiedPairs]] over PRE-COMPUTED [[shingleRows]] — callers
+    * own the shingle frame's lifecycle; the bounded pair list is still
+    * materialized eagerly before returning. */
+  def lshVerifiedPairsWithShingles(ex: DataFrame, minJaccard: Double,
+      k: Int = 16, bands: Int = 8,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    require(minJaccard > 0, "minJaccard must be > 0 (zero-overlap pairs are never emitted)")
+    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
+      .select("id_a", "id_b")
+    verifiedJaccard(candidates, ex, minJaccard).localCheckpoint(true)
+  }
+
+  /** [[lshContainmentPairs]] over PRE-COMPUTED [[shingleRows]]. */
+  def lshContainmentPairsWithShingles(ex: DataFrame, minContainment: Double,
+      k: Int = 16, bands: Int = 8,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    require(minContainment > 0,
+      "minContainment must be > 0 (zero-overlap pairs are never emitted)")
+    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
+      .select("id_a", "id_b")
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    candidates
+      .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
+      .localCheckpoint(true)
+  }
+
   /** Exact dedup on a content hash: one representative (min of `idCol`)
     * + multiplicity per distinct value of `keyExpr`. */
   def exact(df: DataFrame, idCol: String, keyExpr: Column): DataFrame =
@@ -488,18 +540,15 @@ object Dedup {
     // candidate-bounded pair list (small by the output-bound argument
     // above) is materialized eagerly below and the shingle cache released
     // before returning.
-    val ex = shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
-      .dropDuplicates("id", "h") // jaccard is over DISTINCT shingle sets
+    val ex = shingleRows(df, idCol, textCol, shingleN, portable = portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
-      .select("id_a", "id_b")
-    val pairs = verifiedJaccard(candidates, ex, minJaccard)
-      // EAGER materialization of the bounded result (same pattern as
-      // [[Similarity.kmeansCentroids]]'s persist→fold→unpersist): the
-      // checkpointed blocks are result-sized and GC-cleaned by Spark's
-      // ContextCleaner when the returned frame goes out of scope, unlike
-      // an explicit persist, which CacheManager pins until unpersist.
-      .localCheckpoint(true)
+    // EAGER materialization of the bounded result inside WithShingles
+    // (same pattern as [[Similarity.kmeansCentroids]]'s persist→fold→
+    // unpersist): the checkpointed blocks are result-sized and
+    // GC-cleaned by Spark's ContextCleaner when the returned frame goes
+    // out of scope, unlike an explicit persist, which CacheManager pins
+    // until unpersist.
+    val pairs = lshVerifiedPairsWithShingles(ex, minJaccard, k, bands, maxBucketSize)
     ex.unpersist(blocking = false) // corpus-sized cache dies with the op
     pairs
   }
@@ -607,23 +656,10 @@ object Dedup {
       maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     require(minContainment > 0,
       "minContainment must be > 0 (zero-overlap pairs are never emitted)")
-    val ex = shingleHashRows(df, idCol, textCol, shingleN, portable = portable)
-      .dropDuplicates("id", "h")
+    val ex = shingleRows(df, idCol, textCol, shingleN, portable = portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
-      .select("id_a", "id_b")
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = candidates
-      .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
-      .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("containment",
-        col("n_inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
-      .filter(col("containment") >= minContainment)
-      .select("id_a", "id_b", "containment")
-      .localCheckpoint(true)
+    val pairs = lshContainmentPairsWithShingles(ex, minContainment, k, bands,
+      maxBucketSize)
     ex.unpersist(blocking = false)
     pairs
   }

@@ -40,11 +40,30 @@ object PipelineQueries {
   private def lshClusterLabels(s: SparkSession, dir: String): DataFrame = {
     if (lshLabelsMemo.size > 8) lshLabelsMemo.clear()
     lshLabelsMemo.computeIfAbsent((s, dir), { _ =>
-      val pairs = Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", k = 16, bands = 8, shingleN = 2,
+      val pairs = Dedup
+        .minhashLshPairsWithShingles(docShingles(s, dir), k = 16, bands = 8,
           maxBucketSize = Some(8))
         .select("id_a", "id_b")
       Dedup.clusterPairs(pairs).localCheckpoint(true)
+    })
+  }
+
+  /** Shingle signature-table memo — [[Dedup.shingleRows]] over the
+    * documents table at the d2-family parameters (2-gram, portable
+    * hash), the artifact an operating dedup pipeline stores per corpus
+    * version: LSH candidates, Jaccard/containment verification, and the
+    * cluster-label chain all read these same rows (the op-internal
+    * sharing note at Dedup.lshVerifiedPairs, promoted across queries).
+    * Entry is the eagerly-materialized frame, keyed (session, dir). */
+  private val shingleMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    if (shingleMemo.size > 8) shingleMemo.clear()
+    shingleMemo.computeIfAbsent((s, dir), { _ =>
+      Dedup.shingleRows(Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2)
+        .localCheckpoint(true)
     })
   }
 
@@ -367,8 +386,8 @@ object PipelineQueries {
     // variant is usually the clean original; min-id picks an arbitrary
     // copy). Same LSH parameters as d2 so the oracle shares its chain.
     "g1_pagerank" -> { (s, dir) =>
-      val pairs = Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", k = 16, bands = 8, shingleN = 2,
+      val pairs = Dedup
+        .minhashLshPairsWithShingles(docShingles(s, dir), k = 16, bands = 8,
           maxBucketSize = Some(8))
         .select("id_a", "id_b")
       Dedup.pagerankCentrality(pairs, iters = 3).orderBy("id")
@@ -478,8 +497,8 @@ object PipelineQueries {
     // plan: at sf0.01 it actively drops the two size-12 degenerate
     // buckets, so a regression in the pruned path breaks the hash-match.
     "d2_minhash_lsh" -> { (s, dir) =>
-      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-          k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))
+      Dedup.minhashLshPairsWithShingles(docShingles(s, dir),
+          k = 16, bands = 8, maxBucketSize = Some(8))
         .orderBy("id_a", "id_b")
     },
 
@@ -505,8 +524,8 @@ object PipelineQueries {
     // near-dup-dense corpora — the one sf5 oracle hole in SCALE.md), the
     // answer here never exceeds the LSH candidate count.
     "d4b_lsh_verified" -> { (s, dir) =>
-      Dedup.lshVerifiedPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-          minJaccard = 0.02, k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))
+      Dedup.lshVerifiedPairsWithShingles(docShingles(s, dir),
+          minJaccard = 0.02, k = 16, bands = 8, maxBucketSize = Some(8))
         .orderBy("id_a", "id_b")
     },
 
@@ -571,9 +590,8 @@ object PipelineQueries {
     // candidates — catches the quote/boilerplate case (small doc inside
     // big doc) that Jaccard structurally misses.
     "d17_containment" -> { (s, dir) =>
-      Dedup.lshContainmentPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-          minContainment = 0.3, k = 16, bands = 8, shingleN = 2,
-          maxBucketSize = Some(8))
+      Dedup.lshContainmentPairsWithShingles(docShingles(s, dir),
+          minContainment = 0.3, k = 16, bands = 8, maxBucketSize = Some(8))
         .orderBy("id_a", "id_b")
     },
 
