@@ -117,10 +117,16 @@ object StreamScale {
     /** One AvailableNow drain of `sink` over the watched dir; returns
       * (wall sec, rows emitted downstream, state rows, batches). */
     def drain(name: String, build: DataFrame => DataFrame,
+        mode: OutputMode): (Double, Long, Long, Int) =
+      drainFrom(name, () => build(
+        spark.readStream.schema(schema).parquet(watch.toString)), mode)
+
+    /** drain() for sinks that construct their own source(s) — the
+      * stream-stream join reads the watched dir twice. */
+    def drainFrom(name: String, build: () => DataFrame,
         mode: OutputMode): (Double, Long, Long, Int) = {
-      val src = spark.readStream.schema(schema).parquet(watch.toString)
       var emitted = 0L
-      val q = build(src).writeStream
+      val q = build().writeStream
         .option("checkpointLocation", ckpt.resolve(name).toString)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
@@ -155,11 +161,24 @@ object StreamScale {
           gapMs = 30L * 60 * 1000).toDF(),
         OutputMode.Append())
       sessionsTotal += sEmit
+      // stream-stream interval join (the 4th state shape: buffered join
+      // rows, evicted at lookback + watermark): clicks enriched with
+      // same-user views from the preceding 10 minutes
+      val (jWall, jEmit, jState, _) = drainFrom("join", () =>
+        EventStreams.intervalJoin(
+          spark.readStream.schema(schema).parquet(watch.toString)
+            .filter(col("event_type") === "click"),
+          spark.readStream.schema(schema).parquet(watch.toString)
+            .filter(col("event_type") === "view"),
+          lookback = "10 minutes"),
+        OutputMode.Append())
       println(f"""{"tick":$t,"rows":$staged,"win_wall_s":$wWall%.2f,""" +
         f""""win_emitted":$wEmit,"win_state_rows":$wState,""" +
         f""""dedup_wall_s":$dWall%.2f,"dedup_state_rows":$dState,""" +
         f""""sess_wall_s":$sWall%.2f,"sessions_closed":$sEmit,""" +
         f""""sess_state_rows":$sState,""" +
+        f""""join_wall_s":$jWall%.2f,"join_matches":$jEmit,""" +
+        f""""join_state_rows":$jState,""" +
         f""""win_krows_s":${staged / 1000.0 / wWall}%.1f}""")
     }
     println(s"""{"metric":"stream_scale_sessions","value":$sessionsTotal}""")
