@@ -195,6 +195,64 @@ object Retrieval {
       .localCheckpoint(true) // queries × k rows; frees the postings reads
   }
 
+  /** BM25 hard-negative mining (the lexical-negatives recipe of dense-
+    * retriever training — Karpukhin et al., "Dense Passage Retrieval",
+    * EMNLP'20, public method): per query, the top BM25 hits that are
+    * NOT semantic neighbors of the query — cosine between the query's
+    * and the candidate's embeddings below `maxCosine`. Lexically
+    * confusable but semantically wrong is exactly the negative that
+    * teaches a dense retriever to look past term overlap; filtering by
+    * cosine guards against FALSE negatives (the lexical hit that is
+    * actually relevant).
+    *
+    * Bit-determinism: BM25 scores via the odds-idf sorted fold
+    * ([[bm25TopK]]), cosine via the index-ordered `graft_dot` fold over
+    * pre-cast doubles — both already oracle-pinned shapes.
+    *
+    * Scale: the lexical candidate set bounds everything — cosines are
+    * computed for queries × `kLex` candidate pairs via id equi-joins
+    * against the embedding table, never corpus-wide; the final cut is
+    * one bounded per-query window.
+    *
+    * @param emb embedding table; `embIdCol` must align with the doc id
+    *            space of the postings.
+    * @return (qid, doc_id, score, cosine, rank), rank ≤ k per query by
+    *         BM25 score among surviving negatives. */
+  def bm25HardNegativesWithPostings(tf: DataFrame, seeds: DataFrame,
+      qidCol: String, qTextCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      kLex: Int, maxCosine: Double, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val VA = graft.functions.VectorAnalytics
+    val lex = bm25TopKWithPostings(tf, seeds, qidCol, qTextCol, kLex, k1, b,
+        idf = "odds")
+      .filter(col("doc_id") =!= col("qid"))
+      .drop("rank")
+    val n = emb.select(col(embIdCol).as("__vid"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__nrm", sqrt(VA.dot(col("__v"), col("__v"))))
+    lex
+      .join(n.select(col("__vid").as("qid"), col("__v").as("__qv"),
+        col("__nrm").as("__qn")), Seq("qid"))
+      .join(n.select(col("__vid").as("doc_id"), col("__v").as("__cv"),
+        col("__nrm").as("__cn")), Seq("doc_id"))
+      .withColumn("cosine",
+        VA.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .filter(col("cosine") < maxCosine)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "score", "cosine", "rank")
+  }
+
+  /** Self-contained form of [[bm25HardNegativesWithPostings]]. */
+  def bm25HardNegatives(docs: DataFrame, seeds: DataFrame,
+      idCol: String, textCol: String, qidCol: String, qTextCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      kLex: Int, maxCosine: Double, k: Int): DataFrame =
+    bm25HardNegativesWithPostings(bm25Postings(docs, idCol, textCol), seeds,
+      qidCol, qTextCol, emb, embIdCol, vecCol, kLex, maxCosine, k)
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09 —
     * public method): fuse N ranked lists into one, score(q, d) =
     * Σ_lists 1/(k0 + rank). The standard way to combine the lexical

@@ -896,6 +896,22 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     },
 
+    // Hard-negative mining for dense-retriever training (DPR-style BM25
+    // negatives): per seed query, the top lexical hits whose embedding
+    // cosine vs the seed is BELOW 0.1 — lexically confusable,
+    // semantically wrong. Cosines only for the ≤ queries × 20 lexical
+    // candidates (id equi-joins), never corpus-wide.
+    "r4_hard_negatives" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val seeds = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      graft.ops.Retrieval.bm25HardNegativesWithPostings(
+          docPostings(s, dir), seeds, "qid", "qtext",
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          kLex = 20, maxCosine = 0.1, k = 10)
+        .orderBy("qid", "rank")
+    },
+
     // Deterministic stratified sampling: 7 docs per (lang, source) by
     // portable-hash order — reproducible mixture control without RNG.
     "e12_stratified_sample" -> { (s, dir) =>
@@ -2904,6 +2920,44 @@ object PipelineQueries {
          |SELECT qid, doc_id, rrf, rank FROM (
          |  SELECT qid, doc_id, rrf, CAST(row_number() OVER (
          |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank FROM fused)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // Hard-negative mirror: r2's BM25 CTE prefix at k=20 (self
+    // excluded AFTER the rank cut, matching the op), cosine via the
+    // index-ordered dot fold for the candidate pairs only, the < 0.1
+    // semantic-neighbor exclusion, and the bounded re-rank by score.
+    "r4_hard_negatives" ->
+      s"""WITH dtoks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(1) AS DOUBLE) AS tf FROM dtoks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(count(1) AS DOUBLE) AS dl FROM dtoks GROUP BY 1),
+         |gl AS (SELECT CAST(count(1) AS DOUBLE) AS n, sum(dl) AS tot FROM dl),
+         |dft AS (SELECT term, CAST(count(1) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT doc_id AS qid, text AS qtext FROM documents WHERE doc_id < 3),
+         |qt AS (SELECT qid, unnest(list_distinct(regexp_split_to_array(trim(qtext), '\\s+'))) AS term FROM q),
+         |contribs AS (SELECT qid, doc_id,
+         |    {'t': qt.term, 'c': ((n - df + 0.5) / (df + 0.5)) *
+         |      (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (tot / n))))} AS tc
+         |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN gl),
+         |bmsc AS (SELECT qid, doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_sort(list(tc)), xh -> xh.c)), (ah, vh) -> ah + vh) AS score
+         |  FROM contribs GROUP BY qid, doc_id),
+         |bmr AS (SELECT qid, doc_id, score, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS r FROM bmsc),
+         |cand AS (SELECT qid, doc_id, score FROM bmr
+         |  WHERE r <= 20 AND doc_id <> qid),
+         |${dVecs("r4")},
+         |scored AS (SELECT c.qid, c.doc_id, c.score,
+         |    ${dDot("qn.v", "cn.v", "h4")} / (qn.nrm * cn.nrm) AS cosine
+         |  FROM cand c JOIN normed qn ON qn.vec_id = c.qid
+         |    JOIN normed cn ON cn.vec_id = c.doc_id),
+         |neg AS (SELECT qid, doc_id, score, cosine FROM scored
+         |  WHERE cosine < CAST(0.1 AS DOUBLE))
+         |SELECT qid, doc_id, score, cosine, rank FROM (
+         |  SELECT qid, doc_id, score, cosine, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM neg)
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "e12_stratified_sample" ->
