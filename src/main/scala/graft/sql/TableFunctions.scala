@@ -94,6 +94,11 @@ import graft.store.TableStore
   *  - `TABLE(graft_cluster_keywords(docs, labels, 'id', 'text',
   *    k_clusters, top_m))` → [[CorpusOps.clusterKeywords]]: c-TF-IDF
   *    keyword labels per cluster (labels has (id, cluster))
+  *  - `TABLE(graft_hard_negatives(docs, seeds, emb, 'id', 'text',
+  *    'qid', 'qtext', 'emb_id', 'vec', k_lex, max_cosine, k))` →
+  *    [[Retrieval.bm25HardNegatives]]: per seed query, the top BM25
+  *    hits that are NOT semantic neighbors — DPR-style training
+  *    negatives
   *  - `TABLE(graft_asof_join(left, right, 'k1;k2', 'ts',
   *    'rightcol=outname,…'[, 'forward']))` →
   *    [[graft.ops.TemporalJoins.asofBackward]]/`asofForward`: per key,
@@ -407,6 +412,15 @@ object TableFunctions {
         CorpusOps.clusterKeywords(rel(args(0)), str(args(2)), str(args(3)),
           rel(args(1)), args(4).toInt, args(5).toInt)
 
+      case "graft_hard_negatives" =>
+        arity(args.length == 12,
+          "12 (docs, seeds, emb, 'id', 'text', 'qid', 'qtext', 'emb_id', 'vec', k_lex, max_cosine, k)")
+        Retrieval.bm25HardNegatives(rel(args(0)), rel(args(1)),
+          str(args(3)), str(args(4)), str(args(5)), str(args(6)),
+          rel(args(2)), str(args(7)), str(args(8)),
+          kLex = args(9).toInt, maxCosine = args(10).toDouble,
+          k = args(11).toInt)
+
       case "graft_asof_join" =>
         arity(args.length == 5 || args.length == 6,
           "5 or 6 (left, right, 'k1;k2;…', 'ts', 'rightcol=outname,…'[, 'forward'])")
@@ -442,7 +456,7 @@ object TableFunctions {
         "graft_curriculum, graft_winnow_overlap, graft_bpe_tokenize, " +
         "graft_pagerank, graft_hash_tfidf, graft_semdedup_kmeans, " +
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
-        "graft_asof_join, graft_range_join")
+        "graft_asof_join, graft_range_join, graft_hard_negatives")
     }
   }
 }

@@ -219,6 +219,50 @@ class TableFunctionsSpec extends AnyFunSuite {
         kClusters = 8, topM = 5)))
   }
 
+  test("graft_hard_negatives: SQL call equals Retrieval.bm25HardNegatives") {
+    val g = sess()
+    docs.createOrReplaceTempView("docs_tf")
+    embs.createOrReplaceTempView("embs_tf")
+    docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      .createOrReplaceTempView("seeds_tf")
+    val viaApi = Retrieval.bm25HardNegatives(docs,
+      docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext")),
+      "doc_id", "text", "qid", "qtext",
+      embs, "vec_id", "embedding", kLex = 20, maxCosine = 0.1, k = 10)
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_hard_negatives(" +
+      "docs_tf, seeds_tf, embs_tf, 'doc_id', 'text', 'qid', 'qtext', " +
+      "'vec_id', 'embedding', 20, 0.1, 10))").get) == rows(viaApi))
+    // the false-negative guard binds: every survivor is dissimilar
+    assert(viaApi.filter(col("cosine") >= 0.1).count() == 0)
+  }
+
+  test("With* artifact forms equal their self-contained ops bit-for-bit") {
+    // the shared-artifact split (shingle table / postings / codebooks)
+    // must be invisible in results — same rows, same values
+    val ex = Dedup.shingleRows(docs, "doc_id", "text", shingleN = 2)
+    assert(rows(Dedup.lshVerifiedPairsWithShingles(ex, 0.3,
+        k = 16, bands = 8, maxBucketSize = Some(8))) ==
+      rows(Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.3,
+        k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))))
+    assert(rows(Dedup.lshContainmentPairsWithShingles(ex, 0.3,
+        k = 16, bands = 8, maxBucketSize = Some(8))) ==
+      rows(Dedup.lshContainmentPairs(docs, "doc_id", "text", 0.3,
+        k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))))
+    val tf = Retrieval.bm25Postings(docs, "doc_id", "text")
+    val seeds = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    assert(rows(Retrieval.bm25TopKWithPostings(tf, seeds,
+        "qid", "qtext", k = 10, idf = "odds")) ==
+      rows(Retrieval.bm25TopK(docs, seeds, "doc_id", "text",
+        "qid", "qtext", k = 10, idf = "odds")))
+    val cents = Similarity.kmeansCentroids(embs, "vec_id", "embedding",
+      k = 8, iters = 3)
+    assert(rows(Similarity.assignClusters(embs, "vec_id", "embedding", cents)) ==
+      rows(Similarity.kmeans(embs, "vec_id", "embedding", k = 8, iters = 3)))
+  }
+
   test("graft_asof_join / graft_range_join: SQL calls equal TemporalJoins") {
     val g = sess()
     val ev = graft.Tables.events(spark, dir)
