@@ -617,6 +617,33 @@ object PipelineQueries {
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     },
 
+    // Corpus statistical profile — the per-source report card a curation
+    // run publishes: doc counts, token totals, and tokens-per-doc
+    // moments (mean/variance/stddev). Moments come from EXACT integer
+    // sums (n, Σt, Σt² — all < 2^53) with cross-engine-ordered double
+    // casts at the end, so even variance hash-matches where a Welford-
+    // style streaming stddev never would; one hash-agg pass, map-side
+    // partials, no window.
+    "a10_corpus_profile" -> { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("source"), size(TA.tokens(col("text"))).cast("long").as("t"))
+      t.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("t")).as("sum_t"),
+          sum(col("t") * col("t")).as("sum_t2"),
+          min(col("t")).as("min_t"),
+          max(col("t")).as("max_t"))
+        .withColumn("mean_t",
+          col("sum_t").cast("double") / col("n_docs").cast("double"))
+        .withColumn("var_t",
+          (col("sum_t2").cast("double")
+            - col("sum_t").cast("double") * col("sum_t").cast("double")
+              / col("n_docs").cast("double"))
+            / (col("n_docs") - 1).cast("double"))
+        .withColumn("stddev_t", sqrt(col("var_t")))
+        .orderBy("source")
+    },
+
     // Semi-structured round trip (the Snowflake VARIANT analogue): build
     // nested JSON per row, then extract scalars back by path — both
     // engines construct their own JSON, so the check is on extraction
@@ -3099,6 +3126,29 @@ object PipelineQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // Profile mirror: identical exact-integer-sum moments, identical
+    // cast points (sum(BIGINT) is HUGEINT in DuckDB — cast back).
+    "a10_corpus_profile" ->
+      s"""WITH $dToks,
+         |t AS (SELECT source, CAST(len(tk) AS BIGINT) AS t FROM toks),
+         |g AS (SELECT source,
+         |    CAST(count(1) AS BIGINT) AS n_docs,
+         |    CAST(sum(t) AS BIGINT) AS sum_t,
+         |    CAST(sum(t * t) AS BIGINT) AS sum_t2,
+         |    min(t) AS min_t, max(t) AS max_t
+         |  FROM t GROUP BY source)
+         |SELECT source, n_docs, sum_t, sum_t2, min_t, max_t,
+         |  CAST(sum_t AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_t,
+         |  (CAST(sum_t2 AS DOUBLE)
+         |    - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE)
+         |      / CAST(n_docs AS DOUBLE))
+         |    / CAST(n_docs - 1 AS DOUBLE) AS var_t,
+         |  sqrt((CAST(sum_t2 AS DOUBLE)
+         |    - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE)
+         |      / CAST(n_docs AS DOUBLE))
+         |    / CAST(n_docs - 1 AS DOUBLE)) AS stddev_t
+         |FROM g ORDER BY source""".stripMargin,
 
     "e13_json" ->
       """WITH j AS (SELECT doc_id,
