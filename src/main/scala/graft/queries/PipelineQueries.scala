@@ -1756,6 +1756,37 @@ object PipelineQueries {
         .orderBy("minute", "event_type")
     },
 
+    // Windowed anomaly detection — the stream-quality monitor over event
+    // volumes: hourly counts per event_type z-scored against that type's
+    // own distribution, |z| ≥ 2 flagged. The mean/std come from the a10
+    // exact-integer-sum moments (n, Σc, Σc²), so the z-scores hash-match
+    // cross-engine — a Welford/stddev_samp aggregate never would. Two
+    // hash-agg passes + a broadcast-sized per-type join; no window
+    // function, nothing corpus-global.
+    "st3_anomaly" -> { (s, dir) =>
+      val w = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy(expr("ts_us div 3600000000").cast("long").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = w.groupBy("event_type").agg(
+        count(lit(1)).as("n_w"),
+        sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      w.join(broadcast(stats), Seq("event_type"))
+        .withColumn("mean_n",
+          col("s1").cast("double") / col("n_w").cast("double"))
+        .withColumn("std_n", sqrt(
+          (col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double")
+              / col("n_w").cast("double"))
+            / (col("n_w") - 1).cast("double")))
+        .withColumn("z", (col("n").cast("double") - col("mean_n")) / col("std_n"))
+        .withColumn("is_anomaly", abs(col("z")) >= lit(2.0))
+        .select("event_type", "hour", "n", "z", "is_anomaly")
+        .orderBy("event_type", "hour")
+    },
+
     // Gap-based sessionization, batch shape (the streaming twin lives in
     // EventStreams.sessionize): a session breaks after a 30-minute gap
     // per user. The lag/cumsum windows partition on user_id — per-key
@@ -3192,6 +3223,27 @@ object PipelineQueries {
         |  count(1) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY minute, event_type""".stripMargin,
+
+    // Anomaly mirror: same hourly buckets, same exact-sum moments,
+    // identical cast/divide order.
+    "st3_anomaly" ->
+      """WITH w AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+        |    CAST(count(1) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |    CAST(count(1) AS BIGINT) AS n_w,
+        |    CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM w GROUP BY event_type),
+        |z AS (SELECT w.event_type, w.hour, w.n,
+        |    (CAST(w.n AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE))
+        |      / sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE))
+        |        / CAST(n_w - 1 AS DOUBLE)) AS z
+        |  FROM w JOIN st USING (event_type))
+        |SELECT event_type, hour, n, z, abs(z) >= CAST(2.0 AS DOUBLE) AS is_anomaly
+        |FROM z ORDER BY event_type, hour""".stripMargin,
 
     "e10_top_ngrams" ->
       s"""WITH $dToks,
