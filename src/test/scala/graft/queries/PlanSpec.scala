@@ -328,6 +328,30 @@ class PlanSpec extends AnyFunSuite {
       "only the scalar corpus-total agg may single-partition")
   }
 
+  test("hard negatives: candidate-bounded cosine, no corpus-wide vector join") {
+    val p = plan("r4_hard_negatives")
+    // the cosine joins must be id equi-joins against the lexical
+    // candidate set — never an unkeyed pass over the embedding table;
+    // BM25's ONE-ROW corpus-scalar broadcast (Cross BuildRight) is the
+    // only unkeyed join allowed
+    assert(!p.contains("CartesianProduct"),
+      "cosine is computed per candidate via id equi-joins only")
+    assert(!"BroadcastNestedLoopJoin (?!Cross BuildRight)".r.findAllIn(p).hasNext,
+      "any nested-loop join must be the scalar corpus-stats broadcast")
+    assert(p.contains("LeftSemi") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "expected hash-keyed joins for the embedding lookups")
+  }
+
+  test("anomaly windows: two agg passes + broadcast stats join, no window fn") {
+    val p = plan("st3_anomaly")
+    assert(!p.contains("Window"), "moments come from aggregates, not window fns")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-type stats (5 rows) must broadcast back onto the windows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "stats join is keyed on event_type")
+  }
+
   test("quality retention: one language-keyed window, no global sort before it") {
     val p = plan("e31_quality_retention")
     assert("windowspecdefinition\\(lang".r.findFirstIn(p.toLowerCase.replace("#", "")).isDefined
