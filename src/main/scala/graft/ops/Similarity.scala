@@ -457,14 +457,17 @@ object Similarity {
     }
   }
 
-  /** [[pqTopK]] against PRE-TRAINED codebooks ([[pqCodebooks]]). */
+  /** [[pqTopK]] against PRE-TRAINED codebooks ([[pqCodebooks]]). The
+    * subspace width comes from the codebooks themselves — no corpus
+    * probe job here (the self-contained form already paid one). */
   def pqTopKWithCodebooks(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
       books: IndexedSeq[Array[Seq[Double]]], k: Int): DataFrame = {
     val m = books.length
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(m > 0 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val d = dim / m
+    require(m > 0 && books.forall(_.nonEmpty), "need at least one non-empty codebook")
+    val d = books.head.head.length
+    require(books.forall(_.forall(_.length == d)),
+      s"all codebook words must have the same subspace width $d")
     def sub(vc: Column, s: Int): Column =
       slice(transform(vc, x => x.cast("double")), lit(s * d + 1), lit(d))
     val enc = corpus.select(col(idCol).as("neighbor_id") +:

@@ -103,11 +103,12 @@ object PipelineQueries {
     })
   }
 
-  /** Memoized (id, cluster) assignment of the embeddings table against
-    * the (dir, k, iters) codebook — same columns as
-    * [[Similarity.kmeans]], so call sites swap in directly. The
-    * assignment itself stays a lazy broadcast-literal argmin map — only
-    * TRAINING is shared. */
+  /** Memoized (vec_id, cluster) assignment of the embeddings table
+    * against the (dir, k, iters) codebook — already keyed by the
+    * table's own id column, so consumers join without the rename
+    * boilerplate [[Similarity.kmeans]]'s generic (id, cluster) shape
+    * would force on every site. The assignment itself stays a lazy
+    * broadcast-literal argmin map — only TRAINING is shared. */
   private def kmEmbLabels(s: SparkSession, dir: String,
       k: Int, iters: Int): DataFrame = {
     if (kmeansCentsMemo.size > 32) kmeansCentsMemo.clear()
@@ -117,6 +118,7 @@ object PipelineQueries {
     })
     Similarity.assignClusters(Tables.load(s, dir, "embeddings"),
       "vec_id", "embedding", cents)
+      .withColumnRenamed("id", "vec_id")
   }
 
   private val P = "1000000007"
@@ -476,7 +478,9 @@ object PipelineQueries {
     // The oracle replays the kmeans training AND the c-TF-IDF scoring.
     "g5_cluster_keywords" -> { (s, dir) =>
       graft.ops.CorpusOps.clusterKeywords(Tables.load(s, dir, "documents"),
-          "doc_id", "text", kmEmbLabels(s, dir, k = 10, iters = 3),
+          "doc_id", "text",
+          kmEmbLabels(s, dir, k = 10, iters = 3)
+            .withColumnRenamed("vec_id", "id"),
           kClusters = 10, topM = 5)
         .orderBy("cluster", "rank")
     },
@@ -580,8 +584,7 @@ object PipelineQueries {
     "d16_semdedup" -> { (s, dir) =>
       Dedup.semDedupWithLabels(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding",
-          kmEmbLabels(s, dir, k = 20, iters = 5)
-            .withColumnRenamed("id", "vec_id"),
+          kmEmbLabels(s, dir, k = 20, iters = 5),
           minCosine = 0.2)
         .orderBy("vec_id")
     },
@@ -635,11 +638,13 @@ object PipelineQueries {
           max(col("t")).as("max_t"))
         .withColumn("mean_t",
           col("sum_t").cast("double") / col("n_docs").cast("double"))
-        .withColumn("var_t",
+        // a single-doc source has no sample variance (0/0 → NaN in the
+        // published report); NULL states "undefined" honestly
+        .withColumn("var_t", when(col("n_docs") >= lit(2L),
           (col("sum_t2").cast("double")
             - col("sum_t").cast("double") * col("sum_t").cast("double")
               / col("n_docs").cast("double"))
-            / (col("n_docs") - 1).cast("double"))
+            / (col("n_docs") - 1).cast("double")))
         .withColumn("stddev_t", sqrt(col("var_t")))
         .orderBy("source")
     },
@@ -1169,7 +1174,6 @@ object PipelineQueries {
     "n5_ann_ivf_kmeans" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val km = kmEmbLabels(s, dir, k = 20, iters = 5)
-        .withColumnRenamed("id", "vec_id")
       Similarity.ivfTopK(e.join(km, Seq("vec_id")), e.filter(col("vec_id") < 10),
           "vec_id", "embedding", "cluster", k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
@@ -1187,7 +1191,6 @@ object PipelineQueries {
         .bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val km = kmEmbLabels(s, dir, k = 20, iters = 5)
-        .withColumnRenamed("id", "vec_id")
       val approx = Similarity
         .ivfTopK(e.join(km, Seq("vec_id")), e.filter(col("vec_id") < 10),
           "vec_id", "embedding", "cluster", k = 5, nprobe = 2)
@@ -1221,6 +1224,7 @@ object PipelineQueries {
     // replays bit-exactly in the oracle.
     "n10_ann_pq" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
+      if (pqBooksMemo.size > 8) pqBooksMemo.clear()
       val books = pqBooksMemo.computeIfAbsent((s, dir, 4, 8, 3), { _ =>
         Similarity.pqCodebooks(e, "vec_id", "embedding",
           m = 4, codebookK = 8, kmIters = 3)
@@ -1284,7 +1288,6 @@ object PipelineQueries {
       val exact = Similarity.knnDirected(e, "vec_id", "embedding", k = 5)
         .select("id", "nbr")
       val km = kmEmbLabels(s, dir, k = 32, iters = 5)
-        .withColumnRenamed("id", "vec_id")
       val blocked = Similarity.ivfTopK(e.join(km, Seq("vec_id")), e,
           "vec_id", "embedding", "cluster", k = 5, nprobe = 14)
         .select(col("query_id").as("id"), col("neighbor_id").as("nbr"))
@@ -1317,8 +1320,7 @@ object PipelineQueries {
     // oracle reuses the bit-exact kmeans training replay.
     "n8_cluster_sample" -> { (s, dir) =>
       Similarity.clusterBalancedSampleWithLabels(
-          kmEmbLabels(s, dir, k = 20, iters = 5)
-            .withColumnRenamed("id", "vec_id"),
+          kmEmbLabels(s, dir, k = 20, iters = 5),
           "vec_id", perCluster = 10)
         .orderBy("cluster", "vec_id")
     },
@@ -1781,8 +1783,15 @@ object PipelineQueries {
             - col("s1").cast("double") * col("s1").cast("double")
               / col("n_w").cast("double"))
             / (col("n_w") - 1).cast("double")))
-        .withColumn("z", (col("n").cast("double") - col("mean_n")) / col("std_n"))
-        .withColumn("is_anomaly", abs(col("z")) >= lit(2.0))
+        // degenerate types (one bucket → std NaN, constant counts →
+        // std 0) have NO distribution to score against: z is NULL and
+        // nothing flags — without the guard z is NaN, and NaN ≥ 2.0 is
+        // TRUE on both engines, flagging 100% of a perfectly-steady type
+        .withColumn("z", when(col("std_n") > lit(0.0),
+          (col("n").cast("double") - col("mean_n")) / col("std_n")))
+        .withColumn("is_anomaly",
+          when(col("std_n") > lit(0.0), abs(col("z")) >= lit(2.0))
+            .otherwise(lit(false)))
         .select("event_type", "hour", "n", "z", "is_anomaly")
         .orderBy("event_type", "hour")
     },
@@ -3171,14 +3180,14 @@ object PipelineQueries {
          |  FROM t GROUP BY source)
          |SELECT source, n_docs, sum_t, sum_t2, min_t, max_t,
          |  CAST(sum_t AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_t,
-         |  (CAST(sum_t2 AS DOUBLE)
+         |  CASE WHEN n_docs >= 2 THEN (CAST(sum_t2 AS DOUBLE)
          |    - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE)
          |      / CAST(n_docs AS DOUBLE))
-         |    / CAST(n_docs - 1 AS DOUBLE) AS var_t,
-         |  sqrt((CAST(sum_t2 AS DOUBLE)
+         |    / CAST(n_docs - 1 AS DOUBLE) ELSE NULL END AS var_t,
+         |  CASE WHEN n_docs >= 2 THEN sqrt((CAST(sum_t2 AS DOUBLE)
          |    - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE)
          |      / CAST(n_docs AS DOUBLE))
-         |    / CAST(n_docs - 1 AS DOUBLE)) AS stddev_t
+         |    / CAST(n_docs - 1 AS DOUBLE)) ELSE NULL END AS stddev_t
          |FROM g ORDER BY source""".stripMargin,
 
     "e13_json" ->
@@ -3235,14 +3244,19 @@ object PipelineQueries {
         |    CAST(sum(n) AS BIGINT) AS s1,
         |    CAST(sum(n * n) AS BIGINT) AS s2
         |  FROM w GROUP BY event_type),
-        |z AS (SELECT w.event_type, w.hour, w.n,
-        |    (CAST(w.n AS DOUBLE)
-        |      - CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE))
-        |      / sqrt((CAST(s2 AS DOUBLE)
-        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE))
-        |        / CAST(n_w - 1 AS DOUBLE)) AS z
-        |  FROM w JOIN st USING (event_type))
-        |SELECT event_type, hour, n, z, abs(z) >= CAST(2.0 AS DOUBLE) AS is_anomaly
+        |sd AS (SELECT w.event_type, w.hour, w.n, s1, n_w,
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE))
+        |      / CAST(n_w - 1 AS DOUBLE)) AS std_n
+        |  FROM w JOIN st USING (event_type)),
+        |z AS (SELECT event_type, hour, n, std_n,
+        |    CASE WHEN std_n > CAST(0.0 AS DOUBLE) THEN
+        |      (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_w AS DOUBLE)) / std_n
+        |    ELSE NULL END AS z
+        |  FROM sd)
+        |SELECT event_type, hour, n, z,
+        |  CASE WHEN std_n > CAST(0.0 AS DOUBLE)
+        |    THEN abs(z) >= CAST(2.0 AS DOUBLE) ELSE false END AS is_anomaly
         |FROM z ORDER BY event_type, hour""".stripMargin,
 
     "e10_top_ngrams" ->
