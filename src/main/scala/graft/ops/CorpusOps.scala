@@ -540,6 +540,56 @@ object CorpusOps {
         col("bits_total").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Per-SOURCE token-distribution divergence from the corpus mixture —
+    * the data-mixing diagnostic behind domain-reweighting methods
+    * (Xie et al., "DoReMi", NeurIPS'23 measures excess loss per domain;
+    * this is its model-free unigram form): for each source, the
+    * KL-style gap between the source's own unigram distribution and the
+    * pooled corpus distribution over a shared learned vocabulary.
+    * Sources with near-zero divergence are redundant with the mixture;
+    * high-divergence sources carry the distinct content a mixing policy
+    * (e17/e21/e28) should weight deliberately.
+    *
+    * Bit-exactness: both surprises use [[unigramBits]]'s INTEGER
+    * floor-log2 (`bitlen(total) − bitlen(count)`), summed as integers
+    * weighted by integer counts; the single division per source happens
+    * once at the end — so every value is an exact rational, identical
+    * cross-engine. kl_bits = (cross_bits − self_bits)/n_tokens
+    * approximates KL(source‖corpus) in bits/token (within the ±1-bit
+    * floor-log2 envelope, so small values can dip below 0; the ORDERING
+    * across sources — what a mixing policy consumes — is faithful).
+    *
+    * Scale: one (source, token) hash agg with map-side partials; the
+    * top-`vocabSize` vocabulary and the per-source totals are bounded
+    * and broadcast — nothing shuffles on the raw token stream twice,
+    * output is one row per source.
+    *
+    * @return (sourceCol, n_tokens, cross_bits, self_bits, kl_bits)
+    *   over in-vocabulary tokens, one row per source. */
+  def sourceDivergenceBits(df: DataFrame, textCol: String,
+      sourceCol: String, vocabSize: Int = 30000): DataFrame = {
+    val toks = df.select(col(sourceCol).as("src"),
+      explode(TA.tokens(col(textCol))).as("tok"))
+    val srcCounts = toks.groupBy("src", "tok").agg(count(lit(1)).as("sn"))
+    val counts = srcCounts.groupBy("tok").agg(sum(col("sn")).as("n"))
+    val vocab = counts.orderBy(desc("n"), asc("tok")).limit(vocabSize)
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val inVocab = srcCounts.join(broadcast(vocab), Seq("tok"))
+    val corpusTotal = inVocab.agg(sum(col("sn")).as("ctot"))
+    val srcTotals = inVocab.groupBy("src").agg(sum(col("sn")).as("stot"))
+    inVocab
+      .join(broadcast(srcTotals), Seq("src"))
+      .crossJoin(broadcast(corpusTotal))
+      .groupBy(col("src").as(sourceCol))
+      .agg(
+        max(col("stot")).as("n_tokens"),
+        sum(col("sn") * (bitlen(col("ctot")) - bitlen(col("n")))).as("cross_bits"),
+        sum(col("sn") * (bitlen(col("stot")) - bitlen(col("sn")))).as("self_bits"))
+      .withColumn("kl_bits",
+        (col("cross_bits") - col("self_bits")).cast("double")
+          / col("n_tokens").cast("double"))
+  }
+
   /** BPE merge learning (Sennrich et al., "Neural Machine Translation of
     * Rare Words with Subword Units", ACL'16 — public method): learn the
     * top `numMerges` byte-pair merges from the corpus — the training

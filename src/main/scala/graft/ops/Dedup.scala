@@ -127,6 +127,81 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** EDIT-DISTANCE verification of LSH candidates — the character-level
+    * verifier of the near-dup family (vs the set-overlap verifiers
+    * [[lshVerifiedPairsWithShingles]] / [[lshContainmentPairsWithShingles]]):
+    * Levenshtein similarity 1 − dist/max(len) catches ORDER-preserving
+    * edits (typo/OCR variants, small insertions) that bag-of-shingles
+    * Jaccard scores identically to a full reshuffle, and conversely
+    * scores shuffled-but-same-vocabulary pairs low. Standard second
+    * verifier in production dedup stacks.
+    *
+    * Scale: cost is bounded by the LSH candidate count (never
+    * all-pairs), and the per-pair DP is capped by `prefixLen` — the
+    * O(prefixLen²) per-candidate bound a 100 TB job needs, since
+    * Levenshtein on unbounded documents is quadratic in doc length.
+    * `minEst` adds the SKETCH SCREEN in front of the DP (keep a
+    * candidate only if its signature-agreement estimate clears the
+    * floor): the per-pair DP is ~10⁴× a signature compare, so a
+    * production job screens on the already-computed estimate before
+    * paying for it — at sf0.1 a 4/16 floor cuts the DP set 7×. The
+    * candidate list is broadcast-joined to the two text sides; the DP
+    * itself is a codegen'd built-in (no UDF).
+    *
+    * @param docs   (idCol, textCol) source rows.
+    * @param ex     PRE-COMPUTED [[shingleRows]] of the same corpus (the
+    *               shared signature table — candidates come from it).
+    * @param minSim keep pairs with edit similarity ≥ this.
+    * @param prefixLen compare only the first `prefixLen` chars (cost cap).
+    * @param minEst DP only candidates whose MinHash estimate ≥ this
+    *               (0.0 = verify every candidate).
+    * @return (id_a, id_b, edit_sim) with id_a < id_b; identical empty
+    *   prefixes score 1.0. */
+  def lshEditVerifiedPairs(docs: DataFrame, ex: DataFrame,
+      idCol: String, textCol: String, minSim: Double,
+      prefixLen: Int = 256, k: Int = 16, bands: Int = 8,
+      maxBucketSize: Option[Int] = Some(10000),
+      minEst: Double = 0.0): DataFrame = {
+    require(minSim > 0, "minSim must be > 0")
+    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
+      .filter(col("est_jaccard") >= minEst)
+      .select("id_a", "id_b")
+    val t = docs.select(col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("t"))
+    candidates
+      .join(t.select(col("id").as("id_a"), col("t").as("t_a")), Seq("id_a"))
+      .join(t.select(col("id").as("id_b"), col("t").as("t_b")), Seq("id_b"))
+      .withColumn("__mx", greatest(length(col("t_a")), length(col("t_b"))))
+      .withColumn("edit_sim",
+        when(col("__mx") === 0, lit(1.0))
+          .otherwise(lit(1.0) -
+            levenshtein(col("t_a"), col("t_b")).cast("double")
+              / col("__mx").cast("double")))
+      .filter(col("edit_sim") >= minSim)
+      .select("id_a", "id_b", "edit_sim")
+  }
+
+  /** MinHash ESTIMATION-ERROR report — the k (signature width) tuning
+    * loop, the sketch-accuracy counterpart of [[lshRecallReport]]'s
+    * banding loop: for every LSH candidate pair, the signature-agreement
+    * estimate m/k next to the TRUE distinct-shingle Jaccard and the
+    * absolute error. Per-pair rows (no cross-pair aggregation), so every
+    * value is an exact rational computed identically cross-engine and
+    * the output stays bounded by the candidate count.
+    * @return (id_a, id_b, est_jaccard, jaccard, abs_err), id_a < id_b. */
+  def minhashEstimationReport(ex: DataFrame, k: Int = 16, bands: Int = 8,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    // bounded pair list, referenced twice (verify join + estimate join) —
+    // materialize once, the lshVerifiedPairs pattern
+    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
+      .localCheckpoint(true)
+    verifiedJaccard(candidates.select("id_a", "id_b"), ex, minJaccard = 0.0,
+        keepZero = true)
+      .join(candidates, Seq("id_a", "id_b"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select("id_a", "id_b", "est_jaccard", "jaccard", "abs_err")
+  }
+
   /** Exact dedup on a content hash: one representative (min of `idCol`)
     * + multiplicity per distinct value of `keyExpr`. */
   def exact(df: DataFrame, idCol: String, keyExpr: Column): DataFrame =
@@ -352,6 +427,36 @@ object Dedup {
         (col("__n_total") - coalesce(col("n_tokens_kept"), lit(0L))).as("n_tokens_cut"))
   }
 
+  /** Cross-document n-gram NOVELTY profile — for each document, the
+    * fraction of its distinct n-grams whose FIRST owner (minimum doc id
+    * over every document containing the gram) is the document itself.
+    * The per-doc companion of [[duplicatedSpans]]: where d9 localizes
+    * WHICH spans repeat, novelty scores HOW derivative each document is
+    * under a first-seen-keeps-credit rule — low-novelty docs are
+    * template expansions / quote compilations / near-copies whose
+    * content predates them in the corpus order, the per-doc signal
+    * curation uses to cut generated boilerplate that exact and
+    * pair-wise dedup both miss (no single pair needs to clear a
+    * threshold).
+    *
+    * Scale: distinct (doc, gram-hash) rows → one hash shuffle on the
+    * gram to find min owners (map-side partial min absorbs hot grams) →
+    * the join back re-uses the same partitioning → one shuffle on the
+    * doc id. Nothing pairwise, output one row per doc with ≥ n tokens.
+    *
+    * @return (idCol, n_grams, n_novel, novelty), novelty = n_novel/n_grams. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val grams = shingleHashRows(df, idCol, textCol, n).dropDuplicates("id", "h")
+    val firstOwner = grams.groupBy("h").agg(min(col("id")).as("first_owner"))
+    grams.join(firstOwner, Seq("h"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("id") === col("first_owner"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Connected components over a near-dup pair graph: groups transitive
     * duplicate candidates into clusters labeled by their minimum member
     * id (the canonical representative a dedup pipeline keeps).
@@ -559,12 +664,21 @@ object Dedup {
     * [[lshVerifiedPairs]]'s plan note) — popular shingles only ever meet
     * pairs the candidate stage already nominated. */
   private[graft] def verifiedJaccard(
-      candidates: DataFrame, ex: DataFrame, minJaccard: Double): DataFrame = {
+      candidates: DataFrame, ex: DataFrame, minJaccard: Double,
+      keepZero: Boolean = false): DataFrame = {
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
+    val overlaps = candidates
       .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
       .join(ex.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    // zero-overlap candidates vanish from the inner overlap join; the
+    // estimation report needs them (est > 0, true j = 0 is exactly the
+    // error it measures), so keepZero re-attaches them with n_inter = 0
+    val inter =
+      if (!keepZero) overlaps
+      else candidates.join(overlaps, Seq("id_a", "id_b"), "left_outer")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))

@@ -245,7 +245,7 @@ object Similarity {
     *
     * @return (id_a, id_b, cosine) with id_a < id_b, one row per mutual
     *   edge — feeds [[graft.ops.Dedup.clusterPairs]] directly. */
-  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     // EAGER materialization of the bounded directed set (n·k rows, the
     // lshVerifiedPairs pattern): the mutual join references it twice, and
     // a lazy plan re-expands the all-pairs scoring + per-node window sort
@@ -253,13 +253,23 @@ object Similarity {
     // bare query, but a composition that iterates over the edges (the
     // g4 clustering) measured 38% faster with the cut at sf0.1;
     // checkpointed blocks are GC-cleaned when the result drops from scope
-    val directed = knnDirected(df, idCol, vecCol, k).localCheckpoint(true)
+    knnGraphFromDirected(knnDirected(df, idCol, vecCol, k).localCheckpoint(true))
+
+  /** The symmetrization half of [[knnGraph]], over a PRE-COMPUTED
+    * [[knnDirected]] frame — split out because the directed top-k lists
+    * are the expensive quadratic stage and a curation pipeline computes
+    * them ONCE per corpus version while several consumers (the mutual
+    * graph, recall evaluations, semantic clustering) re-read them.
+    * Callers own the directed frame's lifecycle and should pass it
+    * MATERIALIZED (localCheckpoint / persisted table): the mutual join
+    * references it twice, and a lazy plan re-expands the all-pairs
+    * scoring under both references. */
+  def knnGraphFromDirected(directed: DataFrame): DataFrame =
     directed.as("x")
       .join(directed.as("y"),
         col("x.id") === col("y.nbr") && col("x.nbr") === col("y.id"), "left_semi")
       .filter(col("x.id") < col("x.nbr"))
       .select(col("x.id").as("id_a"), col("x.nbr").as("id_b"), col("x.cosine"))
-  }
 
   /** Directed exact top-k neighbor lists — [[knnGraph]]'s first stage,
     * public because the recall evaluation needs the pre-mutualized

@@ -67,6 +67,28 @@ object PipelineQueries {
     })
   }
 
+  /** Exact directed top-k neighbor-list memo — [[Similarity.knnDirected]]
+    * over the embeddings table, the quadratic ground-truth stage that
+    * FOUR consumers re-read (the mutual graph n12, both recall
+    * evaluations n13/n13b, and g4's semantic clustering): at 100 TB you
+    * compute the evaluation-sample truth lists once per corpus version
+    * and every tuning loop joins against the same table — re-scoring the
+    * identical all-pairs join per consumer quadruples the single most
+    * expensive stage of the ANN-evaluation family for bit-identical
+    * output. Entry is the eagerly-materialized (n·k)-row frame, keyed
+    * (session, dir, k) like the label memo. */
+  private val knnDirectedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  private def exactKnnDirected(s: SparkSession, dir: String, k: Int): DataFrame = {
+    if (knnDirectedMemo.size > 8) knnDirectedMemo.clear()
+    knnDirectedMemo.computeIfAbsent((s, dir, k), { _ =>
+      Similarity.knnDirected(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k)
+        .localCheckpoint(true)
+    })
+  }
+
   /** Session-scoped memo for trained kmeans codebooks over the
     * embeddings table — the quantizer counterpart of [[lshLabelsMemo]]:
     * at 100 TB you train the coarse quantizer ONCE per corpus version
@@ -466,8 +488,7 @@ object PipelineQueries {
     // reciprocal, the clusters semantic dedup keeps one member of.
     "g4_semantic_clusters" -> { (s, dir) =>
       Dedup.clusterPairs(
-          Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
-              "vec_id", "embedding", k = 5)
+          Similarity.knnGraphFromDirected(exactKnnDirected(s, dir, k = 5))
             .select("id_a", "id_b"))
         .orderBy("id")
     },
@@ -569,6 +590,18 @@ object PipelineQueries {
       Dedup.cutSpans(docs, "doc_id", "text", spans).orderBy("doc_id")
     },
 
+    // Cross-document 5-gram novelty profile — the per-doc "how
+    // derivative is this document" score under a first-seen-keeps-credit
+    // rule (min doc id owns each gram): the signal that cuts template
+    // expansions / quote compilations no single pair-wise threshold
+    // catches. One gram-hash shuffle + one doc shuffle, nothing
+    // pairwise.
+    "e34_ngram_novelty" -> { (s, dir) =>
+      Dedup.ngramNovelty(Tables.load(s, dir, "documents"), "doc_id", "text",
+          n = 5)
+        .orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup pairs, blocked by the coarse label.
     "d5_embed_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
@@ -595,6 +628,32 @@ object PipelineQueries {
     "d17_containment" -> { (s, dir) =>
       Dedup.lshContainmentPairsWithShingles(docShingles(s, dir),
           minContainment = 0.3, k = 16, bands = 8, maxBucketSize = Some(8))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Edit-distance verification of LSH candidates — the CHARACTER-level
+    // verifier (Levenshtein similarity on a 256-char prefix cap) next to
+    // the set-overlap verifiers d4b/d17: catches order-preserving edits
+    // that bag-of-shingles Jaccard can't distinguish from reshuffles.
+    // The 4/16 sketch screen in front of the DP is the production
+    // composition (a DP is ~10⁴× a signature compare; the screen cuts
+    // the DP set 7× at sf0.1); cost is screened-candidates × prefixLen².
+    "d19_edit_verify" -> { (s, dir) =>
+      Dedup.lshEditVerifiedPairs(Tables.load(s, dir, "documents"),
+          docShingles(s, dir), "doc_id", "text", minSim = 0.3,
+          prefixLen = 256, k = 16, bands = 8, maxBucketSize = Some(8),
+          minEst = 0.25)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash estimation-error report — the k (signature width) tuning
+    // loop: per candidate pair, the signature-agreement estimate m/16
+    // next to the TRUE distinct-shingle Jaccard and |error|. Zero-
+    // overlap candidates stay in the report (est > 0, true 0 is exactly
+    // the error banding produces); every value is an exact rational.
+    "d20_minhash_est" -> { (s, dir) =>
+      Dedup.minhashEstimationReport(docShingles(s, dir),
+          k = 16, bands = 8, maxBucketSize = Some(8))
         .orderBy("id_a", "id_b")
     },
 
@@ -646,6 +705,18 @@ object PipelineQueries {
               / col("n_docs").cast("double"))
             / (col("n_docs") - 1).cast("double")))
         .withColumn("stddev_t", sqrt(col("var_t")))
+        .orderBy("source")
+    },
+
+    // Per-source token-distribution divergence from the corpus mixture
+    // (DoReMi-flavored mixing diagnostic, model-free unigram form):
+    // KL-style gap in integer floor-log2 bits over the shared top-5000
+    // vocabulary — which sources are redundant with the pooled mixture
+    // and which carry distinct content. Exact integer sums, one division
+    // per source at the end.
+    "a11_source_divergence" -> { (s, dir) =>
+      graft.ops.CorpusOps.sourceDivergenceBits(
+          Tables.load(s, dir, "documents"), "text", "source", vocabSize = 5000)
         .orderBy("source")
     },
 
@@ -1248,8 +1319,7 @@ object PipelineQueries {
     // iff it appears in BOTH directions — the symmetrized neighbor set
     // SemDeDup-style clustering and graph curation build on.
     "n12_knn_graph" -> { (s, dir) =>
-      Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 5)
+      Similarity.knnGraphFromDirected(exactKnnDirected(s, dir, k = 5))
         .orderBy("id_a", "id_b")
     },
 
@@ -1258,8 +1328,7 @@ object PipelineQueries {
     // planes/probes tuning loop for the blocked kNN at 100 TB.
     "n13_knn_recall" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val exact = Similarity.knnDirected(e, "vec_id", "embedding", k = 5)
-        .select("id", "nbr")
+      val exact = exactKnnDirected(s, dir, k = 5).select("id", "nbr")
       val blocked = Similarity
         .knnDirectedBlocked(e, "vec_id", "embedding", k = 5, planes = 4)
         .select("id", "nbr").withColumn("hit", lit(1))
@@ -1285,8 +1354,7 @@ object PipelineQueries {
     // selection, and the blocked top-5 bit-exactly.
     "n13b_knn_recall_ivf" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val exact = Similarity.knnDirected(e, "vec_id", "embedding", k = 5)
-        .select("id", "nbr")
+      val exact = exactKnnDirected(s, dir, k = 5).select("id", "nbr")
       val km = kmEmbLabels(s, dir, k = 32, iters = 5)
       val blocked = Similarity.ivfTopK(e.join(km, Seq("vec_id")), e,
           "vec_id", "embedding", "cluster", k = 5, nprobe = 14)
@@ -2055,6 +2123,89 @@ object PipelineQueries {
          |      / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
          |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
          |WHERE jaccard >= 0.02 ORDER BY id_a, id_b""".stripMargin,
+
+    // edit-verify mirror: the shared LSH chain's cand pairs screened by
+    // the same 4/16 signature-agreement floor, then joined to 256-char
+    // text prefixes; classic Levenshtein DP on both engines (identical
+    // integers on identical strings), one guarded division
+    "d19_edit_verify" ->
+      s"""WITH $dLshCand,
+         |scr AS (SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      CAST(len(list_filter(range(1, 17), ks -> sa.sig[ks] = sb.sig[ks])) AS DOUBLE)
+         |        / CAST(16 AS DOUBLE) AS est
+         |    FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+         |  WHERE est >= 0.25),
+         |tx AS (SELECT doc_id, substring(text, 1, 256) AS t FROM documents)
+         |SELECT id_a, id_b, edit_sim FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CASE WHEN greatest(length(a.t), length(b.t)) = 0 THEN 1.0
+         |         ELSE 1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+         |           / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE) END AS edit_sim
+         |  FROM scr c JOIN tx a ON a.doc_id = c.id_a JOIN tx b ON b.doc_id = c.id_b)
+         |WHERE edit_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // estimation-error mirror: per-cand signature agreement m/16 next to
+    // the true distinct-shingle Jaccard (zero-overlap pairs included —
+    // sets are non-empty so the union never divides by zero)
+    "d20_minhash_est" ->
+      s"""WITH $dLshCand
+         |SELECT id_a, id_b, est_jaccard, jaccard,
+         |  abs(est_jaccard - jaccard) AS abs_err
+         |FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_filter(range(1, 17), ke -> sa.sig[ke] = sb.sig[ke])) AS DOUBLE)
+         |      / CAST(16 AS DOUBLE) AS est_jaccard,
+         |    CAST(len(list_filter(a.hs, xm -> list_contains(b.hs, xm))) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
+         |  FROM cand c
+         |    JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+         |    JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // novelty mirror: d9's 1-indexed positional 5-gram hashes made
+    // per-doc-distinct, min-owner per hash, per-doc indicator sums
+    "e34_ngram_novelty" ->
+      s"""WITH $dToks,
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ${dPhash("tk[sg] || ' ' || tk[sg+1] || ' ' || tk[sg+2] || ' ' || tk[sg+3] || ' ' || tk[sg+4]", "nv")} AS h
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS sg) gp
+         |  WHERE len(tk) >= 5),
+         |fo AS (SELECT h, min(doc_id) AS first_owner FROM grams GROUP BY h)
+         |SELECT doc_id,
+         |  CAST(count(1) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN g.doc_id = f.first_owner THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(CAST(sum(CASE WHEN g.doc_id = f.first_owner THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS DOUBLE) / CAST(count(1) AS DOUBLE) AS novelty
+         |FROM grams g JOIN fo f USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // source-divergence mirror: e16's integer bitlen surprise summed per
+    // source under both the pooled-corpus and own-source counts, same
+    // top-5000 vocabulary cut (count desc, token asc)
+    "a11_source_divergence" ->
+      s"""WITH $dToks,
+         |tok AS (SELECT source, unnest(tk) AS tok FROM toks),
+         |sc AS (SELECT source, tok, CAST(count(1) AS BIGINT) AS sn
+         |       FROM tok GROUP BY source, tok),
+         |cnt AS (SELECT tok, CAST(sum(sn) AS BIGINT) AS n FROM sc GROUP BY tok),
+         |vocab AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 5000),
+         |iv AS (SELECT sc.source, sc.tok, sc.sn, v.n FROM sc JOIN vocab v USING (tok)),
+         |ctot AS (SELECT CAST(sum(sn) AS BIGINT) AS ctot FROM iv),
+         |stot AS (SELECT source, CAST(sum(sn) AS BIGINT) AS stot
+         |         FROM iv GROUP BY source)
+         |SELECT source, n_tokens, cross_bits, self_bits,
+         |  CAST(cross_bits - self_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS kl_bits
+         |FROM (
+         |  SELECT iv.source, max(s.stot) AS n_tokens,
+         |    CAST(sum(iv.sn * (length(bin(c.ctot)) - length(bin(iv.n)))) AS BIGINT)
+         |      AS cross_bits,
+         |    CAST(sum(iv.sn * (length(bin(s.stot)) - length(bin(iv.sn)))) AS BIGINT)
+         |      AS self_bits
+         |  FROM iv JOIN stot s USING (source) CROSS JOIN ctot c
+         |  GROUP BY iv.source)
+         |ORDER BY source""".stripMargin,
 
     // recall-eval mirror: the shared LSH chain (sh/cand in scope) for the
     // found side, a lang/source-carrying shingle CTE for the blocked

@@ -107,6 +107,17 @@ import graft.store.TableStore
   *  - `TABLE(graft_range_join(points, intervals, 'point_ts', 'start',
   *    'end', bin_width))` → [[graft.ops.TemporalJoins.pointInRange]]:
   *    interval-overlap pairs via bucket-binned equi-join
+  *  - `TABLE(graft_edit_pairs(t, 'id', 'text', min_sim[, prefix_len,
+  *    k, bands, shingle_n]))` → [[Dedup.lshEditVerifiedPairs]]:
+  *    Levenshtein-verified LSH candidates (character-level verifier)
+  *  - `TABLE(graft_minhash_est(t, 'id', 'text'[, k, bands,
+  *    shingle_n]))` → [[Dedup.minhashEstimationReport]]: signature
+  *    estimate vs true Jaccard per candidate — the k tuning loop
+  *  - `TABLE(graft_ngram_novelty(t, 'id', 'text'[, n]))` →
+  *    [[Dedup.ngramNovelty]]: per-doc first-seen n-gram novelty
+  *  - `TABLE(graft_source_divergence(t, 'text', 'source'[,
+  *    vocab_size]))` → [[CorpusOps.sourceDivergenceBits]]: per-source
+  *    KL-in-bits vs the corpus mixture
   *
   * Table arguments name store tables (schema-qualified names normalize
   * through the session, same as every other statement) or temp views;
@@ -421,6 +432,40 @@ object TableFunctions {
           kLex = args(9).toInt, maxCosine = args(10).toDouble,
           k = args(11).toInt)
 
+      case "graft_edit_pairs" =>
+        arity(args.length >= 4 && args.length <= 9,
+          "4 to 9 (t, 'id', 'text', min_sim[, prefix_len, k, bands, shingle_n, min_est])")
+        val t = rel(args(0))
+        val sh = Dedup.shingleRows(t, str(args(1)), str(args(2)),
+          shingleN = if (args.length > 7) args(7).toInt else 2)
+        Dedup.lshEditVerifiedPairs(t, sh, str(args(1)), str(args(2)),
+          args(3).toDouble,
+          prefixLen = if (args.length > 4) args(4).toInt else 256,
+          k = if (args.length > 5) args(5).toInt else 16,
+          bands = if (args.length > 6) args(6).toInt else 8,
+          minEst = if (args.length > 8) args(8).toDouble else 0.0)
+
+      case "graft_minhash_est" =>
+        arity(args.length >= 3 && args.length <= 6,
+          "3 to 6 (t, 'id', 'text'[, k, bands, shingle_n])")
+        Dedup.minhashEstimationReport(
+          Dedup.shingleRows(rel(args(0)), str(args(1)), str(args(2)),
+            shingleN = if (args.length > 5) args(5).toInt else 2),
+          k = if (args.length > 3) args(3).toInt else 16,
+          bands = if (args.length > 4) args(4).toInt else 8)
+
+      case "graft_ngram_novelty" =>
+        arity(args.length == 3 || args.length == 4,
+          "3 or 4 (t, 'id', 'text'[, n])")
+        Dedup.ngramNovelty(rel(args(0)), str(args(1)), str(args(2)),
+          n = if (args.length > 3) args(3).toInt else 5)
+
+      case "graft_source_divergence" =>
+        arity(args.length == 3 || args.length == 4,
+          "3 or 4 (t, 'text', 'source'[, vocab_size])")
+        CorpusOps.sourceDivergenceBits(rel(args(0)), str(args(1)), str(args(2)),
+          vocabSize = if (args.length > 3) args(3).toInt else 30000)
+
       case "graft_asof_join" =>
         arity(args.length == 5 || args.length == 6,
           "5 or 6 (left, right, 'k1;k2;…', 'ts', 'rightcol=outname,…'[, 'forward'])")
@@ -456,7 +501,9 @@ object TableFunctions {
         "graft_curriculum, graft_winnow_overlap, graft_bpe_tokenize, " +
         "graft_pagerank, graft_hash_tfidf, graft_semdedup_kmeans, " +
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
-        "graft_asof_join, graft_range_join, graft_hard_negatives")
+        "graft_asof_join, graft_range_join, graft_hard_negatives, " +
+        "graft_edit_pairs, graft_minhash_est, graft_ngram_novelty, " +
+        "graft_source_divergence")
     }
   }
 }

@@ -488,4 +488,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!c0.contains("common") && !c1.contains("common"),
       "a term present in every cluster must not be a keyword")
   }
+
+  test("sourceDivergenceBits: mixture-identical sources score 0, disjoint content 1 bit") {
+    // a and b have IDENTICAL token distributions; every per-token count
+    // exactly doubles in the pool, so bitlen(2x)−bitlen(2y) =
+    // bitlen(x)−bitlen(y) and kl_bits is exactly 0 — not approximately
+    val same = Seq((1L, "x x y", "a"), (2L, "x x y", "b"))
+      .toDF("doc_id", "text", "source")
+    val s0 = CorpusOps.sourceDivergenceBits(same, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(4))).toMap
+    assert(s0("a") == ((3L, 0.0)), s"got ${s0("a")}")
+    assert(s0("b") == ((3L, 0.0)), s"got ${s0("b")}")
+    // token-disjoint equal-mass sources: true KL(p‖mixture) = 1 bit for
+    // a 50/50 split, and the floor-log2 form lands on it exactly
+    // (cross = bitlen(8)−bitlen(4) = 1 per token, self = 0)
+    val disj = Seq((1L, "x x x x", "a"), (2L, "z z z z", "b"))
+      .toDF("doc_id", "text", "source")
+    val s1 = CorpusOps.sourceDivergenceBits(disj, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(s1("a") == 1.0 && s1("b") == 1.0, s"got $s1")
+  }
 }

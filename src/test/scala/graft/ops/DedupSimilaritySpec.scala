@@ -581,4 +581,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!j.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
       "jaccard 8/59 < 0.5 — containment catches what jaccard misses")
   }
+
+  test("knnGraphFromDirected over a shared directed frame equals knnGraph") {
+    val directed = Similarity.knnDirected(vecs, "vec_id", "embedding", k = 2)
+      .localCheckpoint(true)
+    val shared = Similarity.knnGraphFromDirected(directed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shared == direct)
+  }
+
+  test("lshEditVerifiedPairs: exact dup 1.0, order-preserving edit high, prefix cap honored") {
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", shingleN = 1)
+    val out = Dedup.lshEditVerifiedPairs(docs, sh, "doc_id", "text",
+        minSim = 0.3, prefixLen = 256)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0, "identical texts must score exactly 1.0")
+    // 3 is one word substituted (jumps→leaps): high but below 1
+    val near = out.getOrElse((1L, 3L), out.getOrElse((2L, 3L), 0.0))
+    assert(near > 0.8 && near < 1.0, s"near-dup edit_sim $near")
+    // a prefixLen shorter than the differing suffix makes the pair exact
+    val pref = Dedup.lshEditVerifiedPairs(docs, sh, "doc_id", "text",
+        minSim = 0.3, prefixLen = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pref((1L, 3L)) == 1.0, "10-char prefixes agree — cap must bound the DP")
+    // the sketch screen only REMOVES pairs (subset), and at the maximum
+    // floor only identical-signature candidates survive the DP stage
+    val screened = Dedup.lshEditVerifiedPairs(docs, sh, "doc_id", "text",
+        minSim = 0.3, prefixLen = 256, minEst = 1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(screened.keySet.subsetOf(out.keySet))
+    assert(screened.contains((1L, 2L)), "exact dups have identical signatures")
+  }
+
+  test("minhashEstimationReport: exact dup zero error, abs_err consistent, zero-overlap kept") {
+    val d = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d x y z w")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(d, "doc_id", "text", shingleN = 1)
+    val rows = Dedup.minhashEstimationReport(sh).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (e12, j12, a12) = rows((1L, 2L))
+    assert(e12 == 1.0 && j12 == 1.0 && a12 == 0.0)
+    rows.values.foreach { case (est, jac, err) =>
+      assert(err == math.abs(est - jac))
+      assert(jac >= 0.0 && jac <= 1.0 && est >= 0.0 && est <= 1.0)
+    }
+  }
+
+  test("ngramNovelty: originals keep credit, copies score zero, unique docs score 1") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),          // first owner of its grams
+      (2L, "a b c d e f g h i j"),          // full copy → novelty 0
+      (3L, "p q r s t u v w x y")           // unique → novelty 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(d, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((6L, 6L, 1.0)), s"got ${out(1L)}")  // 10 tokens → 6 5-grams
+    assert(out(2L) == ((6L, 0L, 0.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((6L, 6L, 1.0)), s"got ${out(3L)}")
+    // docs shorter than n emit no row (consistent with duplicatedSpans)
+    val short = Dedup.ngramNovelty(Seq((9L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 5)
+    assert(short.count() == 0)
+  }
 }

@@ -366,4 +366,32 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 lang-hash + 1 range exchange, got hash=$ex range=$range")
     assert(!p.contains("SinglePartition"), "no corpus-global single partition")
   }
+
+  test("edit verify: candidate-bounded DP via the built-in, id equi-joins only") {
+    val p = plan("d19_edit_verify")
+    assert(p.contains("levenshtein"),
+      "the DP must be the codegen'd built-in, not a UDF")
+    assert(!p.contains("ScalaUDF"), "no UDF anywhere in the verify path")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "texts attach to candidates by id equi-joins — never an unkeyed pair scan")
+  }
+
+  test("ngram novelty: gram-hash keyed join, two-phase aggs, nothing pairwise") {
+    val p = plan("e34_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "first-owner attachment must equi-join on the gram hash")
+    assert(p.contains("partial_min"),
+      "min-owner must aggregate map-side before the gram shuffle")
+    assert(p.contains("graft_phash"), "gram hashing must use the native expression")
+  }
+
+  test("source divergence: bounded model tables broadcast, corpus never re-shuffles on token") {
+    val p = plan("a11_source_divergence")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "vocabulary and per-source totals must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join on the (source, token) stream expected")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "token counting must be two-phase (map-side partials)")
+  }
 }

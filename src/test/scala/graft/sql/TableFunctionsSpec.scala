@@ -217,6 +217,21 @@ class TableFunctionsSpec extends AnyFunSuite {
       "docs_tf, klabels_tf, 'doc_id', 'text', 8, 5))").get) ==
       rows(CorpusOps.clusterKeywords(docs, "doc_id", "text", kmLabels,
         kClusters = 8, topM = 5)))
+    val shEv = Dedup.shingleRows(docs, "doc_id", "text", shingleN = 2)
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_edit_pairs(" +
+      "docs_tf, 'doc_id', 'text', 0.3))").get) ==
+      rows(Dedup.lshEditVerifiedPairs(docs, shEv, "doc_id", "text",
+        minSim = 0.3)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_minhash_est(" +
+      "docs_tf, 'doc_id', 'text'))").get) ==
+      rows(Dedup.minhashEstimationReport(shEv)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_ngram_novelty(" +
+      "docs_tf, 'doc_id', 'text', 5))").get) ==
+      rows(Dedup.ngramNovelty(docs, "doc_id", "text", n = 5)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_source_divergence(" +
+      "docs_tf, 'text', 'source', 500))").get) ==
+      rows(CorpusOps.sourceDivergenceBits(docs, "text", "source",
+        vocabSize = 500)))
   }
 
   test("graft_hard_negatives: SQL call equals Retrieval.bm25HardNegatives") {
