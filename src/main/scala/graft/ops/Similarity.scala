@@ -271,6 +271,43 @@ object Similarity {
       .filter(col("x.id") < col("x.nbr"))
       .select(col("x.id").as("id_a"), col("x.nbr").as("id_b"), col("x.cosine"))
 
+  /** One-step kNN LABEL PROPAGATION — the k-nearest-neighbor classifier
+    * over a labeled seed set (Fix & Hodges 1951 / the standard
+    * semi-supervised labeling move): each target row takes the majority
+    * label of its k cosine-nearest SEEDS. The non-parametric sibling of
+    * [[nearestCentroidClassify]]: centroids assume one convex region per
+    * label, neighbor votes follow arbitrary label boundaries — the
+    * labeling tool a curation pipeline uses to spread a small hand-
+    * labeled domain/quality set over the corpus. Deterministic end to
+    * end: neighbor rank breaks ties (cosine desc, seed id asc), the
+    * vote breaks ties (count desc, label asc).
+    *
+    * Scale: this is the EXACT evaluation form — the scoring join is
+    * targets × seeds (fine while one side broadcasts; seed sets are
+    * small by construction). Past that, block the join by a learned
+    * kmeans cell exactly as [[ivfTopK]]/n13b does for the same
+    * recall-vs-cost trade, then apply the identical vote.
+    *
+    * @return (idCol, pred_label, votes) — one row per target with ≥ 1
+    *   scored seed; `votes` = how many of the k neighbors carried the
+    *   winning label. */
+  def knnLabelPropagate(seeds: DataFrame, targets: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val t = normalized(targets, idCol, vecCol, "id", "tv", "tn")
+    val s = normalized(seeds, idCol, vecCol, "nbr", "sv", "sn")
+      .join(seeds.select(col(idCol).as("nbr"), col(labelCol).as("nbr_label")),
+        Seq("nbr"))
+    val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr"))
+    val topk = t.join(s, col("id") =!= col("nbr"))
+      .withColumn("cosine", VA.dot(col("tv"), col("sv")) / (col("tn") * col("sn")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("id", "nbr_label")
+    val wv = Window.partitionBy("id").orderBy(col("votes").desc, col("nbr_label"))
+    topk.groupBy("id", "nbr_label").agg(count(lit(1)).as("votes"))
+      .withColumn("__r", row_number().over(wv)).filter(col("__r") === 1)
+      .select(col("id").as(idCol), col("nbr_label").as("pred_label"), col("votes"))
+  }
+
   /** Directed exact top-k neighbor lists — [[knnGraph]]'s first stage,
     * public because the recall evaluation needs the pre-mutualized
     * lists of BOTH the exact and the blocked path.

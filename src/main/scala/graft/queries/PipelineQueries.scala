@@ -720,6 +720,32 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Per-source corpus HEALTH report — the one-plan composition a
+    // curation run publishes per corpus version: volume (docs/tokens),
+    // cross-document novelty (Σ novel-grams / Σ grams — exact rational,
+    // low = template-heavy source), and distribution divergence from the
+    // mixture (a11's kl_bits — near-zero = redundant source). The three
+    // branches share the documents scan and meet on one 20-row source
+    // key; this is the dashboard behind mixing/retention decisions.
+    "a12_corpus_health" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val prof = docs
+        .select(col("source"), size(TA.tokens(col("text"))).cast("long").as("t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      val nov = Dedup.ngramNovelty(docs, "doc_id", "text", n = 5)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum(col("n_grams")).as("sum_grams"), sum(col("n_novel")).as("sum_novel"))
+      val div = graft.ops.CorpusOps
+        .sourceDivergenceBits(docs, "text", "source", vocabSize = 5000)
+        .select(col("source"), col("kl_bits"))
+      prof.join(nov, Seq("source")).join(div, Seq("source"))
+        .withColumn("novelty",
+          col("sum_novel").cast("double") / col("sum_grams").cast("double"))
+        .orderBy("source")
+    },
+
     // Semi-structured round trip (the Snowflake VARIANT analogue): build
     // nested JSON per row, then extract scalars back by path — both
     // engines construct their own JSON, so the check is on extraction
@@ -1367,6 +1393,23 @@ object PipelineQueries {
         .withColumn("recall",
           col("n_hit").cast("double") / col("n_exact").cast("double"))
         .orderBy("id")
+    },
+
+    // One-step kNN label propagation: every 4th vector is a labeled
+    // seed, the rest take the majority label of their 5 cosine-nearest
+    // seeds — the non-parametric sibling of n9's centroid classifier
+    // (neighbor votes follow arbitrary label boundaries), with the
+    // self-evaluation flag (pred vs the held-out true label) attached.
+    "n14_label_prop" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.knnLabelPropagate(
+          e.filter(col("vec_id") % 4 === 0), e.filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", "label", k = 5)
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .withColumn("correct",
+          when(col("pred_label") === col("label"), 1L).otherwise(0L))
+        .select("vec_id", "pred_label", "label", "votes", "correct")
+        .orderBy("vec_id")
     },
 
     // Nearest-centroid (Rocchio) classification: hold out every 5th
@@ -2181,6 +2224,48 @@ object PipelineQueries {
          |FROM grams g JOIN fo f USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // health-report mirror: the a10-style token counts, the e34 novelty
+    // sums re-aggregated per source, and the a11 kl_bits branch joined
+    // on the source key
+    "a12_corpus_health" ->
+      s"""WITH $dToks,
+         |prof AS (SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY source),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ${dPhash("tk[sg] || ' ' || tk[sg+1] || ' ' || tk[sg+2] || ' ' || tk[sg+3] || ' ' || tk[sg+4]", "hh")} AS h
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS sg) gp
+         |  WHERE len(tk) >= 5),
+         |fo AS (SELECT h, min(doc_id) AS first_owner FROM grams GROUP BY h),
+         |docnov AS (SELECT doc_id,
+         |    CAST(count(1) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN g.doc_id = f.first_owner THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel
+         |  FROM grams g JOIN fo f USING (h) GROUP BY doc_id),
+         |nov AS (SELECT d.source,
+         |    CAST(sum(dn.n_grams) AS BIGINT) AS sum_grams,
+         |    CAST(sum(dn.n_novel) AS BIGINT) AS sum_novel
+         |  FROM docnov dn JOIN documents d USING (doc_id) GROUP BY d.source),
+         |tok AS (SELECT source, unnest(tk) AS tok FROM toks),
+         |sc AS (SELECT source, tok, CAST(count(1) AS BIGINT) AS sn
+         |       FROM tok GROUP BY source, tok),
+         |cnt AS (SELECT tok, CAST(sum(sn) AS BIGINT) AS n FROM sc GROUP BY tok),
+         |vocab AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 5000),
+         |iv AS (SELECT sc.source, sc.tok, sc.sn, v.n FROM sc JOIN vocab v USING (tok)),
+         |ctot AS (SELECT CAST(sum(sn) AS BIGINT) AS ctot FROM iv),
+         |stot AS (SELECT source, CAST(sum(sn) AS BIGINT) AS stot
+         |         FROM iv GROUP BY source),
+         |div AS (SELECT source,
+         |    CAST(CAST(sum(iv.sn * (length(bin(c.ctot)) - length(bin(iv.n)))) AS BIGINT)
+         |       - CAST(sum(iv.sn * (length(bin(s.stot)) - length(bin(iv.sn)))) AS BIGINT)
+         |      AS DOUBLE) / CAST(max(s.stot) AS DOUBLE) AS kl_bits
+         |  FROM iv JOIN stot s USING (source) CROSS JOIN ctot c
+         |  GROUP BY iv.source)
+         |SELECT source, n_docs, n_tokens, sum_grams, sum_novel,
+         |  CAST(sum_novel AS DOUBLE) / CAST(sum_grams AS DOUBLE) AS novelty, kl_bits
+         |FROM prof JOIN nov USING (source) JOIN div USING (source)
+         |ORDER BY source""".stripMargin,
+
     // source-divergence mirror: e16's integer bitlen surprise summed per
     // source under both the pooled-corpus and own-source counts, same
     // top-5000 vocabulary cut (count desc, token asc)
@@ -2678,6 +2763,29 @@ object PipelineQueries {
     // Rocchio mirror: per-label hierarchical centroid fold over the
     // 80% train split, argmin of the same left-fold squared L2 with
     // label tiebreak.
+    // label-propagation mirror: targets × seeds cosine scores, the same
+    // (cosine desc, nbr asc) rank-5 window, then the (votes desc, label
+    // asc) majority pick and the held-out-truth flag
+    "n14_label_prop" ->
+      s"""WITH ${dVecs("lp")},
+         |sd AS (SELECT vec_id, label, v, nrm FROM normed WHERE vec_id % 4 = 0),
+         |tg AS (SELECT vec_id, v, nrm FROM normed WHERE vec_id % 4 <> 0),
+         |sc AS (SELECT t.vec_id AS id, s.vec_id AS nbr, s.label AS nbr_label,
+         |    ${dDot("t.v", "s.v", "lp")} / (t.nrm * s.nrm) AS cosine
+         |  FROM tg t JOIN sd s ON s.vec_id <> t.vec_id),
+         |tk AS (SELECT id, nbr_label FROM (SELECT id, nbr_label,
+         |    row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rlp
+         |  FROM sc) WHERE rlp <= 5),
+         |vt AS (SELECT id, nbr_label, CAST(count(1) AS BIGINT) AS votes
+         |       FROM tk GROUP BY id, nbr_label),
+         |pk AS (SELECT id, nbr_label, votes FROM (SELECT id, nbr_label, votes,
+         |    row_number() OVER (PARTITION BY id ORDER BY votes DESC, nbr_label) AS rv
+         |  FROM vt) WHERE rv = 1)
+         |SELECT p.id AS vec_id, p.nbr_label AS pred_label, e.label, p.votes,
+         |  CAST(CASE WHEN p.nbr_label = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM pk p JOIN embeddings e ON e.vec_id = p.id
+         |ORDER BY vec_id""".stripMargin,
+
     "n9_centroid_classify" ->
       s"""WITH ${dVecs("nc")},
          |tr AS (SELECT label, vec_id, v FROM vecs WHERE vec_id % 5 <> 0),

@@ -118,6 +118,9 @@ import graft.store.TableStore
   *  - `TABLE(graft_source_divergence(t, 'text', 'source'[,
   *    vocab_size]))` → [[CorpusOps.sourceDivergenceBits]]: per-source
   *    KL-in-bits vs the corpus mixture
+  *  - `TABLE(graft_knn_classify(seeds, targets, 'id', 'vec', 'label',
+  *    k))` → [[Similarity.knnLabelPropagate]]: majority label of the k
+  *    cosine-nearest seeds per target
   *
   * Table arguments name store tables (schema-qualified names normalize
   * through the session, same as every other statement) or temp views;
@@ -460,6 +463,12 @@ object TableFunctions {
         Dedup.ngramNovelty(rel(args(0)), str(args(1)), str(args(2)),
           n = if (args.length > 3) args(3).toInt else 5)
 
+      case "graft_knn_classify" =>
+        arity(args.length == 6,
+          "6 (seeds, targets, 'id', 'vec', 'label', k)")
+        Similarity.knnLabelPropagate(rel(args(0)), rel(args(1)),
+          str(args(2)), str(args(3)), str(args(4)), args(5).toInt)
+
       case "graft_source_divergence" =>
         arity(args.length == 3 || args.length == 4,
           "3 or 4 (t, 'text', 'source'[, vocab_size])")
@@ -503,7 +512,7 @@ object TableFunctions {
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
         "graft_asof_join, graft_range_join, graft_hard_negatives, " +
         "graft_edit_pairs, graft_minhash_est, graft_ngram_novelty, " +
-        "graft_source_divergence")
+        "graft_source_divergence, graft_knn_classify")
     }
   }
 }

@@ -632,6 +632,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnLabelPropagate: neighbor votes follow the blob, ties break on label asc") {
+    // two well-separated blobs of labeled seeds; targets sit inside one
+    def v(base: Float, jit: Float) = Array.fill(4)(base) :+ jit
+    val seeds = Seq(
+      (1L, v(10f, 0.1f), 7), (2L, v(10f, 0.2f), 7), (3L, v(10f, 0.3f), 7),
+      (4L, v(-10f, 0.1f), 3), (5L, v(-10f, 0.2f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val targets = Seq((100L, v(10f, 0.15f)), (101L, v(-10f, 0.15f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnLabelPropagate(seeds, targets,
+        "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(100L) == ((7, 3L)), s"got ${out(100L)}")  // all 3 nearest are blob 7
+    assert(out(101L)._1 == 3, s"got ${out(101L)}")
+    // forced 1-1 vote at k=2 across blobs → smaller label wins the tie
+    val mid = Seq((200L, Array(0f, 0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val one = Seq((1L, v(10f, 0.1f), 7), (4L, v(-10f, 0.1f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val tied = Similarity.knnLabelPropagate(one, mid,
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(tied(200L) == ((3, 1L)), s"got ${tied(200L)}")
+  }
+
   test("ngramNovelty: originals keep credit, copies score zero, unique docs score 1") {
     val d = Seq(
       (1L, "a b c d e f g h i j"),          // first owner of its grams

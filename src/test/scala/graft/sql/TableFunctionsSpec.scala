@@ -232,6 +232,13 @@ class TableFunctionsSpec extends AnyFunSuite {
       "docs_tf, 'text', 'source', 500))").get) ==
       rows(CorpusOps.sourceDivergenceBits(docs, "text", "source",
         vocabSize = 500)))
+    embs.filter(col("vec_id") % 4 === 0).createOrReplaceTempView("eseed_tf")
+    embs.filter(col("vec_id") % 4 =!= 0).createOrReplaceTempView("etgt_tf")
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_knn_classify(" +
+      "eseed_tf, etgt_tf, 'vec_id', 'embedding', 'label', 5))").get) ==
+      rows(Similarity.knnLabelPropagate(embs.filter(col("vec_id") % 4 === 0),
+        embs.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", "label", k = 5)))
   }
 
   test("graft_hard_negatives: SQL call equals Retrieval.bm25HardNegatives") {
