@@ -745,6 +745,48 @@ object CorpusOps {
       .groupBy("subword").agg(count(lit(1)).as("n"))
   }
 
+  /** Tokenizer FERTILITY per language — mean subwords-per-word under a
+    * corpus-trained BPE merge table, the standard tokenizer-evaluation
+    * metric (Ács 2019 / multilingual-tokenizer audits; public method):
+    * a language whose words fragment into many subwords pays more
+    * sequence length per unit text, so training mixes and per-language
+    * token budgets (e17/e28) should price it accordingly. High fertility
+    * on a language = the merge table under-serves it.
+    *
+    * Exactness: the greedy segmentation is the same native
+    * `graft_bpe_apply` scan as [[bpeSubwordHistogram]] (oracle replays
+    * training + apply stage-unrolled); counts stay integers until the
+    * one division per language.
+    *
+    * Scale: segmentation runs once per DISTINCT word (the vocabulary-
+    * bounded table, not the token stream) and joins back to the
+    * (language, word) counts — the apply cost is O(vocabulary), the
+    * stream cost is one (lang, word) hash agg with map-side partials.
+    *
+    * @return (langCol, n_words, n_subwords, fertility), one row per
+    *   language; fertility = n_subwords/n_words over token occurrences. */
+  def bpeFertility(df: DataFrame, textCol: String, langCol: String,
+      numMerges: Int, batchK: Int = 1): DataFrame = {
+    val mergeRows = bpeMerges(df, textCol, numMerges, batchK)
+      .orderBy("step").collect()
+    val mergeArr = array(mergeRows.flatMap(r =>
+      Seq(lit(r.getString(1)), lit(r.getString(2)))).toIndexedSeq: _*)
+    val lw = df.select(col(langCol).as("lang"),
+        explode(TA.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+    val seg = lw.select("word").distinct()
+      .withColumn("n_sub",
+        size(call_function("graft_bpe_apply", split(col("word"), ""), mergeArr))
+          .cast("long"))
+    lw.join(seg, Seq("word"))
+      .groupBy(col("lang").as(langCol))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_sub")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+  }
+
   /** Hashing-trick TF-IDF document vectors (Weinberger et al., "Feature
     * Hashing for Large Scale Multitask Learning", ICML'09 — public
     * method): each token lands in bucket `phash(token) mod dim`, weighted

@@ -708,6 +708,17 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Tokenizer fertility per language: mean subwords-per-word under the
+    // corpus-trained 6-merge BPE table — the tokenizer-evaluation metric
+    // that tells a mixing policy which languages pay more sequence
+    // length per unit text. Segmentation runs once per distinct word;
+    // the oracle replays training + apply stage-unrolled.
+    "e36_bpe_fertility" -> { (s, dir) =>
+      graft.ops.CorpusOps.bpeFertility(Tables.load(s, dir, "documents"),
+          "text", "lang", numMerges = 6)
+        .orderBy("lang")
+    },
+
     // Per-source token-distribution divergence from the corpus mixture
     // (DoReMi-flavored mixing diagnostic, model-free unigram form):
     // KL-style gap in integer floor-log2 bits over the shared top-5000
@@ -724,9 +735,10 @@ object PipelineQueries {
     // curation run publishes per corpus version: volume (docs/tokens),
     // cross-document novelty (Σ novel-grams / Σ grams — exact rational,
     // low = template-heavy source), and distribution divergence from the
-    // mixture (a11's kl_bits — near-zero = redundant source). The three
-    // branches share the documents scan and meet on one 20-row source
-    // key; this is the dashboard behind mixing/retention decisions.
+    // mixture (a11's kl_bits — near-zero = redundant source). Each
+    // branch reduces the corpus to ≤ one row per source before the
+    // three-way join, so the joins move 20 rows no matter the scale;
+    // this is the dashboard behind mixing/retention decisions.
     "a12_corpus_health" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val prof = docs
@@ -3802,6 +3814,27 @@ object PipelineQueries {
          |  SELECT u AS subword, CAST(sum(freq) AS BIGINT) AS n FROM (
          |    SELECT freq, unnest(syms) AS u FROM w6) GROUP BY u)
          |ORDER BY n DESC, subword LIMIT 30""".stripMargin,
+
+    // fertility mirror: the same 6 unrolled training stages; each w6 row
+    // re-concatenates to its word (merges only join adjacent symbols),
+    // giving the per-word subword count the (lang, word) counts join
+    "e36_bpe_fertility" ->
+      s"""WITH $dToks,
+         |wd AS (SELECT lang, unnest(tk) AS word FROM toks),
+         |w0 AS (SELECT CAST(count(1) AS BIGINT) AS freq, string_split(word, '') AS syms
+         |  FROM wd WHERE length(word) > 0 GROUP BY word),
+         |$dBpeStages,
+         |fert AS (SELECT array_to_string(syms, '') AS word,
+         |    CAST(len(syms) AS BIGINT) AS n_sub FROM w6),
+         |lw AS (SELECT lang, word, CAST(count(1) AS BIGINT) AS c
+         |  FROM wd WHERE length(word) > 0 GROUP BY lang, word)
+         |SELECT lang,
+         |  CAST(sum(c) AS BIGINT) AS n_words,
+         |  CAST(sum(c * n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(CAST(sum(c * n_sub) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS fertility
+         |FROM lw JOIN fert USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // batched-BPE mirror: the full 12-round unrolled replay of the
     // batchK = 4 training loop — budget-capped top-want ranking,

@@ -121,6 +121,9 @@ import graft.store.TableStore
   *  - `TABLE(graft_knn_classify(seeds, targets, 'id', 'vec', 'label',
   *    k))` → [[Similarity.knnLabelPropagate]]: majority label of the k
   *    cosine-nearest seeds per target
+  *  - `TABLE(graft_bpe_fertility(t, 'text', 'lang', num_merges[,
+  *    batch_k]))` → [[CorpusOps.bpeFertility]]: per-language mean
+  *    subwords-per-word under the corpus-trained merge table
   *
   * Table arguments name store tables (schema-qualified names normalize
   * through the session, same as every other statement) or temp views;
@@ -463,6 +466,13 @@ object TableFunctions {
         Dedup.ngramNovelty(rel(args(0)), str(args(1)), str(args(2)),
           n = if (args.length > 3) args(3).toInt else 5)
 
+      case "graft_bpe_fertility" =>
+        arity(args.length == 4 || args.length == 5,
+          "4 or 5 (t, 'text', 'lang', num_merges[, batch_k])")
+        CorpusOps.bpeFertility(rel(args(0)), str(args(1)), str(args(2)),
+          args(3).toInt,
+          batchK = if (args.length > 4) args(4).toInt else 1)
+
       case "graft_knn_classify" =>
         arity(args.length == 6,
           "6 (seeds, targets, 'id', 'vec', 'label', k)")
@@ -512,7 +522,7 @@ object TableFunctions {
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
         "graft_asof_join, graft_range_join, graft_hard_negatives, " +
         "graft_edit_pairs, graft_minhash_est, graft_ngram_novelty, " +
-        "graft_source_divergence, graft_knn_classify")
+        "graft_source_divergence, graft_knn_classify, graft_bpe_fertility")
     }
   }
 }

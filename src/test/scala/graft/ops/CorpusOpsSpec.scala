@@ -489,6 +489,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       "a term present in every cluster must not be a keyword")
   }
 
+  test("bpeFertility: merged language scores 1, unserved language pays its word length") {
+    // one merge budget: (a,b) has freq 4 and wins it, so language A's
+    // words segment to a single subword; B's "cdef" never merges and
+    // splits into 4 characters → fertility exactly 4.0
+    val d = Seq((1L, "ab ab ab ab", "A"), (2L, "cdef", "B"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusOps.bpeFertility(d, "text", "lang", numMerges = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("A") == ((4L, 4L, 1.0)), s"got ${out("A")}")
+    assert(out("B") == ((1L, 4L, 4.0)), s"got ${out("B")}")
+  }
+
   test("sourceDivergenceBits: mixture-identical sources score 0, disjoint content 1 bit") {
     // a and b have IDENTICAL token distributions; every per-token count
     // exactly doubles in the pool, so bitlen(2x)−bitlen(2y) =

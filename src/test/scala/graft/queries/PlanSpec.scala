@@ -385,6 +385,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_phash"), "gram hashing must use the native expression")
   }
 
+  test("label propagation: scores only against the seed side, vote is windowed per target") {
+    val p = plan("n14_label_prop")
+    // the scoring join is targets × SEEDS (the evaluation form's
+    // broadcast-NL by design); the vote must stay a bounded per-target
+    // window + hash agg, and the truth flag a vec_id equi-join
+    assert(!p.contains("ScalaUDF"), "no UDF in the scoring or vote path")
+    assert(p.contains("graft_dot"), "cosine must use the native expression")
+    assert("SortMergeJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      "the truth-label attachment must be an equi-join")
+  }
+
+  test("corpus health: every branch reduces before the source-key joins") {
+    val p = plan("a12_corpus_health")
+    assert(!p.contains("CartesianProduct"),
+      "the three report branches meet on the source key, never unkeyed")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-source reductions must aggregate map-side")
+  }
+
   test("source divergence: bounded model tables broadcast, corpus never re-shuffles on token") {
     val p = plan("a11_source_divergence")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,

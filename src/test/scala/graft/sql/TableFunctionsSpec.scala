@@ -239,6 +239,9 @@ class TableFunctionsSpec extends AnyFunSuite {
       rows(Similarity.knnLabelPropagate(embs.filter(col("vec_id") % 4 === 0),
         embs.filter(col("vec_id") % 4 =!= 0),
         "vec_id", "embedding", "label", k = 5)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_bpe_fertility(" +
+      "docs_tf, 'text', 'lang', 6))").get) ==
+      rows(CorpusOps.bpeFertility(docs, "text", "lang", numMerges = 6)))
   }
 
   test("graft_hard_negatives: SQL call equals Retrieval.bm25HardNegatives") {
