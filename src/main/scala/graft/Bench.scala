@@ -121,9 +121,16 @@ object Bench {
     catch { case e: Exception => System.err.println(s"BENCH_LOCAL.json write failed: $e") }
     spark.stop()
     if (soak > 1) {
-      val drift = (passTotals.max - passTotals.min) / passTotals.min
-      require(drift <= 0.20,
-        f"soak: pass-over-pass total drift ${drift * 100}%.1f%% exceeds 20%% " +
+      // ONE-SIDED guard: the leak signature is a LATER pass getting
+      // slower (state/cache accretion). A faster warm pass is the
+      // designed behavior of the session-scoped artifact memos (shingle
+      // table, BM25 postings, codebooks, cluster labels, exact-kNN
+      // lists) and grows with the memo family — it must not trip this.
+      val growth = passTotals.zip(passTotals.tail).map {
+        case (a, b) => (b - a) / a
+      }.foldLeft(0.0)(math.max)
+      require(growth <= 0.20,
+        f"soak: pass-over-pass total GROWTH ${growth * 100}%.1f%% exceeds 20%% " +
           s"(totals ${passTotals.map(t => f"$t%.1f").mkString(", ")}) — " +
           "suspect a cache/state leak across passes")
     }
