@@ -590,6 +590,28 @@ object PipelineQueries {
       Dedup.cutSpans(docs, "doc_id", "text", spans).orderBy("doc_id")
     },
 
+    // Per-source dedup IMPACT report — what near-dup dedup costs each
+    // source under the min-id keep policy: docs in a dup cluster,
+    // members dropped (label ≠ own id), and the drop rate. Reads the
+    // same memoized cluster-label table as g2/g3 (at 100 TB you cluster
+    // once per corpus version and every report joins the labels); the
+    // join moves one bounded label row per clustered doc.
+    "d21_dedup_impact" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(lshClusterLabels(s, dir)
+            .select(col("id").as("doc_id"), col("cluster")),
+          Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster").isNotNull, 1L).otherwise(0L))
+            .as("n_in_clusters"),
+          sum(when(col("cluster").isNotNull && col("cluster") =!= col("doc_id"),
+            1L).otherwise(0L)).as("n_dropped"))
+        .withColumn("drop_rate",
+          col("n_dropped").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source")
+    },
+
     // Cross-document 5-gram novelty profile — the per-doc "how
     // derivative is this document" score under a first-seen-keeps-credit
     // rule (min doc id owns each gram): the signal that cuts template
@@ -2081,6 +2103,31 @@ object PipelineQueries {
     // across an edge only when it undercuts the destination id — the
     // component min survives, the closure stays pruned). Algorithm-
     // independent ground truth for the star-contraction fixpoint.
+    // dedup-impact mirror: g2's recursive min-label closure re-used as
+    // the label table, left-joined to documents and rolled up per source
+    "d21_dedup_impact" ->
+      s"""WITH RECURSIVE $dLshCand,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM cand),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+         |  UNION
+         |  SELECT ei.dst AS id, ri.lbl AS lbl
+         |  FROM reach ri JOIN edges ei ON ei.src = ri.id
+         |  WHERE ri.lbl < ei.dst),
+         |lbl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+         |SELECT source,
+         |  CAST(count(1) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN l.cluster IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_in_clusters,
+         |  CAST(sum(CASE WHEN l.cluster IS NOT NULL AND l.cluster <> d.doc_id
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(CAST(sum(CASE WHEN l.cluster IS NOT NULL AND l.cluster <> d.doc_id
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(1) AS DOUBLE) AS drop_rate
+         |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     "g2_connected_components" ->
       s"""WITH RECURSIVE $dLshCand,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
