@@ -590,6 +590,36 @@ object PipelineQueries {
       Dedup.cutSpans(docs, "doc_id", "text", spans).orderBy("doc_id")
     },
 
+    // Cross-SPLIT n-gram leakage audit — the decontamination check a lab
+    // runs BEFORE training on its own train/val/test cut (d6/d8 check
+    // against external benchmarks; this checks the internal split): for
+    // each ordered split pair, how many of b's distinct 5-grams also
+    // appear in a. A high train→test leak_rate means test perplexity is
+    // partly memorization. Bounded by distinct grams (the h-keyed join
+    // carries ≤ #splits rows per gram), never doc-pairwise.
+    "d22_split_leakage" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val splits = graft.ops.CorpusOps.hashSplit(docs, "doc_id")
+        .select(col("doc_id").as("id"), col("split"))
+      val sg = Dedup.shingleRows(docs, "doc_id", "text", shingleN = 5)
+        .join(splits, Seq("id"))
+        .select("split", "h").distinct()
+      val sz = sg.groupBy("split").agg(count(lit(1)).as("n"))
+      sg.select(col("split").as("split_a"), col("h"))
+        .join(sg.select(col("split").as("split_b"), col("h")), Seq("h"))
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_shared"))
+        .join(sz.select(col("split").as("split_a"), col("n").as("n_grams_a")),
+          Seq("split_a"))
+        .join(sz.select(col("split").as("split_b"), col("n").as("n_grams_b")),
+          Seq("split_b"))
+        .withColumn("leak_rate",
+          col("n_shared").cast("double") / col("n_grams_b").cast("double"))
+        .select("split_a", "split_b", "n_grams_a", "n_grams_b", "n_shared",
+          "leak_rate")
+        .orderBy("split_a", "split_b")
+    },
+
     // Per-source dedup IMPACT report — what near-dup dedup costs each
     // source under the min-id keep policy: docs in a dup cluster,
     // members dropped (label ≠ own id), and the drop rate. Reads the
@@ -2103,6 +2133,31 @@ object PipelineQueries {
     // across an edge only when it undercuts the destination id — the
     // component min survives, the closure stays pruned). Algorithm-
     // independent ground truth for the star-contraction fixpoint.
+    // split-leakage mirror: e27's hash-bucket split expression, d9-style
+    // distinct 5-gram hashes, per-split distinct gram sets, h-keyed pair
+    // counts with sizes joined back
+    "d22_split_leakage" ->
+      s"""WITH $dToks,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN bk < 8 THEN 'train' WHEN bk < 9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ${dPhash("'split|' || CAST(doc_id AS VARCHAR)", "sl")} % 10 AS bk
+         |  FROM documents)),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ${dPhash("tk[sg] || ' ' || tk[sg+1] || ' ' || tk[sg+2] || ' ' || tk[sg+3] || ' ' || tk[sg+4]", "lk")} AS h
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS sg) gp
+         |  WHERE len(tk) >= 5),
+         |sg AS (SELECT DISTINCT s.split, g.h FROM grams g JOIN sp s USING (doc_id)),
+         |sz AS (SELECT split, CAST(count(1) AS BIGINT) AS n FROM sg GROUP BY split),
+         |sh AS (SELECT a.split AS split_a, b.split AS split_b,
+         |    CAST(count(1) AS BIGINT) AS n_shared
+         |  FROM sg a JOIN sg b ON a.h = b.h AND a.split <> b.split
+         |  GROUP BY 1, 2)
+         |SELECT split_a, split_b, za.n AS n_grams_a, zb.n AS n_grams_b, n_shared,
+         |  CAST(n_shared AS DOUBLE) / CAST(zb.n AS DOUBLE) AS leak_rate
+         |FROM sh JOIN sz za ON za.split = split_a JOIN sz zb ON zb.split = split_b
+         |ORDER BY split_a, split_b""".stripMargin,
+
     // dedup-impact mirror: g2's recursive min-label closure re-used as
     // the label table, left-joined to documents and rolled up per source
     "d21_dedup_impact" ->
