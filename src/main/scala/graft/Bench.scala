@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the stated harness shape (local[32], 32 shuffle
+    // partitions); rounds ≤11 ran the v0 stub default of 4 — the env
+    // block in the JSON records sparkCpus per run, so cross-round
+    // totals are comparable only at equal sparkCpus
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // min-of-3 by default: at 0.2–1 s query scale, min-of-2 showed ±8%
     // swings on untouched queries between rounds (r7→r8), which can mask
     // a real regression; a third sample cuts the drift to <3%.

@@ -731,6 +731,26 @@ object PipelineQueries {
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     },
 
+    // UNPIVOT (melt): wide per-status measures → long (measure, value)
+    // rows — the inverse of a8's PIVOT, closing the reshape pair. Spark's
+    // Dataset.unpivot lowers to ONE Expand over the aggregated frame (3
+    // rows per status, no join, no extra shuffle beyond the agg); every
+    // measure is exactly representable (count, decimal-exact sum/max)
+    // before the final double cast, so the long form hash-matches the
+    // oracle's portable UNION ALL replay.
+    "a13_unpivot" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(20, 2)
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+          max(col("o_totalprice").cast(dec)).cast("double").as("max_price"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("sum_price"), col("max_price")),
+          "measure", "value")
+        .orderBy("o_orderstatus", "measure")
+    },
+
     // Corpus statistical profile — the per-source report card a curation
     // run publishes: doc counts, token totals, and tokens-per-doc
     // moments (mean/variance/stddev). Moments come from EXACT integer
@@ -3539,6 +3559,22 @@ object PipelineQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // UNPIVOT mirror: portable UNION ALL long form (no engine-specific
+    // UNPIVOT syntax), identical cast points per measure.
+    "a13_unpivot" ->
+      """WITH g AS (SELECT o_orderstatus,
+        |    CAST(count(1) AS DOUBLE) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price,
+        |    CAST(max(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS max_price
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT * FROM (
+        |  SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM g
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'sum_price', sum_price FROM g
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'max_price', max_price FROM g
+        |) ORDER BY o_orderstatus, measure""".stripMargin,
 
     // Profile mirror: identical exact-integer-sum moments, identical
     // cast points (sum(BIGINT) is HUGEINT in DuckDB — cast back).

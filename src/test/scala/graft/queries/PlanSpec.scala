@@ -413,4 +413,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "token counting must be two-phase (map-side partials)")
   }
+
+  test("unpivot lowers to one Expand over the aggregated frame, no join") {
+    val p = plan("a13_unpivot")
+    assert(p.contains("Expand"), "Dataset.unpivot must lower to an Expand node")
+    assert(!p.contains("Join"), "the melt must not be expressed as a join/union of scans")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the wide aggregate must still be two-phase")
+    // exactly the agg's shuffle + the final sort's range exchange — the
+    // Expand itself must not add one (FormattedMode prints each node
+    // once in the tree and once as a "(n) Exchange" detail header)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
+      "Expand must run in place over the aggregated frame, not re-shuffle")
+  }
 }
