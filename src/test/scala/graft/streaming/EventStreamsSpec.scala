@@ -67,6 +67,24 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingStats: an event lands in every window whose span covers it") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.slidingStats(mem.toDF(), "2 minutes", "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("slide_stats")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // a 2-minute window sliding by 1 minute: t=70s is covered by
+      // exactly the [0,120) and [60,180) spans
+      mem.addData(Event(1, 1, "click", 1.0, ts(70)))
+      q.processAllAvailable()
+      val starts = spark.table("slide_stats").collect()
+        .map(r => r.getAs[Timestamp]("window_start").getTime / 1000 - 3600).toSet
+      assert(starts == Set(0L, 60L),
+        s"one event at t=70s must appear in exactly the [0,120) and [60,180) windows, got $starts")
+    } finally q.stop()
+  }
+
   test("windowedStats works identically on a batch DataFrame") {
     val batch = Seq(
       Event(1, 1, "click", 1.0, ts(10)), Event(2, 1, "click", 2.0, ts(30)),
