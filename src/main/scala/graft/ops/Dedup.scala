@@ -872,6 +872,51 @@ object Dedup {
     scores
   }
 
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected edge list (canonical `id_a < id_b` pairs — the shape
+    * [[Similarity.knnGraph]] and [[minhashLshPairs]] emit): the standard
+    * graph-quality diagnostic for a curation neighbor graph — a node
+    * whose neighbors interconnect (coefficient → 1) sits in a tight
+    * semantic clique; coefficient → 0 flags hub-like or noisy
+    * neighborhoods.
+    *
+    * Shape: wedge enumeration as two equi-joins on the ordered edge
+    * list (x<y<z, so every triangle is produced exactly once), then one
+    * explode+count per corner. All joins are keyed on node ids — no
+    * cartesian, and wedge count is Σ deg² which a bounded-degree graph
+    * (kNN: deg ≤ k) keeps linear in edges. At cluster scale the edge
+    * list pre-partitions by source node and the three corners count
+    * map-side. Coefficient = 2·tri/(deg·(deg−1)) from exact longs, cast
+    * to double at the division only (cross-engine hash-stable); nodes
+    * of degree < 2 publish NULL — no wedge exists, the ratio is
+    * undefined, not zero.
+    *
+    * @return (id, degree, n_triangles, clustering_coeff). */
+  def triangleCounts(edges: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
+    // referenced 4× (two wedge sides, the closing probe, degrees) —
+    // one bounded materialization, the pagerank pair-list pattern
+    val e = edges.select(col(idACol).as("a"), col(idBCol).as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint(true)
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(e.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .select("x", "y", "z")
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("id"), "left_outer")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          (lit(2L) * col("n_triangles")).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double")))
+  }
+
   /** Winnowing fingerprints (public method — Schleimer, Wilkerson &
     * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03 — the MOSS algorithm): slide a window of `window`

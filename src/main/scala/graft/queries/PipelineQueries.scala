@@ -493,6 +493,18 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // Per-node triangle count + local clustering coefficient on the
+    // mutual-kNN graph — the neighbor-graph quality diagnostic (tight
+    // semantic cliques → coeff 1; hub/noise neighborhoods → 0). Wedge
+    // enumeration is two id-keyed equi-joins on the bounded-degree edge
+    // list, never a cartesian.
+    "g6_knn_triangles" -> { (s, dir) =>
+      Dedup.triangleCounts(
+          Similarity.knnGraphFromDirected(exactKnnDirected(s, dir, k = 5))
+            .select("id_a", "id_b"))
+        .orderBy("id")
+    },
+
     // Per-cluster keyword labels via class-based TF-IDF (odds idf, so
     // scores hash-match float-for-float): names what each semantic
     // cluster IS — the browse/summarize step downstream of clustering.
@@ -2790,6 +2802,40 @@ object PipelineQueries {
          |FROM directed x JOIN directed y ON x.id = y.nbr AND x.nbr = y.id
          |WHERE x.id < x.nbr
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Triangle mirror: n12's exact mutual-kNN edges, then ordered wedge
+    // enumeration (x<y<z — each triangle once), corner explode via
+    // UNION ALL, exact-long counts, coefficient cast at the division.
+    "g6_knn_triangles" ->
+      s"""WITH ${dVecs("tg")},
+         |scored AS (SELECT a.vec_id AS id, c.vec_id AS nbr,
+         |    ${dDot("a.v", "c.v", "tg")} / (a.nrm * c.nrm) AS cosine
+         |  FROM normed a JOIN normed c ON c.vec_id <> a.vec_id),
+         |directed AS (SELECT id, nbr FROM (
+         |    SELECT id, nbr,
+         |      row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rtg
+         |    FROM scored) WHERE rtg <= 5),
+         |edges AS (SELECT x.id AS a, x.nbr AS b
+         |  FROM directed x JOIN directed y ON x.id = y.nbr AND x.nbr = y.id
+         |  WHERE x.id < x.nbr),
+         |tri AS (SELECT w.x, w.y, w.z FROM (
+         |    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |    FROM edges e1 JOIN edges e2 ON e2.a = e1.b) w
+         |  JOIN edges e3 ON e3.a = w.x AND e3.b = w.z),
+         |corners AS (SELECT x AS id FROM tri
+         |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+         |pern AS (SELECT id, CAST(count(1) AS BIGINT) AS n_triangles
+         |  FROM corners GROUP BY id),
+         |deg AS (SELECT id, CAST(count(1) AS BIGINT) AS degree FROM (
+         |    SELECT a AS id FROM edges UNION ALL SELECT b FROM edges)
+         |  GROUP BY id)
+         |SELECT d.id, d.degree,
+         |  COALESCE(p.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+         |  CASE WHEN d.degree >= 2 THEN
+         |    CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
+         |      / CAST(d.degree * (d.degree - 1) AS DOUBLE) END AS clustering_coeff
+         |FROM deg d LEFT JOIN pern p ON p.id = d.id
+         |ORDER BY d.id""".stripMargin,
 
     // kNN-recall mirror: exact directed top-5 (n12's first stage), the
     // 4-plane SRP bucket (n11's integer-derived formula), Hamming-1

@@ -77,6 +77,9 @@ import graft.store.TableStore
   *    [[Dedup.pagerankCentrality]]: (id, score) over an (id_a, id_b)
   *    pair table — compose with `graft_neardup_pairs` for
   *    centrality-inside-duplicate-graphs audits
+  *  - `TABLE(graft_triangles(pairs))` → [[Dedup.triangleCounts]]:
+  *    per-node (degree, n_triangles, clustering_coeff) over an
+  *    (id_a, id_b) pair table — neighbor-graph quality diagnostics
   *  - `TABLE(graft_hash_tfidf(t, 'id', 'text', dim))` →
   *    [[CorpusOps.hashingTfidf]]: fixed-dim hashed TF-IDF vectors
   *    bridging text tables into the vector operators
@@ -394,6 +397,10 @@ object TableFunctions {
           iters = if (args.length > 1) args(1).toInt else 3,
           damping = if (args.length > 2) args(2).toDouble else 0.85)
 
+      case "graft_triangles" =>
+        arity(args.length == 1, "1 (pairs) — pairs has (id_a, id_b)")
+        Dedup.triangleCounts(rel(args(0)))
+
       case "graft_hash_tfidf" =>
         arity(args.length == 4, "4 (t, 'id', 'text', dim)")
         CorpusOps.hashingTfidf(rel(args(0)), str(args(1)), str(args(2)),
@@ -518,7 +525,7 @@ object TableFunctions {
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
         "graft_curriculum, graft_winnow_overlap, graft_bpe_tokenize, " +
-        "graft_pagerank, graft_hash_tfidf, graft_semdedup_kmeans, " +
+        "graft_pagerank, graft_triangles, graft_hash_tfidf, graft_semdedup_kmeans, " +
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
         "graft_asof_join, graft_range_join, graft_hard_negatives, " +
         "graft_edit_pairs, graft_minhash_est, graft_ngram_novelty, " +

@@ -414,6 +414,16 @@ class PlanSpec extends AnyFunSuite {
       "token counting must be two-phase (map-side partials)")
   }
 
+  test("triangle counting is equi-joined wedge enumeration, never cartesian") {
+    val p = plan("g6_knn_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge enumeration must join on node ids only (the exact-kNN scoring " +
+        "inside the memoized edge input is the one documented NL site and is " +
+        "materialized before this plan)")
+    assert(p.contains("partial_count"),
+      "corner and degree counts must aggregate map-side")
+  }
+
   test("unpivot lowers to one Expand over the aggregated frame, no join") {
     val p = plan("a13_unpivot")
     assert(p.contains("Expand"), "Dataset.unpivot must lower to an Expand node")

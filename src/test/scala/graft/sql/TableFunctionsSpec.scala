@@ -201,6 +201,11 @@ class TableFunctionsSpec extends AnyFunSuite {
       rows(Dedup.pagerankCentrality(
         Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.5)
           .select("id_a", "id_b"), iters = 3, damping = 0.85)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_triangles(" +
+      "prpairs_tf))").get) ==
+      rows(Dedup.triangleCounts(
+        Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.5)
+          .select("id_a", "id_b"))))
     assert(rows(g.sql("SELECT * FROM TABLE(graft_semdedup_kmeans(" +
       "embs_tf, 'vec_id', 'embedding', 0.2, 8, 3))").get) ==
       rows(Dedup.semDedupKmeans(embs, "vec_id", "embedding", 0.2,
