@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classic event-analytics operators over an event log (user_id,
+  * event_type, ts) — the funnel / cohort reporting layer a warehouse
+  * serves from the same fact the sessionization (st2) and anomaly (st3)
+  * queries read. Both ops reduce the log to per-user keyed aggregates
+  * before anything joins, so every exchange is keyed on user_id or on
+  * the (small) report key — nothing per-event crosses a join.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each user, the SEQUENTIAL first-occurrence
+    * times of `steps` (step i+1 counts only strictly AFTER the user's
+    * step-i time), then per-step reached-user counts and conversion
+    * vs step 1.
+    *
+    * Shape: one filtered min-agg per step (map-side partials on
+    * user_id), chained by left joins ON user_id — k−1 user-keyed
+    * joins for a k-step funnel, never a per-event pair join. The
+    * per-step counts collapse to ONE row (a k-column global agg) and
+    * melt to (step, n_users) rows via unpivot — the same single-Expand
+    * lowering a13 guards. A user missing step i carries a NULL time
+    * forward, so later conditional mins stay NULL (strict-order
+    * semantics) and count() skips them.
+    *
+    * Timestamps compare as integer microseconds; conversion is a
+    * division of exact longs cast to double at the division — oracle
+    * hash-stable.
+    *
+    * @return (step, event_type, n_users, conversion), step 1-based in
+    *   funnel order. */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val k = steps.size
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_micros(col(tsCol)).as("ets"))
+    var acc = base.filter(col("t") === steps.head)
+      .groupBy("u").agg(min(col("ets")).as("ts_1"))
+    for (i <- 1 until k) {
+      val e = base.filter(col("t") === steps(i))
+        .select(col("u"), col("ets"))
+      val carried = (1 to i).map(j => min(col(s"ts_$j")).as(s"ts_$j"))
+      val next = min(when(col("ets") > col(s"ts_$i"), col("ets")))
+        .as(s"ts_${i + 1}")
+      acc = acc.join(e, Seq("u"), "left_outer")
+        .groupBy("u").agg(carried.head, (carried.tail :+ next): _*)
+    }
+    val wide = acc.agg(
+      count(col("ts_1")).as("step_1"),
+      (2 to k).map(i => count(col(s"ts_$i")).as(s"step_$i")): _*)
+    val typeMap = map(steps.zipWithIndex.flatMap { case (st, i) =>
+      Seq(lit(i + 1), lit(st))
+    }: _*)
+    wide.unpivot(Array(col("step_1").as("n1")),
+        (1 to k).map(i => col(s"step_$i")).toArray, "stepname", "n_users")
+      .withColumn("step", substring(col("stepname"), 6, 10).cast("int"))
+      .select(col("step"),
+        element_at(typeMap, col("step")).as("event_type"),
+        col("n_users"),
+        (col("n_users").cast("double") / col("n1").cast("double"))
+          .as("conversion"))
+  }
+
+  /** Weekly cohort retention: cohort = the epoch-week of each user's
+    * first event; a user is retained at offset w if active in
+    * cohort_week + w. Weeks are exact integer division of epoch
+    * microseconds (no calendar/timezone arithmetic — cross-engine
+    * bit-stable), offset-0 row count IS the cohort size by
+    * construction, and retention divides exact longs.
+    *
+    * Shape: the log collapses to distinct (user, week) activity first
+    * (one shuffle, map-side partial dedup), the per-user cohort min is
+    * a second user-keyed agg, and the cells agg + cohort-size join run
+    * on the tiny (cohort, offset) report key — at 100 TB only the
+    * first dedup touches event volume.
+    *
+    * @return (cohort_week, week_offset, n_active, retention). */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val wk = expr(s"unix_micros($tsCol) div 604800000000").as("wk")
+    val ua = events.select(col(userCol).as("u"), wk).distinct()
+    val cohorts = ua.groupBy("u").agg(min(col("wk")).as("cohort_week"))
+    val cells = ua.join(cohorts, Seq("u"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    cells.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+}

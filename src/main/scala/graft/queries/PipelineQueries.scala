@@ -2028,6 +2028,25 @@ object PipelineQueries {
         .orderBy("user_id", "sess_no")
     },
 
+    // Ordered funnel over the event log: sequential first-occurrence
+    // per user (each step strictly after the previous), per-step user
+    // counts + conversion. k−1 user-keyed join+agg rounds, then the
+    // one-row count frame melts via unpivot (a13's single-Expand shape).
+    "st4_funnel" -> { (s, dir) =>
+      graft.ops.EventAnalytics.funnelSteps(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
+        .orderBy("step")
+    },
+
+    // Weekly cohort retention: cohort = epoch-week of first activity,
+    // retained-at-offset from distinct (user, week) activity. Exact
+    // integer week arithmetic — no calendar/timezone drift cross-engine.
+    "st5_cohorts" -> { (s, dir) =>
+      graft.ops.EventAnalytics.cohortRetention(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // ---- multimodal (binary) ---------------------------------------------
 
     // Batched mapPartitions kernel path (the JVM analogue of mapInPandas):
@@ -3770,6 +3789,45 @@ object PipelineQueries {
         |  max(tus) - min(tus) AS duration_us,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_no""".stripMargin,
+
+    // Funnel mirror: per-step sequential-min CTE chain (step i joins the
+    // step i−1 reach set on user with a strict ts inequality), scalar
+    // counts, UNION ALL melt with the same cast points.
+    "st4_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets FROM events),
+        |s1 AS (SELECT u, min(ets) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
+        |s2 AS (SELECT s1.u, min(e.ets) AS t2 FROM s1 JOIN e
+        |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1 GROUP BY s1.u),
+        |s3 AS (SELECT s2.u, min(e.ets) AS t3 FROM s2 JOIN e
+        |  ON e.u = s2.u AND e.t = 'purchase' AND e.ets > s2.t2 GROUP BY s2.u),
+        |c AS (SELECT (SELECT CAST(count(1) AS BIGINT) FROM s1) AS n1,
+        |             (SELECT CAST(count(1) AS BIGINT) FROM s2) AS n2,
+        |             (SELECT CAST(count(1) AS BIGINT) FROM s3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type, n1 AS n_users,
+        |    CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conversion FROM c
+        |  UNION ALL SELECT CAST(2 AS INTEGER), 'click', n2,
+        |    CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+        |  UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', n3,
+        |    CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+        |) ORDER BY step""".stripMargin,
+
+    // Cohort mirror: identical integer-microsecond week buckets
+    // (604800000000 µs), distinct (user, week) activity, offset-0 rows
+    // as cohort sizes.
+    "st5_cohorts" ->
+      """WITH ua AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |ch AS (SELECT u, min(wk) AS cohort_week FROM ua GROUP BY u),
+        |cells AS (SELECT cohort_week, wk - cohort_week AS week_offset,
+        |    CAST(count(1) AS BIGINT) AS n_active
+        |  FROM ua JOIN ch ON ch.u = ua.u GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, n_active AS cohort_size FROM cells
+        |  WHERE week_offset = 0)
+        |SELECT c.cohort_week, c.week_offset, c.n_active,
+        |  CAST(c.n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
+        |FROM cells c JOIN sz ON sz.cohort_week = c.cohort_week
+        |ORDER BY c.cohort_week, c.week_offset""".stripMargin,
 
     "e15_seq_pack" ->
       s"""WITH $dToks,

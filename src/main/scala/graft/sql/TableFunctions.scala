@@ -80,6 +80,12 @@ import graft.store.TableStore
   *  - `TABLE(graft_triangles(pairs))` → [[Dedup.triangleCounts]]:
   *    per-node (degree, n_triangles, clustering_coeff) over an
   *    (id_a, id_b) pair table — neighbor-graph quality diagnostics
+  *  - `TABLE(graft_funnel(events, 'user', 'type', 'ts',
+  *    'step1,step2,…'))` → [[graft.ops.EventAnalytics.funnelSteps]]:
+  *    sequential-order funnel reach counts + conversion
+  *  - `TABLE(graft_cohorts(events, 'user', 'ts'))` →
+  *    [[graft.ops.EventAnalytics.cohortRetention]]: weekly cohort
+  *    retention matrix
   *  - `TABLE(graft_hash_tfidf(t, 'id', 'text', dim))` →
   *    [[CorpusOps.hashingTfidf]]: fixed-dim hashed TF-IDF vectors
   *    bridging text tables into the vector operators
@@ -401,6 +407,18 @@ object TableFunctions {
         arity(args.length == 1, "1 (pairs) — pairs has (id_a, id_b)")
         Dedup.triangleCounts(rel(args(0)))
 
+      case "graft_funnel" =>
+        arity(args.length == 5,
+          "5 (events, 'user', 'type', 'ts', 'step1,step2,…')")
+        graft.ops.EventAnalytics.funnelSteps(rel(args(0)), str(args(1)),
+          str(args(2)), str(args(3)),
+          str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+      case "graft_cohorts" =>
+        arity(args.length == 3, "3 (events, 'user', 'ts')")
+        graft.ops.EventAnalytics.cohortRetention(rel(args(0)), str(args(1)),
+          str(args(2)))
+
       case "graft_hash_tfidf" =>
         arity(args.length == 4, "4 (t, 'id', 'text', dim)")
         CorpusOps.hashingTfidf(rel(args(0)), str(args(1)), str(args(2)),
@@ -525,7 +543,8 @@ object TableFunctions {
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
         "graft_curriculum, graft_winnow_overlap, graft_bpe_tokenize, " +
-        "graft_pagerank, graft_triangles, graft_hash_tfidf, graft_semdedup_kmeans, " +
+        "graft_pagerank, graft_triangles, graft_funnel, graft_cohorts, " +
+        "graft_hash_tfidf, graft_semdedup_kmeans, " +
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
         "graft_asof_join, graft_range_join, graft_hard_negatives, " +
         "graft_edit_pairs, graft_minhash_est, graft_ngram_novelty, " +

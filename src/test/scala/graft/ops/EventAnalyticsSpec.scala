@@ -1,0 +1,58 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantics pins for the funnel/cohort operators — the edge rules the
+  * data-driven oracle can't isolate (strict sequential ordering, NULL
+  * carry-forward, cohort bucketing). */
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+  private val WEEK = 604800L
+
+  test("funnel counts only strictly-ordered step sequences") {
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "signup", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // u2: click BEFORE signup — must not count past step 1
+      (2L, "click", ts(5)), (2L, "signup", ts(10)),
+      // u3: click at the SAME instant as signup — strict > excludes it
+      (3L, "signup", ts(10)), (3L, "click", ts(10)),
+      // u4: never signed up — not even step 1
+      (4L, "click", ts(10)), (4L, "purchase", ts(20)),
+      // u5: signup → click, purchase only before the click
+      (5L, "purchase", ts(5)), (5L, "signup", ts(10)), (5L, "click", ts(20))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnelSteps(ev, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got(0) == ((1, "signup", 4L, 1.0)))      // u1, u2, u3, u5
+    assert(got(1) == ((2, "click", 2L, 0.5)))       // u1, u5 (u2/u3 clicks not strictly after)
+    assert(got(2) == ((3, "purchase", 1L, 0.25)))   // u1 only (u5's purchase precedes its click)
+  }
+
+  test("cohort retention buckets by epoch week and divides by cohort size") {
+    val ev = Seq(
+      // cohort week 0: u1 active weeks 0,1; u2 active week 0 only
+      (1L, "x", ts(100)), (1L, "x", ts(WEEK + 100)),
+      (2L, "x", ts(200)),
+      // cohort week 1: u3 active weeks 1 and 3
+      (3L, "x", ts(WEEK + 50)), (3L, "x", ts(3 * WEEK + 50))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.cohortRetention(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5),
+      (1L, 0L, 1L, 1.0), (1L, 2L, 1L, 1.0)))
+  }
+}

@@ -293,6 +293,19 @@ class TableFunctionsSpec extends AnyFunSuite {
       rows(Similarity.kmeans(embs, "vec_id", "embedding", k = 8, iters = 3)))
   }
 
+  test("graft_funnel / graft_cohorts: SQL calls equal EventAnalytics") {
+    val g = sess()
+    val ev = graft.Tables.events(spark, dir)
+    ev.createOrReplaceTempView("events_tf")
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_funnel(events_tf, " +
+      "'user_id', 'event_type', 'ts', 'signup,click,purchase'))").get) ==
+      rows(graft.ops.EventAnalytics.funnelSteps(ev, "user_id", "event_type",
+        "ts", Seq("signup", "click", "purchase"))))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_cohorts(events_tf, " +
+      "'user_id', 'ts'))").get) ==
+      rows(graft.ops.EventAnalytics.cohortRetention(ev, "user_id", "ts")))
+  }
+
   test("graft_asof_join / graft_range_join: SQL calls equal TemporalJoins") {
     val g = sess()
     val ev = graft.Tables.events(spark, dir)
