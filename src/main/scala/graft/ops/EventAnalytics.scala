@@ -37,8 +37,12 @@ object EventAnalytics {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val k = steps.size
+    // NULL-timestamp rows are unorderable — drop them up front on BOTH
+    // engines (a NULL min would otherwise count toward step-1 reach in
+    // SQL's count(1) but not in count(ts_1))
     val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
       unix_micros(col(tsCol)).as("ets"))
+      .filter(col("ets").isNotNull)
     var acc = base.filter(col("t") === steps.head)
       .groupBy("u").agg(min(col("ets")).as("ts_1"))
     for (i <- 1 until k) {
@@ -83,7 +87,10 @@ object EventAnalytics {
   def cohortRetention(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
     val wk = expr(s"unix_micros($tsCol) div 604800000000").as("wk")
+    // NULL weeks (NULL ts) carry no cohort information and engines
+    // disagree on NULL-key ordering — excluded on both sides
     val ua = events.select(col(userCol).as("u"), wk).distinct()
+      .filter(col("wk").isNotNull)
     val cohorts = ua.groupBy("u").agg(min(col("wk")).as("cohort_week"))
     val cells = ua.join(cohorts, Seq("u"))
       .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))

@@ -3794,7 +3794,8 @@ object PipelineQueries {
     // step i−1 reach set on user with a strict ts inequality), scalar
     // counts, UNION ALL melt with the same cast points.
     "st4_funnel" ->
-      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets FROM events),
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
+        |  FROM events WHERE ts IS NOT NULL),
         |s1 AS (SELECT u, min(ets) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
         |s2 AS (SELECT s1.u, min(e.ets) AS t2 FROM s1 JOIN e
         |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1 GROUP BY s1.u),
@@ -3817,7 +3818,8 @@ object PipelineQueries {
     // as cohort sizes.
     "st5_cohorts" ->
       """WITH ua AS (SELECT DISTINCT user_id AS u,
-        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |    epoch_us(ts) // 604800000000 AS wk FROM events
+        |  WHERE ts IS NOT NULL),
         |ch AS (SELECT u, min(wk) AS cohort_week FROM ua GROUP BY u),
         |cells AS (SELECT cohort_week, wk - cohort_week AS week_offset,
         |    CAST(count(1) AS BIGINT) AS n_active
