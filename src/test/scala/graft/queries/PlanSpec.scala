@@ -424,6 +424,24 @@ class PlanSpec extends AnyFunSuite {
       "corner and degree counts must aggregate map-side")
   }
 
+  test("funnel: user-keyed equi-joins and two-phase mins, no cartesian") {
+    val p = plan("st4_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "each step chains on the user key, never unkeyed")
+    assert(p.contains("partial_min"),
+      "per-step first-occurrence mins must aggregate map-side")
+    assert(p.contains("Expand"),
+      "the one-row count frame must melt via unpivot's Expand, not a join union")
+  }
+
+  test("cohort retention: activity dedups before any join") {
+    val p = plan("st5_cohorts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cells and sizes meet on the cohort key, never unkeyed")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "the (user, week) dedup and cohort min must be two-phase")
+  }
+
   test("unpivot lowers to one Expand over the aggregated frame, no join") {
     val p = plan("a13_unpivot")
     assert(p.contains("Expand"), "Dataset.unpivot must lower to an Expand node")
