@@ -30,10 +30,14 @@ object EventAnalytics {
     * division of exact longs cast to double at the division — oracle
     * hash-stable.
     *
+    * @param maxGapUs conversion window: step i+1 must land within this
+    *   many microseconds of step i (product-analytics "converted within
+    *   N days"); None = unbounded.
     * @return (step, event_type, n_users, conversion), step 1-based in
     *   funnel order. */
   def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String],
+      maxGapUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val k = steps.size
@@ -49,8 +53,10 @@ object EventAnalytics {
       val e = base.filter(col("t") === steps(i))
         .select(col("u"), col("ets"))
       val carried = (1 to i).map(j => min(col(s"ts_$j")).as(s"ts_$j"))
-      val next = min(when(col("ets") > col(s"ts_$i"), col("ets")))
-        .as(s"ts_${i + 1}")
+      val inWindow = maxGapUs.foldLeft(col("ets") > col(s"ts_$i")) {
+        (cond, gap) => cond && col("ets") <= col(s"ts_$i") + lit(gap)
+      }
+      val next = min(when(inWindow, col("ets"))).as(s"ts_${i + 1}")
       acc = acc.join(e, Seq("u"), "left_outer")
         .groupBy("u").agg(carried.head, (carried.tail :+ next): _*)
     }

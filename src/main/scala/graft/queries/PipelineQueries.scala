@@ -2038,6 +2038,17 @@ object PipelineQueries {
         .orderBy("step")
     },
 
+    // Windowed funnel: same ordered semantics, each step additionally
+    // within 24 h of the previous — the "converted within N days"
+    // product-analytics form. Gap arithmetic is exact integer
+    // microseconds on both engines.
+    "st4b_funnel_windowed" -> { (s, dir) =>
+      graft.ops.EventAnalytics.funnelSteps(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("signup", "click", "purchase"),
+          maxGapUs = Some(86400000000L))
+        .orderBy("step")
+    },
+
     // Weekly cohort retention: cohort = epoch-week of first activity,
     // retained-at-offset from distinct (user, week) activity. Exact
     // integer week arithmetic — no calendar/timezone drift cross-engine.
@@ -3801,6 +3812,30 @@ object PipelineQueries {
         |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1 GROUP BY s1.u),
         |s3 AS (SELECT s2.u, min(e.ets) AS t3 FROM s2 JOIN e
         |  ON e.u = s2.u AND e.t = 'purchase' AND e.ets > s2.t2 GROUP BY s2.u),
+        |c AS (SELECT (SELECT CAST(count(1) AS BIGINT) FROM s1) AS n1,
+        |             (SELECT CAST(count(1) AS BIGINT) FROM s2) AS n2,
+        |             (SELECT CAST(count(1) AS BIGINT) FROM s3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type, n1 AS n_users,
+        |    CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conversion FROM c
+        |  UNION ALL SELECT CAST(2 AS INTEGER), 'click', n2,
+        |    CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+        |  UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', n3,
+        |    CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+        |) ORDER BY step""".stripMargin,
+
+    // Windowed-funnel mirror: the st4 chain with the 24 h (86400000000 µs)
+    // upper bound on each step gap.
+    "st4b_funnel_windowed" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
+        |  FROM events WHERE ts IS NOT NULL),
+        |s1 AS (SELECT u, min(ets) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
+        |s2 AS (SELECT s1.u, min(e.ets) AS t2 FROM s1 JOIN e
+        |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1
+        |  AND e.ets <= s1.t1 + 86400000000 GROUP BY s1.u),
+        |s3 AS (SELECT s2.u, min(e.ets) AS t3 FROM s2 JOIN e
+        |  ON e.u = s2.u AND e.t = 'purchase' AND e.ets > s2.t2
+        |  AND e.ets <= s2.t2 + 86400000000 GROUP BY s2.u),
         |c AS (SELECT (SELECT CAST(count(1) AS BIGINT) FROM s1) AS n1,
         |             (SELECT CAST(count(1) AS BIGINT) FROM s2) AS n2,
         |             (SELECT CAST(count(1) AS BIGINT) FROM s3) AS n3)

@@ -81,8 +81,9 @@ import graft.store.TableStore
   *    per-node (degree, n_triangles, clustering_coeff) over an
   *    (id_a, id_b) pair table — neighbor-graph quality diagnostics
   *  - `TABLE(graft_funnel(events, 'user', 'type', 'ts',
-  *    'step1,step2,…'))` → [[graft.ops.EventAnalytics.funnelSteps]]:
-  *    sequential-order funnel reach counts + conversion
+  *    'step1,step2,…'[, max_gap_us]))` →
+  *    [[graft.ops.EventAnalytics.funnelSteps]]: sequential-order funnel
+  *    reach counts + conversion, optional per-step conversion window
   *  - `TABLE(graft_cohorts(events, 'user', 'ts'))` →
   *    [[graft.ops.EventAnalytics.cohortRetention]]: weekly cohort
   *    retention matrix
@@ -408,11 +409,12 @@ object TableFunctions {
         Dedup.triangleCounts(rel(args(0)))
 
       case "graft_funnel" =>
-        arity(args.length == 5,
-          "5 (events, 'user', 'type', 'ts', 'step1,step2,…')")
+        arity(args.length == 5 || args.length == 6,
+          "5 or 6 (events, 'user', 'type', 'ts', 'step1,step2,…'[, max_gap_us])")
         graft.ops.EventAnalytics.funnelSteps(rel(args(0)), str(args(1)),
           str(args(2)), str(args(3)),
-          str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          maxGapUs = if (args.length > 5) Some(args(5).toLong) else None)
 
       case "graft_cohorts" =>
         arity(args.length == 3, "3 (events, 'user', 'ts')")

@@ -39,6 +39,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(2) == ((3, "purchase", 1L, 0.25)))   // u1 only (u5's purchase precedes its click)
   }
 
+  test("windowed funnel excludes conversions outside the gap") {
+    val ev = Seq(
+      (1L, "signup", ts(10)), (1L, "click", ts(20)),     // within 60 s
+      (2L, "signup", ts(10)), (2L, "click", ts(100)),    // outside 60 s
+      // u2 has a later click too — still outside relative to its FIRST signup
+      (2L, "click", ts(200))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnelSteps(ev, "user_id", "event_type", "ts",
+        Seq("signup", "click"), maxGapUs = Some(60L * 1000000L))
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 2L), (2, 1L)))
+  }
+
   test("cohort retention buckets by epoch week and divides by cohort size") {
     val ev = Seq(
       // cohort week 0: u1 active weeks 0,1; u2 active week 0 only
