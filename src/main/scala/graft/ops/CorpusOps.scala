@@ -736,8 +736,13 @@ object CorpusOps {
       batchK: Int = 1): DataFrame = {
     val mergeRows = bpeMerges(df, textCol, numMerges, batchK)
       .orderBy("step").collect()
-    val mergeArr = array(mergeRows.flatMap(r =>
-      Seq(lit(r.getString(1)), lit(r.getString(2)))).toIndexedSeq: _*)
+    // zero learned merges (single-char-word corpus, or an exhausted
+    // vocabulary) must yield a typed empty array<string> — a bare
+    // array() is array<null> and graft_bpe_apply rejects it
+    val mergeArr =
+      if (mergeRows.isEmpty) lit(Array.empty[String])
+      else array(mergeRows.flatMap(r =>
+        Seq(lit(r.getString(1)), lit(r.getString(2)))).toIndexedSeq: _*)
     df.select(explode(TA.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .select(explode(call_function("graft_bpe_apply",
@@ -769,8 +774,13 @@ object CorpusOps {
       numMerges: Int, batchK: Int = 1): DataFrame = {
     val mergeRows = bpeMerges(df, textCol, numMerges, batchK)
       .orderBy("step").collect()
-    val mergeArr = array(mergeRows.flatMap(r =>
-      Seq(lit(r.getString(1)), lit(r.getString(2)))).toIndexedSeq: _*)
+    // zero learned merges (single-char-word corpus, or an exhausted
+    // vocabulary) must yield a typed empty array<string> — a bare
+    // array() is array<null> and graft_bpe_apply rejects it
+    val mergeArr =
+      if (mergeRows.isEmpty) lit(Array.empty[String])
+      else array(mergeRows.flatMap(r =>
+        Seq(lit(r.getString(1)), lit(r.getString(2)))).toIndexedSeq: _*)
     val lw = df.select(col(langCol).as("lang"),
         explode(TA.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)

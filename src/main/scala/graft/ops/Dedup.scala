@@ -145,8 +145,11 @@ object Dedup {
     * floor): the per-pair DP is ~10⁴× a signature compare, so a
     * production job screens on the already-computed estimate before
     * paying for it — at sf0.1 a 4/16 floor cuts the DP set 7×. The
-    * candidate list is broadcast-joined to the two text sides; the DP
-    * itself is a codegen'd built-in (no UDF).
+    * candidate list joins the two text sides as plain id equi-joins
+    * (shuffle-keyed on the doc id; AQE broadcasts a side only when its
+    * runtime stats allow — no hint is forced, since the candidate set
+    * is unbounded at corpus scale). The DP itself is a codegen'd
+    * built-in (no UDF).
     *
     * @param docs   (idCol, textCol) source rows.
     * @param ex     PRE-COMPUTED [[shingleRows]] of the same corpus (the
@@ -873,8 +876,11 @@ object Dedup {
   }
 
   /** Per-node triangle count + local clustering coefficient over an
-    * undirected edge list (canonical `id_a < id_b` pairs — the shape
-    * [[Similarity.knnGraph]] and [[minhashLshPairs]] emit): the standard
+    * undirected edge list (any orientation — each pair is normalized to
+    * `least < greatest`, so the canonical shape [[Similarity.knnGraph]] /
+    * [[minhashLshPairs]] emit AND arbitrary SQL pair tables with
+    * reversed rows are both counted correctly; self-loops and NULL
+    * endpoints drop): the standard
     * graph-quality diagnostic for a curation neighbor graph — a node
     * whose neighbors interconnect (coefficient → 1) sits in a tight
     * semantic clique; coefficient → 0 flags hub-like or noisy
@@ -895,8 +901,13 @@ object Dedup {
   def triangleCounts(edges: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b"): DataFrame = {
     // referenced 4× (two wedge sides, the closing probe, degrees) —
-    // one bounded materialization, the pagerank pair-list pattern
-    val e = edges.select(col(idACol).as("a"), col(idBCol).as("b"))
+    // one bounded materialization, the pagerank pair-list pattern.
+    // least/greatest NORMALIZES orientation instead of filtering it:
+    // an edge supplied as (b, a) is the same undirected edge, and
+    // silently dropping it would corrupt degrees and counts.
+    val e = edges
+      .select(least(col(idACol), col(idBCol)).as("a"),
+        greatest(col(idACol), col(idBCol)).as("b"))
       .filter(col("a") < col("b")).distinct().localCheckpoint(true)
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))

@@ -72,7 +72,11 @@ object EventAnalytics {
       .select(col("step"),
         element_at(typeMap, col("step")).as("event_type"),
         col("n_users"),
-        (col("n_users").cast("double") / col("n1").cast("double"))
+        // n1 = 0 (no step-1 events at all) would divide 0/0 → NaN,
+        // where engines' IEEE settings disagree — publish NULL: the
+        // conversion of an empty funnel is undefined, not a number
+        when(col("n1") === 0, lit(null))
+          .otherwise(col("n_users").cast("double") / col("n1").cast("double"))
           .as("conversion"))
   }
 

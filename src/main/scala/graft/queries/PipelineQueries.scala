@@ -3817,11 +3817,11 @@ object PipelineQueries {
         |             (SELECT CAST(count(1) AS BIGINT) FROM s3) AS n3)
         |SELECT * FROM (
         |  SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type, n1 AS n_users,
-        |    CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conversion FROM c
+        |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion FROM c
         |  UNION ALL SELECT CAST(2 AS INTEGER), 'click', n2,
-        |    CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+        |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM c
         |  UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', n3,
-        |    CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+        |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM c
         |) ORDER BY step""".stripMargin,
 
     // Windowed-funnel mirror: the st4 chain with the 24 h (86400000000 µs)
@@ -3841,11 +3841,11 @@ object PipelineQueries {
         |             (SELECT CAST(count(1) AS BIGINT) FROM s3) AS n3)
         |SELECT * FROM (
         |  SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type, n1 AS n_users,
-        |    CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conversion FROM c
+        |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion FROM c
         |  UNION ALL SELECT CAST(2 AS INTEGER), 'click', n2,
-        |    CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+        |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM c
         |  UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', n3,
-        |    CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+        |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM c
         |) ORDER BY step""".stripMargin,
 
     // Cohort mirror: identical integer-microsecond week buckets

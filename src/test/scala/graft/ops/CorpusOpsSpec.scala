@@ -522,4 +522,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(s1("a") == 1.0 && s1("b") == 1.0, s"got $s1")
   }
+
+  test("bpeFertility survives a corpus that learns zero merges") {
+    // every word is a single character — no adjacent pair exists, so
+    // bpeMerges returns an EMPTY merge table; the merge-array literal
+    // must stay typed array<string> (a bare array() is array<null> and
+    // graft_bpe_apply would reject the plan) and segmentation falls
+    // back to per-character: fertility exactly 1.0
+    val d = Seq((1L, "a b a", "A")).toDF("doc_id", "text", "lang")
+    val out = CorpusOps.bpeFertility(d, "text", "lang", numMerges = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("A") == ((3L, 3L, 1.0)), s"got ${out("A")}")
+    val hist = CorpusOps.bpeSubwordHistogram(d, "text", numMerges = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist == Map("a" -> 2L, "b" -> 1L), s"got $hist")
+  }
 }

@@ -673,4 +673,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "doc_id", "text", n = 5)
     assert(short.count() == 0)
   }
+
+  test("triangleCounts normalizes edge orientation instead of dropping reversed rows") {
+    // the triangle {1,2,3} plus pendant 4, supplied in MIXED orientation
+    // with a duplicate and a self-loop — the normalized result must
+    // equal the canonical-input result, not silently lose (3,1)-as-(1,3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+    val canonical = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val mixed = Seq((2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 3L), (2L, 2L))
+      .toDF("id_a", "id_b")
+    val got = rows(Dedup.triangleCounts(mixed))
+    assert(got == rows(Dedup.triangleCounts(canonical)))
+    assert(got == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 2.0 / 6.0), (4L, 1L, 0L, -1.0)))
+  }
 }

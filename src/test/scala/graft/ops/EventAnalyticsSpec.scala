@@ -69,4 +69,16 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5),
       (1L, 0L, 1L, 1.0), (1L, 2L, 1L, 1.0)))
   }
+
+  test("funnel with zero step-1 reach publishes NULL conversion, not NaN") {
+    // nobody signs up — n1 = 0, and 0/0 must not leak IEEE NaN (engines
+    // disagree on NaN handling; the conversion is undefined)
+    val ev = Seq((1L, "click", ts(10)), (2L, "purchase", ts(20)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnelSteps(ev, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.isNullAt(3))).toSeq
+    assert(got == Seq((1, 0L, true), (2, 0L, true), (3, 0L, true)))
+  }
 }
