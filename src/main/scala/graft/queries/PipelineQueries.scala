@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Dedup, Similarity}
 import graft.functions.{TextAnalytics => TA, VectorAnalytics => VA}
+import graft.store.Artifacts
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (builder-prompt extension surface, first-class alongside SURVEY.md §2):
@@ -22,52 +23,42 @@ import graft.functions.{TextAnalytics => TA, VectorAnalytics => VA}
   */
 object PipelineQueries {
 
-  /** Session-scoped memo for the LSH dup-cluster label table (id →
-    * component min-id) that BOTH g2 and g3 read: at 100 TB you run LSH
-    * candidate generation + the O(log n) star contraction ONCE per
-    * corpus version and every downstream policy (label listing, keep-
-    * best-copy reps, cluster stats) joins the same label table — re-
-    * contracting the identical pair graph per consumer doubles the most
-    * expensive stage of the dedup pipeline for no information gain.
-    * The entry is the eagerly-materialized (localCheckpoint) label
-    * frame, keyed by (session, dir) so a fresh session or a different
-    * corpus never reads stale labels; entries are one (id, cluster)
-    * row per doc in the pair graph — trivially bounded — and the map is
-    * cleared when it outgrows a handful of corpora. */
-  private val lshLabelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def lshClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    if (lshLabelsMemo.size > 8) lshLabelsMemo.clear()
-    lshLabelsMemo.computeIfAbsent((s, dir), { _ =>
+  /** The LSH dup-cluster label table (id → component min-id) that BOTH
+    * g2 and g3 read: at 100 TB you run LSH candidate generation + the
+    * O(log n) star contraction ONCE per corpus version and every
+    * downstream policy (label listing, keep-best-copy reps, cluster
+    * stats) joins the same label table — re-contracting the identical
+    * pair graph per consumer doubles the most expensive stage of the
+    * dedup pipeline for no information gain. Store-backed via
+    * [[graft.store.Artifacts]] (round 12 held it in a session-lifetime
+    * localCheckpoint memo; the store write is durable across sessions
+    * and fault-tolerant at cluster scale — consumers scan committed
+    * parquet, not executor-resident blocks). One (id, cluster) row per
+    * doc in the pair graph, bucketed by id for co-located joins. */
+  private def lshClusterLabels(s: SparkSession, dir: String): DataFrame =
+    Artifacts.table(s, "lsh_labels", s"$dir|n=2|k=16|bands=8|maxb=8",
+        keys = Seq("id")) {
       val pairs = Dedup
         .minhashLshPairsWithShingles(docShingles(s, dir), k = 16, bands = 8,
           maxBucketSize = Some(8))
         .select("id_a", "id_b")
-      Dedup.clusterPairs(pairs).localCheckpoint(true)
-    })
-  }
+      Dedup.clusterPairs(pairs)
+    }
 
-  /** Shingle signature-table memo — [[Dedup.shingleRows]] over the
-    * documents table at the d2-family parameters (2-gram, portable
-    * hash), the artifact an operating dedup pipeline stores per corpus
-    * version: LSH candidates, Jaccard/containment verification, and the
-    * cluster-label chain all read these same rows (the op-internal
-    * sharing note at Dedup.lshVerifiedPairs, promoted across queries).
-    * Entry is the eagerly-materialized frame, keyed (session, dir). */
-  private val shingleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def docShingles(s: SparkSession, dir: String): DataFrame = {
-    if (shingleMemo.size > 8) shingleMemo.clear()
-    shingleMemo.computeIfAbsent((s, dir), { _ =>
+  /** Shingle signature table — [[Dedup.shingleRows]] over the documents
+    * table at the d2-family parameters (2-gram, portable hash), the
+    * artifact an operating dedup pipeline stores per corpus version: LSH
+    * candidates, Jaccard/containment verification, and the cluster-label
+    * chain all read these same rows (the op-internal sharing note at
+    * Dedup.lshVerifiedPairs, promoted across queries). Store-backed,
+    * bucketed by doc id. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Artifacts.table(s, "shingles", s"$dir|n=2|portable", keys = Seq("id")) {
       Dedup.shingleRows(Tables.load(s, dir, "documents"), "doc_id", "text",
-          shingleN = 2)
-        .localCheckpoint(true)
-    })
-  }
+        shingleN = 2)
+    }
 
-  /** Exact directed top-k neighbor-list memo — [[Similarity.knnDirected]]
+  /** Exact directed top-k neighbor lists — [[Similarity.knnDirected]]
     * over the embeddings table, the quadratic ground-truth stage that
     * FOUR consumers re-read (the mutual graph n12, both recall
     * evaluations n13/n13b, and g4's semantic clustering): at 100 TB you
@@ -75,69 +66,38 @@ object PipelineQueries {
     * and every tuning loop joins against the same table — re-scoring the
     * identical all-pairs join per consumer quadruples the single most
     * expensive stage of the ANN-evaluation family for bit-identical
-    * output. Entry is the eagerly-materialized (n·k)-row frame, keyed
-    * (session, dir, k) like the label memo. */
-  private val knnDirectedMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), DataFrame]()
-
-  private def exactKnnDirected(s: SparkSession, dir: String, k: Int): DataFrame = {
-    if (knnDirectedMemo.size > 8) knnDirectedMemo.clear()
-    knnDirectedMemo.computeIfAbsent((s, dir, k), { _ =>
+    * output. Store-backed, (n·k) rows bucketed by id. */
+  private def exactKnnDirected(s: SparkSession, dir: String, k: Int): DataFrame =
+    Artifacts.table(s, "knn_truth", s"$dir|cos|k=$k", keys = Seq("id")) {
       Similarity.knnDirected(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", k)
-        .localCheckpoint(true)
-    })
-  }
+        "vec_id", "embedding", k)
+    }
 
-  /** Session-scoped memo for trained kmeans codebooks over the
-    * embeddings table — the quantizer counterpart of [[lshLabelsMemo]]:
-    * at 100 TB you train the coarse quantizer ONCE per corpus version
-    * and every consumer (IVF search, recall evals, SemDeDup, balanced
-    * sampling, cluster keywords) assigns against the same centroids —
-    * Lloyd's is deterministic here (id-ordered init and folds), so
-    * per-consumer retraining repeats 2·iters driver-synced jobs for
-    * bit-identical output. Keyed by (session, dir, k, iters); the value
-    * is the k×dim driver-side codebook (a few KB), so no Spark state is
-    * cached and staleness follows the key like the label memo. */
-  private val kmeansCentsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), Array[Seq[Double]]]()
-
-  /** PQ codebook memo — same rationale, keyed by (session, dir, m,
-    * codebookK, kmIters); values are m driver-side codebooks (a few KB). */
-  private val pqBooksMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int, Int), IndexedSeq[Array[Seq[Double]]]]()
-
-  /** BM25 postings memo — the materialized inverted index over the
-    * documents table that r1/r2/r3 all read: a retrieval deployment
-    * builds the (doc, term, tf) index once per corpus version and every
-    * query batch (plain, PRF, hybrid) searches it; re-deriving the
-    * corpus explode+agg per operator call is its dominant cost. Entry is
-    * the eagerly-materialized postings frame, keyed (session, dir). */
-  private val bm25PostingsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def docPostings(s: SparkSession, dir: String): DataFrame = {
-    if (bm25PostingsMemo.size > 8) bm25PostingsMemo.clear()
-    bm25PostingsMemo.computeIfAbsent((s, dir), { _ =>
+  /** BM25 postings — the materialized inverted index over the documents
+    * table that r1/r2/r3/r4 all read: a retrieval deployment builds the
+    * (doc, term, tf) index once per corpus version and every query batch
+    * (plain, PRF, hybrid, hard negatives) searches it; re-deriving the
+    * corpus explode+agg per operator call is its dominant cost.
+    * Store-backed, bucketed by term — the search-side join key. */
+  private def docPostings(s: SparkSession, dir: String): DataFrame =
+    Artifacts.table(s, "bm25_postings", s"$dir|unigram", keys = Seq("term")) {
       graft.ops.Retrieval
         .bm25Postings(Tables.load(s, dir, "documents"), "doc_id", "text")
-        .localCheckpoint(true)
-    })
-  }
+    }
 
-  /** Memoized (vec_id, cluster) assignment of the embeddings table
-    * against the (dir, k, iters) codebook — already keyed by the
+  /** (vec_id, cluster) assignment of the embeddings table against the
+    * store-backed (dir, k, iters) codebook — already keyed by the
     * table's own id column, so consumers join without the rename
     * boilerplate [[Similarity.kmeans]]'s generic (id, cluster) shape
     * would force on every site. The assignment itself stays a lazy
-    * broadcast-literal argmin map — only TRAINING is shared. */
+    * broadcast-literal argmin map — only TRAINING is shared (trained
+    * once per corpus version, persisted via [[Artifacts.codebook]]). */
   private def kmEmbLabels(s: SparkSession, dir: String,
       k: Int, iters: Int): DataFrame = {
-    if (kmeansCentsMemo.size > 32) kmeansCentsMemo.clear()
-    val cents = kmeansCentsMemo.computeIfAbsent((s, dir, k, iters), { _ =>
+    val cents = Artifacts.codebook(s, "kmeans", s"$dir|k=$k|iters=$iters") {
       Similarity.kmeansCentroids(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", k, iters)
-    })
+    }
     Similarity.assignClusters(Tables.load(s, dir, "embeddings"),
       "vec_id", "embedding", cents)
       .withColumnRenamed("id", "vec_id")
@@ -1417,11 +1377,10 @@ object PipelineQueries {
     // replays bit-exactly in the oracle.
     "n10_ann_pq" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      if (pqBooksMemo.size > 8) pqBooksMemo.clear()
-      val books = pqBooksMemo.computeIfAbsent((s, dir, 4, 8, 3), { _ =>
+      val books = Artifacts.pqCodebooks(s, "pq_books", s"$dir|m=4|k=8|iters=3") {
         Similarity.pqCodebooks(e, "vec_id", "embedding",
           m = 4, codebookK = 8, kmIters = 3)
-      })
+      }
       Similarity.pqTopKWithCodebooks(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", books, k = 5)
         .orderBy("query_id", "rank")

@@ -1,0 +1,129 @@
+package graft.store
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable, versioned store for DERIVED per-corpus artifacts — the
+  * materialized intermediates an operating 100 TB pipeline computes once
+  * per corpus version and every consumer joins: the shingle signature
+  * table, LSH dup-cluster labels, exact-kNN truth lists, BM25 postings,
+  * kmeans / product-quantization codebooks.
+  *
+  * Round 12 held these in session-lifetime `localCheckpoint` memos; that
+  * is bench-fast but cluster-dishonest twice over: `localCheckpoint`
+  * blocks live on executors (losing ONE executor makes every downstream
+  * consumer unrecomputable — lineage is truncated), and the artifact dies
+  * with the session even though its scaladoc contract is "compute once
+  * per corpus version". This object instead writes each artifact ONCE
+  * through the versioned [[TableStore]] (zstd parquet, bucketed by the
+  * artifact's join key, manifest-committed) and serves every subsequent
+  * consumer — in this session or any later one pointed at the same root —
+  * a plain bucketed-parquet scan: fault-tolerant (recomputable from
+  * files), durable, and queryable from SQL like any other store table.
+  *
+  * Root resolution, in priority order:
+  *   1. session conf `spark.graft.artifactDir`
+  *   2. env `SPARK_GRAFT_ARTIFACT_DIR`
+  *   3. a per-JVM temp directory (fresh each run — the safe default:
+  *      correctness runs never read artifacts a code change obsoleted,
+  *      while builds are still shared across every session in the JVM).
+  *
+  * Staleness safety: the table NAME embeds a hash of (format version,
+  * full parameter key). A durable root survives code changes because any
+  * builder-logic change bumps [[Artifacts.FMT]], which re-keys every
+  * artifact — old tables are simply never read again (vacuum the root to
+  * reclaim them). Concurrent builders in ONE JVM are serialized per
+  * table by a striped lock; racing *separate* JVMs against one shared
+  * root is not supported (same as any external-table writer contract).
+  */
+object Artifacts {
+
+  /** Bump on ANY change to an artifact builder's output (schema or
+    * values): the key re-hash makes every durable root self-invalidate. */
+  private val FMT = 1
+
+  private lazy val jvmTempRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_artifacts_")
+    d.toString
+  }
+
+  /** The artifact-store root this session resolves to. */
+  def root(s: SparkSession): String =
+    s.conf.getOption("spark.graft.artifactDir")
+      .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_DIR"))
+      .getOrElse(jvmTempRoot)
+
+  // per-(session, root) store handles; per-table build locks
+  private val stores = new ConcurrentHashMap[(SparkSession, String), TableStore]()
+  private val locks = new ConcurrentHashMap[String, Object]()
+
+  private def store(s: SparkSession): TableStore = {
+    val r = root(s)
+    stores.computeIfAbsent((s, r), _ => new TableStore(s, r, numBuckets = 8))
+  }
+
+  /** Deterministic table name: `artifact_<name>_<12-hex key hash>`. */
+  private[store] def tableName(name: String, key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"v$FMT|$key".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    s"artifact_${name}_$h"
+  }
+
+  /** Get-or-build: if the keyed artifact table exists in this session's
+    * store root, read it (a bucketed parquet scan — the build is NOT
+    * re-run); otherwise run `build`, snapshot-write it (no change
+    * batch), and read it back. `keys` bucket the table by the artifact's
+    * downstream join key so consumers co-locate. The returned frame is
+    * always the STORE read — never the in-flight build plan — so every
+    * consumer shares one physical source and executor loss only ever
+    * re-scans files. */
+  def table(s: SparkSession, name: String, key: String,
+      keys: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
+    val st = store(s)
+    val t = tableName(name, key)
+    val lock = locks.computeIfAbsent(s"${root(s)}/$t", _ => new Object)
+    lock.synchronized {
+      if (!st.exists(t)) {
+        val df = build
+        st.createTable(t, df.schema, keys)
+        st.overwriteSnapshot(t, df)
+      }
+    }
+    st.read(t)
+  }
+
+  /** Driver-side codebook artifact (kmeans centroids): persisted as
+    * (cluster, centroid) rows, returned as the cluster-ordered array the
+    * assignment expressions broadcast. A few KB — the durability matters
+    * (train once per corpus version), not the size. */
+  def codebook(s: SparkSession, name: String, key: String)(
+      build: => Array[Seq[Double]]): Array[Seq[Double]] = {
+    val df = table(s, name, key, keys = Seq("cluster")) {
+      val sp = s
+      import sp.implicits._
+      build.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+    }
+    df.orderBy("cluster").collect()
+      .map(_.getSeq[Double](1))
+  }
+
+  /** Product-quantization codebook set: m per-subspace codebooks,
+    * persisted as (sub, cluster, centroid) rows. */
+  def pqCodebooks(s: SparkSession, name: String, key: String)(
+      build: => IndexedSeq[Array[Seq[Double]]]): IndexedSeq[Array[Seq[Double]]] = {
+    val df = table(s, name, key, keys = Seq("sub")) {
+      val sp = s
+      import sp.implicits._
+      build.zipWithIndex.toSeq.flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (c, i) => (sub, i, c) }
+      }.toDF("sub", "cluster", "centroid")
+    }
+    df.orderBy("sub", "cluster").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2)))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toArray)
+  }
+}

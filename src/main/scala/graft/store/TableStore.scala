@@ -517,6 +517,17 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     commit(table, v, newEntries, Some(withAction(readBack(table, newEntries), "insert")))
   }
 
+  /** Full replace committed with NO change batch — the write shape for
+    * derived ARTIFACT tables ([[Artifacts]]): a per-corpus-version
+    * artifact is a pure function of its inputs, so CDC consumers have
+    * nothing to see (no phantom changes) and the write costs exactly one
+    * parquet copy (append/overwrite also write a change batch). */
+  def overwriteSnapshot(table: String, df: DataFrame): Unit = synchronized {
+    val v = currentVersion(table) + 1
+    val aligned = fillAutoInc(table, align(table, df))
+    commit(table, v, writeBatch(table, v, aligned), changes = None)
+  }
+
   /** TRUNCATE (S7): empty manifest, no data IO at all. */
   def truncate(table: String): Unit = synchronized {
     val v = currentVersion(table) + 1

@@ -238,11 +238,13 @@ class PlanSpec extends AnyFunSuite {
   test("kNN graph: mutual filter is a hash semi join over the bounded directed set") {
     val p = plan("n12_knn_graph")
     // the all-pairs scoring + per-node top-k window materialize ONCE
-    // into the checkpointed directed set (n·k rows) — the returned plan
-    // must be a hash-keyed reciprocal semi join over those blocks, never
-    // a re-run of the scoring chain per reference
-    assert(p.contains("ExistingRDD"),
-      "expected the eagerly-materialized directed top-k as a checkpoint scan")
+    // into the store-backed knn_truth ARTIFACT (n·k rows of committed
+    // parquet) — the returned plan must be a hash-keyed reciprocal semi
+    // join over that artifact scan, never a re-run of the scoring chain
+    // per reference (no window rank, no vector dot anywhere in the plan)
+    assert(p.contains("Scan parquet") && !p.contains("Window")
+      && !p.contains("graft_dot"),
+      "expected the persisted directed top-k as a parquet artifact scan")
     assert(p.contains("LeftSemi"), "mutual filter = left-semi on the swapped keys")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the reciprocal join is equi-keyed on (id, nbr) — no unkeyed join in the result plan")

@@ -1,0 +1,95 @@
+package graft.store
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The durable-artifact contract: an artifact builds ONCE per (root,
+  * name, key) and every later consumer — including a FRESH session
+  * pointed at the same root — reads the committed store table instead of
+  * re-running the build. */
+class ArtifactsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("artifact builds once and re-reads from the store, across sessions") {
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val builds = new AtomicInteger(0)
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      val sp = s; import sp.implicits._
+      builds.incrementAndGet()
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    }
+    val first = Artifacts.table(s1, "spec_art", "corpus1|p=1", Seq("id"))(build(s1))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(builds.get() == 1)
+    assert(first == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // same session, same key: served from the store, build NOT re-run
+    Artifacts.table(s1, "spec_art", "corpus1|p=1", Seq("id"))(build(s1)).count()
+    assert(builds.get() == 1)
+
+    // FRESH session on the same root: still served from the store
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.artifactDir", root)
+    val again = Artifacts.table(s2, "spec_art", "corpus1|p=1", Seq("id"))(build(s2))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(builds.get() == 1, "a fresh session must read, not rebuild")
+    assert(again == first)
+
+    // a DIFFERENT key (new corpus version / new params) rebuilds
+    Artifacts.table(s2, "spec_art", "corpus2|p=1", Seq("id"))(build(s2)).count()
+    assert(builds.get() == 2)
+
+    // the artifact is an ordinary store table: SQL-queryable by name
+    val st = new TableStore(s2, root)
+    val names = st.listTables()
+    assert(names.exists(_.startsWith("artifact_spec_art_")), s"got $names")
+  }
+
+  test("codebook artifact round-trips doubles exactly across sessions") {
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val builds = new AtomicInteger(0)
+    val book: Array[Seq[Double]] = Array(
+      Seq(0.1, -2.5e-17, 3.0), Seq(1.0 / 3.0, Double.MinPositiveValue, -0.0))
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    val got1 = Artifacts.codebook(s1, "spec_km", "c1|k=2") {
+      builds.incrementAndGet(); book
+    }
+    assert(builds.get() == 1)
+    assert(got1.length == 2 && got1(0) == book(0) && got1(1) == book(1))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.artifactDir", root)
+    val got2 = Artifacts.codebook(s2, "spec_km", "c1|k=2") {
+      builds.incrementAndGet(); book
+    }
+    assert(builds.get() == 1, "codebook must be read back, not retrained")
+    // parquet round-trip must be BIT-exact (the assignment argmin and the
+    // oracle replay both depend on it)
+    assert(got2(0) == book(0) && got2(1) == book(1))
+    assert(java.lang.Double.doubleToRawLongBits(got2(1)(2)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+  }
+
+  test("pq codebooks preserve subspace and cluster order") {
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val books: IndexedSeq[Array[Seq[Double]]] = IndexedSeq(
+      Array(Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0)),
+      Array(Seq(-1.0, 0.5), Seq(7.25, -8.0), Seq(0.0, 9.0)))
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.artifactDir", root)
+    Artifacts.pqCodebooks(s1, "spec_pq", "c1|m=2")(books)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.artifactDir", root)
+    val got = Artifacts.pqCodebooks(s2, "spec_pq", "c1|m=2") {
+      fail("must not rebuild"); books
+    }
+    assert(got.length == 2)
+    assert(got(0).toSeq == books(0).toSeq && got(1).toSeq == books(1).toSeq)
+  }
+}
