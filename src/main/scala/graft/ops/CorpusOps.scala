@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalytics => TA}
+import graft.spark.Materialize.MaterializeOps
 
 /** Corpus-preparation operators a training-data pipeline runs between
   * ingestion and training: chunking long documents into token windows,
@@ -619,7 +620,10 @@ object CorpusOps {
     * constant-size `ExistingRDD` scan, so round cost is flat in the
     * number of rounds; superseded checkpoint blocks are GC-cleaned by
     * Spark's ContextCleaner when the previous round's frame drops out
-    * of scope (the [[graft.ops.Dedup.lshVerifiedPairs]] pattern).
+    * of scope (the [[graft.ops.Dedup.lshVerifiedPairs]] pattern). On a
+    * cluster, `spark.graft.reliableCheckpoint=true` + a checkpoint dir
+    * routes every round's cut through a RELIABLE checkpoint
+    * ([[graft.spark.Materialize]]) so training survives executor loss.
     * `batchK = 1` is the exact serial algorithm (one Spark round-trip per
     * merge — fine for small merge tables, hours of scheduler overhead at
     * a production 30k-merge training). `batchK > 1` is the standard
@@ -650,7 +654,7 @@ object CorpusOps {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), split(col("word"), "").as("syms"))
-      .localCheckpoint(true) // constant-size plan root for every round
+      .materialized // constant-size plan root for every round
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
@@ -685,7 +689,7 @@ object CorpusOps {
         // stringification cost every round (driver OOM by ~13 rounds)
         current = current
           .withColumn("syms", call_function("graft_bpe_apply", col("syms"), roundMerges))
-          .localCheckpoint(true)
+          .materialized
       }
     }
     spark.createDataFrame(merges.toSeq).toDF("step", "lsym", "rsym", "cnt")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalytics => TA, VectorAnalytics => VA}
+import graft.spark.Materialize.MaterializeOps
 
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine (builder-prompt
@@ -102,7 +103,7 @@ object Dedup {
     require(minJaccard > 0, "minJaccard must be > 0 (zero-overlap pairs are never emitted)")
     val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
       .select("id_a", "id_b")
-    verifiedJaccard(candidates, ex, minJaccard).localCheckpoint(true)
+    verifiedJaccard(candidates, ex, minJaccard).materialized
   }
 
   /** [[lshContainmentPairs]] over PRE-COMPUTED [[shingleRows]]. */
@@ -124,7 +125,7 @@ object Dedup {
         col("n_inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
       .filter(col("containment") >= minContainment)
       .select("id_a", "id_b", "containment")
-      .localCheckpoint(true)
+      .materialized
   }
 
   /** EDIT-DISTANCE verification of LSH candidates — the character-level
@@ -197,7 +198,7 @@ object Dedup {
     // bounded pair list, referenced twice (verify join + estimate join) —
     // materialize once, the lshVerifiedPairs pattern
     val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
-      .localCheckpoint(true)
+      .materialized
     verifiedJaccard(candidates.select("id_a", "id_b"), ex, minJaccard = 0.0,
         keepZero = true)
       .join(candidates, Seq("id_a", "id_b"))
@@ -494,7 +495,7 @@ object Dedup {
     var edges = pairs
       .select(greatest(col(idACol), col(idBCol)).as("a"),
         least(col(idACol), col(idBCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct().materialized
 
     // large-star: m = min(N(u) ∪ {u}); emit (v, m) for neighbors v > u
     def largeStar(e: DataFrame): DataFrame = {
@@ -528,16 +529,18 @@ object Dedup {
       val batch = math.min(checkEvery, maxIter - done)
       // each star op references its input ~3× (union + join), so the
       // logical plan grows 3^ops without a lineage cut — Catalyst analysis
-      // goes exponential (minutes per batch). An EAGER localCheckpoint per
-      // round pair keeps the plan flat (LogicalRDD base) and materializes
-      // work the next round needs anyway; on a cluster, swap for reliable
-      // checkpoint to survive executor loss
+      // goes exponential (minutes per batch). An EAGER materialization per
+      // round pair keeps the plan flat (LogicalRDD/parquet base) and
+      // materializes work the next round needs anyway; on a cluster, set
+      // spark.graft.reliableCheckpoint=true + a checkpoint dir
+      // ([[graft.spark.Materialize]]) so the contraction survives
+      // executor loss mid-round
       // cut cadence: ONE eager materialization per round pair. Measured
       // at sf0.1 (this host, min-of-3): batching the cut to every 2
       // round pairs made the contraction SLOWER (g2 cold 15.3→19.1 s) —
       // the 4-star nested plan's analysis/codegen cost exceeds the
       // saved job-launch overhead — so per-pair stays.
-      for (_ <- 1 to batch) edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      for (_ <- 1 to batch) edges = smallStar(largeStar(edges)).materialized
       done += batch
       // star forest iff no chains (an edge's center is another edge's
       // member) and every member points at exactly one center
@@ -744,7 +747,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_truth"), count(col("fa")).as("n_found"))
       .withColumn("recall",
         col("n_found").cast("double") / col("n_truth").cast("double"))
-      .localCheckpoint(true) // report-sized; frees the cache for release
+      .materialized // report-sized; frees the cache for release
     ex.unpersist(blocking = false)
     report
   }
@@ -854,7 +857,7 @@ object Dedup {
     * constant-depth thanks to the checkpointed root. */
   def pagerankCentrality(pairs: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
-    val p = pairs.select("id_a", "id_b").localCheckpoint(true)
+    val p = pairs.select("id_a", "id_b").materialized
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
@@ -908,7 +911,7 @@ object Dedup {
     val e = edges
       .select(least(col(idACol), col(idBCol)).as("a"),
         greatest(col(idACol), col(idBCol)).as("b"))
-      .filter(col("a") < col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") < col("b")).distinct().materialized
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     val tris = wedges.join(e.as("e3"),
@@ -1069,7 +1072,7 @@ object Dedup {
       .filter(col("n_inter").cast("double")
         / (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= minJaccard)
       .select(col("id_b").as(idCol)).distinct()
-      .localCheckpoint(true) // bounded by the batch size; frees the shingle cache
+      .materialized // bounded by the batch size; frees the shingle cache
     ex.unpersist(blocking = false)
     batch.join(dropped, Seq(idCol), "left_anti")
   }

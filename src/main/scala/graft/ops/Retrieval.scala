@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalytics => TA}
+import graft.spark.Materialize.MaterializeOps
 
 /** Ranked text retrieval for training-data pipelines: BM25 top-k — the
   * lexical complement of the embedding ANN operators in [[Similarity]]
@@ -187,12 +188,12 @@ object Retrieval {
       .select("qid", "term")
       // queries × fbTerms rows — eager, so the pass-1 scoring chain above
       // is paid exactly once and never replays under the final pass
-      .localCheckpoint(true)
+      .materialized
     scoreOf(q0.unionByName(expTerms))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("qid", "doc_id", "score", "rank")
-      .localCheckpoint(true) // queries × k rows; frees the postings reads
+      .materialized // queries × k rows; frees the postings reads
   }
 
   /** BM25 hard-negative mining (the lexical-negatives recipe of dense-

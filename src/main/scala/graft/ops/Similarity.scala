@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorAnalytics => VA}
+import graft.spark.Materialize.MaterializeOps
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (builder-prompt extension surface).
@@ -253,7 +254,7 @@ object Similarity {
     // bare query, but a composition that iterates over the edges (the
     // g4 clustering) measured 38% faster with the cut at sf0.1;
     // checkpointed blocks are GC-cleaned when the result drops from scope
-    knnGraphFromDirected(knnDirected(df, idCol, vecCol, k).localCheckpoint(true))
+    knnGraphFromDirected(knnDirected(df, idCol, vecCol, k).materialized)
 
   /** The symmetrization half of [[knnGraph]], over a PRE-COMPUTED
     * [[knnDirected]] frame — split out because the directed top-k lists

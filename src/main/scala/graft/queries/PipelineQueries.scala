@@ -7,6 +7,7 @@ import graft.Tables
 import graft.ops.{Dedup, Similarity}
 import graft.functions.{TextAnalytics => TA, VectorAnalytics => VA}
 import graft.store.Artifacts
+import graft.spark.Materialize.MaterializeOps
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (builder-prompt extension surface, first-class alongside SURVEY.md §2):
@@ -1016,7 +1017,7 @@ object PipelineQueries {
             (col("grams_a") + col("grams_b") - col("shared_grams")).cast("double"))
             .as("gram_jaccard"))
         .orderBy("src_a", "src_b")
-        .localCheckpoint(true) // #sources² rows — tiny
+        .materialized // #sources² rows — tiny
       g.unpersist(blocking = false)
       matrix
     },
