@@ -115,7 +115,14 @@ object Bench {
     val soakJson =
       s"""{"passes":$soak,"passTotals":${jarr(passTotals)},""" +
         s""""passErrAttempts":${passErrAttempts.mkString("[", ",", "]")}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errCount":${errors.size},"errors":$errs,"iters":$iterations,"sf":"$sfDir","env":$env,"iterTimes":$iterTimes,"soak":$soakJson}"""
+    // warm-vs-cold disclosure: per-query rows for artifact consumers are
+    // warm numbers once the shared store table exists (the suite TOTAL
+    // still contains each artifact build exactly once — in its first
+    // consumer's first iteration)
+    val warm = queries.PipelineQueries.artifactConsumers
+      .filter(n => results.exists(_._1 == n)).toSeq.sorted
+      .map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errCount":${errors.size},"errors":$errs,"iters":$iterations,"sf":"$sfDir","env":$env,"artifactWarm":$warm,"iterTimes":$iterTimes,"soak":$soakJson}"""
     println(line)
     // the driver captures only a bounded stdout TAIL of this one giant
     // JSON line (BENCH_r11 lost 73/106 timings to truncation) — persist
@@ -127,9 +134,9 @@ object Bench {
     if (soak > 1) {
       // ONE-SIDED guard: the leak signature is a LATER pass getting
       // slower (state/cache accretion). A faster warm pass is the
-      // designed behavior of the session-scoped artifact memos (shingle
+      // designed behavior of the store-backed artifacts (shingle
       // table, BM25 postings, codebooks, cluster labels, exact-kNN
-      // lists) and grows with the memo family — it must not trip this.
+      // lists — built once, scanned thereafter) — it must not trip this.
       val growth = passTotals.zip(passTotals.tail).map {
         case (a, b) => (b - a) / a
       }.foldLeft(0.0)(math.max)

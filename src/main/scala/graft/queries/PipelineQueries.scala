@@ -93,6 +93,24 @@ object PipelineQueries {
     * would force on every site. The assignment itself stays a lazy
     * broadcast-literal argmin map — only TRAINING is shared (trained
     * once per corpus version, persisted via [[Artifacts.codebook]]). */
+  /** Queries whose per-query bench time is WARM once the shared artifact
+    * exists: the first consumer of each [[graft.store.Artifacts]] table
+    * (shingles, LSH labels, kNN truth, BM25 postings, kmeans/PQ
+    * codebooks) pays the build+write; every later consumer — and every
+    * later iteration of the same query — scans committed parquet. The
+    * bench's suite TOTAL is honest (it contains each build exactly
+    * once); these per-query rows are the ones that must not be read as
+    * cold-start numbers. Emitted as "artifactWarm" in the bench JSON. */
+  val artifactConsumers: Set[String] = Set(
+    "g1_pagerank", "g2_connected_components", "g3_cluster_reps",
+    "g4_semantic_clusters", "g5_cluster_keywords", "g6_knn_triangles",
+    "d2_minhash_lsh", "d4b_lsh_verified", "d13_incremental_dedup",
+    "d16_semdedup", "d17_containment", "d19_edit_verify", "d20_minhash_est",
+    "d21_dedup_impact", "r1_bm25_topk", "r2_hybrid_rrf", "r3_bm25_prf",
+    "r4_hard_negatives", "n5_ann_ivf_kmeans", "n7_ann_recall_kmeans",
+    "n8_cluster_sample", "n10_ann_pq", "n12_knn_graph", "n13_knn_recall",
+    "n13b_knn_recall_ivf")
+
   private def kmEmbLabels(s: SparkSession, dir: String,
       k: Int, iters: Int): DataFrame = {
     val cents = Artifacts.codebook(s, "kmeans", s"$dir|k=$k|iters=$iters") {

@@ -14,6 +14,29 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# Partial-evidence contracts for queries with no SQL oracle (training
+# replays DuckDB cannot unroll). e23 is the 100-merge batched-BPE stress
+# form: its schema is pinned to the merge-table contract, its row count
+# must land in [1, 100] (budget 100; corpora can exhaust earlier — sf0.01
+# learns 89), and the step column must be exactly 1..N with positive
+# counts (the invariant any valid training run satisfies). The batched
+# code path itself is hash-checked by its e23b_bpe_batch20 twin.
+ROWS_ONLY_EXPECT = {
+    "e23_bpe_batch100": {
+        "schema": {"step": "int64", "lsym": "object",
+                   "rsym": "object", "cnt": "int64"},
+        "min_rows": 1, "max_rows": 100,
+        "invariants": {
+            "steps_consecutive_from_1":
+                lambda df: sorted(df["step"].tolist()) == list(range(1, len(df) + 1)),
+            "counts_positive": lambda df: bool((df["cnt"] > 0).all()),
+            "symbols_nonempty":
+                lambda df: bool((df["lsym"].str.len() > 0).all()
+                                and (df["rsym"].str.len() > 0).all()),
+        },
+    },
+}
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True) if len(df.columns) else df
@@ -36,7 +59,32 @@ def main(sf_dir, out_dir):
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracle:
-            print(f"[rows-only] {name}: {len(got)} rows")
+            # oracle-less (not SQL-expressible) queries still carry partial
+            # evidence: schema must match the declared contract and the
+            # row count must be plausible (EXPECT below) — so the one
+            # rows-only row is schema+rowcount-checked, not unchecked
+            exp = ROWS_ONLY_EXPECT.get(name)
+            if exp is None:
+                print(f"[rows-only] {name}: {len(got)} rows")
+                continue
+            probs = []
+            cols = {c: str(got.dtypes[c]) for c in got.columns}
+            if cols != exp["schema"]:
+                probs.append(f"schema {cols} != {exp['schema']}")
+            if not (exp["min_rows"] <= len(got) <= exp["max_rows"]):
+                probs.append(f"rowcount {len(got)} outside [{exp['min_rows']}, {exp['max_rows']}]")
+            for check_name, fn in exp.get("invariants", {}).items():
+                try:
+                    if not fn(got):
+                        probs.append(f"invariant {check_name} violated")
+                except Exception as e:
+                    probs.append(f"invariant {check_name} errored: {e}")
+            if probs:
+                n_fail += 1
+                print(f"[FAIL] {name} (rows-only): " + "; ".join(probs))
+            else:
+                n_pass += 1
+                print(f"[pass] {name} (rows-only: schema+rowcount+invariants, {len(got)} rows)")
             continue
         want = con.execute(oracle[name]).df()
         g, w = norm(got.copy()), norm(want.copy())
