@@ -70,6 +70,16 @@ import graft.store.TableStore
   *    min_shared, max_doc_freq]))` → [[Dedup.winnowOverlapPairs]]: the
   *    MOSS-style (id_a, id_b, n_shared) overlap report over winnowing
   *    fingerprints
+  *  - `TABLE(graft_winnow_fp(t, 'id', 'text'[, shingle_n, window]))` →
+  *    [[Dedup.winnowFingerprints]]: the raw (id, fp_pos, fp_hash)
+  *    fingerprint set itself — store it per corpus version and join
+  *    newly-ingested docs against it
+  *  - `TABLE(graft_dup_spans(t, 'id', 'text', n[, min_docs]))` →
+  *    [[Dedup.duplicatedSpans]]: maximal token spans whose n-grams all
+  *    occur in ≥ min_docs documents (substring-dedup detection stage)
+  *  - `TABLE(graft_cut_spans(t, 'id', 'text', n[, min_docs]))` →
+  *    [[Dedup.cutSpans]] over the same table's [[Dedup.duplicatedSpans]]:
+  *    detect + cut in one call, re-emitting cleaned text row-for-row
   *  - `TABLE(graft_bpe_tokenize(t, 'text', num_merges[, batch_k]))` →
   *    [[CorpusOps.bpeSubwordHistogram]]: train BPE merges on the corpus,
   *    apply them back, return the (subword, n) histogram
@@ -390,6 +400,29 @@ object TableFunctions {
           minShared = if (args.length > 5) args(5).toInt else 3,
           maxDocFreq = if (args.length > 6) args(6).toInt else 8)
 
+      case "graft_winnow_fp" =>
+        arity(args.length >= 3 && args.length <= 5,
+          "3 to 5 (t, 'id', 'text'[, shingle_n, window])")
+        Dedup.winnowFingerprints(rel(args(0)), str(args(1)), str(args(2)),
+          shingleN = if (args.length > 3) args(3).toInt else 3,
+          window = if (args.length > 4) args(4).toInt else 4)
+
+      case "graft_dup_spans" =>
+        arity(args.length == 4 || args.length == 5,
+          "4 or 5 (t, 'id', 'text', n[, min_docs])")
+        Dedup.duplicatedSpans(rel(args(0)), str(args(1)), str(args(2)),
+          n = args(3).toInt,
+          minDocs = if (args.length > 4) args(4).toInt else 2)
+
+      case "graft_cut_spans" =>
+        arity(args.length == 4 || args.length == 5,
+          "4 or 5 (t, 'id', 'text', n[, min_docs])")
+        val spanSrc = rel(args(0))
+        Dedup.cutSpans(spanSrc, str(args(1)), str(args(2)),
+          Dedup.duplicatedSpans(spanSrc, str(args(1)), str(args(2)),
+            n = args(3).toInt,
+            minDocs = if (args.length > 4) args(4).toInt else 2))
+
       case "graft_bpe_tokenize" =>
         arity(args.length == 3 || args.length == 4,
           "3 or 4 (t, 'text', num_merges[, batch_k])")
@@ -544,7 +577,8 @@ object TableFunctions {
         "graft_chunk, graft_nb_classify, graft_dsir_select, " +
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
-        "graft_curriculum, graft_winnow_overlap, graft_bpe_tokenize, " +
+        "graft_curriculum, graft_winnow_overlap, graft_winnow_fp, " +
+        "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
         "graft_pagerank, graft_triangles, graft_funnel, graft_cohorts, " +
         "graft_hash_tfidf, graft_semdedup_kmeans, " +
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +

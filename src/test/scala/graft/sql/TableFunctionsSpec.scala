@@ -206,6 +206,17 @@ class TableFunctionsSpec extends AnyFunSuite {
       rows(Dedup.triangleCounts(
         Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.5)
           .select("id_a", "id_b"))))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_winnow_fp(" +
+      "docs_tf, 'doc_id', 'text', 3, 4))").get) ==
+      rows(Dedup.winnowFingerprints(docs, "doc_id", "text",
+        shingleN = 3, window = 4)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_dup_spans(" +
+      "docs_tf, 'doc_id', 'text', 3))").get) ==
+      rows(Dedup.duplicatedSpans(docs, "doc_id", "text", n = 3)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_cut_spans(" +
+      "docs_tf, 'doc_id', 'text', 3))").get) ==
+      rows(Dedup.cutSpans(docs, "doc_id", "text",
+        Dedup.duplicatedSpans(docs, "doc_id", "text", n = 3))))
     assert(rows(g.sql("SELECT * FROM TABLE(graft_semdedup_kmeans(" +
       "embs_tf, 'vec_id', 'embedding', 0.2, 8, 3))").get) ==
       rows(Dedup.semDedupKmeans(embs, "vec_id", "embedding", 0.2,
