@@ -17,18 +17,30 @@ object EventAnalytics {
     * step-i time), then per-step reached-user counts and conversion
     * vs step 1.
     *
-    * Shape: one filtered min-agg per step (map-side partials on
-    * user_id), chained by left joins ON user_id — k−1 user-keyed
-    * joins for a k-step funnel, never a per-event pair join. The
-    * per-step counts collapse to ONE row (a k-column global agg) and
-    * melt to (step, n_users) rows via unpivot — the same single-Expand
-    * lowering a13 guards. A user missing step i carries a NULL time
-    * forward, so later conditional mins stay NULL (strict-order
-    * semantics) and count() skips them.
+    * Shape: ONE user-keyed aggregation over the funnel-typed events —
+    * per user, the (ts, step-index) pairs collect and sort, and a
+    * single left fold walks them in time order advancing a (reached,
+    * last-time) accumulator: an event advances the funnel iff its step
+    * is the next unfilled one, its time is strictly after the last
+    * filled time, and (windowed form) within `maxGapUs` of it. The fold
+    * computes exactly the join-chain recurrence ts_{i+1} = min{t of
+    * step i+1 : t > ts_i (∧ t ≤ ts_i+gap)} — the first qualifying
+    * event in ascending order IS that min, and equal-time ties sort the
+    * lower step index first so a same-instant next-step event is
+    * correctly rejected by the strict inequality. The per-step counts
+    * then collapse to ONE row (a k-column global agg) and melt to
+    * (step, n_users) rows via unpivot — the same single-Expand lowering
+    * a13 guards.
+    *
+    * Scale: ONE shuffle on user_id regardless of k (the round-12 form
+    * chained k−1 join+agg rounds, each re-shuffling the reach set);
+    * per-user state is bounded by that user's own funnel-event count —
+    * the same per-key bound sessionization carries. The fold is a
+    * codegen'd `aggregate` over a sorted array, no UDF.
     *
     * Timestamps compare as integer microseconds; conversion is a
     * division of exact longs cast to double at the division — oracle
-    * hash-stable.
+    * hash-stable (NULL, not NaN, when step-1 reach is zero).
     *
     * @param maxGapUs conversion window: step i+1 must land within this
     *   many microseconds of step i (product-analytics "converted within
@@ -37,6 +49,62 @@ object EventAnalytics {
     *   funnel order. */
   def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String],
+      maxGapUs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val k = steps.size
+    // step name → 0-based index as a when-chain (an ANSI map lookup
+    // would throw on non-funnel event types; the chain yields NULL)
+    val si = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (st, i)) => when(col(typeCol) === st, lit(i)).otherwise(acc)
+    }
+    val base = events.select(col(userCol).as("u"), si.as("si"),
+        unix_micros(col(tsCol)).as("ets"))
+      .filter(col("ets").isNotNull && col("si").isNotNull)
+    // (ets, si) packs into ONE long — ets·2^7 + si — so the per-user
+    // collect+sort runs over primitive bigints (≈2× the struct form's
+    // throughput at high events-per-user): epoch micros stay < 2^56
+    // until year ~4250, leaving 7 low bits for the step index, and the
+    // packing is order-isomorphic to (ets asc, si asc) — exactly the
+    // struct sort it replaces. k ≤ 128 and ts ≥ epoch bound the packing.
+    require(k <= 128, "funnel supports at most 128 steps")
+    val packed = (col("ets") * lit(128L) + col("si")).as("p")
+    // greedy chain fold: state = (reached count, time of last reached
+    // step). The MinValue sentinel is never compared against (reached=0
+    // short-circuits the gap check; t > MinValue is vacuous for real
+    // timestamps).
+    val zero = struct(lit(0).as("cnt"), lit(Long.MinValue).as("last"))
+    def advance(acc: Column, x: Column): Column = {
+      val cnt = acc.getField("cnt")
+      val last = acc.getField("last")
+      val t = shiftrightunsigned(x, 7) // exact ÷128 (x ≥ 0 by the filter)
+      val gapOk = maxGapUs
+        .map(g => cnt === 0 || t <= last + lit(g))
+        .getOrElse(lit(true))
+      val ok = x.bitwiseAND(lit(127L)).cast("int") === cnt && t > last && gapOk
+      when(ok, struct((cnt + 1).as("cnt"), t.as("last"))).otherwise(acc)
+    }
+    val perUser = base
+      .filter(col("ets") >= 0) // pre-1970 rows would break the packing
+      .select(col("u"), packed)
+      .groupBy("u").agg(
+        aggregate(array_sort(collect_list(col("p"))), zero, advance)
+          .getField("cnt").as("reached"))
+    val wide = perUser.agg(
+      count(when(col("reached") >= 1, lit(1))).as("step_1"),
+      (2 to k).map(i =>
+        count(when(col("reached") >= i, lit(1))).as(s"step_$i")): _*)
+    funnelMelt(wide, steps, k)
+  }
+
+  /** The round-12 funnel formulation — one filtered min-agg per step
+    * chained by k−1 user-keyed left joins. Identical semantics and
+    * output (EventAnalyticsSpec pins equality with [[funnelSteps]] on
+    * the strict-order fixtures); kept as the A/B reference for the
+    * single-pass rewrite's measurement (SCALE.md records the sf1
+    * 6-step comparison). */
+  def funnelStepsJoinChain(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
       maxGapUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
@@ -63,6 +131,13 @@ object EventAnalytics {
     val wide = acc.agg(
       count(col("ts_1")).as("step_1"),
       (2 to k).map(i => count(col(s"ts_$i")).as(s"step_$i")): _*)
+    funnelMelt(wide, steps, k)
+  }
+
+  /** Shared funnel tail: melt the one-row (step_1..step_k) count frame
+    * to (step, event_type, n_users, conversion) rows via unpivot. */
+  private def funnelMelt(wide: DataFrame, steps: Seq[String],
+      k: Int): DataFrame = {
     val typeMap = map(steps.zipWithIndex.flatMap { case (st, i) =>
       Seq(lit(i + 1), lit(st))
     }: _*)

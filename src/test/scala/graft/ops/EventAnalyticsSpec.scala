@@ -70,6 +70,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, 0L, 1L, 1.0), (1L, 2L, 1L, 1.0)))
   }
 
+  test("single-pass funnel equals the join-chain formulation on the strict-order fixtures") {
+    // every tricky ordering from the two fixtures above, plus a user
+    // with repeated step events (the fold must take the FIRST
+    // qualifying one, like the chained min)
+    val ev = Seq(
+      (1L, "signup", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      (2L, "click", ts(5)), (2L, "signup", ts(10)),
+      (3L, "signup", ts(10)), (3L, "click", ts(10)),
+      (4L, "click", ts(10)), (4L, "purchase", ts(20)),
+      (5L, "purchase", ts(5)), (5L, "signup", ts(10)), (5L, "click", ts(20)),
+      (6L, "signup", ts(1)), (6L, "signup", ts(2)), (6L, "click", ts(3)),
+      (6L, "click", ts(4)), (6L, "purchase", ts(2)), (6L, "purchase", ts(5))
+    ).toDF("user_id", "event_type", "ts")
+    for (gap <- Seq(None, Some(60L * 1000000L), Some(9L * 1000000L))) {
+      val a = EventAnalytics.funnelSteps(ev, "user_id", "event_type", "ts",
+          Seq("signup", "click", "purchase"), gap)
+        .orderBy("step").collect().toSeq
+      val b = EventAnalytics.funnelStepsJoinChain(ev, "user_id", "event_type",
+          "ts", Seq("signup", "click", "purchase"), gap)
+        .orderBy("step").collect().toSeq
+      assert(a == b, s"gap=$gap: single-pass $a != join-chain $b")
+    }
+  }
+
   test("funnel with zero step-1 reach publishes NULL conversion, not NaN") {
     // nobody signs up — n1 = 0, and 0/0 must not leak IEEE NaN (engines
     // disagree on NaN handling; the conversion is undefined)

@@ -426,12 +426,18 @@ class PlanSpec extends AnyFunSuite {
       "corner and degree counts must aggregate map-side")
   }
 
-  test("funnel: user-keyed equi-joins and two-phase mins, no cartesian") {
+  test("funnel: one user-keyed aggregation, no joins, step count adds no exchanges") {
     val p = plan("st4_funnel")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "each step chains on the user key, never unkeyed")
-    assert(p.contains("partial_min"),
-      "per-step first-occurrence mins must aggregate map-side")
+    // the single-pass form: ONE user-keyed aggregation computes the
+    // whole chain — no join of any kind may appear, and step count must
+    // not add exchanges (the round-12 join-chain re-shuffled the reach
+    // set k−1 times)
+    assert(!p.contains("Join"),
+      "the funnel chain is one fold per user — no join anywhere in the plan")
+    assert("Arguments: hashpartitioning\\(u".r.findAllIn(p).size == 1,
+      "exactly ONE user-keyed exchange regardless of step count")
+    assert(!p.contains("ScalaUDF"),
+      "the chain fold is a codegen'd aggregate expression, not a UDF")
     assert(p.contains("Expand"),
       "the one-row count frame must melt via unpivot's Expand, not a join union")
   }
