@@ -80,6 +80,9 @@ import graft.store.TableStore
   *  - `TABLE(graft_cut_spans(t, 'id', 'text', n[, min_docs]))` →
   *    [[Dedup.cutSpans]] over the same table's [[Dedup.duplicatedSpans]]:
   *    detect + cut in one call, re-emitting cleaned text row-for-row
+  *  - `TABLE(graft_artifacts())` → [[graft.store.Artifacts.listing]]:
+  *    the (artifact_table, version) catalog of this session's durable
+  *    artifact store; each listed table is itself a registered view
   *  - `TABLE(graft_bpe_tokenize(t, 'text', num_merges[, batch_k]))` →
   *    [[CorpusOps.bpeSubwordHistogram]]: train BPE merges on the corpus,
   *    apply them back, return the (subword, n) histogram
@@ -400,6 +403,10 @@ object TableFunctions {
           minShared = if (args.length > 5) args(5).toInt else 3,
           maxDocFreq = if (args.length > 6) args(6).toInt else 8)
 
+      case "graft_artifacts" =>
+        arity(args.isEmpty, "0 () — lists this session's artifact-store tables")
+        graft.store.Artifacts.listing(spark)
+
       case "graft_winnow_fp" =>
         arity(args.length >= 3 && args.length <= 5,
           "3 to 5 (t, 'id', 'text'[, shingle_n, window])")
@@ -577,7 +584,7 @@ object TableFunctions {
         "graft_chunk, graft_nb_classify, graft_dsir_select, " +
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
-        "graft_curriculum, graft_winnow_overlap, graft_winnow_fp, " +
+        "graft_curriculum, graft_winnow_overlap, graft_winnow_fp, graft_artifacts, " +
         "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
         "graft_pagerank, graft_triangles, graft_funnel, graft_cohorts, " +
         "graft_hash_tfidf, graft_semdedup_kmeans, " +

@@ -91,7 +91,23 @@ object Artifacts {
         st.overwriteSnapshot(t, df)
       }
     }
+    // every artifact is immediately SQL-visible under its table name
+    // (write-once per key, so the snapshot view never goes stale)
+    st.registerView(t)
     st.read(t)
+  }
+
+  /** (artifact table, committed version) catalog of this session's
+    * artifact-store root — the SQL surface exposes it as
+    * `TABLE(graft_artifacts())`; each listed name is itself registered
+    * as a queryable view the moment it is built or first read. */
+  def listing(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    val st = store(s)
+    val sp = s
+    import sp.implicits._
+    st.listTables().filter(_.startsWith("artifact_")).sorted
+      .map(t => (t, st.currentVersion(t)))
+      .toDF("artifact_table", "version")
   }
 
   /** Driver-side codebook artifact (kmeans centroids): persisted as

@@ -206,6 +206,16 @@ class TableFunctionsSpec extends AnyFunSuite {
       rows(Dedup.triangleCounts(
         Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.5)
           .select("id_a", "id_b"))))
+    // the artifact catalog: SQL listing equals the Scala listing, and
+    // building an artifact makes it appear (the session shares one
+    // JVM-scoped root, so force at least one artifact to exist)
+    graft.store.Artifacts.table(spark, "tfspec", "k1", Seq("id")) {
+      docs.select("doc_id").limit(3).toDF("id")
+    }
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_artifacts())").get) ==
+      rows(graft.store.Artifacts.listing(spark)))
+    assert(graft.store.Artifacts.listing(spark)
+      .collect().exists(_.getString(0).startsWith("artifact_tfspec_")))
     assert(rows(g.sql("SELECT * FROM TABLE(graft_winnow_fp(" +
       "docs_tf, 'doc_id', 'text', 3, 4))").get) ==
       rows(Dedup.winnowFingerprints(docs, "doc_id", "text",

@@ -49,6 +49,14 @@ class ArtifactsSpec extends AnyFunSuite {
     val st = new TableStore(s2, root)
     val names = st.listTables()
     assert(names.exists(_.startsWith("artifact_spec_art_")), s"got $names")
+
+    // the listing catalogs both keyed builds; every listed table is a
+    // registered temp view queryable with plain SQL in the session
+    val listed = Artifacts.listing(s2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(listed.count(_._1.startsWith("artifact_spec_art_")) == 2, s"got $listed")
+    val viewName = listed.map(_._1).find(_.startsWith("artifact_spec_art_")).get
+    assert(s2.sql(s"SELECT count(1) FROM $viewName").head().getLong(0) == 3L)
   }
 
   test("codebook artifact round-trips doubles exactly across sessions") {
