@@ -141,4 +141,32 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // random event logs: few users and a coarse timestamp grid force the
+  // adversarial orderings (same-instant ties, repeats, out-of-order
+  // steps) the funnel fold must handle exactly like the join chain
+  private val eventsGen: Gen[List[(Long, String, java.sql.Timestamp)]] =
+    Gen.listOf(for {
+      u <- Gen.choose(0L, 6L)
+      t <- Gen.oneOf("s1", "s2", "s3", "s4", "other")
+      sec <- Gen.choose(0L, 12L)
+    } yield (u, t, new java.sql.Timestamp(sec * 1000L)))
+
+  test("single-pass funnel equals the join chain on random event logs") {
+    for (seed <- 1L to 12L) {
+      val evRows = eventsGen
+        .apply(Gen.Parameters.default.withSize(60), Seed(seed)).getOrElse(Nil)
+      val ev = evRows.toDF("user_id", "event_type", "ts")
+      for {
+        steps <- Seq(Seq("s1", "s2"), Seq("s1", "s2", "s3", "s4"))
+        gap <- Seq(None, Some(3L * 1000000L))
+      } {
+        val a = EventAnalytics.funnelSteps(ev, "user_id", "event_type",
+            "ts", steps, gap).orderBy("step").collect().toSeq
+        val b = EventAnalytics.funnelStepsJoinChain(ev, "user_id",
+            "event_type", "ts", steps, gap).orderBy("step").collect().toSeq
+        assert(a == b, s"seed=$seed steps=$steps gap=$gap:\n$a\n$b")
+      }
+    }
+  }
 }

@@ -84,6 +84,28 @@ class ArtifactsSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(-0.0))
   }
 
+  test("concurrent consumers of one key build exactly once") {
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val builds = new AtomicInteger(0)
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    val sp = s; import sp.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts = Await.result(Future.sequence((1 to 6).map { _ =>
+      Future {
+        Artifacts.table(s, "spec_conc", "k|p=1", Seq("id")) {
+          builds.incrementAndGet()
+          Thread.sleep(50) // widen the race window
+          Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        }.count()
+      }
+    }), 120.seconds)
+    assert(builds.get() == 1, s"racing consumers built ${builds.get()} times")
+    assert(counts.forall(_ == 2L))
+  }
+
   test("pq codebooks preserve subspace and cluster order") {
     val root = Files.createTempDirectory("graft_artifacts_spec").toString
     val books: IndexedSeq[Array[Seq[Double]]] = IndexedSeq(
