@@ -97,6 +97,26 @@ object Artifacts {
     st.read(t)
   }
 
+  /** Extend an existing artifact with a delta batch — the operational
+    * maintenance path when the corpus GROWS by an ingest batch: for
+    * row-local builders (shingles, postings, winnowing fingerprints —
+    * anything where each output row derives from one input doc),
+    * artifact(corpus ∪ Δ) = artifact(corpus) ∪ build(Δ), so appending
+    * the delta's rows is bit-identical to a full rebuild at a fraction
+    * of the cost. NOT valid for corpus-global builders (kNN truth,
+    * cluster labels, codebooks) — those re-key per corpus version
+    * instead. The append commits a new store version (time travel keeps
+    * the pre-batch artifact readable) and refreshes the SQL view. */
+  def appendDelta(s: SparkSession, name: String, key: String,
+      delta: DataFrame): Unit = {
+    val st = store(s)
+    val t = tableName(name, key)
+    require(st.exists(t),
+      s"artifact $name (key $key) does not exist — build it with table() first")
+    st.append(t, delta)
+    st.registerView(t)
+  }
+
   /** (artifact table, committed version) catalog of this session's
     * artifact-store root — the SQL surface exposes it as
     * `TABLE(graft_artifacts())`; each listed name is itself registered

@@ -84,6 +84,51 @@ class ArtifactsSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(-0.0))
   }
 
+  test("empty artifacts round-trip with schema intact") {
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    val sp = s; import sp.implicits._
+    val out = Artifacts.table(s, "spec_empty", "k", Seq("id")) {
+      Seq.empty[(Long, String)].toDF("id", "v")
+    }
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v"))
+    // and a fresh session still reads the committed empty table
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.artifactDir", root)
+    assert(Artifacts.table(s2, "spec_empty", "k", Seq("id")) {
+      fail("must not rebuild"); null
+    }.count() == 0)
+  }
+
+  test("appendDelta maintenance equals a full rebuild for row-local builders") {
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    val sp = s; import sp.implicits._
+    val v1 = Seq((1L, "the quick brown fox"), (2L, "jumps over the dog"),
+      (3L, "spark engines at scale")).toDF("doc_id", "text")
+    val delta = Seq((4L, "the quick red fox"), (5L, "entirely new content here"))
+      .toDF("doc_id", "text")
+    def shingles(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.shingleRows(df, "doc_id", "text", shingleN = 2)
+    Artifacts.table(s, "spec_sh", "corpusA", Seq("id"))(shingles(v1))
+    Artifacts.appendDelta(s, "spec_sh", "corpusA", shingles(delta))
+    val maintained = Artifacts.table(s, "spec_sh", "corpusA", Seq("id")) {
+      fail("must not rebuild"); null
+    }.collect().map(_.toString).sorted.toSeq
+    val rebuilt = shingles(v1.unionAll(delta))
+      .collect().map(_.toString).sorted.toSeq
+    assert(maintained == rebuilt,
+      "incrementally-maintained artifact must equal the full rebuild")
+    // appending to a never-built artifact fails fast
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.appendDelta(s, "spec_sh", "nosuch", shingles(delta))
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   test("concurrent consumers of one key build exactly once") {
     val root = Files.createTempDirectory("graft_artifacts_spec").toString
     val builds = new AtomicInteger(0)
