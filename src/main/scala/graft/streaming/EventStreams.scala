@@ -127,6 +127,79 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(pending: List[(Long, Int)], reached: Int,
+    lastUs: Long)
+  final case class FunnelStepHit(user_id: Long, step: Int,
+    event_type: String, step_time: Timestamp)
+
+  /** Streaming ordered funnel — the real-time twin of
+    * [[graft.ops.EventAnalytics.funnelSteps]]: per user, the same
+    * strict-sequential greedy chain (step i+1 counts only strictly after
+    * step i, optionally within `maxGapUs`), emitted incrementally as
+    * (user, step, step_time) transitions the moment each step becomes
+    * FINAL. Downstream `groupBy(step).count()` gives live per-step reach.
+    *
+    * Correctness under disorder: an event folds into the chain only once
+    * the watermark passes its event time — at that point nothing earlier
+    * can still arrive, so folding the ready events in (ts, step) order
+    * replays exactly the batch fold, even when a step-1 event ARRIVES
+    * after the step-2 event it unlocks. Not-yet-final events wait in the
+    * per-user pending buffer (watermark-bounded, same guarantee as the
+    * engine's windowed aggs); an event-time timeout at the newest pending
+    * timestamp guarantees the buffer drains even if the user goes silent.
+    *
+    * State: O(active users) × (pending within the watermark horizon +
+    * two scalars); users who complete the funnel with nothing pending
+    * are evicted immediately. */
+  def streamingFunnel(events: Dataset[Event], steps: Seq[String],
+      maxGapUs: Option[Long] = None,
+      watermark: String = "2 minutes"): Dataset[FunnelStepHit] = {
+    import events.sparkSession.implicits._
+    val k = steps.size
+    val idx = steps.zipWithIndex.toMap
+    val stepArr = steps.toArray
+    def micros(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    events.withWatermark("ts", watermark)
+      .filter(e => idx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStepHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, 0, Long.MinValue))
+          val incoming = it.map(e => (micros(e.ts), idx(e.event_type))).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // events at or below the watermark are FINAL — fold them in
+          // (ts, step) order, the exact batch recurrence; keep the rest
+          val (ready, pending) = (prev.pending ++ incoming).partition(_._1 <= wmUs)
+          var reached = prev.reached
+          var last = prev.lastUs
+          val hits = List.newBuilder[FunnelStepHit]
+          ready.sorted.foreach { case (t, si) =>
+            val gapOk = maxGapUs.forall(g => reached == 0 || t <= last + g)
+            if (si == reached && t > last && gapOk) {
+              reached += 1
+              last = t
+              hits += FunnelStepHit(userId, reached, stepArr(si), toTs(t))
+            }
+          }
+          if (reached >= k && pending.isEmpty) state.remove()
+          else {
+            state.update(FunnelState(pending, reached, last))
+            // drain guarantee: wake when the watermark passes the newest
+            // buffered event, even if the user never sends another one
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).max / 1000L + 1L)
+          }
+          hits.result().iterator
+      }
+  }
+
   /** Continuous upsert of a stream into a versioned store table: each
     * micro-batch routes through the bucket-pruned
     * [[graft.store.TableStore.merge]] (the foreachBatch-merge pattern

@@ -242,4 +242,50 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(ids2 == Set(1L, 2L, 5L), s"live-corpus dup must be dropped: $ids2")
     } finally q.stop()
   }
+
+  test("streamingFunnel replays the batch chain even when steps ARRIVE out of order") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val steps = Seq("signup", "click", "purchase")
+    val q = EventStreams.streamingFunnel(mem.toDS(), steps,
+        watermark = "30 seconds")
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 7's click and purchase ARRIVE before its signup — event-time
+      // order (10 < 20 < 30) still unlocks all three once the watermark
+      // passes them. user 9's click is at the SAME instant as its signup
+      // (strict order must reject step 2).
+      mem.addData(Event(1, 7, "click", 0, ts(20)), Event(2, 7, "purchase", 0, ts(30)))
+      mem.addData(Event(3, 7, "signup", 0, ts(10)),
+        Event(4, 9, "signup", 0, ts(40)), Event(5, 9, "click", 0, ts(40)))
+      q.processAllAvailable()
+      // watermark advance (far-future other-user event), then one more
+      // batch so event-time timeouts flush the drained buffers
+      mem.addData(Event(6, 1, "signup", 0, ts(500)))
+      q.processAllAvailable()
+      mem.addData(Event(7, 1, "signup", 0, ts(510)))
+      q.processAllAvailable()
+      val hits = spark.table("funnel_hits")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(hits.filter(_._1 == 7L) ==
+        Set((7L, 1, "signup"), (7L, 2, "click"), (7L, 3, "purchase")),
+        s"user 7 must complete all steps from out-of-order arrival: $hits")
+      assert(hits.filter(_._1 == 9L) == Set((9L, 1, "signup")),
+        s"user 9's same-instant click must not count: $hits")
+
+      // equivalence with the batch funnel on the same (finalized) events
+      val batch = Seq(
+        (7L, "click", ts(20)), (7L, "purchase", ts(30)), (7L, "signup", ts(10)),
+        (9L, "signup", ts(40)), (9L, "click", ts(40))
+      ).toDF("user_id", "event_type", "ts")
+      val batchReach = graft.ops.EventAnalytics
+        .funnelSteps(batch, "user_id", "event_type", "ts", steps)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val streamReach = (1 to 3).map(i =>
+        i -> hits.count(h => h._1 != 1L && h._2 == i).toLong).toMap
+      assert(streamReach == batchReach,
+        s"stream $streamReach != batch $batchReach")
+    } finally q.stop()
+  }
 }
