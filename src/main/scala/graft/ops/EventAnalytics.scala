@@ -97,6 +97,82 @@ object EventAnalytics {
     funnelMelt(wide, steps, k)
   }
 
+  /** Funnel TRANSITION statistics — the time-between-steps companion of
+    * [[funnelSteps]]: for each consecutive step pair (i → i+1), how many
+    * users converted and how long they took (mean / min / max of
+    * ts_{i+1} − ts_i in exact integer microseconds; the mean divides
+    * exact longs, cast to double at the division — oracle hash-stable).
+    * The product-analytics "where does the funnel stall" report.
+    *
+    * Shape: the same ONE user-keyed aggregation as [[funnelSteps]], but
+    * the fold carries the chain's TIMES (array<long>, length ≤ k)
+    * instead of just its length; the per-transition gaps then melt via
+    * one Expand (inline array) and aggregate on the k−1-row report key.
+    *
+    * @return (step_from, step_to, event_from, event_to, n_converted,
+    *   avg_gap_us, min_gap_us, max_gap_us), ordered by step_from. */
+  def funnelTransitionStats(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      maxGapUs: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "transition stats need at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val k = steps.size
+    val si = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (st, i)) => when(col(typeCol) === st, lit(i)).otherwise(acc)
+    }
+    val base = events.select(col(userCol).as("u"), si.as("si"),
+        unix_micros(col(tsCol)).as("ets"))
+      .filter(col("ets").isNotNull && col("si").isNotNull && col("ets") >= 0)
+    require(k <= 128, "funnel supports at most 128 steps")
+    val packed = (col("ets") * lit(128L) + col("si")).as("p")
+    // chain fold carrying the filled TIMES: an event appends iff its
+    // step is the next unfilled one, strictly after (and within gap of)
+    // the last filled time. size(acc)===0 short-circuits the
+    // element_at(acc, -1) access, so the empty state is never probed.
+    val zero = lit(Array.empty[Long])
+    def advance(acc: Column, x: Column): Column = {
+      val t = shiftrightunsigned(x, 7)
+      val last = element_at(acc, -1)
+      val gapOk = maxGapUs
+        .map(g => size(acc) === 0 || t <= last + lit(g))
+        .getOrElse(lit(true))
+      val ok = x.bitwiseAND(lit(127L)).cast("int") === size(acc) &&
+        (size(acc) === 0 || t > last) && gapOk
+      when(ok, concat(acc, array(t))).otherwise(acc)
+    }
+    val perUser = base.select(col("u"), packed)
+      .groupBy("u").agg(
+        aggregate(array_sort(collect_list(col("p"))), zero, advance)
+          .as("times"))
+    // melt the k−1 candidate transitions per user in ONE Expand (inline
+    // of a literal-index array), keep the realized ones, aggregate on
+    // the tiny (step_from) report key
+    val gaps = perUser.select(explode(array((1 until k).map { i =>
+        struct(lit(i).as("step_from"),
+          when(size(col("times")) >= i + 1,
+            element_at(col("times"), i + 1) - element_at(col("times"), i))
+            .as("gap"))
+      }: _*)).as("tr"))
+      .select(col("tr.step_from"), col("tr.gap"))
+      .filter(col("gap").isNotNull)
+    val nameMap = map(steps.zipWithIndex.flatMap { case (st, i) =>
+      Seq(lit(i + 1), lit(st))
+    }: _*)
+    gaps.groupBy("step_from")
+      .agg(count(lit(1)).as("n_converted"),
+        sum(col("gap")).as("__sum"),
+        min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .select(col("step_from"),
+        (col("step_from") + 1).as("step_to"),
+        element_at(nameMap, col("step_from")).as("event_from"),
+        element_at(nameMap, col("step_from") + 1).as("event_to"),
+        col("n_converted"),
+        (col("__sum").cast("double") / col("n_converted").cast("double"))
+          .as("avg_gap_us"),
+        col("min_gap_us"), col("max_gap_us"))
+  }
+
   /** The round-12 funnel formulation — one filtered min-agg per step
     * chained by k−1 user-keyed left joins. Identical semantics and
     * output (EventAnalyticsSpec pins equality with [[funnelSteps]] on

@@ -2027,6 +2027,16 @@ object PipelineQueries {
         .orderBy("step")
     },
 
+    // Funnel transition statistics — time-between-steps (mean/min/max of
+    // ts_{i+1} − ts_i in exact integer microseconds) per consecutive
+    // step pair: the "where does the funnel stall" report. Same one
+    // user-keyed aggregation as st4, fold carrying the chain TIMES.
+    "st4c_funnel_gaps" -> { (s, dir) =>
+      graft.ops.EventAnalytics.funnelTransitionStats(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
+        .orderBy("step_from")
+    },
+
     // Weekly cohort retention: cohort = epoch-week of first activity,
     // retained-at-offset from distinct (user, week) activity. Exact
     // integer week arithmetic — no calendar/timezone drift cross-engine.
@@ -3825,6 +3835,36 @@ object PipelineQueries {
         |  UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', n3,
         |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM c
         |) ORDER BY step""".stripMargin,
+
+    // Transition-stats mirror: the st4 sequential-min CTE chain, then
+    // per consecutive pair the realized gaps aggregate (sum as BIGINT
+    // before the one double division; HAVING keeps engines agreed on
+    // never-realized transitions — Spark emits no row, so neither may
+    // the oracle)
+    "st4c_funnel_gaps" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
+        |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
+        |s1 AS (SELECT u, min(ets) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
+        |s2 AS (SELECT s1.u, min(e.ets) AS t2 FROM s1 JOIN e
+        |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1 GROUP BY s1.u),
+        |s3 AS (SELECT s2.u, min(e.ets) AS t3 FROM s2 JOIN e
+        |  ON e.u = s2.u AND e.t = 'purchase' AND e.ets > s2.t2 GROUP BY s2.u),
+        |g1 AS (SELECT s2.t2 - s1.t1 AS gap FROM s2 JOIN s1 ON s1.u = s2.u),
+        |g2 AS (SELECT s3.t3 - s2.t2 AS gap FROM s3 JOIN s2 ON s2.u = s3.u)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step_from, CAST(2 AS INTEGER) AS step_to,
+        |    'signup' AS event_from, 'click' AS event_to,
+        |    CAST(count(1) AS BIGINT) AS n_converted,
+        |    CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avg_gap_us,
+        |    min(gap) AS min_gap_us, max(gap) AS max_gap_us
+        |  FROM g1 HAVING count(1) > 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS INTEGER), CAST(3 AS INTEGER), 'click', 'purchase',
+        |    CAST(count(1) AS BIGINT),
+        |    CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / CAST(count(1) AS DOUBLE),
+        |    min(gap), max(gap)
+        |  FROM g2 HAVING count(1) > 0
+        |) ORDER BY step_from""".stripMargin,
 
     // Cohort mirror: identical integer-microsecond week buckets
     // (604800000000 µs), distinct (user, week) activity, offset-0 rows

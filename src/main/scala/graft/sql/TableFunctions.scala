@@ -456,6 +456,14 @@ object TableFunctions {
           str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           maxGapUs = if (args.length > 5) Some(args(5).toLong) else None)
 
+      case "graft_funnel_gaps" =>
+        arity(args.length == 5 || args.length == 6,
+          "5 or 6 (events, 'user', 'type', 'ts', 'step1,step2,…'[, max_gap_us])")
+        graft.ops.EventAnalytics.funnelTransitionStats(rel(args(0)),
+          str(args(1)), str(args(2)), str(args(3)),
+          str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          maxGapUs = if (args.length > 5) Some(args(5).toLong) else None)
+
       case "graft_cohorts" =>
         arity(args.length == 3, "3 (events, 'user', 'ts')")
         graft.ops.EventAnalytics.cohortRetention(rel(args(0)), str(args(1)),
@@ -586,7 +594,8 @@ object TableFunctions {
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
         "graft_curriculum, graft_winnow_overlap, graft_winnow_fp, graft_artifacts, " +
         "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
-        "graft_pagerank, graft_triangles, graft_funnel, graft_cohorts, " +
+        "graft_pagerank, graft_triangles, graft_funnel, graft_funnel_gaps, " +
+        "graft_cohorts, " +
         "graft_hash_tfidf, graft_semdedup_kmeans, " +
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
         "graft_asof_join, graft_range_join, graft_hard_negatives, " +

@@ -94,6 +94,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelTransitionStats reports exact per-transition gap statistics") {
+    val ev = Seq(
+      // u1 converts 1→2 in 10s, 2→3 in 5s
+      (1L, "signup", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(25)),
+      // u2 converts 1→2 in 30s, never step 3
+      (2L, "signup", ts(0)), (2L, "click", ts(30)),
+      // u3 reaches only step 1
+      (3L, "signup", ts(100))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnelTransitionStats(ev, "user_id",
+        "event_type", "ts", Seq("signup", "click", "purchase"))
+      .orderBy("step_from").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == Seq(
+      (1, 2, "signup", "click", 2L, 20.0e6, 10000000L, 30000000L),
+      (2, 3, "click", "purchase", 1L, 5.0e6, 5000000L, 5000000L)))
+    // a gap window tightens the realized transitions (u2's 30 s 1→2 is
+    // outside a 15 s window; nothing then reaches step 3 for u2)
+    val windowed = EventAnalytics.funnelTransitionStats(ev, "user_id",
+        "event_type", "ts", Seq("signup", "click", "purchase"),
+        maxGapUs = Some(15L * 1000000L))
+      .orderBy("step_from").collect()
+      .map(r => (r.getInt(0), r.getLong(4))).toSeq
+    assert(windowed == Seq((1, 1L), (2, 1L)))
+  }
+
   test("funnel with zero step-1 reach publishes NULL conversion, not NaN") {
     // nobody signs up — n1 = 0, and 0/0 must not leak IEEE NaN (engines
     // disagree on NaN handling; the conversion is undefined)

@@ -328,6 +328,10 @@ class TableFunctionsSpec extends AnyFunSuite {
       rows(graft.ops.EventAnalytics.funnelSteps(ev, "user_id", "event_type",
         "ts", Seq("signup", "click", "purchase"),
         maxGapUs = Some(86400000000L))))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_funnel_gaps(events_tf, " +
+      "'user_id', 'event_type', 'ts', 'signup,click,purchase'))").get) ==
+      rows(graft.ops.EventAnalytics.funnelTransitionStats(ev, "user_id",
+        "event_type", "ts", Seq("signup", "click", "purchase"))))
     assert(rows(g.sql("SELECT * FROM TABLE(graft_cohorts(events_tf, " +
       "'user_id', 'ts'))").get) ==
       rows(graft.ops.EventAnalytics.cohortRetention(ev, "user_id", "ts")))
