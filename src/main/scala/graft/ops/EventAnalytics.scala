@@ -210,6 +210,37 @@ object EventAnalytics {
     funnelMelt(wide, steps, k)
   }
 
+  /** Top USER-JOURNEY paths — the "pathfinder" report of product
+    * analytics (Mixpanel/Amplitude user flows): per user, the first
+    * `depth` events in time order define their journey path (event
+    * types joined with '>'), and the report counts users per distinct
+    * path, keeping the `topN` most common. Deterministic end to end:
+    * per-user order is (ts, event_type) with timestamp ties broken by
+    * type name, the report orders by (n_users desc, path).
+    *
+    * Shape: ONE user-keyed aggregation (collect+sort, bounded by
+    * `depth+`the user's event count — the funnel bound), then a count
+    * on the tiny path key and a bounded TakeOrdered top-N. Nothing
+    * corpus-global except the final ≤topN-row sort.
+    *
+    * @return (path, n_users), at most topN rows. */
+  def topEventPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, depth: Int, topN: Int): DataFrame = {
+    require(depth >= 1 && topN >= 1, "depth and topN must be >= 1")
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+        unix_micros(col(tsCol)).as("ets"))
+      .filter(col("ets").isNotNull && col("t").isNotNull)
+    val perUser = base.groupBy("u").agg(
+      concat_ws(">",
+        transform(
+          slice(array_sort(collect_list(struct(col("ets"), col("t")))),
+            1, depth),
+          e => e.getField("t"))).as("path"))
+    perUser.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path"))
+      .limit(topN)
+  }
+
   /** Shared funnel tail: melt the one-row (step_1..step_k) count frame
     * to (step, event_type, n_users, conversion) rows via unpivot. */
   private def funnelMelt(wide: DataFrame, steps: Seq[String],

@@ -2037,6 +2037,15 @@ object PipelineQueries {
         .orderBy("step_from")
     },
 
+    // Top user-journey paths (the product-analytics "pathfinder"): each
+    // user's first 4 events in (ts, type) order join into a path
+    // string; the report keeps the 20 most-common paths. One user-keyed
+    // agg + a bounded TakeOrdered — nothing corpus-global.
+    "st6_event_paths" -> { (s, dir) =>
+      graft.ops.EventAnalytics.topEventPaths(Tables.events(s, dir),
+        "user_id", "event_type", "ts", depth = 4, topN = 20)
+    },
+
     // Weekly cohort retention: cohort = epoch-week of first activity,
     // retained-at-offset from distinct (user, week) activity. Exact
     // integer week arithmetic — no calendar/timezone drift cross-engine.
@@ -3865,6 +3874,17 @@ object PipelineQueries {
         |    min(gap), max(gap)
         |  FROM g2 HAVING count(1) > 0
         |) ORDER BY step_from""".stripMargin,
+
+    // Path mirror: identical (ts, type)-ordered first-4 journey per
+    // user, path-keyed count, (n desc, path) total order bounds the cut
+    "st6_event_paths" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT u, array_to_string(list_slice(
+        |    list(t ORDER BY ets, t), 1, 4), '>') AS path
+        |  FROM e GROUP BY u)
+        |SELECT path, CAST(count(1) AS BIGINT) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     // Cohort mirror: identical integer-microsecond week buckets
     // (604800000000 µs), distinct (user, week) activity, offset-0 rows

@@ -97,6 +97,13 @@ import graft.store.TableStore
   *    'step1,step2,…'[, max_gap_us]))` →
   *    [[graft.ops.EventAnalytics.funnelSteps]]: sequential-order funnel
   *    reach counts + conversion, optional per-step conversion window
+  *  - `TABLE(graft_funnel_gaps(events, 'user', 'type', 'ts',
+  *    'step1,step2,…'[, max_gap_us]))` →
+  *    [[graft.ops.EventAnalytics.funnelTransitionStats]]: per-transition
+  *    converted counts + exact time-between-steps statistics
+  *  - `TABLE(graft_event_paths(events, 'user', 'type', 'ts', depth,
+  *    top_n))` → [[graft.ops.EventAnalytics.topEventPaths]]: the top-N
+  *    most common first-`depth` user-journey paths
   *  - `TABLE(graft_cohorts(events, 'user', 'ts'))` →
   *    [[graft.ops.EventAnalytics.cohortRetention]]: weekly cohort
   *    retention matrix
@@ -464,6 +471,12 @@ object TableFunctions {
           str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           maxGapUs = if (args.length > 5) Some(args(5).toLong) else None)
 
+      case "graft_event_paths" =>
+        arity(args.length == 6,
+          "6 (events, 'user', 'type', 'ts', depth, top_n)")
+        graft.ops.EventAnalytics.topEventPaths(rel(args(0)), str(args(1)),
+          str(args(2)), str(args(3)), args(4).toInt, args(5).toInt)
+
       case "graft_cohorts" =>
         arity(args.length == 3, "3 (events, 'user', 'ts')")
         graft.ops.EventAnalytics.cohortRetention(rel(args(0)), str(args(1)),
@@ -595,7 +608,7 @@ object TableFunctions {
         "graft_curriculum, graft_winnow_overlap, graft_winnow_fp, graft_artifacts, " +
         "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
         "graft_pagerank, graft_triangles, graft_funnel, graft_funnel_gaps, " +
-        "graft_cohorts, " +
+        "graft_event_paths, graft_cohorts, " +
         "graft_hash_tfidf, graft_semdedup_kmeans, " +
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
         "graft_asof_join, graft_range_join, graft_hard_negatives, " +

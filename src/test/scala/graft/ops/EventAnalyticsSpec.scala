@@ -121,6 +121,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(windowed == Seq((1, 1L), (2, 1L)))
   }
 
+  test("topEventPaths orders each journey by time with type tie-breaks") {
+    val ev = Seq(
+      (1L, "a", ts(1)), (1L, "b", ts(2)), (1L, "c", ts(3)),
+      (2L, "a", ts(5)), (2L, "b", ts(6)), (2L, "c", ts(7)),
+      // u3: same-instant b/a — tie breaks by type name, a first
+      (3L, "b", ts(1)), (3L, "a", ts(1)),
+      // u4: five events — only the first 3 enter a depth-3 path
+      (4L, "x", ts(1)), (4L, "y", ts(2)), (4L, "z", ts(3)), (4L, "a", ts(4))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.topEventPaths(ev, "user_id", "event_type",
+        "ts", depth = 3, topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>c", 2L), ("a>b", 1L)),
+      s"top-2 must rank the shared path first, ties by path: $got")
+  }
+
   test("funnel with zero step-1 reach publishes NULL conversion, not NaN") {
     // nobody signs up — n1 = 0, and 0/0 must not leak IEEE NaN (engines
     // disagree on NaN handling; the conversion is undefined)

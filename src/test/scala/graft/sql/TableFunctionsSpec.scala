@@ -332,6 +332,10 @@ class TableFunctionsSpec extends AnyFunSuite {
       "'user_id', 'event_type', 'ts', 'signup,click,purchase'))").get) ==
       rows(graft.ops.EventAnalytics.funnelTransitionStats(ev, "user_id",
         "event_type", "ts", Seq("signup", "click", "purchase"))))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_event_paths(events_tf, " +
+      "'user_id', 'event_type', 'ts', 4, 20))").get) ==
+      rows(graft.ops.EventAnalytics.topEventPaths(ev, "user_id",
+        "event_type", "ts", depth = 4, topN = 20)))
     assert(rows(g.sql("SELECT * FROM TABLE(graft_cohorts(events_tf, " +
       "'user_id', 'ts'))").get) ==
       rows(graft.ops.EventAnalytics.cohortRetention(ev, "user_id", "ts")))
