@@ -241,6 +241,43 @@ object EventAnalytics {
       .limit(topN)
   }
 
+  /** Event-type TRANSITION matrix — the first-order Markov flow report
+    * behind user-journey sankeys: for every consecutive event pair in
+    * each user's (ts, type)-ordered history, the transition count and
+    * the conditional probability P(to | from) = n / n_from. Integer
+    * counts throughout; the one division casts exact longs to double —
+    * oracle hash-stable.
+    *
+    * Shape: ONE user-keyed aggregation (the [[topEventPaths]] bound),
+    * pairs formed INSIDE the sorted per-user array (an indexed
+    * transform — no self-join, no window), then a count on the tiny
+    * (from, to) key and a broadcast-sized per-from total join.
+    *
+    * @return (from_type, to_type, n, p), ordered by (from, to). */
+  def eventTransitionMatrix(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String): DataFrame = {
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+        unix_micros(col(tsCol)).as("ets"))
+      .filter(col("ets").isNotNull && col("t").isNotNull)
+    val seqs = base.groupBy("u").agg(
+      array_sort(collect_list(struct(col("ets"), col("t")))).as("seq"))
+    // pair i = (seq[i], seq[i+1]); the slice keeps indices valid under
+    // ANSI (i ranges over the first size−1 elements), and single-event
+    // users produce an empty pair array that explode simply drops
+    val pairs = seqs.select(explode(
+        transform(slice(col("seq"), lit(1), size(col("seq")) - 1),
+          (x, i) => struct(x.getField("t").as("f"),
+            element_at(col("seq"), i + 2).getField("t").as("o")))).as("pr"))
+      .select(col("pr.f").as("from_type"), col("pr.o").as("to_type"))
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Shared funnel tail: melt the one-row (step_1..step_k) count frame
     * to (step, event_type, n_users, conversion) rows via unpivot. */
   private def funnelMelt(wide: DataFrame, steps: Seq[String],

@@ -2046,6 +2046,15 @@ object PipelineQueries {
         "user_id", "event_type", "ts", depth = 4, topN = 20)
     },
 
+    // Event-type transition matrix (first-order Markov flow): per
+    // consecutive event pair in each user's ordered history, count and
+    // P(to|from). Pairs form inside the sorted per-user array — no
+    // self-join, no window; the per-from totals broadcast.
+    "st7_transitions" -> { (s, dir) =>
+      graft.ops.EventAnalytics.eventTransitionMatrix(Tables.events(s, dir),
+        "user_id", "event_type", "ts")
+    },
+
     // Weekly cohort retention: cohort = epoch-week of first activity,
     // retained-at-offset from distinct (user, week) activity. Exact
     // integer week arithmetic — no calendar/timezone drift cross-engine.
@@ -3885,6 +3894,23 @@ object PipelineQueries {
         |  FROM e GROUP BY u)
         |SELECT path, CAST(count(1) AS BIGINT) AS n_users FROM p
         |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    // Transition-matrix mirror: identical (ts, type)-ordered pair
+    // formation inside the per-user list, integer counts, one division
+    "st7_transitions" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |s AS (SELECT u, list(t ORDER BY ets, t) AS seq FROM e GROUP BY u),
+        |pr AS (SELECT unnest(list_transform(range(1, len(seq)),
+        |    ti -> {'f': seq[ti], 'o': seq[ti + 1]})) AS p FROM s),
+        |c AS (SELECT p.f AS from_type, p.o AS to_type,
+        |    CAST(count(1) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p
+        |FROM c JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // Cohort mirror: identical integer-microsecond week buckets
     // (604800000000 µs), distinct (user, week) activity, offset-0 rows

@@ -104,6 +104,9 @@ import graft.store.TableStore
   *  - `TABLE(graft_event_paths(events, 'user', 'type', 'ts', depth,
   *    top_n))` → [[graft.ops.EventAnalytics.topEventPaths]]: the top-N
   *    most common first-`depth` user-journey paths
+  *  - `TABLE(graft_transitions(events, 'user', 'type', 'ts'))` →
+  *    [[graft.ops.EventAnalytics.eventTransitionMatrix]]: first-order
+  *    Markov (from, to, n, P(to|from)) flow matrix
   *  - `TABLE(graft_cohorts(events, 'user', 'ts'))` →
   *    [[graft.ops.EventAnalytics.cohortRetention]]: weekly cohort
   *    retention matrix
@@ -471,6 +474,11 @@ object TableFunctions {
           str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           maxGapUs = if (args.length > 5) Some(args(5).toLong) else None)
 
+      case "graft_transitions" =>
+        arity(args.length == 4, "4 (events, 'user', 'type', 'ts')")
+        graft.ops.EventAnalytics.eventTransitionMatrix(rel(args(0)),
+          str(args(1)), str(args(2)), str(args(3)))
+
       case "graft_event_paths" =>
         arity(args.length == 6,
           "6 (events, 'user', 'type', 'ts', depth, top_n)")
@@ -608,7 +616,7 @@ object TableFunctions {
         "graft_curriculum, graft_winnow_overlap, graft_winnow_fp, graft_artifacts, " +
         "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
         "graft_pagerank, graft_triangles, graft_funnel, graft_funnel_gaps, " +
-        "graft_event_paths, graft_cohorts, " +
+        "graft_event_paths, graft_transitions, graft_cohorts, " +
         "graft_hash_tfidf, graft_semdedup_kmeans, " +
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
         "graft_asof_join, graft_range_join, graft_hard_negatives, " +

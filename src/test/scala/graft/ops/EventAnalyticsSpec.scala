@@ -137,6 +137,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"top-2 must rank the shared path first, ties by path: $got")
   }
 
+  test("eventTransitionMatrix counts consecutive pairs with exact probabilities") {
+    val ev = Seq(
+      (1L, "a", ts(1)), (1L, "b", ts(2)), (1L, "a", ts(3)), (1L, "c", ts(4)),
+      (2L, "a", ts(1)), (2L, "b", ts(2)),
+      (3L, "x", ts(9)) // single event: no transition
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.eventTransitionMatrix(ev, "user_id",
+        "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // from a: a→b twice, a→c once; from b: b→a once
+    assert(got == Seq(
+      ("a", "b", 2L, 2.0 / 3.0), ("a", "c", 1L, 1.0 / 3.0),
+      ("b", "a", 1L, 1.0)), s"got $got")
+  }
+
   test("funnel with zero step-1 reach publishes NULL conversion, not NaN") {
     // nobody signs up — n1 = 0, and 0/0 must not leak IEEE NaN (engines
     // disagree on NaN handling; the conversion is undefined)

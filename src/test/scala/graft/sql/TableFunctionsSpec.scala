@@ -336,6 +336,10 @@ class TableFunctionsSpec extends AnyFunSuite {
       "'user_id', 'event_type', 'ts', 4, 20))").get) ==
       rows(graft.ops.EventAnalytics.topEventPaths(ev, "user_id",
         "event_type", "ts", depth = 4, topN = 20)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_transitions(events_tf, " +
+      "'user_id', 'event_type', 'ts'))").get) ==
+      rows(graft.ops.EventAnalytics.eventTransitionMatrix(ev, "user_id",
+        "event_type", "ts")))
     assert(rows(g.sql("SELECT * FROM TABLE(graft_cohorts(events_tf, " +
       "'user_id', 'ts'))").get) ==
       rows(graft.ops.EventAnalytics.cohortRetention(ev, "user_id", "ts")))
