@@ -3895,16 +3895,18 @@ object PipelineQueries {
         |SELECT path, CAST(count(1) AS BIGINT) AS n_users FROM p
         |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
-    // Transition-matrix mirror: identical (ts, type)-ordered pair
-    // formation inside the per-user list, integer counts, one division
+    // Transition-matrix mirror: the same per-user (ts, type) ordering
+    // expressed as a lead() window — consecutive rows of the sorted
+    // partition ARE the consecutive pairs of the per-user sequence, and
+    // the window form scales where a 10 M-element list unnest breaks
+    // DuckDB's allocator; integer counts, one division
     "st7_transitions" ->
       """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
-        |s AS (SELECT u, list(t ORDER BY ets, t) AS seq FROM e GROUP BY u),
-        |pr AS (SELECT unnest(list_transform(range(1, len(seq)),
-        |    ti -> {'f': seq[ti], 'o': seq[ti + 1]})) AS p FROM s),
-        |c AS (SELECT p.f AS from_type, p.o AS to_type,
-        |    CAST(count(1) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+        |o AS (SELECT t AS from_type,
+        |    lead(t) OVER (PARTITION BY u ORDER BY ets, t) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(1) AS BIGINT) AS n
+        |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
         |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
         |  FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, c.n,

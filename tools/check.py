@@ -44,6 +44,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # duckdb 1.0.0's default (threads = all cores, insertion-order
+    # preserved) can fail allocation on large list-transform unnests
+    # even with plenty of free RAM; cap threads and drop ordering (the
+    # compare sorts rows anyway)
+    con.execute("SET threads=16; SET preserve_insertion_order=false; "
+                "SET memory_limit='40GB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # spark-written dataset dir (ScaleGen output)
