@@ -228,10 +228,100 @@ object ReferenceQueries {
       Merge.upsert(target, source, Seq("item_id"),
           whenMatchedDelete = Some(Merge.src("price") > 1900.0))
         .orderBy("item_id")
+    },
+
+    // TPC-H Q3 shape (shipping priority): revenue of orders placed
+    // before the cutoff whose lines ship after it, for one market
+    // segment — the classic filter-pushdown + semi-join + top-k
+    // pattern. The customer side is a pure FILTER (no output column),
+    // so it cuts in as a broadcast LEFT-SEMI on o_custkey; both date
+    // filters push to the scans; the top-10 is a bounded TakeOrdered,
+    // never a global sort. Ties in the double revenue break on
+    // l_orderkey (same decimal-sum-then-cast on both engines, so the
+    // ordering agrees bit-for-bit).
+    "h3_shipping_priority" -> { (s, dir) =>
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape (local-supplier volume): revenue per nation for
+    // orders whose customer AND line supplier sit in the same nation of
+    // one region, within a date year — the classic 6-table join. Plan
+    // discipline: region→nation→supplier are broadcast dims, customer
+    // joins the order side on custkey, the lineitem⋈supplier nation
+    // must MATCH the customer nation (the co-location constraint), and
+    // the final agg is 5-ish rows.
+    "h5_region_volume" -> { (s, dir) =>
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val r = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables.load(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "h3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "h5_region_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(1) AS order_count,

@@ -24,6 +24,32 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem scan must prune unused columns, got $readSchema")
   }
 
+  test("shipping priority (h3): semi-join filter, pushed dates, bounded top-k") {
+    val p = plan("h3_shipping_priority")
+    assert(p.contains("LeftSemi"),
+      "the customer segment filter must cut in as a semi join (no customer column survives)")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "the filtered customer key set must broadcast")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThan(l_shipdate") || p.contains("l_shipdate)")),
+      "the ship-date filter must reach the lineitem scan")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be a bounded TakeOrdered, never a global sort")
+    assert(p.contains("partial_sum"), "revenue must aggregate map-side")
+  }
+
+  test("region volume (h5): dims broadcast, no cartesian, two-phase agg") {
+    val p = plan("h5_region_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "region→nation→supplier must broadcast onto the fact scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "all six tables meet on equi-keys")
+    assert(p.contains("partial_sum"), "revenue must aggregate map-side")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"lineitem scan must prune to the join/measure columns, got $readSchema")
+  }
+
   test("q1 aggregation is two-phase (map-side partials)") {
     val p = plan("q1_agg")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
