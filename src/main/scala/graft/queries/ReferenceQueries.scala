@@ -291,10 +291,73 @@ object ReferenceQueries {
         .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
           .cast("double").as("revenue"))
         .orderBy(desc("revenue"), asc("n_name"))
+    },
+
+    // TPC-H Q17 shape (small-quantity revenue): lines whose quantity is
+    // under 20% of their part's average — the classic CORRELATED
+    // subquery, decorrelated the scale-right way: restrict lineitem to
+    // the brand's parts FIRST (broadcast semi join), aggregate the
+    // per-part average over that restricted set once, and join it back
+    // on the part key — the subquery never re-executes per row and the
+    // avg never computes for parts the filter will drop.
+    "h17_small_qty_revenue" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#4").select("p_partkey")
+      val liP = li.join(broadcast(p), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      val avgQ = liP.groupBy(col("l_partkey").as("ap"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      liP.join(avgQ, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity").cast("double") < lit(0.2) * col("avg_qty"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+          .as("avg_yearly"))
+    },
+
+    // TPC-H Q18 shape (large-volume orders): orders whose total line
+    // quantity clears a threshold, with their customer — aggregate-as-
+    // filter (HAVING) first, so only the ~10% qualifying order keys
+    // ever join the orders/customer sides; bounded top-20 output.
+    "h18_large_orders" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(moneySum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150.0)
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(20)
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "h17_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN (SELECT l_partkey AS ap,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / count(1) AS avg_qty
+        |      FROM lineitem
+        |      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+        |      GROUP BY 1) a ON l_partkey = a.ap
+        |WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty""".stripMargin,
+
+    "h18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 150.0)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
     "h3_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue,

@@ -50,6 +50,27 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem scan must prune to the join/measure columns, got $readSchema")
   }
 
+  test("small-qty revenue (h17): decorrelated avg behind a broadcast semi join") {
+    val p = plan("h17_small_qty_revenue")
+    assert(p.contains("LeftSemi"),
+      "the brand's part keys must restrict lineitem via semi join before any aggregate")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "the bounded part-key set must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the avg joins back on the part key — no unkeyed join")
+    assert(p.contains("partial_sum"), "both aggregates must be two-phase")
+  }
+
+  test("large orders (h18): aggregate-as-filter precedes the joins, bounded top-k") {
+    val p = plan("h18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a bounded TakeOrdered, never a global sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "orders and customer join the qualifying keys on equi-keys")
+    assert(p.contains("partial_sum"),
+      "the HAVING aggregate must combine map-side before its shuffle")
+  }
+
   test("q1 aggregation is two-phase (map-side partials)") {
     val p = plan("q1_agg")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
