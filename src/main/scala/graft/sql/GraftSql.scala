@@ -60,7 +60,7 @@ object GraftSql {
   private val CreateFileFormatRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+(.*?)\s*;?\s*$""".r
   private val CreateTableRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+?)\)\s*(?:KEYS\s*\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+?)\)\s*(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?(?:KEYS\s*\(([^)]*)\)\s*)?(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val CreateTableAsRe =
     """(?is)^\s*CREATE\s+(?:OR\s+(REPLACE)\s+)?TABLE\s+([\w.]+)\s*(?:KEYS\s*\(([^)]*)\)\s*)?AS\s*(\(\s*SELECT.*|SELECT.*)$""".r
   private val CreateTableCloneRe =
@@ -183,15 +183,18 @@ object GraftSql {
         store.renameColumn(session.map(_.recordName(name)).getOrElse(name), from, to)
         None
 
-      case CreateTableRe(replace, name, colsDdl, keys) =>
+      case CreateTableRe(replace, name, colsDdl, cluster1, keys, cluster2) =>
         val flat = session.map(_.recordCreate(name)).getOrElse(name)
         val (schema, defaults, autoInc) = parseColumns(colsDdl)
         val keyCols = Option(keys).map(_.split(",").toIndexedSeq.map(_.trim)).getOrElse(Nil)
+        // Snowflake CLUSTER BY (before or after the graft KEYS extension)
+        val clusterCols = Option(cluster1).orElse(Option(cluster2))
+          .map(_.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
         if (store.exists(flat)) {
           if (replace != null) store.dropTable(flat)
           else sys.error(s"table $flat already exists (use CREATE OR REPLACE)")
         }
-        store.createTable(flat, schema, keyCols, defaults, autoInc)
+        store.createTable(flat, schema, keyCols, defaults, autoInc, clusterCols)
         None
 
       case CreateTableAsRe(replace, name, keys, body) =>

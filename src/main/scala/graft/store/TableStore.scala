@@ -38,7 +38,11 @@ import graft.ops.Merge
   *    old files are never mutated).
   */
 class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int = 16,
-    val compression: String = "zstd") {
+    val compression: String = "zstd",
+    // parquet row-group size: the pruning granularity for CLUSTER BY
+    // tables (smaller groups = tighter min/max spans = more skipping,
+    // at more footer overhead). Default = parquet's 128 MiB.
+    val parquetBlockSize: Long = 128L * 1024 * 1024) {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
@@ -84,11 +88,14 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     *                 every write (reference: `customer_dim_key number
     *                 autoincrement`, customer-...sql:32) */
   def createTable(table: String, schema: StructType, keys: Seq[String] = Nil,
-      defaults: Map[String, String] = Map.empty, autoInc: Seq[String] = Nil): Unit = {
+      defaults: Map[String, String] = Map.empty, autoInc: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Unit = {
     require(!exists(table), s"table $table already exists")
     fs.mkdirs(tdir(table))
     writeFile(new Path(tdir(table), "_schema.json"), schema.json)
     writeFile(new Path(tdir(table), "_keys"), keys.mkString(","))
+    if (clusterBy.nonEmpty)
+      writeFile(new Path(tdir(table), "_cluster"), clusterBy.mkString(","))
     if (defaults.nonEmpty || autoInc.nonEmpty) {
       val lines =
         autoInc.map(c => s"$c\tautoincrement\t") ++
@@ -287,6 +294,16 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     if (s.isEmpty) Nil else s.split(",").toIndexedSeq
   }
 
+  /** Clustering keys (Snowflake CLUSTER BY): every batch write sorts
+    * rows by these columns WITHIN each bucket, so parquet row-group
+    * min/max statistics become selective and filtered scans skip whole
+    * row groups — the micro-partition pruning lever at 100 TB. */
+  def clusterByOf(table: String): Seq[String] = {
+    val p = new Path(tdir(table), "_cluster")
+    if (!fs.exists(p)) Nil
+    else readFile(p).trim.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   private def defaultLines(table: String): Seq[(String, String, String)] = {
     val p = new Path(tdir(table), "_defaults")
     if (!fs.exists(p)) Nil
@@ -483,10 +500,25 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       buckets: Int = -1): Seq[(Int, String)] = {
     val n = if (buckets > 0) buckets else bucketsOf(table)
     val keys = keysOf(table)
+    val cluster = clusterByOf(table)
     val dir = new Path(new Path(tdir(table), "data"), f"b$v%08d")
-    df.withColumn("__bucket", bucketCol(keys, n))
+    val bucketed = df.withColumn("__bucket", bucketCol(keys, n))
+    // CLUSTER BY: co-locate each bucket in one task and sort its rows by
+    // the clustering keys — each parquet file comes out ordered, so its
+    // row-group min/max stats are tight and filtered scans prune whole
+    // groups. The extra exchange is the declared price of clustering
+    // (exactly Snowflake's reclustering cost); unclustered tables keep
+    // the zero-shuffle write path. The sort leads with __bucket so the
+    // dynamic-partition writer sees its required ordering and does not
+    // re-sort (which would keep, not break, the cluster order anyway).
+    val shaped =
+      if (cluster.isEmpty) bucketed
+      else bucketed.repartition(n, col("__bucket"))
+        .sortWithinPartitions(col("__bucket") +: cluster.map(col): _*)
+    shaped
       .write.partitionBy("__bucket").mode("overwrite")
       .option("compression", compression) // zstd: ~2× smaller cold data at 100 TB
+      .option("parquet.block.size", parquetBlockSize.toString)
       .parquet(dir.toString)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toIndexedSeq

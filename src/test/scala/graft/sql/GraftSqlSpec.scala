@@ -35,6 +35,21 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(g.sql("SHOW VIEWS").get.count() == 1)
   }
 
+  test("CREATE TABLE ... CLUSTER BY declares clustering keys (either clause order)") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_cluster").toString, 2)
+    g.sql("CREATE TABLE ct1 (id BIGINT, v BIGINT, s STRING) CLUSTER BY (v) KEYS (id)")
+    assert(g.store.clusterByOf("ct1") == Seq("v"))
+    assert(g.store.keysOf("ct1") == Seq("id"))
+    g.sql("CREATE TABLE ct2 (id BIGINT, v BIGINT) KEYS (id) CLUSTER BY (v, id)")
+    assert(g.store.clusterByOf("ct2") == Seq("v", "id"))
+    g.sql("CREATE TABLE ct3 (id BIGINT, v BIGINT)")
+    assert(g.store.clusterByOf("ct3") == Nil)
+    // clustered writes keep data readable and ordered within each file
+    g.sql("INSERT INTO ct1 SELECT 3, 30, 'c' UNION ALL SELECT 1, 10, 'a' UNION ALL SELECT 2, 20, 'b'")
+    assert(g.sql("SELECT count(1) AS n FROM ct1").get.head().getLong(0) == 3)
+  }
+
   test("CTAS body may be parenthesized; unsupported CREATE TABLE forms error") {
     val g = graft.GraftSession(spark,
       Files.createTempDirectory("graft_ctasp").toString, 2)

@@ -458,4 +458,39 @@ class TableStoreSpec extends AnyFunSuite {
         "healed batch must surface original values under the renamed column")
     }
   }
+
+  test("CLUSTER BY tables prune row groups on the clustering key") {
+    // small row groups so the 200k-row table spans many of them — the
+    // pruning granularity Snowflake's micro-partitions give for free
+    def mkStore() = new TableStore(spark,
+      Files.createTempDirectory("graft_store").toString,
+      numBuckets = 2, parquetBlockSize = 64L * 1024)
+    val n = 200000
+    // v is hash-scattered relative to generation order: only an explicit
+    // CLUSTER BY sort makes per-row-group min/max spans tight
+    val df = (0 until n)
+      .map(i => (i.toLong, (i * 2654435761L) % 1000003L, "x" * 32))
+      .toDF("id", "v", "pad")
+    val clustered = mkStore()
+    clustered.createTable("t", df.schema, keys = Seq("id"), clusterBy = Seq("v"))
+    clustered.append("t", df)
+    assert(clustered.clusterByOf("t") == Seq("v"))
+    val plain = mkStore()
+    plain.createTable("t", df.schema, keys = Seq("id"))
+    plain.append("t", df)
+    def readCount(s: TableStore): Long = recordsReadDuring {
+      s.read("t").filter(col("v") >= 1000L && col("v") < 3000L)
+        .agg(org.apache.spark.sql.functions.count(lit(1))).collect()
+    }
+    val (cRead, pRead) = (readCount(clustered), readCount(plain))
+    // same query, same data: the clustered table must skip the vast
+    // majority of row groups; the unclustered one reads ~everything
+    assert(pRead > (n * 9L) / 10,
+      s"scattered table should read ~all rows, read $pRead")
+    assert(cRead * 5 < pRead,
+      s"clustered scan must prune row groups: clustered=$cRead plain=$pRead")
+    // results are identical either way
+    assert(clustered.read("t").filter(col("v") < 1000L).count() ==
+      plain.read("t").filter(col("v") < 1000L).count())
+  }
 }
