@@ -73,6 +73,10 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*$""".r
   private val AlterTableRenameColRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+  private val AlterTableClusterRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CLUSTER\s+BY\s*\(([^)]*)\)\s*;?\s*$""".r
+  private val AlterTableDropClusterRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CLUSTERING\s+KEY\s*;?\s*$""".r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*?)\s*;?\s*$""".r
   private val CreateStreamRe =
@@ -181,6 +185,15 @@ object GraftSql {
 
       case AlterTableRenameColRe(name, from, to) =>
         store.renameColumn(session.map(_.recordName(name)).getOrElse(name), from, to)
+        None
+
+      case AlterTableClusterRe(name, cols) =>
+        store.recluster(session.map(_.recordName(name)).getOrElse(name),
+          cols.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+        None
+
+      case AlterTableDropClusterRe(name) =>
+        store.dropClusteringKey(session.map(_.recordName(name)).getOrElse(name))
         None
 
       case CreateTableRe(replace, name, colsDdl, cluster1, keys, cluster2) =>

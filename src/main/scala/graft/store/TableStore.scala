@@ -439,6 +439,27 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     commit(table, v, entries, changes = None)
   }
 
+  /** ALTER TABLE … CLUSTER BY: declare (or change) the clustering keys
+    * and RECLUSTER the current contents in place — one compaction pass
+    * through the clustered write path, committed with no change batch
+    * (contents are unchanged; only layout moves). Future batch writes
+    * sort by the new keys automatically. */
+  def recluster(table: String, cols: Seq[String]): Unit = synchronized {
+    require(cols.nonEmpty, "recluster needs at least one column")
+    val fields = schemaOf(table).fieldNames.toSet
+    val missing = cols.filterNot(fields)
+    require(missing.isEmpty, s"unknown clustering column(s): ${missing.mkString(",")}")
+    writeFile(new Path(tdir(table), "_cluster"), cols.mkString(","))
+    compact(table)
+  }
+
+  /** ALTER TABLE … DROP CLUSTERING KEY: future writes stop sorting;
+    * existing files keep their (harmless) order — no rewrite. */
+  def dropClusteringKey(table: String): Unit = synchronized {
+    val p = new Path(tdir(table), "_cluster")
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** Garbage-collect: drop manifests, change batches, and data-batch dirs
     * not referenced by the `keepVersions` most recent versions. Readers
     * of retained versions are unaffected (their files are untouched). */

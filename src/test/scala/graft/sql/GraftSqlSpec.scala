@@ -48,6 +48,23 @@ class GraftSqlSpec extends AnyFunSuite {
     // clustered writes keep data readable and ordered within each file
     g.sql("INSERT INTO ct1 SELECT 3, 30, 'c' UNION ALL SELECT 1, 10, 'a' UNION ALL SELECT 2, 20, 'b'")
     assert(g.sql("SELECT count(1) AS n FROM ct1").get.head().getLong(0) == 3)
+    // ALTER ... CLUSTER BY reclusters in place (contents unchanged, CDC
+    // sees nothing); DROP CLUSTERING KEY stops future sorting
+    g.sql("INSERT INTO ct3 SELECT 2, 20 UNION ALL SELECT 1, 10")
+    val vBefore = g.store.currentVersion("ct3")
+    g.sql("ALTER TABLE ct3 CLUSTER BY (v)")
+    assert(g.store.clusterByOf("ct3") == Seq("v"))
+    assert(g.sql("SELECT count(1) AS n FROM ct3").get.head().getLong(0) == 2)
+    // the recluster commits exactly one new version with NO change batch
+    // (layout moved, contents did not — CDC consumers see nothing)
+    val vAfter = g.store.currentVersion("ct3")
+    assert(vAfter == vBefore + 1)
+    assert(g.store.readChanges("ct3", vBefore, vAfter).isEmpty,
+      "reclustering must record no phantom changes")
+    g.sql("ALTER TABLE ct3 DROP CLUSTERING KEY")
+    assert(g.store.clusterByOf("ct3") == Nil)
+    val e = intercept[Exception](g.sql("ALTER TABLE ct3 CLUSTER BY (nosuch)"))
+    assert(e.getMessage.contains("unknown clustering column"))
   }
 
   test("CTAS body may be parenthesized; unsupported CREATE TABLE forms error") {
