@@ -83,6 +83,10 @@ import graft.store.TableStore
   *  - `TABLE(graft_artifacts())` → [[graft.store.Artifacts.listing]]:
   *    the (artifact_table, version) catalog of this session's durable
   *    artifact store; each listed table is itself a registered view
+  *  - `TABLE(graft_clustering_info(t))` →
+  *    [[graft.store.TableStore.clusteringInfo]]: per-row-group min/max
+  *    audit of a CLUSTER BY table (footer-only reads — the
+  *    `system$clustering_information` analogue)
   *  - `TABLE(graft_bpe_tokenize(t, 'text', num_merges[, batch_k]))` →
   *    [[CorpusOps.bpeSubwordHistogram]]: train BPE merges on the corpus,
   *    apply them back, return the (subword, n) histogram
@@ -417,6 +421,11 @@ object TableFunctions {
         arity(args.isEmpty, "0 () — lists this session's artifact-store tables")
         graft.store.Artifacts.listing(spark)
 
+      case "graft_clustering_info" =>
+        arity(args.length == 1, "1 (store_table) — the table must declare CLUSTER BY")
+        store.clusteringInfo(
+          session.map(_.recordName(args(0))).getOrElse(args(0)))
+
       case "graft_winnow_fp" =>
         arity(args.length >= 3 && args.length <= 5,
           "3 to 5 (t, 'id', 'text'[, shingle_n, window])")
@@ -614,6 +623,7 @@ object TableFunctions {
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
         "graft_curriculum, graft_winnow_overlap, graft_winnow_fp, graft_artifacts, " +
+        "graft_clustering_info, " +
         "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
         "graft_pagerank, graft_triangles, graft_funnel, graft_funnel_gaps, " +
         "graft_event_paths, graft_transitions, graft_cohorts, " +

@@ -460,6 +460,48 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     if (fs.exists(p)) fs.delete(p, false)
   }
 
+  /** Clustering audit (`system$clustering_information` analogue): one
+    * row per parquet ROW GROUP of the current version, with the lead
+    * clustering key's min/max decoded from the file FOOTER — no data
+    * pages are read, so the audit costs one footer fetch per file
+    * (driver-side, bounded by file count, the same budget a manifest
+    * read already spends). On a well-clustered table the row groups of
+    * each file cover disjoint key ranges (the write sorts per bucket);
+    * wide overlap across row groups means filters can't prune and the
+    * table wants an `ALTER TABLE … CLUSTER BY` recluster.
+    * @return (bucket, file, row_group, n_rows, min_ck, max_ck) — the
+    *   bounds as parquet's readable strings, ordered. */
+  def clusteringInfo(table: String): DataFrame = {
+    val cols = clusterByOf(table)
+    require(cols.nonEmpty, s"table $table has no clustering key")
+    val ckName = cols.head
+    import scala.jdk.CollectionConverters._
+    val rows = readManifest(table, currentVersion(table)).flatMap {
+      case (bucket, dirPath) =>
+        val dir = new Path(dirPath)
+        fs.listStatus(dir).toIndexedSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .flatMap { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, hconf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              reader.getFooter.getBlocks.asScala.toIndexedSeq.zipWithIndex.map {
+                case (bg, i) =>
+                  val stats = bg.getColumns.asScala
+                    .find(_.getPath.toDotString == ckName).map(_.getStatistics)
+                  (bucket, st.getPath.getName, i, bg.getRowCount,
+                    stats.map(_.minAsString).orNull,
+                    stats.map(_.maxAsString).orNull)
+              }
+            } finally reader.close()
+          }
+    }
+    import spark.implicits._
+    rows.toDF("bucket", "file", "row_group", "n_rows", "min_ck", "max_ck")
+      .orderBy("bucket", "file", "row_group")
+  }
+
   /** Garbage-collect: drop manifests, change batches, and data-batch dirs
     * not referenced by the `keepVersions` most recent versions. Readers
     * of retained versions are unaffected (their files are untouched). */

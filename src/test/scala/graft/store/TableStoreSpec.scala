@@ -492,5 +492,25 @@ class TableStoreSpec extends AnyFunSuite {
     // results are identical either way
     assert(clustered.read("t").filter(col("v") < 1000L).count() ==
       plain.read("t").filter(col("v") < 1000L).count())
+
+    // footer-only clustering audit: many row groups per file, and
+    // within each file the groups cover DISJOINT ascending key ranges
+    // (that disjointness IS what the pruning above measured)
+    val info = clustered.clusteringInfo("t")
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getInt(2),
+        r.getString(4).toLong, r.getString(5).toLong)).toSeq
+    assert(info.size > 10, s"expected many row groups, got ${info.size}")
+    // key by (bucket, file): the two buckets' files share a basename
+    info.groupBy(_._1).foreach { case (f, gs) =>
+      val sorted = gs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, _, max1), (_, _, min2, _)) =>
+          assert(min2 >= max1, s"file $f: row-group ranges must be disjoint")
+        case _ =>
+      }
+    }
+    // unclustered tables have no audit to give
+    val e = intercept[IllegalArgumentException](plain.clusteringInfo("t"))
+    assert(e.getMessage.contains("no clustering key"))
   }
 }
