@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.store.TableStore
+
+/** Scale proof for CLUSTER BY row-group pruning: load a large lineitem
+  * into two store tables — one clustered on the ship-date DATE
+  * derivative `l_shipday`, one not — and
+  * measure, for the same selective ship-date range scan, how many
+  * records each table actually reads (spark input metrics) and how long
+  * the scan takes. The clustered table's files are ship-date-sorted per
+  * bucket, so parquet row-group min/max stats let the reader skip every
+  * group outside the range; the unclustered twin's groups all straddle
+  * the full date range and nothing prunes. This is the claim SCALE.md
+  * makes for clustering keys at 100 TB, executed against real data. Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/sf1 sbt "runMain graft.ClusterScale"
+  */
+object ClusterScale {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val root = sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/tmp/graft_cluster_scale")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    // production-shaped row groups (8 MiB) — the prune granularity a real
+    // deployment gets ~16 groups per 128 MiB file
+    val store = new TableStore(spark, root, numBuckets = 8,
+      parquetBlockSize = 8L * 1024 * 1024)
+    // cluster on the DATE derivative: this Spark build stat-prunes
+    // integer/date/string keys but not TIMESTAMP_NTZ (TableStore warns)
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("l_shipday", to_date(col("l_shipdate")))
+    val n = li.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    def readDuring(f: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        records.set(0L); f
+        var last = -1L; var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val cur = records.get
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+        records.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    store.createTable("li_clustered", li.schema, keys = Seq("l_orderkey"),
+      clusterBy = Seq("l_shipday"))
+    val (_, loadClustered) = timed(store.append("li_clustered", li))
+    store.createTable("li_plain", li.schema, keys = Seq("l_orderkey"))
+    val (_, loadPlain) = timed(store.append("li_plain", li))
+
+    // a ~2-week slice of a ~7-year range (≈0.5% selectivity)
+    val lo = lit("1998-03-01").cast("date")
+    val hi = lit("1998-03-15").cast("date")
+    def scan(t: String): (Long, Long, Double) = {
+      var out = 0L
+      var took = 0.0
+      val read = readDuring {
+        val (o, t2) = timed(store.read(t)
+          .filter(col("l_shipday") >= lo && col("l_shipday") < hi)
+          .agg(count(lit(1))).head().getLong(0))
+        out = o; took = t2
+      }
+      (read, out, took)
+    }
+    scan("li_clustered"); scan("li_plain") // warm both paths once
+    val (cRead, cRows, cSec) = scan("li_clustered")
+    val (pRead, pRows, pSec) = scan("li_plain")
+    require(cRows == pRows, s"results must match: $cRows vs $pRows")
+    println(f"CLUSTERSCALE rows=$n%d matched=$cRows%d " +
+      f"loadClustered=$loadClustered%.1fs loadPlain=$loadPlain%.1fs " +
+      f"clusteredRead=$cRead%d plainRead=$pRead%d " +
+      f"pruneFactor=${pRead.toDouble / math.max(1, cRead)}%.1fx " +
+      f"clusteredScan=$cSec%.2fs plainScan=$pSec%.2fs")
+    spark.stop()
+  }
+}

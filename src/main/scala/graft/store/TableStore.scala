@@ -94,8 +94,10 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     fs.mkdirs(tdir(table))
     writeFile(new Path(tdir(table), "_schema.json"), schema.json)
     writeFile(new Path(tdir(table), "_keys"), keys.mkString(","))
-    if (clusterBy.nonEmpty)
+    if (clusterBy.nonEmpty) {
+      warnNtzClusterKeys(schema, clusterBy)
       writeFile(new Path(tdir(table), "_cluster"), clusterBy.mkString(","))
+    }
     if (defaults.nonEmpty || autoInc.nonEmpty) {
       val lines =
         autoInc.map(c => s"$c\tautoincrement\t") ++
@@ -297,7 +299,12 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   /** Clustering keys (Snowflake CLUSTER BY): every batch write sorts
     * rows by these columns WITHIN each bucket, so parquet row-group
     * min/max statistics become selective and filtered scans skip whole
-    * row groups — the micro-partition pruning lever at 100 TB. */
+    * row groups — the micro-partition pruning lever at 100 TB.
+    * Measured caveat: this Spark build pushes TIMESTAMP_NTZ predicates
+    * to the scan but does NOT stat-prune row groups on them (integer,
+    * date, and string keys all prune) — cluster on a DATE or
+    * epoch-integer derivative of a timestamp, not the timestamp itself;
+    * [[createTable]]/[[recluster]] log a warning when they see one. */
   def clusterByOf(table: String): Seq[String] = {
     val p = new Path(tdir(table), "_cluster")
     if (!fs.exists(p)) Nil
@@ -449,8 +456,19 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val fields = schemaOf(table).fieldNames.toSet
     val missing = cols.filterNot(fields)
     require(missing.isEmpty, s"unknown clustering column(s): ${missing.mkString(",")}")
+    warnNtzClusterKeys(schemaOf(table), cols)
     writeFile(new Path(tdir(table), "_cluster"), cols.mkString(","))
     compact(table)
+  }
+
+  private def warnNtzClusterKeys(schema: StructType, cols: Seq[String]): Unit = {
+    val ntz = cols.filter(c => schema.fields.exists(f => f.name == c &&
+      f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+    if (ntz.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clustering key(s) ${ntz.mkString(",")} are TIMESTAMP_NTZ: this Spark " +
+          "build does not stat-prune row groups on NTZ predicates — cluster on " +
+          "a DATE or epoch-integer derivative for pruning to take effect")
   }
 
   /** ALTER TABLE … DROP CLUSTERING KEY: future writes stop sorting;

@@ -65,6 +65,10 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(g.store.clusterByOf("ct3") == Nil)
     val e = intercept[Exception](g.sql("ALTER TABLE ct3 CLUSTER BY (nosuch)"))
     assert(e.getMessage.contains("unknown clustering column"))
+    // the audit is SQL-reachable and footer-derived
+    val audit = g.sql("SELECT * FROM TABLE(graft_clustering_info(ct1))").get.collect()
+    assert(audit.nonEmpty && audit.forall(r => r.getString(4) != null),
+      s"expected per-row-group bounds, got ${audit.mkString(";")}")
   }
 
   test("CTAS body may be parenthesized; unsupported CREATE TABLE forms error") {
