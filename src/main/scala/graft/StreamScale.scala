@@ -172,6 +172,17 @@ object StreamScale {
             .filter(col("event_type") === "view"),
           lookback = "10 minutes"),
         OutputMode.Append())
+      // streaming funnel (5th state shape: per-user chain scalars + a
+      // watermark-bounded pending buffer; completed users evict) — state
+      // is O(distinct users), never O(events), and that bound is HARD:
+      // a user either completed (removed) or holds one state row
+      val (fWall, fEmit, fState, _) = drain("funnel",
+        df => EventStreams.streamingFunnel(
+          df.as[EventStreams.Event](org.apache.spark.sql.Encoders.product),
+          Seq("signup", "click", "purchase")).toDF(),
+        OutputMode.Append())
+      require(fState <= 15000L * factor,
+        s"tick $t: funnel state ($fState) must stay bounded by distinct users")
       println(f"""{"tick":$t,"rows":$staged,"win_wall_s":$wWall%.2f,""" +
         f""""win_emitted":$wEmit,"win_state_rows":$wState,""" +
         f""""dedup_wall_s":$dWall%.2f,"dedup_state_rows":$dState,""" +
@@ -179,6 +190,8 @@ object StreamScale {
         f""""sess_state_rows":$sState,""" +
         f""""join_wall_s":$jWall%.2f,"join_matches":$jEmit,""" +
         f""""join_state_rows":$jState,""" +
+        f""""funnel_wall_s":$fWall%.2f,"funnel_steps":$fEmit,""" +
+        f""""funnel_state_rows":$fState,""" +
         f""""win_krows_s":${staged / 1000.0 / wWall}%.1f}""")
     }
     println(s"""{"metric":"stream_scale_sessions","value":$sessionsTotal}""")
