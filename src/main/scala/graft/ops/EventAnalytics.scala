@@ -187,10 +187,13 @@ object EventAnalytics {
     val k = steps.size
     // NULL-timestamp rows are unorderable — drop them up front on BOTH
     // engines (a NULL min would otherwise count toward step-1 reach in
-    // SQL's count(1) but not in count(ts_1))
+    // SQL's count(1) but not in count(ts_1)). Pre-epoch rows drop too:
+    // the funnel family's declared domain is ts ≥ 1970 (the single-pass
+    // form's packing needs it, and the two formulations must agree on
+    // every input)
     val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
       unix_micros(col(tsCol)).as("ets"))
-      .filter(col("ets").isNotNull)
+      .filter(col("ets").isNotNull && col("ets") >= 0)
     var acc = base.filter(col("t") === steps.head)
       .groupBy("u").agg(min(col("ets")).as("ts_1"))
     for (i <- 1 until k) {

@@ -144,12 +144,14 @@ class PropertySpec extends AnyFunSuite {
 
   // random event logs: few users and a coarse timestamp grid force the
   // adversarial orderings (same-instant ties, repeats, out-of-order
-  // steps) the funnel fold must handle exactly like the join chain
+  // steps) the funnel fold must handle exactly like the join chain;
+  // negative seconds exercise the declared ts ≥ epoch domain cut (both
+  // formulations must drop pre-1970 rows identically)
   private val eventsGen: Gen[List[(Long, String, java.sql.Timestamp)]] =
     Gen.listOf(for {
       u <- Gen.choose(0L, 6L)
       t <- Gen.oneOf("s1", "s2", "s3", "s4", "other")
-      sec <- Gen.choose(0L, 12L)
+      sec <- Gen.choose(-4L, 12L)
     } yield (u, t, new java.sql.Timestamp(sec * 1000L)))
 
   test("single-pass funnel equals the join chain on random event logs") {
