@@ -66,7 +66,8 @@ object EventAnalytics {
     // throughput at high events-per-user): epoch micros stay < 2^56
     // until year ~4250, leaving 7 low bits for the step index, and the
     // packing is order-isomorphic to (ets asc, si asc) — exactly the
-    // struct sort it replaces. k ≤ 128 and ts ≥ epoch bound the packing.
+    // struct sort it replaces. k ≤ 128 and the epoch ≤ ts < 2^56 µs
+    // domain filter below bound the packing on both sides.
     require(k <= 128, "funnel supports at most 128 steps")
     val packed = (col("ets") * lit(128L) + col("si")).as("p")
     // greedy chain fold: state = (reached count, time of last reached
@@ -85,7 +86,13 @@ object EventAnalytics {
       when(ok, struct((cnt + 1).as("cnt"), t.as("last"))).otherwise(acc)
     }
     val perUser = base
-      .filter(col("ets") >= 0) // pre-1970 rows would break the packing
+      // the funnel family's declared time domain: 0 ≤ ets < 2^56 µs
+      // (epoch ≤ ts < year ~4254). Pre-1970 rows would break the
+      // packing's sign; rows at/above 2^56 µs would overflow ets·128+si
+      // past Long.MaxValue — silently corrupting the sort order
+      // (non-ANSI) or throwing mid-query (ANSI). Both bounds are domain
+      // filters mirrored by every formulation and oracle.
+      .filter(col("ets") >= 0 && col("ets") < lit(1L << 56))
       .select(col("u"), packed)
       .groupBy("u").agg(
         aggregate(array_sort(collect_list(col("p"))), zero, advance)
@@ -122,7 +129,8 @@ object EventAnalytics {
     }
     val base = events.select(col(userCol).as("u"), si.as("si"),
         unix_micros(col(tsCol)).as("ets"))
-      .filter(col("ets").isNotNull && col("si").isNotNull && col("ets") >= 0)
+      .filter(col("ets").isNotNull && col("si").isNotNull &&
+        col("ets") >= 0 && col("ets") < lit(1L << 56)) // funnel time domain
     require(k <= 128, "funnel supports at most 128 steps")
     val packed = (col("ets") * lit(128L) + col("si")).as("p")
     // chain fold carrying the filled TIMES: an event appends iff its
@@ -187,13 +195,13 @@ object EventAnalytics {
     val k = steps.size
     // NULL-timestamp rows are unorderable — drop them up front on BOTH
     // engines (a NULL min would otherwise count toward step-1 reach in
-    // SQL's count(1) but not in count(ts_1)). Pre-epoch rows drop too:
-    // the funnel family's declared domain is ts ≥ 1970 (the single-pass
-    // form's packing needs it, and the two formulations must agree on
-    // every input)
+    // SQL's count(1) but not in count(ts_1)). Out-of-domain rows drop
+    // too: the funnel family's declared domain is epoch ≤ ts < 2^56 µs
+    // (the single-pass form's packing needs both bounds, and the two
+    // formulations must agree on every input)
     val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
       unix_micros(col(tsCol)).as("ets"))
-      .filter(col("ets").isNotNull && col("ets") >= 0)
+      .filter(col("ets").isNotNull && col("ets") >= 0 && col("ets") < lit(1L << 56))
     var acc = base.filter(col("t") === steps.head)
       .groupBy("u").agg(min(col("ets")).as("ts_1"))
     for (i <- 1 until k) {

@@ -3812,7 +3812,8 @@ object PipelineQueries {
     // counts, UNION ALL melt with the same cast points.
     "st4_funnel" ->
       """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
-        |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
+        |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+        |    AND epoch_us(ts) < 72057594037927936),
         |s1 AS (SELECT u, min(ets) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
         |s2 AS (SELECT s1.u, min(e.ets) AS t2 FROM s1 JOIN e
         |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1 GROUP BY s1.u),
@@ -3834,7 +3835,8 @@ object PipelineQueries {
     // upper bound on each step gap.
     "st4b_funnel_windowed" ->
       """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
-        |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
+        |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+        |    AND epoch_us(ts) < 72057594037927936),
         |s1 AS (SELECT u, min(ets) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
         |s2 AS (SELECT s1.u, min(e.ets) AS t2 FROM s1 JOIN e
         |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1
@@ -3861,7 +3863,8 @@ object PipelineQueries {
     // the oracle)
     "st4c_funnel_gaps" ->
       """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
-        |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
+        |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+        |    AND epoch_us(ts) < 72057594037927936),
         |s1 AS (SELECT u, min(ets) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
         |s2 AS (SELECT s1.u, min(e.ets) AS t2 FROM s1 JOIN e
         |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1 GROUP BY s1.u),

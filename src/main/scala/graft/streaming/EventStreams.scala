@@ -148,9 +148,19 @@ object EventStreams {
     * engine's windowed aggs); an event-time timeout at the newest pending
     * timestamp guarantees the buffer drains even if the user goes silent.
     *
-    * State: O(active users) × (pending within the watermark horizon +
-    * two scalars); users who complete the funnel with nothing pending
-    * are evicted immediately. */
+    * Domain: events outside the funnel family's declared time domain
+    * (epoch ≤ ts < 2^56 µs) are dropped up front — the exact filter both
+    * batch formulations apply, so stream and batch agree on every input.
+    *
+    * State: O(users) × (pending within the watermark horizon + two
+    * scalars). A user who completes the funnel keeps a TOMBSTONE (reached
+    * = k, empty buffer, no timeout — a few dozen bytes): the batch fold
+    * rejects every event after completion (no step index equals k), so a
+    * late step-1 event must NOT restart the funnel and re-emit step hits
+    * — evicting completed state would do exactly that. The tombstone is
+    * the per-user floor any exactly-once funnel carries; billions of
+    * completed users cost O(users) state-store bytes, the same bound the
+    * active population already holds. */
   def streamingFunnel(events: Dataset[Event], steps: Seq[String],
       maxGapUs: Option[Long] = None,
       watermark: String = "2 minutes"): Dataset[FunnelStepHit] = {
@@ -166,7 +176,10 @@ object EventStreams {
       t
     }
     events.withWatermark("ts", watermark)
-      .filter(e => idx.contains(e.event_type))
+      .filter { e =>
+        val us = micros(e.ts)
+        idx.contains(e.event_type) && us >= 0 && us < (1L << 56)
+      }
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelStepHit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -188,14 +201,16 @@ object EventStreams {
               hits += FunnelStepHit(userId, reached, stepArr(si), toTs(t))
             }
           }
-          if (reached >= k && pending.isEmpty) state.remove()
-          else {
-            state.update(FunnelState(pending, reached, last))
-            // drain guarantee: wake when the watermark passes the newest
-            // buffered event, even if the user never sends another one
-            if (pending.nonEmpty)
-              state.setTimeoutTimestamp(pending.map(_._1).max / 1000L + 1L)
-          }
+          // completed users keep a TOMBSTONE (reached=k, Nil, no timeout)
+          // instead of evicting: a late step-1 event after completion
+          // folds against reached=k and is rejected — exactly the batch
+          // fold — where removed state would restart the funnel and
+          // over-count every step downstream
+          state.update(FunnelState(pending, reached, last))
+          // drain guarantee: wake when the watermark passes the newest
+          // buffered event, even if the user never sends another one
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_._1).max / 1000L + 1L)
           hits.result().iterator
       }
   }

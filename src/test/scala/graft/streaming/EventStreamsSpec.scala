@@ -288,4 +288,51 @@ class EventStreamsSpec extends AnyFunSuite {
         s"stream $streamReach != batch $batchReach")
     } finally q.stop()
   }
+
+  test("streamingFunnel: completed users keep a tombstone — re-entry never re-emits") {
+    implicit val sc = spark.sqlContext
+    val steps = Seq("signup", "purchase")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.streamingFunnel(mem.toDS(), steps,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("funnel_tomb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 5 completes the 2-step funnel; a pre-epoch event (outside
+      // the funnel's declared ts domain) rides along and must be ignored
+      mem.addData(Event(1, 5, "signup", 0, ts(10)), Event(2, 5, "purchase", 0, ts(20)),
+        Event(3, 6, "signup", 0, new Timestamp(-86400_000L)))
+      mem.addData(Event(4, 1, "signup", 0, ts(500))) // watermark push
+      q.processAllAvailable()
+      mem.addData(Event(5, 1, "signup", 0, ts(510))) // flush timeouts
+      q.processAllAvailable()
+      // user 5 starts "again": the batch fold rejects every event after
+      // completion, so the stream must NOT restart the funnel — with
+      // evicted (instead of tombstoned) state these would re-emit step
+      // hits and downstream groupBy(step).count() would over-count
+      mem.addData(Event(6, 5, "signup", 0, ts(600)), Event(7, 5, "purchase", 0, ts(610)))
+      mem.addData(Event(8, 1, "signup", 0, ts(1200))) // watermark past them
+      q.processAllAvailable()
+      mem.addData(Event(9, 1, "signup", 0, ts(1210)))
+      q.processAllAvailable()
+      val hits = spark.table("funnel_tomb").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(hits.count(_._1 == 5L) == 2,
+        s"user 5 must emit each step exactly once despite re-entry: $hits")
+      assert(!hits.exists(_._1 == 6L),
+        s"pre-epoch event is outside the funnel domain (batch drops it too): $hits")
+      // the batch twin agrees on the identical event log
+      val batch = Seq(
+        (5L, "signup", ts(10)), (5L, "purchase", ts(20)),
+        (6L, "signup", new Timestamp(-86400_000L)),
+        (5L, "signup", ts(600)), (5L, "purchase", ts(610))
+      ).toDF("user_id", "event_type", "ts")
+      val batchReach = graft.ops.EventAnalytics
+        .funnelSteps(batch, "user_id", "event_type", "ts", steps)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val streamReach = (1 to 2).map(i =>
+        i -> hits.count(h => h._1 == 5L && h._2 == i).toLong).toMap
+      assert(streamReach == batchReach, s"stream $streamReach != batch $batchReach")
+    } finally q.stop()
+  }
 }
