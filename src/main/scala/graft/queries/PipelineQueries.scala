@@ -36,8 +36,16 @@ object PipelineQueries {
     * and fault-tolerant at cluster scale — consumers scan committed
     * parquet, not executor-resident blocks). One (id, cluster) row per
     * doc in the pair graph, bucketed by id for co-located joins. */
+  /** Corpus fingerprint folded into every artifact key: regenerating a
+    * source table in the same directory re-keys its artifacts (a durable
+    * root must never serve shingles/labels/postings built from old
+    * bytes). One driver-side file listing per lookup — metadata only. */
+  private def fp(s: SparkSession, dir: String, table: String): String =
+    Artifacts.dataFingerprint(s, s"$dir/$table.parquet")
+
   private def lshClusterLabels(s: SparkSession, dir: String): DataFrame =
-    Artifacts.table(s, "lsh_labels", s"$dir|n=2|k=16|bands=8|maxb=8",
+    Artifacts.table(s,
+        "lsh_labels", s"$dir|${fp(s, dir, "documents")}|n=2|k=16|bands=8|maxb=8",
         keys = Seq("id")) {
       val pairs = Dedup
         .minhashLshPairsWithShingles(docShingles(s, dir), k = 16, bands = 8,
@@ -52,9 +60,11 @@ object PipelineQueries {
     * candidates, Jaccard/containment verification, and the cluster-label
     * chain all read these same rows (the op-internal sharing note at
     * Dedup.lshVerifiedPairs, promoted across queries). Store-backed,
-    * bucketed by doc id. */
+    * bucketed by doc id; ROW-LOCAL (each shingle row derives from one
+    * doc), so ingest batches may extend it via Artifacts.appendDelta. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Artifacts.table(s, "shingles", s"$dir|n=2|portable", keys = Seq("id")) {
+    Artifacts.table(s, "shingles", s"$dir|${fp(s, dir, "documents")}|n=2|portable",
+        keys = Seq("id"), rowLocal = true) {
       Dedup.shingleRows(Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleN = 2)
     }
@@ -69,7 +79,8 @@ object PipelineQueries {
     * expensive stage of the ANN-evaluation family for bit-identical
     * output. Store-backed, (n·k) rows bucketed by id. */
   private def exactKnnDirected(s: SparkSession, dir: String, k: Int): DataFrame =
-    Artifacts.table(s, "knn_truth", s"$dir|cos|k=$k", keys = Seq("id")) {
+    Artifacts.table(s, "knn_truth", s"$dir|${fp(s, dir, "embeddings")}|cos|k=$k",
+        keys = Seq("id")) {
       Similarity.knnDirected(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", k)
     }
@@ -79,9 +90,13 @@ object PipelineQueries {
     * (doc, term, tf) index once per corpus version and every query batch
     * (plain, PRF, hybrid, hard negatives) searches it; re-deriving the
     * corpus explode+agg per operator call is its dominant cost.
-    * Store-backed, bucketed by term — the search-side join key. */
+    * Store-backed, bucketed by term — the search-side join key;
+    * ROW-LOCAL ((doc, term, tf) rows derive from one doc each — df/idf
+    * and corpus scalars are derived downstream), so ingest batches may
+    * extend it via Artifacts.appendDelta. */
   private def docPostings(s: SparkSession, dir: String): DataFrame =
-    Artifacts.table(s, "bm25_postings", s"$dir|unigram", keys = Seq("term")) {
+    Artifacts.table(s, "bm25_postings", s"$dir|${fp(s, dir, "documents")}|unigram",
+        keys = Seq("term"), rowLocal = true) {
       graft.ops.Retrieval
         .bm25Postings(Tables.load(s, dir, "documents"), "doc_id", "text")
     }
@@ -113,7 +128,8 @@ object PipelineQueries {
 
   private def kmEmbLabels(s: SparkSession, dir: String,
       k: Int, iters: Int): DataFrame = {
-    val cents = Artifacts.codebook(s, "kmeans", s"$dir|k=$k|iters=$iters") {
+    val cents = Artifacts.codebook(s, "kmeans",
+        s"$dir|${fp(s, dir, "embeddings")}|k=$k|iters=$iters") {
       Similarity.kmeansCentroids(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", k, iters)
     }
@@ -1396,7 +1412,8 @@ object PipelineQueries {
     // replays bit-exactly in the oracle.
     "n10_ann_pq" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val books = Artifacts.pqCodebooks(s, "pq_books", s"$dir|m=4|k=8|iters=3") {
+      val books = Artifacts.pqCodebooks(s, "pq_books",
+          s"$dir|${fp(s, dir, "embeddings")}|m=4|k=8|iters=3") {
         Similarity.pqCodebooks(e, "vec_id", "embedding",
           m = 4, codebookK = 8, kmIters = 3)
       }

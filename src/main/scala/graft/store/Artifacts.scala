@@ -1,7 +1,8 @@
 package graft.store
 
-import java.util.concurrent.ConcurrentHashMap
+import java.security.MessageDigest
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Durable, versioned store for DERIVED per-corpus artifacts — the
@@ -32,16 +33,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Staleness safety: the table NAME embeds a hash of (format version,
   * full parameter key). A durable root survives code changes because any
   * builder-logic change bumps [[Artifacts.FMT]], which re-keys every
-  * artifact — old tables are simply never read again (vacuum the root to
-  * reclaim them). Concurrent builders in ONE JVM are serialized per
-  * table by a striped lock; racing *separate* JVMs against one shared
-  * root is not supported (same as any external-table writer contract).
+  * artifact — old tables are simply never read again ([[vacuum]]
+  * reclaims them). Callers whose key embeds a corpus DIRECTORY should
+  * also fold [[dataFingerprint]] into it: the fingerprint hashes the
+  * source files' (path, length, mtime) listing, so regenerating data in
+  * the same directory re-keys the artifact instead of silently serving
+  * stale rows across sessions.
+  *
+  * Multi-writer safety (the 100 TB operating mode — many jobs pointed at
+  * one durable root): a builder never writes the published table name
+  * directly. It builds a COMPLETE table under a unique temp name, then
+  * commits by claim-and-rename: create `<root>/_claims/<table>.claim`
+  * with overwrite=false (atomic create-if-absent on HDFS-like stores;
+  * best-effort on raw local FS, same caveat as the store's pointer swap —
+  * on S3 use a conditional PUT), and only the claim winner renames its
+  * temp directory to the published name (`_latest` travels inside the
+  * rename, which IS the commit point). A race loser drops its build and
+  * reads the winner — both readers see one committed, bit-identical
+  * version. A claimer that dies between claim and rename leaves a stale
+  * claim; waiters time out (`spark.graft.artifactClaimTimeoutMs`, default
+  * 60 s — the wait only ever covers the winner's RENAME, builds happen
+  * before claiming), break the claim, and re-race. Within one JVM a
+  * striped lock additionally avoids duplicate concurrent builds of the
+  * same table. [[appendDelta]] remains a single-writer maintenance
+  * operation (same contract as any external-table writer).
   */
 object Artifacts {
 
   /** Bump on ANY change to an artifact builder's output (schema or
-    * values): the key re-hash makes every durable root self-invalidate. */
-  private val FMT = 1
+    * values) or to the on-disk artifact layout: the key re-hash makes
+    * every durable root self-invalidate. v2: sidecar `_artifact`
+    * metadata (catalog + row-local marker) + claim-commit protocol. */
+  private val FMT = 2
 
   private lazy val jvmTempRoot: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_artifacts_")
@@ -54,43 +77,214 @@ object Artifacts {
       .orElse(sys.env.get("SPARK_GRAFT_ARTIFACT_DIR"))
       .getOrElse(jvmTempRoot)
 
-  // per-(session, root) store handles; per-table build locks
-  private val stores = new ConcurrentHashMap[(SparkSession, String), TableStore]()
-  private val locks = new ConcurrentHashMap[String, Object]()
+  // store handles are STATELESS (all table state is on disk), so they are
+  // constructed per call instead of cached — the round-13 (session, root)
+  // cache strongly retained every SparkSession ever used. Build/append
+  // mutual exclusion comes from the striped locks below (bounded forever)
+  // plus the cross-JVM claim protocol, not from handle identity.
+  private def store(s: SparkSession): TableStore =
+    new TableStore(s, root(s), numBuckets = 8)
 
-  private def store(s: SparkSession): TableStore = {
-    val r = root(s)
-    stores.computeIfAbsent((s, r), _ => new TableStore(s, r, numBuckets = 8))
-  }
+  // intra-JVM build/append serialization: a FIXED stripe array (never
+  // grows, unlike a per-table lock map) — collisions just coarsen the
+  // lock, correctness comes from the claim protocol anyway
+  private val stripes = Array.fill(64)(new Object)
+  private def stripe(key: String): Object =
+    stripes(math.floorMod(key.hashCode, stripes.length))
+
+  // artifact tables this JVM has built or read ("root|table") — the
+  // liveness set [[vacuum]] keeps
+  private val served = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[store] def resetServedForTesting(): Unit = served.clear()
+
+  private def fsOf(s: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Deterministic table name: `artifact_<name>_<12-hex key hash>`. */
   private[store] def tableName(name: String, key: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = MessageDigest.getInstance("MD5")
     val h = md.digest(s"v$FMT|$key".getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
     s"artifact_${name}_$h"
   }
 
-  /** Get-or-build: if the keyed artifact table exists in this session's
-    * store root, read it (a bucketed parquet scan — the build is NOT
-    * re-run); otherwise run `build`, snapshot-write it (no change
-    * batch), and read it back. `keys` bucket the table by the artifact's
-    * downstream join key so consumers co-locate. The returned frame is
-    * always the STORE read — never the in-flight build plan — so every
-    * consumer shares one physical source and executor loss only ever
-    * re-scans files. */
-  def table(s: SparkSession, name: String, key: String,
-      keys: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
-    val st = store(s)
-    val t = tableName(name, key)
-    val lock = locks.computeIfAbsent(s"${root(s)}/$t", _ => new Object)
-    lock.synchronized {
-      if (!st.exists(t)) {
-        val df = build
-        st.createTable(t, df.schema, keys)
-        st.overwriteSnapshot(t, df)
+  /** Cheap corpus-content fingerprint for artifact keys: a hash of the
+    * recursive (path, length, mtime) file listing under `dir`. Callers
+    * fold it into their artifact key so that REGENERATING data in the
+    * same directory re-keys every derived artifact — without it a
+    * durable root would serve stale shingles/labels/postings built from
+    * the old bytes (FMT only invalidates on code changes, not data
+    * changes). Driver-side metadata listing only — no data IO; at
+    * cluster scale this is the same listing cost a parquet scan's file
+    * index pays. */
+  def dataFingerprint(s: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+    }
+    val md = MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
+  // ---- sidecar catalog metadata ------------------------------------------
+
+  private[store] final case class Meta(name: String, key: String, fmt: Int,
+      rowLocal: Boolean)
+
+  private def metaPath(root: String, table: String) =
+    new Path(new Path(root, table), "_artifact")
+
+  private[store] def writeMeta(fs: FileSystem, root: String, table: String,
+      m: Meta): Unit = {
+    val txt = Seq(s"name\t${m.name}", s"key\t${m.key}", s"fmt\t${m.fmt}",
+      s"row_local\t${m.rowLocal}").mkString("\n")
+    val out = fs.create(metaPath(root, table), true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[store] def readMeta(fs: FileSystem, root: String,
+      table: String): Option[Meta] = {
+    val p = metaPath(root, table)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val kv = txt.split("\n").toIndexedSeq.filter(_.contains("\t")).map { l =>
+      val Array(k, v) = l.split("\t", 2); k -> v
+    }.toMap
+    Some(Meta(kv.getOrElse("name", ""), kv.getOrElse("key", ""),
+      kv.get("fmt").map(_.toInt).getOrElse(0),
+      kv.get("row_local").contains("true")))
+  }
+
+  // ---- claim-and-rename commit -------------------------------------------
+
+  private def claimPath(root: String, table: String) =
+    new Path(new Path(root, "_claims"), s"$table.claim")
+
+  private def tryClaim(fs: FileSystem, root: String, table: String): Boolean = {
+    fs.mkdirs(new Path(root, "_claims"))
+    try { fs.create(claimPath(root, table), false).close(); true }
+    catch { case _: java.io.IOException => false }
+  }
+
+  private def claimTimeoutMs(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.artifactClaimTimeoutMs")
+      .map(_.toLong).getOrElse(60000L)
+
+  private def awaitCommitted(fs: FileSystem, latest: Path,
+      timeoutMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (fs.exists(latest)) return true
+      Thread.sleep(50L)
+    }
+    fs.exists(latest)
+  }
+
+  /** Rewrite the temp table's manifests to the published paths, then
+    * rename the whole directory — `_latest` travels inside the rename,
+    * so the rename IS the atomic commit point (a crash before it leaves
+    * no table; a crash after leaves a complete one). */
+  private def renameIntoPlace(fs: FileSystem, root: String, tmp: String,
+      table: String): Unit = {
+    val tmpDir = new Path(root, tmp)
+    val dstDir = new Path(root, table)
+    val qTmp = fs.makeQualified(tmpDir).toString
+    val qDst = fs.makeQualified(dstDir).toString
+    val versions = new Path(tmpDir, "_versions")
+    if (fs.exists(versions)) fs.listStatus(versions).foreach { vst =>
+      val in = fs.open(vst.getPath)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val rewritten = txt.replace(qTmp + "/", qDst + "/")
+        .replace(tmpDir.toString + "/", dstDir.toString + "/")
+      if (rewritten != txt) {
+        val out = fs.create(vst.getPath, true)
+        try out.write(rewritten.getBytes("UTF-8")) finally out.close()
       }
     }
+    // debris without _latest (a claimer that died mid-createTable under a
+    // pre-protocol layout) is not a committed table; we hold the claim
+    if (fs.exists(dstDir)) fs.delete(dstDir, true)
+    require(fs.rename(tmpDir, dstDir),
+      s"artifact commit rename $tmpDir -> $dstDir failed")
+  }
+
+  /** Commit the fully-written temp table `tmp` under the published name
+    * `table`, racing any other writer (thread or JVM) on the same root:
+    * exactly one build wins; losers drop their temp table and return
+    * once the winner's commit is visible. */
+  private[store] def publish(st: TableStore, tmp: String, table: String): Unit = {
+    val r = st.root
+    val fs = fsOf(st.spark, r)
+    val latest = new Path(new Path(r, table), "_latest")
+    val timeout = claimTimeoutMs(st.spark)
+    var attempts = 0
+    while (true) {
+      if (fs.exists(latest)) { // someone else committed — ours is redundant
+        st.dropTable(tmp, purge = true)
+        return
+      }
+      if (tryClaim(fs, r, table)) {
+        renameIntoPlace(fs, r, tmp, table)
+        fs.delete(claimPath(r, table), false)
+        return
+      }
+      // claim lost: the winner only has a rename left — wait it out
+      if (awaitCommitted(fs, latest, timeout)) {
+        st.dropTable(tmp, purge = true)
+        return
+      }
+      // stale claim (claimer died between claim and rename): break it
+      // and re-race; bounded so a pathological store can't spin forever
+      fs.delete(claimPath(r, table), false)
+      attempts += 1
+      require(attempts <= 5,
+        s"artifact $table: could not commit after $attempts claim rounds " +
+          s"(stale claims at ${claimPath(r, table)})")
+    }
+  }
+
+  /** Get-or-build: if the keyed artifact table exists in this session's
+    * store root, read it (a bucketed parquet scan — the build is NOT
+    * re-run); otherwise run `build`, write it under a temp name, and
+    * commit via claim-and-rename (multi-writer safe, see the object
+    * scaladoc). `keys` bucket the table by the artifact's downstream
+    * join key so consumers co-locate. The returned frame is always the
+    * STORE read — never the in-flight build plan — so every consumer
+    * shares one physical source and executor loss only ever re-scans
+    * files.
+    *
+    * @param rowLocal mark the artifact as ROW-LOCAL: every output row
+    *   derives from exactly one input doc (shingles, postings,
+    *   winnowing fingerprints), so artifact(corpus ∪ Δ) =
+    *   artifact(corpus) ∪ build(Δ) and [[appendDelta]] is valid.
+    *   Corpus-global artifacts (kNN truth, cluster labels, codebooks)
+    *   keep the default false and re-key per corpus version. */
+  def table(s: SparkSession, name: String, key: String,
+      keys: Seq[String] = Nil, rowLocal: Boolean = false)(
+      build: => DataFrame): DataFrame = {
+    val r = root(s)
+    val st = store(s)
+    val t = tableName(name, key)
+    stripe(s"$r/$t").synchronized {
+      if (!st.exists(t)) {
+        val df = build
+        val tmp = s"${t}_b_${java.util.UUID.randomUUID().toString.take(8)}"
+        st.createTable(tmp, df.schema, keys)
+        st.overwriteSnapshot(tmp, df)
+        writeMeta(fsOf(s, r), r, tmp, Meta(name, key, FMT, rowLocal))
+        publish(st, tmp, t)
+      }
+    }
+    served.add(s"$r|$t")
     // every artifact is immediately SQL-visible under its table name
     // (write-once per key, so the snapshot view never goes stale)
     st.registerView(t)
@@ -103,31 +297,84 @@ object Artifacts {
     * anything where each output row derives from one input doc),
     * artifact(corpus ∪ Δ) = artifact(corpus) ∪ build(Δ), so appending
     * the delta's rows is bit-identical to a full rebuild at a fraction
-    * of the cost. NOT valid for corpus-global builders (kNN truth,
-    * cluster labels, codebooks) — those re-key per corpus version
-    * instead. The append commits a new store version (time travel keeps
-    * the pre-batch artifact readable) and refreshes the SQL view. */
+    * of the cost. REFUSED unless the artifact was built with
+    * `rowLocal = true` — appending a delta to a corpus-global artifact
+    * (kNN truth, cluster labels, codebooks) would silently corrupt it;
+    * those re-key per corpus version instead. The append commits a new
+    * store version (time travel keeps the pre-batch artifact readable)
+    * and refreshes the SQL view. Single-writer (one maintainer job per
+    * artifact), like any external-table writer. */
   def appendDelta(s: SparkSession, name: String, key: String,
       delta: DataFrame): Unit = {
+    val r = root(s)
     val st = store(s)
     val t = tableName(name, key)
-    require(st.exists(t),
-      s"artifact $name (key $key) does not exist — build it with table() first")
-    st.append(t, delta)
+    stripe(s"$r/$t").synchronized {
+      require(st.exists(t),
+        s"artifact $name (key $key) does not exist — build it with table() first")
+      val meta = readMeta(fsOf(s, r), r, t)
+      require(meta.exists(_.rowLocal),
+        s"artifact $name (key $key) is not row-local: appendDelta is only " +
+          "valid where artifact(corpus ∪ Δ) = artifact(corpus) ∪ build(Δ) " +
+          "(shingles, postings, fingerprints); corpus-global artifacts " +
+          "(kNN truth, cluster labels, codebooks) must re-key per corpus " +
+          "version instead")
+      st.append(t, delta)
+    }
+    served.add(s"$r|$t")
     st.registerView(t)
   }
 
-  /** (artifact table, committed version) catalog of this session's
-    * artifact-store root — the SQL surface exposes it as
-    * `TABLE(graft_artifacts())`; each listed name is itself registered
-    * as a queryable view the moment it is built or first read. */
-  def listing(s: SparkSession): org.apache.spark.sql.DataFrame = {
+  /** Catalog of this session's artifact-store root — the SQL surface
+    * exposes it as `TABLE(graft_artifacts())`: one row per COMMITTED
+    * artifact table (in-flight `_b_` temp builds are excluded) with its
+    * sidecar metadata (logical name, full parameter key, format version,
+    * row-local marker) and committed store version. Each listed table is
+    * itself registered as a queryable view the moment it is built or
+    * first read. */
+  def listing(s: SparkSession): DataFrame = {
     val st = store(s)
+    val r = root(s)
+    val fs = fsOf(s, r)
     val sp = s
     import sp.implicits._
-    st.listTables().filter(_.startsWith("artifact_")).sorted
-      .map(t => (t, st.currentVersion(t)))
-      .toDF("artifact_table", "version")
+    st.listTables()
+      .filter(t => t.startsWith("artifact_") && !isTempBuild(t)).sorted
+      .map { t =>
+        val m = readMeta(fs, r, t)
+        (t, m.map(_.name).getOrElse(""), m.map(_.key).getOrElse(""),
+          m.map(_.fmt).getOrElse(0), m.exists(_.rowLocal),
+          st.currentVersion(t))
+      }
+      .toDF("artifact_table", "name", "key", "fmt", "row_local", "version")
+  }
+
+  private def isTempBuild(t: String): Boolean = t.matches(".*_b_[0-9a-f]{8}$")
+
+  /** Garbage-collect the artifact root: drop every artifact table this
+    * JVM has NOT built or read (superseded keys from parameter changes /
+    * data regeneration, stale-FMT leftovers from code upgrades, and
+    * orphaned `_b_` temp builds from crashed writers), plus claim files
+    * whose table never committed. Run it QUIESCED — at the end of a
+    * pipeline run, after every current artifact has been touched (a
+    * concurrent writer's in-flight temp build would be reclaimed as an
+    * orphan; its claim protocol makes that safe but wasteful). Returns
+    * the dropped table names. */
+  def vacuum(s: SparkSession): Seq[String] = {
+    val st = store(s)
+    val r = root(s)
+    val fs = fsOf(s, r)
+    val dropped = st.listTables().filter(_.startsWith("artifact_")).filter { t =>
+      val staleFmt = !readMeta(fs, r, t).exists(_.fmt == FMT)
+      staleFmt || !served.contains(s"$r|$t")
+    }
+    dropped.foreach(t => st.dropTable(t, purge = true))
+    val claims = new Path(r, "_claims")
+    if (fs.exists(claims)) fs.listStatus(claims).foreach { c =>
+      val t = c.getPath.getName.stripSuffix(".claim")
+      if (!st.exists(t)) fs.delete(c.getPath, false)
+    }
+    dropped
   }
 
   /** Driver-side codebook artifact (kmeans centroids): persisted as

@@ -145,7 +145,11 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       // a trashed clone's manifest still points into this table's data dir,
       // and an UNDROP must restore it to a readable state
       val refs = listTables().filter(_ != table).filter { t =>
-        readManifest(t, currentVersion(t)).exists(_._2.startsWith(dataPrefix))
+        // a table dropped concurrently (another writer reclaiming its own
+        // temp build) vanishes between the listing and the manifest read —
+        // a vanished table references nothing
+        try readManifest(t, currentVersion(t)).exists(_._2.startsWith(dataPrefix))
+        catch { case _: java.io.FileNotFoundException => false }
       } ++ trashedTables().filter { t =>
         trashedManifestEntries(t).exists(_._2.startsWith(dataPrefix))
       }.map(t => s"_trash/$t")

@@ -50,11 +50,17 @@ class ArtifactsSpec extends AnyFunSuite {
     val names = st.listTables()
     assert(names.exists(_.startsWith("artifact_spec_art_")), s"got $names")
 
-    // the listing catalogs both keyed builds; every listed table is a
-    // registered temp view queryable with plain SQL in the session
+    // the listing catalogs both keyed builds WITH their sidecar metadata
+    // (logical name, full key, fmt, row-local marker, version); every
+    // listed table is a registered temp view queryable with plain SQL
     val listed = Artifacts.listing(s2)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getBoolean(4), r.getLong(5))).toSeq
     assert(listed.count(_._1.startsWith("artifact_spec_art_")) == 2, s"got $listed")
+    val specRows = listed.filter(_._1.startsWith("artifact_spec_art_"))
+    assert(specRows.forall(_._2 == "spec_art"), s"got $specRows")
+    assert(specRows.map(_._3).toSet == Set("corpus1|p=1", "corpus2|p=1"))
+    assert(specRows.forall(r => r._4 > 0 && !r._5 && r._6 == 1L), s"got $specRows")
     val viewName = listed.map(_._1).find(_.startsWith("artifact_spec_art_")).get
     assert(s2.sql(s"SELECT count(1) FROM $viewName").head().getLong(0) == 3L)
   }
@@ -113,9 +119,11 @@ class ArtifactsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     def shingles(df: org.apache.spark.sql.DataFrame) =
       graft.ops.Dedup.shingleRows(df, "doc_id", "text", shingleN = 2)
-    Artifacts.table(s, "spec_sh", "corpusA", Seq("id"))(shingles(v1))
+    Artifacts.table(s, "spec_sh", "corpusA", Seq("id"),
+      rowLocal = true)(shingles(v1))
     Artifacts.appendDelta(s, "spec_sh", "corpusA", shingles(delta))
-    val maintained = Artifacts.table(s, "spec_sh", "corpusA", Seq("id")) {
+    val maintained = Artifacts.table(s, "spec_sh", "corpusA", Seq("id"),
+        rowLocal = true) {
       fail("must not rebuild"); null
     }.collect().map(_.toString).sorted.toSeq
     val rebuilt = shingles(v1.unionAll(delta))
@@ -127,6 +135,112 @@ class ArtifactsSpec extends AnyFunSuite {
       Artifacts.appendDelta(s, "spec_sh", "nosuch", shingles(delta))
     }
     assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("appendDelta refuses corpus-global artifacts (row-local marker)") {
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    val sp = s; import sp.implicits._
+    // a corpus-global artifact (kNN-truth shape): built WITHOUT rowLocal
+    Artifacts.table(s, "spec_knn", "corpusA|k=2", Seq("id")) {
+      Seq((1L, 2L, 0.9), (2L, 1L, 0.9)).toDF("id", "nn", "score")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.appendDelta(s, "spec_knn", "corpusA|k=2",
+        Seq((3L, 1L, 0.5)).toDF("id", "nn", "score"))
+    }
+    assert(e.getMessage.contains("not row-local"), e.getMessage)
+    // the refused append left the artifact untouched
+    assert(Artifacts.table(s, "spec_knn", "corpusA|k=2", Seq("id")) {
+      fail("must not rebuild"); null
+    }.count() == 2)
+  }
+
+  test("multi-writer commit: racing independent builders yield ONE version") {
+    // two builders with INDEPENDENT store handles race publish() directly
+    // (the striped JVM lock is bypassed — this is the separate-JVMs
+    // protocol: build to a temp name, claim, rename; loser reads winner)
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    val sp = s; import sp.implicits._
+    val t = Artifacts.tableName("spec_race", "corpusR|p=1")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val results = Await.result(Future.sequence((1 to 4).map { i =>
+      Future {
+        val st = new TableStore(s, root, numBuckets = 4) // independent handle
+        val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        val tmp = s"${t}_b_${"%08x".format(i * 271828)}"
+        st.createTable(tmp, df.schema, Seq("id"))
+        st.overwriteSnapshot(tmp, df)
+        Artifacts.writeMeta(fs, root, tmp,
+          Artifacts.Meta("spec_race", "corpusR|p=1", 2, rowLocal = false))
+        Artifacts.publish(st, tmp, t)
+        new TableStore(s, root).read(t)
+          .orderBy("id").collect().map(_.toString).toSeq
+      }
+    }), 120.seconds)
+    val st = new TableStore(s, root)
+    assert(st.exists(t), "the race must leave a committed table")
+    assert(st.currentVersion(t) == 1L, "exactly one committed version")
+    assert(results.toSet.size == 1, "all racers read bit-identical rows")
+    assert(results.head.size == 3)
+    // no leftover temp builds or claims
+    assert(!st.listTables().exists(_.contains("_b_")),
+      s"losers must drop their builds: ${st.listTables()}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_claims/$t.claim")),
+      "the winner must clear its claim")
+  }
+
+  test("a stale claim (dead writer) is broken and the build commits") {
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    s.conf.set("spark.graft.artifactClaimTimeoutMs", "300")
+    val sp = s; import sp.implicits._
+    val t = Artifacts.tableName("spec_stale", "k")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // simulate a claimer that died between claim and rename
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_claims"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_claims/$t.claim"), false).close()
+    val out = Artifacts.table(s, "spec_stale", "k", Seq("id")) {
+      Seq((1L, "a")).toDF("id", "v")
+    }
+    assert(out.count() == 1, "the stale claim must be broken, not fatal")
+  }
+
+  test("vacuum reclaims superseded keys and keeps what this run serves") {
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    val sp = s; import sp.implicits._
+    // "previous run": builds under the old parameter key
+    Artifacts.table(s, "spec_gc", "corpus|p=1", Seq("id")) {
+      Seq((1L, "old")).toDF("id", "v")
+    }
+    val oldT = Artifacts.tableName("spec_gc", "corpus|p=1")
+    // "new run" (fresh JVM simulated by clearing the served set): the
+    // parameter bump re-keys the artifact; the old table is dead weight
+    Artifacts.resetServedForTesting()
+    Artifacts.table(s, "spec_gc", "corpus|p=2", Seq("id")) {
+      Seq((1L, "new"), (2L, "newer")).toDF("id", "v")
+    }
+    val newT = Artifacts.tableName("spec_gc", "corpus|p=2")
+    val st = new TableStore(s, root)
+    assert(st.exists(oldT) && st.exists(newT))
+    val dropped = Artifacts.vacuum(s)
+    assert(dropped == Seq(oldT), s"vacuum must drop exactly the stale key: $dropped")
+    assert(!st.exists(oldT), "superseded artifact must be gone")
+    assert(st.exists(newT), "served artifact must survive")
+    assert(Artifacts.table(s, "spec_gc", "corpus|p=2", Seq("id")) {
+      fail("must not rebuild"); null
+    }.count() == 2)
   }
 
   test("concurrent consumers of one key build exactly once") {
