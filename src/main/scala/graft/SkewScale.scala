@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bot-skew A/B for the per-user event operators (SCALE.md): a synthetic
+  * log of `users` normal users (~20 events each) plus ONE bot emitting
+  * `botEvents` funnel-typed events — the adversarial shape where any
+  * "collect the user's history" aggregation funnels millions of rows
+  * into a single task's buffer.
+  *
+  * Measures:
+  *  - st6 topEventPaths: bounded-heap `graft_topk_min` (shipped) vs the
+  *    collect_list+slice formulation it replaced (inlined here as the
+  *    A/B reference);
+  *  - st4 funnelSteps: exact (state = the user's own funnel events) vs
+  *    `maxEventsPerUser`-capped (state O(cap) per user).
+  *
+  * Usage: graft.SkewScale [users] [botEvents]   (defaults 200000, 1000000)
+  */
+object SkewScale {
+  def main(args: Array[String]): Unit = {
+    val users = if (args.length > 0) args(0).toInt else 200000
+    val botEvents = if (args.length > 1) args(1).toInt else 1000000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val types = array(lit("signup"), lit("click"), lit("purchase"),
+      lit("view"), lit("search"))
+    // normal population: ~20 events per user, deterministic pseudo-times
+    val normal = spark.range(users.toLong * 20)
+      .select((col("id") % users).as("user_id"),
+        element_at(types, (pmod(xxhash64(col("id")), lit(5)) + 1).cast("int")).as("event_type"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(xxhash64(col("id"), lit(7)), lit(86400000000L * 30))).as("ts"))
+    // the bot: user_id = users, a million funnel-typed events
+    val bot = spark.range(botEvents.toLong)
+      .select(lit(users.toLong).as("user_id"),
+        element_at(types, (pmod(xxhash64(col("id")), lit(3)) + 1).cast("int")).as("event_type"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000L).as("ts"))
+    val ev = normal.unionByName(bot)
+      .repartition(cpus.toInt).localCheckpoint(true) // fix the input out of the timing
+    println(s"[skew] events=${ev.count()} users=${users + 1} bot=$botEvents")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[skew] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    // st6 A/B — identical results required, different state bounds
+    def pathsCollectSlice(depth: Int, topN: Int): DataFrame = {
+      val base = ev.select(col("user_id").as("u"), col("event_type").as("t"),
+          unix_micros(col("ts")).as("ets"))
+        .filter(col("ets").isNotNull && col("t").isNotNull)
+      base.groupBy("u").agg(
+        concat_ws(">", transform(
+          slice(array_sort(collect_list(struct(col("ets"), col("t")))), 1, depth),
+          e => e.getField("t"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), asc("path")).limit(topN)
+    }
+    val heap = graft.ops.EventAnalytics
+      .topEventPaths(ev, "user_id", "event_type", "ts", depth = 4, topN = 20)
+      .collect().map(_.toString).toSeq
+    val full = pathsCollectSlice(4, 20).collect().map(_.toString).toSeq
+    require(heap == full, s"A/B mismatch:\n$heap\nvs\n$full")
+    time("st6 topk-heap (shipped)") {
+      graft.ops.EventAnalytics.topEventPaths(ev, "user_id", "event_type",
+        "ts", depth = 4, topN = 20).count()
+    }
+    time("st6 collect+slice (old)") { pathsCollectSlice(4, 20).count() }
+
+    // st4 A/B — capped must agree here (the bot's funnel completes in
+    // its earliest events by construction)
+    val steps = Seq("signup", "click", "purchase")
+    val exact = graft.ops.EventAnalytics
+      .funnelSteps(ev, "user_id", "event_type", "ts", steps)
+      .orderBy("step").collect().map(_.toString).toSeq
+    val capped = graft.ops.EventAnalytics
+      .funnelSteps(ev, "user_id", "event_type", "ts", steps,
+        maxEventsPerUser = Some(1000))
+      .orderBy("step").collect().map(_.toString).toSeq
+    require(exact == capped, s"capped funnel diverged:\n$exact\nvs\n$capped")
+    time("st4 funnel exact") {
+      graft.ops.EventAnalytics.funnelSteps(ev, "user_id", "event_type",
+        "ts", steps).count()
+    }
+    time("st4 funnel capped(1000)") {
+      graft.ops.EventAnalytics.funnelSteps(ev, "user_id", "event_type",
+        "ts", steps, maxEventsPerUser = Some(1000)).count()
+    }
+    spark.stop()
+  }
+}

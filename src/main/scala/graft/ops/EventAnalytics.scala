@@ -42,14 +42,32 @@ object EventAnalytics {
     * division of exact longs cast to double at the division — oracle
     * hash-stable (NULL, not NaN, when step-1 reach is zero).
     *
+    * Bot-skew guard: per-user fold state is bounded by that user's own
+    * funnel-event count — correct and small for real user traffic, but
+    * one bot with tens of millions of funnel-typed events buffers them
+    * all in a single task. `maxEventsPerUser` caps the state: the fold
+    * then walks only each user's `cap` TIME-EARLIEST funnel events
+    * (kept by the bounded-heap `graft_topk_min` aggregate — O(cap) per
+    * user everywhere, map side included). Disclosed semantics: a user
+    * whose funnel only completes after their first `cap` funnel events
+    * under-reports (the greedy chain advances on earliest qualifying
+    * events, so any human-scale cap is exact for human users); the
+    * uncapped form and [[funnelStepsJoinChain]] remain the exact
+    * fallbacks.
+    *
     * @param maxGapUs conversion window: step i+1 must land within this
     *   many microseconds of step i (product-analytics "converted within
     *   N days"); None = unbounded.
+    * @param maxEventsPerUser bot-skew cap: fold only each user's this
+    *   many time-earliest funnel events, bounding per-user state at
+    *   O(cap); None (default) = exact, state bounded by the user's own
+    *   event count.
     * @return (step, event_type, n_users, conversion), step 1-based in
     *   funnel order. */
   def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String],
-      maxGapUs: Option[Long] = None): DataFrame = {
+      maxGapUs: Option[Long] = None,
+      maxEventsPerUser: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val k = steps.size
@@ -85,7 +103,7 @@ object EventAnalytics {
       val ok = x.bitwiseAND(lit(127L)).cast("int") === cnt && t > last && gapOk
       when(ok, struct((cnt + 1).as("cnt"), t.as("last"))).otherwise(acc)
     }
-    val perUser = base
+    val packedRows = base
       // the funnel family's declared time domain: 0 ≤ ets < 2^56 µs
       // (epoch ≤ ts < year ~4254). Pre-1970 rows would break the
       // packing's sign; rows at/above 2^56 µs would overflow ets·128+si
@@ -94,10 +112,23 @@ object EventAnalytics {
       // filters mirrored by every formulation and oracle.
       .filter(col("ets") >= 0 && col("ets") < lit(1L << 56))
       .select(col("u"), packed)
+    // the sorted per-user packed array the fold walks: exact form
+    // collects the user's whole funnel history; capped form keeps the
+    // cap smallest packed values in a bounded heap (ascending output =
+    // the same sort), per-user state O(cap) even against a bot
+    val sortedPacked = maxEventsPerUser match {
+      case None => array_sort(collect_list(col("p")))
+      case Some(cap) =>
+        require(cap >= k, s"maxEventsPerUser ($cap) must be >= the step count ($k)")
+        transform(
+          call_function("graft_topk_min", col("p"), lit(""), lit(cap)),
+          e => e.getField("key"))
+    }
+    val grouped = packedRows
       .groupBy("u").agg(
-        aggregate(array_sort(collect_list(col("p"))), zero, advance)
+        aggregate(sortedPacked, zero, advance)
           .getField("cnt").as("reached"))
-    val wide = perUser.agg(
+    val wide = grouped.agg(
       count(when(col("reached") >= 1, lit(1))).as("step_1"),
       (2 to k).map(i =>
         count(when(col("reached") >= i, lit(1))).as(s"step_$i")): _*)
@@ -229,10 +260,19 @@ object EventAnalytics {
     * per-user order is (ts, event_type) with timestamp ties broken by
     * type name, the report orders by (n_users desc, path).
     *
-    * Shape: ONE user-keyed aggregation (collect+sort, bounded by
-    * `depth+`the user's event count — the funnel bound), then a count
-    * on the tiny path key and a bounded TakeOrdered top-N. Nothing
-    * corpus-global except the final ≤topN-row sort.
+    * Shape: ONE user-keyed aggregation via the bounded-heap native
+    * top-k aggregate ([[graft.spark.TopKMinAgg]], `graft_topk_min`):
+    * only the `depth` time-earliest events per user ever live in the
+    * aggregation state — O(depth) per user on the map side, in the
+    * shuffle, and on the reduce side. The collect_list+slice form this
+    * replaced buffered each user's FULL history before slicing, so one
+    * pathological bot with tens of millions of events skewed a single
+    * task; the heap holds `depth` rows no matter what the bot sends
+    * (SCALE.md records the A/B). (ets, type-name) heap order is exactly
+    * the struct sort order it replaced — byte-wise on ties — and the
+    * report tail stays a count on the tiny path key plus a bounded
+    * TakeOrdered top-N. Nothing corpus-global except that ≤topN-row
+    * sort.
     *
     * @return (path, n_users), at most topN rows. */
   def topEventPaths(events: DataFrame, userCol: String, typeCol: String,
@@ -244,9 +284,8 @@ object EventAnalytics {
     val perUser = base.groupBy("u").agg(
       concat_ws(">",
         transform(
-          slice(array_sort(collect_list(struct(col("ets"), col("t")))),
-            1, depth),
-          e => e.getField("t"))).as("path"))
+          call_function("graft_topk_min", col("ets"), col("t"), lit(depth)),
+          e => e.getField("payload"))).as("path"))
     perUser.groupBy("path").agg(count(lit(1)).as("n_users"))
       .orderBy(desc("n_users"), asc("path"))
       .limit(topN)

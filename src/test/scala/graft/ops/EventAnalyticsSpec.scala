@@ -164,4 +164,59 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(2), r.isNullAt(3))).toSeq
     assert(got == Seq((1, 0L, true), (2, 0L, true), (3, 0L, true)))
   }
+
+  test("bot-skew cap: funnelSteps(maxEventsPerUser) is exact within the cap") {
+    val steps = Seq("signup", "click", "purchase")
+    // a bot user floods 5 000 click events AFTER completing the funnel in
+    // its first three events; two normal users behave normally
+    val bot = Seq((9L, "signup", ts(1)), (9L, "click", ts(2)),
+      (9L, "purchase", ts(3))) ++
+      (1 to 5000).map(i => (9L, "click", ts(10 + i)))
+    val ev = (bot ++ Seq(
+      (1L, "signup", ts(10)), (1L, "click", ts(20)),
+      (2L, "signup", ts(10)), (2L, "click", ts(5))
+    )).toDF("user_id", "event_type", "ts")
+    def run(cap: Option[Int]) =
+      EventAnalytics.funnelSteps(ev, "user_id", "event_type", "ts", steps,
+          maxEventsPerUser = cap)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getLong(2))).toSeq
+    val exact = run(None)
+    assert(exact == Seq((1, 3L), (2, 2L), (3, 1L)))
+    // the cap keeps only each user's 10 time-earliest funnel events —
+    // the bot completed within its first 3, so the report is EXACT
+    // while per-user state is bounded at 10 regardless of the flood
+    assert(run(Some(10)) == exact,
+      "capped funnel must equal exact when funnels complete within the cap")
+    assert(run(Some(3)) == exact,
+      "cap = completion position is still exact (earliest events win)")
+    // disclosed semantics: a funnel completing only AFTER the user's
+    // first `cap` FUNNEL-TYPED events under-reports — u8's signup hides
+    // behind four earlier non-advancing clicks, so cap=3 never sees it
+    val late = Seq((8L, "click", ts(1)), (8L, "click", ts(2)),
+      (8L, "click", ts(3)), (8L, "click", ts(4)),
+      (8L, "signup", ts(5)), (8L, "click", ts(100)))
+      .toDF("user_id", "event_type", "ts")
+    def run2(cap: Option[Int]) =
+      EventAnalytics.funnelSteps(late, "user_id", "event_type", "ts",
+          Seq("signup", "click"), maxEventsPerUser = cap)
+        .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(run2(None) == Seq((1, 1L), (2, 1L)))
+    assert(run2(Some(3)) == Seq((1, 0L), (2, 0L)),
+      "a funnel completing past the cap under-reports — the documented trade")
+  }
+
+  test("topEventPaths bounded-heap form matches the collect+slice semantics") {
+    // duplicate (ts, type) pairs, ties, and a deep history: the bounded
+    // top-k heap must reproduce the exact (ts, type)-sorted first-depth
+    // slice, duplicates included
+    val ev = Seq(
+      (1L, "a", ts(1)), (1L, "a", ts(1)), (1L, "b", ts(2)),
+      (2L, "b", ts(1)), (2L, "a", ts(1)), (2L, "c", ts(0))
+    ).toDF("user_id", "event_type", "ts") // u2 order: c, a, b
+    val got = EventAnalytics.topEventPaths(ev, "user_id", "event_type",
+        "ts", depth = 3, topN = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>a>b", 1L), ("c>a>b", 1L)), s"got $got")
+  }
 }

@@ -489,6 +489,19 @@ class PlanSpec extends AnyFunSuite {
       "the one-row count frame must melt via unpivot's Expand, not a join union")
   }
 
+  test("event paths: bounded-heap top-k aggregate, never a full-history collect") {
+    val p = plan("st6_event_paths")
+    assert(p.contains("graft_topk_min"),
+      "per-user journeys must aggregate through the bounded-heap top-k " +
+        "(O(depth) state per user — a bot's full history must never buffer)")
+    assert(!p.contains("collect_list"),
+      "the collect_list+slice form buffers each user's whole history")
+    assert(p.contains("ObjectHashAggregate"),
+      "the typed-imperative aggregate should run in the object hash operator")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N paths must be a bounded TakeOrdered, never a global sort")
+  }
+
   test("cohort retention: activity dedups before any join") {
     val p = plan("st5_cohorts")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
