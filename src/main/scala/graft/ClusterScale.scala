@@ -37,10 +37,13 @@ object ClusterScale {
     // deployment gets ~16 groups per 128 MiB file
     val store = new TableStore(spark, root, numBuckets = 8,
       parquetBlockSize = 8L * 1024 * 1024)
-    // cluster on the DATE derivative: this Spark build stat-prunes
-    // integer/date/string keys but not TIMESTAMP_NTZ (TableStore warns)
+    // l_shipday: the DATE derivative (stat-prunes natively);
+    // l_shipts: a TIMESTAMP_NTZ twin of the ship date — NTZ stats don't
+    // prune in this Spark build, so clustering on it exercises the
+    // derived __graft_day_* companion + NtzDayPrune rewrite instead
     val li = Tables.load(spark, dir, "lineitem")
       .withColumn("l_shipday", to_date(col("l_shipdate")))
+      .withColumn("l_shipts", to_date(col("l_shipdate")).cast("timestamp_ntz"))
     val n = li.count()
 
     def timed[T](f: => T): (T, Double) = {
@@ -71,6 +74,9 @@ object ClusterScale {
     val (_, loadClustered) = timed(store.append("li_clustered", li))
     store.createTable("li_plain", li.schema, keys = Seq("l_orderkey"))
     val (_, loadPlain) = timed(store.append("li_plain", li))
+    store.createTable("li_ntz", li.schema, keys = Seq("l_orderkey"),
+      clusterBy = Seq("l_shipts"))
+    val (_, loadNtz) = timed(store.append("li_ntz", li))
 
     // a ~2-week slice of a ~7-year range (≈0.5% selectivity)
     val lo = lit("1998-03-01").cast("date")
@@ -86,15 +92,34 @@ object ClusterScale {
       }
       (read, out, took)
     }
-    scan("li_clustered"); scan("li_plain") // warm both paths once
+    // the NTZ table is filtered on the NTZ column ITSELF — pruning must
+    // come transparently from the derived day column's rewrite
+    val ntzLo = java.time.LocalDateTime.of(1998, 3, 1, 0, 0)
+    val ntzHi = java.time.LocalDateTime.of(1998, 3, 15, 0, 0)
+    def scanNtz(): (Long, Long, Double) = {
+      var out = 0L
+      var took = 0.0
+      val read = readDuring {
+        val (o, t2) = timed(store.read("li_ntz")
+          .filter(col("l_shipts") >= lit(ntzLo) && col("l_shipts") < lit(ntzHi))
+          .agg(count(lit(1))).head().getLong(0))
+        out = o; took = t2
+      }
+      (read, out, took)
+    }
+    scan("li_clustered"); scan("li_plain"); scanNtz() // warm all paths once
     val (cRead, cRows, cSec) = scan("li_clustered")
     val (pRead, pRows, pSec) = scan("li_plain")
+    val (nRead, nRows, nSec) = scanNtz()
     require(cRows == pRows, s"results must match: $cRows vs $pRows")
+    require(nRows == pRows, s"NTZ results must match: $nRows vs $pRows")
     println(f"CLUSTERSCALE rows=$n%d matched=$cRows%d " +
       f"loadClustered=$loadClustered%.1fs loadPlain=$loadPlain%.1fs " +
-      f"clusteredRead=$cRead%d plainRead=$pRead%d " +
+      f"loadNtz=$loadNtz%.1fs " +
+      f"clusteredRead=$cRead%d plainRead=$pRead%d ntzRead=$nRead%d " +
       f"pruneFactor=${pRead.toDouble / math.max(1, cRead)}%.1fx " +
-      f"clusteredScan=$cSec%.2fs plainScan=$pSec%.2fs")
+      f"ntzPruneFactor=${pRead.toDouble / math.max(1, nRead)}%.1fx " +
+      f"clusteredScan=$cSec%.2fs plainScan=$pSec%.2fs ntzScan=$nSec%.2fs")
     spark.stop()
   }
 }

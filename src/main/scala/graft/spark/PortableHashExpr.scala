@@ -101,5 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe_apply"),
       new ExpressionInfo(classOf[BpeApplyMerges].getName, "graft_bpe_apply"),
       (children: Seq[Expression]) => BpeApplyMerges(children(0), children(1))))
+    // NTZ clustering keys prune through their derived day column
+    ext.injectOptimizerRule(_ => NtzDayPrune)
   }
 }

@@ -306,9 +306,16 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     * row groups — the micro-partition pruning lever at 100 TB.
     * Measured caveat: this Spark build pushes TIMESTAMP_NTZ predicates
     * to the scan but does NOT stat-prune row groups on them (integer,
-    * date, and string keys all prune) — cluster on a DATE or
-    * epoch-integer derivative of a timestamp, not the timestamp itself;
-    * [[createTable]]/[[recluster]] log a warning when they see one. */
+    * date, and string keys all prune). NTZ clustering keys therefore
+    * work through a DERIVED column: clustered writes add
+    * `__graft_day_<col>` (epoch day, INT32 — a type parquet prunes),
+    * reads include it in the scan schema (hidden from the returned
+    * frame), and the [[graft.spark.NtzDayPrune]] optimizer rule
+    * rewrites NTZ range predicates into redundant day-column conjuncts
+    * at scan time — so the user's `CLUSTER BY (ntz_ts)` DDL prunes as
+    * intended. Pre-derivation files read the day column as null; the
+    * rewritten predicate keeps null days, so old and new batches
+    * coexist (old files simply don't prune until compacted). */
   def clusterByOf(table: String): Seq[String] = {
     val p = new Path(tdir(table), "_cluster")
     if (!fs.exists(p)) Nil
@@ -429,14 +436,27 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     readVersion(table, currentVersion(table), buckets)
 
   /** Time travel: read the table as of version `v` (manifests are never
-    * mutated, so any retained version is reconstructable). */
+    * mutated, so any retained version is reconstructable). NTZ-clustered
+    * tables scan their derived day columns too (so [[graft.spark
+    * .NtzDayPrune]]'s rewritten predicates can reach parquet stats) but
+    * project them away — callers see exactly the declared schema. */
   def readVersion(table: String, v: Long, buckets: Option[Set[Int]] = None): DataFrame = {
     val entries0 = readManifest(table, v)
     val entries = buckets.map(bs => entries0.filter(e => bs(e._1))).getOrElse(entries0)
+    val declared = schemaOf(table)
     if (entries.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(table))
-    else
-      spark.read.schema(schemaOf(table)).parquet(entries.map(_._2): _*)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    else {
+      val dayFields = ntzClusterKeys(declared, clusterByOf(table)).map(c =>
+        org.apache.spark.sql.types.StructField(dayColName(c),
+          org.apache.spark.sql.types.IntegerType))
+      if (dayFields.isEmpty)
+        spark.read.schema(declared).parquet(entries.map(_._2): _*)
+      else
+        spark.read.schema(StructType(declared.fields ++ dayFields))
+          .parquet(entries.map(_._2): _*)
+          .select(declared.fieldNames.toIndexedSeq.map(col): _*)
+    }
   }
 
   /** Compaction (OPTIMIZE analogue): rewrite the current contents as one
@@ -465,14 +485,22 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     compact(table)
   }
 
-  private def warnNtzClusterKeys(schema: StructType, cols: Seq[String]): Unit = {
-    val ntz = cols.filter(c => schema.fields.exists(f => f.name == c &&
+  /** TIMESTAMP_NTZ clustering keys, in clustering order — the ones that
+    * prune through their derived `__graft_day_<col>` companion. */
+  private[store] def ntzClusterKeys(schema: StructType, cols: Seq[String]): Seq[String] =
+    cols.filter(c => schema.fields.exists(f => f.name == c &&
       f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+
+  private[graft] def dayColName(c: String): String = s"__graft_day_$c"
+
+  private def warnNtzClusterKeys(schema: StructType, cols: Seq[String]): Unit = {
+    val ntz = ntzClusterKeys(schema, cols)
     if (ntz.nonEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"clustering key(s) ${ntz.mkString(",")} are TIMESTAMP_NTZ: this Spark " +
-          "build does not stat-prune row groups on NTZ predicates — cluster on " +
-          "a DATE or epoch-integer derivative for pruning to take effect")
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"clustering key(s) ${ntz.mkString(",")} are TIMESTAMP_NTZ: writes will " +
+          "maintain a derived epoch-day column per key so range scans prune row " +
+          "groups (this Spark build does not stat-prune NTZ statistics directly); " +
+          "batches written before the key was declared prune only after a compact()")
   }
 
   /** ALTER TABLE … DROP CLUSTERING KEY: future writes stop sorting;
@@ -587,7 +615,12 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val keys = keysOf(table)
     val cluster = clusterByOf(table)
     val dir = new Path(new Path(tdir(table), "data"), f"b$v%08d")
-    val bucketed = df.withColumn("__bucket", bucketCol(keys, n))
+    // NTZ clustering keys get a derived epoch-day INT32 companion in the
+    // files (parquet stat-prunes ints, not NTZ) — hidden on read, and
+    // free to derive here since the batch is already flowing
+    val withDay = ntzClusterKeys(schemaOf(table), cluster).foldLeft(df)((d, c) =>
+      d.withColumn(dayColName(c), unix_date(col(c).cast("date"))))
+    val bucketed = withDay.withColumn("__bucket", bucketCol(keys, n))
     // CLUSTER BY: co-locate each bucket in one task and sort its rows by
     // the clustering keys — each parquet file comes out ordered, so its
     // row-group min/max stats are tight and filtered scans prune whole

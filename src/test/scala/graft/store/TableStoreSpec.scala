@@ -513,4 +513,67 @@ class TableStoreSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](plain.clusteringInfo("t"))
     assert(e.getMessage.contains("no clustering key"))
   }
+
+  test("CLUSTER BY on a TIMESTAMP_NTZ key prunes via the derived day column") {
+    def mkStore() = new TableStore(spark,
+      Files.createTempDirectory("graft_store").toString,
+      numBuckets = 2, parquetBlockSize = 64L * 1024)
+    val n = 200000
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    // timestamps hash-scattered over ~200 days: only the CLUSTER BY sort
+    // makes row-group spans tight
+    val df = (0 until n)
+      .map(i => (i.toLong,
+        base.plusSeconds((i * 2654435761L) % (200L * 86400)), "x" * 32))
+      .toDF("id", "ts", "pad")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val clustered = mkStore()
+    // the user's DDL clusters on the NTZ column ITSELF — the derived
+    // __graft_day_ts companion + NtzDayPrune make it prune anyway
+    clustered.createTable("t", df.schema, keys = Seq("id"), clusterBy = Seq("ts"))
+    clustered.append("t", df)
+    val plain = mkStore()
+    plain.createTable("t", df.schema, keys = Seq("id"))
+    plain.append("t", df)
+    val lo = base.plusDays(100)
+    val hi = base.plusDays(104)
+    def query(s: TableStore) =
+      s.read("t").filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+    def readCount(s: TableStore): Long = recordsReadDuring {
+      query(s).agg(org.apache.spark.sql.functions.count(lit(1))).collect()
+    }
+    // the derived column stays hidden from the declared surface
+    assert(!clustered.read("t").schema.fieldNames.exists(_.startsWith("__graft_day")))
+    // the rewritten day predicate reaches the parquet scan
+    val explained = query(clustered).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(explained.contains("__graft_day_ts"),
+      s"NTZ range predicate must gain a pushed day-column conjunct:\n$explained")
+    val (cRead, pRead) = (readCount(clustered), readCount(plain))
+    assert(pRead > (n * 9L) / 10,
+      s"scattered table should read ~all rows, read $pRead")
+    assert(cRead * 5 < pRead,
+      s"NTZ-clustered scan must prune row groups: clustered=$cRead plain=$pRead")
+    assert(query(clustered).count() == query(plain).count())
+
+    // legacy coexistence: files written BEFORE the key was declared lack
+    // the day column — declaring it afterwards must not corrupt reads
+    // (the IS NULL arm / per-file filter re-derivation keep all rows),
+    // and a compact() rewrites them into pruning shape
+    val legacy = mkStore()
+    legacy.createTable("t", df.schema, keys = Seq("id"))
+    legacy.append("t", df)
+    val exact = query(legacy).count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(legacy.root, "t", "_cluster"), "ts")
+    assert(legacy.clusterByOf("t") == Seq("ts"))
+    assert(query(legacy).count() == exact,
+      "pre-derivation files must read correctly under the declared NTZ key")
+    legacy.compact("t")
+    assert(query(legacy).count() == exact)
+    val legacyRead = readCount(legacy)
+    assert(legacyRead * 5 < pRead,
+      s"compacted legacy table must prune like a born-clustered one: $legacyRead")
+  }
 }
