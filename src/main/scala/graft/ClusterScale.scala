@@ -120,6 +120,75 @@ object ClusterScale {
       f"pruneFactor=${pRead.toDouble / math.max(1, cRead)}%.1fx " +
       f"ntzPruneFactor=${pRead.toDouble / math.max(1, nRead)}%.1fx " +
       f"clusteredScan=$cSec%.2fs plainScan=$pSec%.2fs ntzScan=$nSec%.2fs")
+
+    // ---- micro-partition (manifest-stats) FILE pruning ------------------
+    // Time-correlated ingest: the same lineitem appended as 12 monthly
+    // batches (how a 100 TB fact table actually arrives). scanWhere must
+    // serve a 2-week slice from ~1 batch's files WITHOUT opening the
+    // other batches' footers; read(t).filter scans everything the
+    // row-group tier can't prune (each append is date-sorted only if
+    // clustered — here we leave it UNclustered to isolate the file tier).
+    store.createTable("li_monthly", li.schema, keys = Seq("l_orderkey"))
+    val years = li.select(year(col("l_shipday")).as("y")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    years.foreach { y => // yearly arrival batches — bounded count at any SF
+      store.append("li_monthly", li.filter(year(col("l_shipday")) === y))
+    }
+    def scanMonthly(pruned: Boolean): (Long, Long, Double, Int) = {
+      val cond = col("l_shipday") >= lo && col("l_shipday") < hi
+      val df = if (pruned) store.scanWhere("li_monthly", cond)
+               else store.read("li_monthly").filter(cond)
+      var out = 0L; var took = 0.0
+      val read = readDuring {
+        val (o, t2) = timed(df.agg(count(lit(1))).head().getLong(0))
+        out = o; took = t2
+      }
+      (read, out, took, df.inputFiles.length)
+    }
+    scanMonthly(pruned = true); scanMonthly(pruned = false) // warm
+    val (mpRead, mpRows, mpSec, mpFiles) = scanMonthly(pruned = true)
+    val (muRead, muRows, muSec, muFiles) = scanMonthly(pruned = false)
+    require(mpRows == muRows, s"scanWhere must match: $mpRows vs $muRows")
+    println(f"CLUSTERSCALE_FILES files=$muFiles%d keptFiles=$mpFiles%d " +
+      f"filePrune=${muFiles.toDouble / math.max(1, mpFiles)}%.1fx " +
+      f"prunedRead=$mpRead%d unprunedRead=$muRead%d " +
+      f"prunedScan=$mpSec%.2fs unprunedScan=$muSec%.2fs")
+
+    // ---- ZORDER vs linear on two independent dims ------------------------
+    // (l_partkey, l_suppkey): neither correlates with arrival order; a
+    // lexicographic (partkey, suppkey) sort gives suppkey filters nothing.
+    store.createTable("li_linear2", li.schema, keys = Seq("l_orderkey"),
+      clusterBy = Seq("l_partkey", "l_suppkey"))
+    val (_, loadLin2) = timed(store.append("li_linear2", li))
+    store.createTable("li_zorder", li.schema, keys = Seq("l_orderkey"),
+      clusterBy = Seq("l_partkey", "l_suppkey"), zorder = true)
+    val (_, loadZ) = timed(store.append("li_zorder", li))
+    val pkMax = li.agg(max("l_partkey")).head().getLong(0)
+    val skMax = li.agg(max("l_suppkey")).head().getLong(0)
+    def scan2(t: String, c: org.apache.spark.sql.Column): (Long, Long, Double) = {
+      var out = 0L; var took = 0.0
+      val read = readDuring {
+        val (o, t2) = timed(store.read(t).filter(c)
+          .agg(count(lit(1))).head().getLong(0))
+        out = o; took = t2
+      }
+      (read, out, took)
+    }
+    // ~3% slices on each dim
+    val onPk = col("l_partkey") >= pkMax / 2 && col("l_partkey") < pkMax / 2 + pkMax / 32
+    val onSk = col("l_suppkey") >= skMax / 2 && col("l_suppkey") < skMax / 2 + skMax / 32
+    scan2("li_linear2", onSk); scan2("li_zorder", onSk) // warm
+    val (linSk, linSkRows, linSkSec) = scan2("li_linear2", onSk)
+    val (zSk, zSkRows, zSkSec) = scan2("li_zorder", onSk)
+    val (linPk, _, linPkSec) = scan2("li_linear2", onPk)
+    val (zPk, _, zPkSec) = scan2("li_zorder", onPk)
+    require(linSkRows == zSkRows, s"zorder results must match: $zSkRows vs $linSkRows")
+    println(f"CLUSTERSCALE_ZORDER rows=$n%d loadLinear=$loadLin2%.1fs loadZorder=$loadZ%.1fs " +
+      f"suppkeyRead linear=$linSk%d zorder=$zSk%d " +
+      f"zGainOnSuppkey=${linSk.toDouble / math.max(1, zSk)}%.1fx " +
+      f"partkeyRead linear=$linPk%d zorder=$zPk%d " +
+      f"linearLeadAdvantage=${zPk.toDouble / math.max(1, linPk)}%.1fx " +
+      f"scans(s) linSk=$linSkSec%.2f zSk=$zSkSec%.2f linPk=$linPkSec%.2f zPk=$zPkSec%.2f")
     spark.stop()
   }
 }

@@ -1114,4 +1114,108 @@ object CorpusOps {
       .filter(col("rank") <= topM)
       .select("cluster", "rank", "term", "score")
   }
+
+  /** Per-source vocabulary profile — the lexical-diversity panel of a
+    * corpus dashboard: token volume, distinct types, hapax legomena
+    * (frequency-1 types: high fraction = rich/raw text, low = template
+    * spam), the modal token, and the type-token ratio. A collapsing TTR
+    * or hapax share across corpus versions is the classic early signal
+    * of template/boilerplate flooding in one source.
+    *
+    * Scale: one shuffle keyed (source, token) with map-side partial
+    * counts — state is per-source VOCABULARY, never the token stream —
+    * then a per-source rollup of at most |vocab| rows. The modal token
+    * is `max(struct(n, tok))`: deterministic (ties break on the larger
+    * token), no window, no second pass.
+    *
+    * @return (source, n_docs, n_tokens, n_types, n_hapax, max_freq,
+    *   top_token, ttr) — integers + one exact division, one row per
+    *   source. */
+  def vocabStats(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val toks = df.select(col(sourceCol).as("source"),
+      explode(TA.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val docs = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    tf.groupBy("source")
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("n")).as("max_freq"),
+        max(struct(col("n"), col("tok"))).getField("tok").as("top_token"))
+      .join(docs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("max_freq"), col("top_token"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"))
+  }
+
+  /** Corpus-level bigram collocations by integer-bits PMI (Church &
+    * Hanks, CL'90 — mutual information for lexicography): for adjacent
+    * token pairs, `pmi_bits = bitlen(N·c(ab)) − bitlen(c(a)·c(b))` in
+    * floor-log2 arithmetic, the collocation-strength scale that stays
+    * bit-exact cross-engine. Strong collocations (named entities, fixed
+    * phrases) are what a tokenizer audit wants whole; near-zero PMI at
+    * high count flags delimiter junk.
+    *
+    * Scale: bigram formation is a PURE MAP inside each doc's token
+    * array (zip-with-next — never a self-join); both count tables are
+    * token-keyed aggregations with map-side partials, and the unigram
+    * side joins back BROADCAST (vocabulary-bounded). Output is the
+    * top-`topK` pairs by (count desc, pair asc) — a driver-bounded
+    * result like every report query here.
+    *
+    * @param minCount drop pairs rarer than this before ranking (PMI of
+    *   singletons is noise — standard practice). */
+  def collocationBits(df: DataFrame, textCol: String, topK: Int = 20,
+      minCount: Int = 5): DataFrame = {
+    require(topK > 0 && minCount >= 1, "topK and minCount must be positive")
+    val toksArr = df.select(TA.tokens(col(textCol)).as("t"))
+    val uni = toksArr.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cn"))
+    val total = uni.agg(sum(col("cn")).as("ntot"))
+    // tokens are \s+-split, so they never contain a space: the joined
+    // pair string round-trips losslessly
+    val pairs = toksArr
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("np"))
+      .filter(col("np") >= minCount)
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    pairs
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")
+        .withColumnRenamed("cn", "n1")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("tok", "w2")
+        .withColumnRenamed("cn", "n2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("np").as("n_pair"),
+        col("n1").as("n_left"), col("n2").as("n_right"),
+        (bitlen(col("ntot") * col("np")) - bitlen(col("n1") * col("n2")))
+          .as("pmi_bits"))
+      .orderBy(desc("n_pair"), asc("w1"), asc("w2"))
+      .limit(topK)
+  }
+
+  /** Frequency-of-frequency profile (the Good–Turing table / Zipf-tail
+    * diagnostic): for each corpus frequency f, how many distinct tokens
+    * occur exactly f times. The f=1,2,3 head sizes drive every smoothing
+    * estimate, and a frequency class that suddenly bulges between corpus
+    * versions is duplicated content announcing itself. All-integer.
+    *
+    * Scale: two keyed aggregations (token, then frequency), both with
+    * map-side partials; the second one's key space is O(log N) distinct
+    * frequencies in practice. `topK` lowest frequencies — the head is
+    * where the signal lives. */
+  def freqOfFreq(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    df.select(explode(TA.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("n_types"))
+      .orderBy(asc("f"))
+      .limit(topK)
+  }
 }

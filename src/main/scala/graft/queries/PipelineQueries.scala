@@ -837,6 +837,37 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Per-source vocabulary profile: token volume, type counts, hapax
+    // legomena, the modal token, type-token ratio — the lexical-diversity
+    // panel of the corpus dashboard (a collapsing TTR/hapax share across
+    // versions is the early template-flood signal). One (source, token)
+    // shuffle with map-side partials, then a vocabulary-bounded rollup.
+    "a14_vocab_stats" -> { (s, dir) =>
+      graft.ops.CorpusOps
+        .vocabStats(Tables.load(s, dir, "documents"), "text", "source")
+        .orderBy("source")
+    },
+
+    // Bigram collocations by integer-bits PMI (Church & Hanks CL'90):
+    // pair formation is a pure map inside each doc's token array (never
+    // a self-join), unigram model joins back broadcast, top-20 by
+    // (count desc, pair) — the tokenizer-audit report of which adjacent
+    // pairs behave as single lexical units.
+    "e38_collocations" -> { (s, dir) =>
+      graft.ops.CorpusOps
+        .collocationBits(Tables.load(s, dir, "documents"), "text",
+          topK = 20, minCount = 5)
+    },
+
+    // Frequency-of-frequency table (Good–Turing / Zipf-tail diagnostic):
+    // how many distinct tokens occur exactly f times, lowest 20 f's —
+    // the head that drives every smoothing estimate, and the class that
+    // bulges when duplicated content floods a corpus version.
+    "e39_freq_of_freq" -> { (s, dir) =>
+      graft.ops.CorpusOps
+        .freqOfFreq(Tables.load(s, dir, "documents"), "text", topK = 20)
+    },
+
     // Semi-structured round trip (the Snowflake VARIANT analogue): build
     // nested JSON per row, then extract scalars back by path — both
     // engines construct their own JSON, so the check is on extraction
@@ -2422,6 +2453,62 @@ object PipelineQueries {
          |      AS DOUBLE) / CAST(count(1) AS DOUBLE) AS novelty
          |FROM grams g JOIN fo f USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // vocabulary-profile mirror: per-source term frequencies once, then
+    // the integer rollup; modal token via the (n DESC, tok DESC) window
+    // = Spark's max(struct(n, tok))
+    "a14_vocab_stats" ->
+      s"""WITH $dToks,
+         |tok AS (SELECT source, unnest(tk) AS tok FROM toks),
+         |tf AS (SELECT source, tok, CAST(count(1) AS BIGINT) AS n
+         |       FROM tok GROUP BY source, tok),
+         |docs AS (SELECT source, CAST(count(1) AS BIGINT) AS n_docs
+         |         FROM documents GROUP BY source),
+         |agg AS (SELECT source,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    CAST(count(1) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |    CAST(max(n) AS BIGINT) AS max_freq
+         |  FROM tf GROUP BY source),
+         |top AS (SELECT source, tok AS top_token FROM (
+         |    SELECT source, tok,
+         |      row_number() OVER (PARTITION BY source ORDER BY n DESC, tok DESC) AS r
+         |    FROM tf) WHERE r = 1)
+         |SELECT a.source, d.n_docs, a.n_tokens, a.n_types, a.n_hapax,
+         |  a.max_freq, t.top_token,
+         |  CAST(a.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS ttr
+         |FROM agg a JOIN docs d USING (source) JOIN top t USING (source)
+         |ORDER BY source""".stripMargin,
+
+    // collocation mirror: adjacent pairs from the token lists (1-based
+    // tk[i] over range(1, len) = Spark's 0-based zip-with-next), same
+    // min-count gate, unigram join, floor-log2 bits via bin()
+    "e38_collocations" ->
+      s"""WITH $dToks,
+         |tok AS (SELECT unnest(tk) AS tok FROM toks),
+         |uni AS (SELECT tok, CAST(count(1) AS BIGINT) AS cn FROM tok GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cn) AS BIGINT) AS ntot FROM uni),
+         |pr0 AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS pair
+         |  FROM toks WHERE len(tk) >= 2),
+         |pairs AS (SELECT pair, CAST(count(1) AS BIGINT) AS np
+         |  FROM pr0 GROUP BY pair HAVING count(1) >= 5),
+         |sp AS (SELECT string_split(pair, ' ')[1] AS w1,
+         |    string_split(pair, ' ')[2] AS w2, np FROM pairs)
+         |SELECT w1, w2, np AS n_pair, u1.cn AS n_left, u2.cn AS n_right,
+         |  CAST(length(bin(t.ntot * np)) - length(bin(u1.cn * u2.cn)) AS BIGINT)
+         |    AS pmi_bits
+         |FROM sp JOIN uni u1 ON u1.tok = sp.w1
+         |  JOIN uni u2 ON u2.tok = sp.w2 CROSS JOIN tot t
+         |ORDER BY n_pair DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // frequency-of-frequency mirror: two integer aggregations
+    "e39_freq_of_freq" ->
+      s"""WITH $dToks,
+         |tok AS (SELECT unnest(tk) AS tok FROM toks),
+         |tf AS (SELECT tok, CAST(count(1) AS BIGINT) AS f FROM tok GROUP BY tok)
+         |SELECT f, CAST(count(1) AS BIGINT) AS n_types
+         |FROM tf GROUP BY f ORDER BY f LIMIT 20""".stripMargin,
 
     // health-report mirror: the a10-style token counts, the e34 novelty
     // sums re-aggregated per source, and the a11 kl_bits branch joined

@@ -74,7 +74,7 @@ object GraftSql {
   private val AlterTableRenameColRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val AlterTableClusterRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CLUSTER\s+BY\s*\(([^)]*)\)\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CLUSTER\s+BY\s*(ZORDER\s*)?\(([^)]*)\)\s*;?\s*$""".r
   private val AlterTableDropClusterRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CLUSTERING\s+KEY\s*;?\s*$""".r
   private val CreateViewRe =
@@ -187,9 +187,12 @@ object GraftSql {
         store.renameColumn(session.map(_.recordName(name)).getOrElse(name), from, to)
         None
 
-      case AlterTableClusterRe(name, cols) =>
+      case AlterTableClusterRe(name, zorder, cols) =>
+        // ZORDER: multi-dimensional clustering (Delta's OPTIMIZE ZORDER
+        // BY spelling grafted onto Snowflake's CLUSTER BY DDL)
         store.recluster(session.map(_.recordName(name)).getOrElse(name),
-          cols.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+          cols.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty),
+          zorder = zorder != null)
         None
 
       case AlterTableDropClusterRe(name) =>

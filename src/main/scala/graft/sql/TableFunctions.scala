@@ -87,6 +87,18 @@ import graft.store.TableStore
   *    [[graft.store.TableStore.clusteringInfo]]: per-row-group min/max
   *    audit of a CLUSTER BY table (footer-only reads — the
   *    `system$clustering_information` analogue)
+  *  - `TABLE(graft_scan_where(t, 'pred sql'))` →
+  *    [[graft.store.TableStore.scanWhere]]: filtered read of a store
+  *    table with micro-partition pruning — data FILES whose manifest
+  *    min/max statistics exclude the predicate are never opened
+  *    (Snowflake's metadata-service pruning tier; row-group stats still
+  *    prune within the surviving files)
+  *  - `TABLE(graft_vocab_stats(t, 'text', 'source'))` →
+  *    [[CorpusOps.vocabStats]]: per-source lexical-diversity panel
+  *    (types, hapax, modal token, TTR)
+  *  - `TABLE(graft_collocations(t, 'text'[, top_k, min_count]))` →
+  *    [[CorpusOps.collocationBits]]: top bigram collocations by
+  *    integer-bits PMI
   *  - `TABLE(graft_bpe_tokenize(t, 'text', num_merges[, batch_k]))` →
   *    [[CorpusOps.bpeSubwordHistogram]]: train BPE merges on the corpus,
   *    apply them back, return the (subword, n) histogram
@@ -426,6 +438,23 @@ object TableFunctions {
         store.clusteringInfo(
           session.map(_.recordName(args(0))).getOrElse(args(0)))
 
+      case "graft_scan_where" =>
+        arity(args.length == 2, "2 (store_table, 'predicate sql')")
+        store.scanWhere(
+          session.map(_.recordName(args(0))).getOrElse(args(0)),
+          org.apache.spark.sql.functions.expr(str(args(1))))
+
+      case "graft_vocab_stats" =>
+        arity(args.length == 3, "3 (t, 'text', 'source')")
+        CorpusOps.vocabStats(rel(args(0)), str(args(1)), str(args(2)))
+
+      case "graft_collocations" =>
+        arity(args.length >= 2 && args.length <= 4,
+          "2 to 4 (t, 'text'[, top_k, min_count])")
+        CorpusOps.collocationBits(rel(args(0)), str(args(1)),
+          topK = if (args.length > 2) args(2).toInt else 20,
+          minCount = if (args.length > 3) args(3).toInt else 5)
+
       case "graft_winnow_fp" =>
         arity(args.length >= 3 && args.length <= 5,
           "3 to 5 (t, 'id', 'text'[, shingle_n, window])")
@@ -623,7 +652,8 @@ object TableFunctions {
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
         "graft_curriculum, graft_winnow_overlap, graft_winnow_fp, graft_artifacts, " +
-        "graft_clustering_info, " +
+        "graft_clustering_info, graft_scan_where, graft_vocab_stats, " +
+        "graft_collocations, " +
         "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
         "graft_pagerank, graft_triangles, graft_funnel, graft_funnel_gaps, " +
         "graft_event_paths, graft_transitions, graft_cohorts, " +

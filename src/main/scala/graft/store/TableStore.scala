@@ -89,14 +89,16 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     *                 autoincrement`, customer-...sql:32) */
   def createTable(table: String, schema: StructType, keys: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty, autoInc: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil, zorder: Boolean = false): Unit = {
     require(!exists(table), s"table $table already exists")
+    if (zorder) requireZOrderable(schema, clusterBy)
     fs.mkdirs(tdir(table))
     writeFile(new Path(tdir(table), "_schema.json"), schema.json)
     writeFile(new Path(tdir(table), "_keys"), keys.mkString(","))
     if (clusterBy.nonEmpty) {
       warnNtzClusterKeys(schema, clusterBy)
       writeFile(new Path(tdir(table), "_cluster"), clusterBy.mkString(","))
+      if (zorder) writeFile(new Path(tdir(table), "_zorder"), "1")
     }
     if (defaults.nonEmpty || autoInc.nonEmpty) {
       val lines =
@@ -443,20 +445,81 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   def readVersion(table: String, v: Long, buckets: Option[Set[Int]] = None): DataFrame = {
     val entries0 = readManifest(table, v)
     val entries = buckets.map(bs => entries0.filter(e => bs(e._1))).getOrElse(entries0)
+    readPaths(table, entries.map(_._2))
+  }
+
+  /** Read a set of data paths (bucket dirs or individual files) under
+    * `table`'s declared schema, with the NTZ day-companion handling of
+    * [[readVersion]]. */
+  private def readPaths(table: String, paths: Seq[String]): DataFrame = {
     val declared = schemaOf(table)
-    if (entries.isEmpty)
+    if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
     else {
       val dayFields = ntzClusterKeys(declared, clusterByOf(table)).map(c =>
         org.apache.spark.sql.types.StructField(dayColName(c),
           org.apache.spark.sql.types.IntegerType))
       if (dayFields.isEmpty)
-        spark.read.schema(declared).parquet(entries.map(_._2): _*)
+        spark.read.schema(declared).parquet(paths: _*)
       else
         spark.read.schema(StructType(declared.fields ++ dayFields))
-          .parquet(entries.map(_._2): _*)
+          .parquet(paths: _*)
           .select(declared.fieldNames.toIndexedSeq.map(col): _*)
     }
+  }
+
+  /** Filtered read with MICRO-PARTITION PRUNING (the metadata tier
+    * Snowflake's optimizer serves from its metadata service): every
+    * batch write records per-FILE min/max/null statistics for all
+    * supported columns in a `_graft_stats` sidecar next to the data
+    * ([[writeBatch]]); this read evaluates `cond`'s provable conjuncts
+    * against those intervals DRIVER-SIDE and opens only the files that
+    * can hold matching rows. Parquet row-group stats then prune further
+    * WITHIN each surviving file — but at 100 TB the sidecar tier is the
+    * one that matters: row-group pruning still costs a footer read per
+    * file (millions of GETs before the first data byte), while manifest
+    * stats cut the candidate set for the cost of reading metadata the
+    * driver already holds.
+    *
+    * Correctness never depends on pruning: [[StatsPruning]] keeps any
+    * file it cannot PROVE empty of matches (unsupported shapes, absent
+    * stats, legacy pre-stats batches), and the full predicate is
+    * re-applied to the surviving rows. Time-correlated ingest (the
+    * normal 100 TB arrival order) makes append batches range-disjoint
+    * on event time, so date/timestamp range scans touch only the
+    * matching batches — clustering keys sharpen the same effect within
+    * a batch. */
+  def scanWhere(table: String, cond: org.apache.spark.sql.Column,
+      version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion(table)
+    val condExpr = org.apache.spark.sql.GraftColumnBridge.converted(cond)
+    val tests = StatsPruning.compile(condExpr, schemaOf(table))
+    val entries = readManifest(table, v)
+    if (tests.isEmpty || entries.isEmpty)
+      return readPaths(table, entries.map(_._2)).filter(cond)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var (total, pruned) = (0, 0)
+    entries.map(_._2).groupBy(p => new Path(p).getParent).foreach {
+      case (batchDir, bucketDirs) =>
+        val stats = readStatsSidecar(batchDir)
+        bucketDirs.foreach { bd =>
+          val bdPath = new Path(bd)
+          if (fs.exists(bdPath)) fs.listStatus(bdPath).foreach { st =>
+            if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+              total += 1
+              val rel = s"${bdPath.getName}/${st.getPath.getName}"
+              val keep = stats.get(rel) match {
+                case Some(colStats) => tests.forall(t => t(colStats))
+                case None => true // legacy batch without sidecar
+              }
+              if (keep) kept += st.getPath.toString else pruned += 1
+            }
+          }
+        }
+    }
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"scanWhere($table): pruned $pruned of $total files from manifest stats")
+    readPaths(table, kept.toSeq).filter(cond)
   }
 
   /** Compaction (OPTIMIZE analogue): rewrite the current contents as one
@@ -474,15 +537,120 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     * and RECLUSTER the current contents in place — one compaction pass
     * through the clustered write path, committed with no change batch
     * (contents are unchanged; only layout moves). Future batch writes
-    * sort by the new keys automatically. */
-  def recluster(table: String, cols: Seq[String]): Unit = synchronized {
+    * sort by the new keys automatically. `zorder = true` interleaves the
+    * keys on a Z-curve instead of sorting lexicographically (see
+    * [[zorderOf]]). */
+  def recluster(table: String, cols: Seq[String],
+      zorder: Boolean = false): Unit = synchronized {
     require(cols.nonEmpty, "recluster needs at least one column")
     val fields = schemaOf(table).fieldNames.toSet
     val missing = cols.filterNot(fields)
     require(missing.isEmpty, s"unknown clustering column(s): ${missing.mkString(",")}")
+    if (zorder) requireZOrderable(schemaOf(table), cols)
     warnNtzClusterKeys(schemaOf(table), cols)
     writeFile(new Path(tdir(table), "_cluster"), cols.mkString(","))
+    val zp = new Path(tdir(table), "_zorder")
+    if (zorder) writeFile(zp, "1")
+    else if (fs.exists(zp)) fs.delete(zp, false)
     compact(table)
+  }
+
+  /** Whether the table's clustering keys interleave on a Z-curve
+    * (multi-dimensional clustering — Snowflake's multi-column clustering
+    * keys, Delta's OPTIMIZE ZORDER BY): a lexicographic sort on (a, b)
+    * gives the SECOND key no locality at all (b's values scatter across
+    * the whole range within every distinct a), so only lead-key filters
+    * prune. Z-ordering maps each key to a quantile rank (256 buckets
+    * from one `approxQuantile` pass over the batch — rank-based, so
+    * skewed distributions still split evenly) and bit-interleaves the
+    * ranks MSB-first: every contiguous run of the sort order constrains
+    * the HIGH bits of every dimension, so row-group min/max stats are
+    * selective on each key independently and filters on ANY clustered
+    * column prune. The declared trade: the lead key prunes somewhat less
+    * tightly than a pure sort — the standard Z-order bargain. */
+  def zorderOf(table: String): Boolean =
+    fs.exists(new Path(tdir(table), "_zorder"))
+
+  private def requireZOrderable(schema: StructType, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "ZORDER needs at least one clustering column")
+    require(cols.size <= 8, s"ZORDER supports at most 8 columns, got ${cols.size}")
+    import org.apache.spark.sql.types._
+    cols.foreach { c =>
+      val bad = schema.fields.find(_.name == c).exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | DateType | TimestampType | TimestampNTZType => false
+        case _: DecimalType => false
+        case _ => true
+      })
+      require(!bad, s"ZORDER clustering supports numeric, date and timestamp " +
+        s"keys; $c is not (use linear CLUSTER BY for string keys)")
+    }
+  }
+
+  /** Monotone double image of a z-orderable column (layout-only — never
+    * read back, so lossy f64 narrowing of longs/decimals is fine). */
+  private def zDouble(c: String, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp")).cast("double")
+      case _ => col(c).cast("double")
+    }
+  }
+
+  /** The Z-value column for one batch: per-column 255 quantile cut
+    * points (one `approxQuantile` pass over the batch), each value →
+    * 8-bit rank, ranks bit-interleaved MSB-first into a long. Nulls
+    * rank 0 (sort first, like NULLS FIRST). Costs one extra pass over
+    * the batch at write time — the same analysis pass Delta's OPTIMIZE
+    * ZORDER runs, and the declared price of multi-dim clustering. */
+  private def zValueColumn(df: DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val proj = cols.zipWithIndex.map { case (c, i) =>
+      zDouble(c, types(c)).as(s"__zq_$i")
+    }
+    val num = df.select(proj: _*)
+    val probs = (1 until 256).map(_ / 256.0).toArray
+    val bounds: Array[Array[Double]] = num.stat.approxQuantile(
+      cols.indices.map(i => s"__zq_$i").toArray, probs, 0.001)
+    val m = cols.size
+    val zf = udf { xs: Seq[java.lang.Double] =>
+      val ranks = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val x = xs(j)
+        ranks(j) =
+          if (x == null || bounds(j).isEmpty) 0
+          else {
+            // count of cut points <= x (binary search) → 0..255
+            var lo = 0; var hi = bounds(j).length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (bounds(j)(mid) <= x) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+        j += 1
+      }
+      var z = 0L
+      var bit = 7
+      while (bit >= 0) {
+        j = 0
+        while (j < m) {
+          z = (z << 1) | ((ranks(j) >> bit) & 1)
+          j += 1
+        }
+        bit -= 1
+      }
+      z
+    }
+    zf(array(cols.zipWithIndex.map { case (c, i) =>
+      zDouble(c, types(c))
+    }: _*))
   }
 
   /** TIMESTAMP_NTZ clustering keys, in clustering order — the ones that
@@ -508,6 +676,8 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   def dropClusteringKey(table: String): Unit = synchronized {
     val p = new Path(tdir(table), "_cluster")
     if (fs.exists(p)) fs.delete(p, false)
+    val z = new Path(tdir(table), "_zorder")
+    if (fs.exists(z)) fs.delete(z, false)
   }
 
   /** Clustering audit (`system$clustering_information` analogue): one
@@ -631,7 +801,17 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     // re-sort (which would keep, not break, the cluster order anyway).
     val shaped =
       if (cluster.isEmpty) bucketed
-      else bucketed.repartition(n, col("__bucket"))
+      else if (zorderOf(table)) {
+        // Z-ORDER: sort each bucket by the interleaved quantile-rank
+        // curve instead of lexicographically — filters on ANY clustered
+        // key prune, not just the lead one. The __graft_z column rides
+        // along in the files (hidden from the declared read schema) so
+        // the layout is auditable.
+        val withZ = bucketed.withColumn("__graft_z",
+          zValueColumn(withDay, cluster))
+        withZ.repartition(n, col("__bucket"))
+          .sortWithinPartitions(col("__bucket"), col("__graft_z"))
+      } else bucketed.repartition(n, col("__bucket"))
         .sortWithinPartitions(col("__bucket") +: cluster.map(col): _*)
     shaped
       .write.partitionBy("__bucket").mode("overwrite")
@@ -639,12 +819,85 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       .option("parquet.block.size", parquetBlockSize.toString)
       .parquet(dir.toString)
     if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toIndexedSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
-      .map { st =>
-        val b = st.getPath.getName.stripPrefix("__bucket=").toInt
-        (b, st.getPath.toString)
+    else {
+      val out = fs.listStatus(dir).toIndexedSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+        .map { st =>
+          val b = st.getPath.getName.stripPrefix("__bucket=").toInt
+          (b, st.getPath.toString)
+        }
+      writeStatsSidecar(table, dir, out.map(_._2))
+      out
+    }
+  }
+
+  // ---- per-file column statistics (micro-partition metadata) --------------
+  //
+  // Every batch write records min/max/null-presence for every supported
+  // column of every data FILE in `<batchDir>/_graft_stats` — the exact
+  // metadata Snowflake keeps per micro-partition. [[scanWhere]] consumes
+  // it to prune files without touching parquet footers; the underscore
+  // prefix keeps Spark's file listing from ever treating it as data.
+
+  /** One sidecar line per (file, column):
+    * `rel\tcol\tkind\tnulls\tmin\tmax` — string bounds base64'd (TSV-safe),
+    * numeric bounds in plain text, "" = unbounded on that side. */
+  private def writeStatsSidecar(table: String, batchDir: Path,
+      bucketDirs: Seq[String]): Unit = {
+    val statFields = schemaOf(table).fields.toIndexedSeq
+      .flatMap(f => TableStore.statKind(f.dataType).map(k => (f.name, k)))
+    if (statFields.isEmpty) return
+    val b64 = java.util.Base64.getEncoder
+    def enc(kind: String, v: Option[Any]): String = v match {
+      case None => ""
+      case Some(x) if kind == "s" =>
+        b64.encodeToString(x.asInstanceOf[String].getBytes("UTF-8"))
+      case Some(x) => x.toString
+    }
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    bucketDirs.foreach { bd =>
+      val bdPath = new Path(bd)
+      fs.listStatus(bdPath).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val rel = s"${bdPath.getName}/${st.getPath.getName}"
+          val perCol = TableStore.fileColumnStats(st.getPath, hconf, statFields)
+          perCol.foreach { case (col, cs) =>
+            val n = cs.hasNulls.map(h => if (h) "1" else "0").getOrElse("?")
+            lines += s"$rel\t$col\t${cs.kind}\t$n\t${enc(cs.kind, cs.min)}\t${enc(cs.kind, cs.max)}"
+          }
+        }
       }
+    }
+    writeFile(new Path(batchDir, "_graft_stats"), lines.mkString("\n"))
+  }
+
+  /** Parse a batch dir's stats sidecar: relative file path →
+    * (column → interval). Empty map when the sidecar is absent (legacy
+    * batch) or unreadable — callers then keep every file. */
+  private def readStatsSidecar(batchDir: Path)
+      : Map[String, StatsPruning.FileStats] = {
+    val p = new Path(batchDir, "_graft_stats")
+    if (!fs.exists(p)) return Map.empty
+    val b64 = java.util.Base64.getDecoder
+    def dec(kind: String, s: String): Option[Any] =
+      if (s.isEmpty) None
+      else kind match {
+        case "s" => Some(new String(b64.decode(s), "UTF-8"))
+        case "d" => Some(s.toDouble)
+        case _ => Some(s.toLong)
+      }
+    scala.util.Try {
+      readFile(p).split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+        val Array(rel, colName, kind, nulls, mn, mx) = line.split("\t", -1)
+        val hasNulls = nulls match {
+          case "1" => Some(true); case "0" => Some(false); case _ => None
+        }
+        (rel, colName,
+          StatsPruning.ColStat(kind, hasNulls, dec(kind, mn), dec(kind, mx)))
+      }.groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> r._3).toMap
+      }
+    }.getOrElse(Map.empty)
   }
 
   private def withAction(df: DataFrame, action: String): DataFrame =
@@ -763,7 +1016,12 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       case _ => None
     }
     val bound = scala.collection.mutable.Map.empty[String, Seq[Literal]]
-    conjuncts(org.apache.spark.sql.GraftColumnBridge.expression(pred)).foreach {
+    // converted + normalize: the Spark 4 Column API surfaces operators as
+    // UnresolvedFunction nodes that no typed pattern below would match —
+    // without the rewrite every Column-built predicate silently fell back
+    // to the discovery scan
+    conjuncts(StatsPruning.normalize(
+        org.apache.spark.sql.GraftColumnBridge.converted(pred))).foreach {
       case EqualTo(a, l: Literal) => attrName(a).foreach(n => bound.getOrElseUpdate(n, Seq(l)))
       case EqualTo(l: Literal, a) => attrName(a).foreach(n => bound.getOrElseUpdate(n, Seq(l)))
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
@@ -935,4 +1193,114 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   private[graft] def writeOffset(table: String, stream: String, v: Long): Unit =
     writeFile(offsetPath(table, stream), v.toString)
+}
+
+/** Statistics-kind mapping and parquet footer decoding for the store's
+  * micro-partition metadata ([[TableStore.scanWhere]]). Domains must
+  * match [[StatsPruning]]'s comparisons. */
+object TableStore {
+
+  /** The stats value domain for a column type, if statistics are kept:
+    * `l` long (integral / date-days / timestamp-micros), `d` double,
+    * `s` string (UTF-8 unsigned order), `c<scale>` unscaled decimal.
+    * Decimals over precision 18 (binary-encoded in parquet), intervals,
+    * binary, and nested types keep no stats (their files never prune). */
+  private[store] def statKind(dt: DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("l")
+      case DateType => Some("l")
+      case TimestampType | TimestampNTZType => Some("l")
+      case FloatType | DoubleType => Some("d")
+      case StringType => Some("s")
+      case d: DecimalType if d.precision <= 18 => Some("c" + d.scale)
+      case _ => None
+    }
+  }
+
+  // string bounds above this length are truncated: a truncated MIN is
+  // still a valid lower bound; a truncated MAX is NOT (dropping bytes
+  // lowers it), so long maxima become unbounded instead — conservative
+  private val MaxStatString = 256
+
+  /** Decode one parquet generic statistics value into its kind domain.
+    * `isMax` drives the conservative string-truncation rule. None =
+    * undecodable (e.g. INT96 timestamps, NaN floats) → unbounded. */
+  private def decodeStat(kind: String, v: AnyRef, isMax: Boolean): Option[Any] =
+    (kind, v) match {
+      case ("l", i: java.lang.Integer) => Some(i.longValue)
+      case ("l", l: java.lang.Long) => Some(l.longValue)
+      case ("d", f: java.lang.Float) =>
+        Some(f.doubleValue).filterNot(_.isNaN)
+      case ("d", d: java.lang.Double) =>
+        Some(d.doubleValue).filterNot(_.isNaN)
+      case ("s", b: org.apache.parquet.io.api.Binary) =>
+        val s = b.toStringUsingUTF8
+        if (s.length <= MaxStatString) Some(s)
+        else if (isMax) None
+        else Some(s.substring(0, MaxStatString))
+      case (c, i: java.lang.Integer) if c.startsWith("c") => Some(i.longValue)
+      case (c, l: java.lang.Long) if c.startsWith("c") => Some(l.longValue)
+      case _ => None
+    }
+
+  /** Per-column (kind, hasNulls, min, max) of one parquet file, merged
+    * across its row groups from the footer — one footer read per file,
+    * paid ONCE at write time and amortized over every pruned scan. */
+  private[store] def fileColumnStats(file: Path,
+      hconf: org.apache.hadoop.conf.Configuration,
+      statFields: Seq[(String, String)]): Seq[(String, StatsPruning.ColStat)] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toIndexedSeq
+      statFields.map { case (name, kind) =>
+        var mins = List.empty[Any]
+        var maxs = List.empty[Any]
+        // a bound is only usable when EVERY value-bearing row group
+        // contributed to it — one opaque group could hide the true extreme
+        var minOk = true
+        var maxOk = true
+        var nulls: Option[Boolean] = Some(false)
+        blocks.foreach { bg =>
+          bg.getColumns.asScala.find(_.getPath.toDotString == name) match {
+            case None => minOk = false; maxOk = false; nulls = None
+            case Some(cm) =>
+              val st = cm.getStatistics
+              if (st == null) { minOk = false; maxOk = false; nulls = None }
+              else {
+                if (st.isNumNullsSet)
+                  nulls = nulls.map(_ || st.getNumNulls > 0)
+                else nulls = None
+                if (st.hasNonNullValue) {
+                  decodeStat(kind, st.genericGetMin.asInstanceOf[AnyRef],
+                      isMax = false) match {
+                    case Some(mn) => mins ::= mn
+                    case None => minOk = false
+                  }
+                  decodeStat(kind, st.genericGetMax.asInstanceOf[AnyRef],
+                      isMax = true) match {
+                    case Some(mx) => maxs ::= mx
+                    case None => maxOk = false // e.g. truncated long string
+                  }
+                } else if (!st.isNumNullsSet) {
+                  // cannot tell all-null from value-bearing-but-statless
+                  minOk = false; maxOk = false
+                }
+                // else: provably all-null group — contributes no bounds
+              }
+          }
+        }
+        def fold(ok: Boolean, vs: List[Any], takeMin: Boolean): Option[Any] =
+          if (!ok || vs.isEmpty) None
+          else Some(vs.reduce { (a, b) =>
+            val c = StatsPruning.ordCompare(kind, a, b)
+            if ((c <= 0) == takeMin) a else b
+          })
+        name -> StatsPruning.ColStat(kind, nulls,
+          fold(minOk, mins, takeMin = true), fold(maxOk, maxs, takeMin = false))
+      }
+    } finally reader.close()
+  }
 }

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftColumnBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert the Column's node tree to a Catalyst expression
+    * (the same converter the classic Dataset API applies): operators
+    * come back as real `GreaterThanOrEqual`/`EqualTo`/… nodes instead
+    * of the lazy ColumnNodeExpression wrapper, so predicate ANALYSIS
+    * (stats pruning, bucket derivation) can pattern-match them. */
+  def converted(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

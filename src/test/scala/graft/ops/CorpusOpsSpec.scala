@@ -538,4 +538,45 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hist == Map("a" -> 2L, "b" -> 1L), s"got $hist")
   }
+
+  test("vocabStats: counts, hapax, deterministic modal token, TTR") {
+    val d = Seq(
+      (1L, "a a b c", "s1"), (2L, "a d", "s1"),
+      (3L, "z z", "s2")).toDF("doc_id", "text", "source")
+    val out = CorpusOps.vocabStats(d, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    // s1: tokens a a b c a d → n=6, types {a,b,c,d}=4, hapax {b,c,d}=3
+    assert(s1.getLong(1) == 2L && s1.getLong(2) == 6L && s1.getLong(3) == 4L)
+    assert(s1.getLong(4) == 3L && s1.getLong(5) == 3L)
+    assert(s1.getString(6) == "a" && s1.getDouble(7) == 4.0 / 6.0)
+    // modal-token tie (z=2 only type): top is z
+    assert(out("s2").getString(6) == "z")
+    // tie-break: equal counts pick the LARGER token (max(struct) order)
+    val tie = Seq((1L, "m q m q", "t")).toDF("doc_id", "text", "source")
+    assert(CorpusOps.vocabStats(tie, "text", "source")
+      .head().getString(6) == "q")
+  }
+
+  test("collocationBits: pure-map pairs, min-count gate, exact bits") {
+    // "x y" 6 times, singles once each elsewhere; N=16 tokens
+    val d = (1 to 6).map(i => (i.toLong, "x y", "s")) :+
+      (7L, "p q r s", "s")
+    val out = CorpusOps.collocationBits(d.toDF("doc_id", "text", "source"),
+      "text", topK = 5, minCount = 5).collect()
+    assert(out.length == 1) // p-q/q-r/r-s all below minCount
+    val r = out.head
+    assert(r.getString(0) == "x" && r.getString(1) == "y" && r.getLong(2) == 6L)
+    assert(r.getLong(3) == 6L && r.getLong(4) == 6L)
+    // pmi_bits = bitlen(16*6) - bitlen(6*6) = bitlen(96)=7 minus bitlen(36)=6
+    assert(r.getLong(5) == 1L, s"got ${r.getLong(5)}")
+  }
+
+  test("freqOfFreq: Good-Turing head table") {
+    val d = Seq((1L, "a a a b b c d e")).toDF("doc_id", "text")
+    val out = CorpusOps.freqOfFreq(d, "text", topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // c,d,e occur once; b twice; a three times
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L), s"got $out")
+  }
 }

@@ -61,6 +61,12 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(vAfter == vBefore + 1)
     assert(g.store.readChanges("ct3", vBefore, vAfter).isEmpty,
       "reclustering must record no phantom changes")
+    // ZORDER variant flips the layout marker; DROP clears both
+    g.sql("ALTER TABLE ct3 CLUSTER BY ZORDER (v, id)")
+    assert(g.store.clusterByOf("ct3") == Seq("v", "id") && g.store.zorderOf("ct3"))
+    assert(g.sql("SELECT count(1) AS n FROM ct3").get.head().getLong(0) == 2)
+    g.sql("ALTER TABLE ct3 CLUSTER BY (v)") // back to linear
+    assert(!g.store.zorderOf("ct3"))
     g.sql("ALTER TABLE ct3 DROP CLUSTERING KEY")
     assert(g.store.clusterByOf("ct3") == Nil)
     val e = intercept[Exception](g.sql("ALTER TABLE ct3 CLUSTER BY (nosuch)"))

@@ -378,6 +378,34 @@ class TableFunctionsSpec extends AnyFunSuite {
         iv, "ts_us", "start_us", "end_us", 600000000L)))
   }
 
+  test("graft_scan_where: micro-partition-pruned read equals a plain filter") {
+    val g = sess()
+    import org.apache.spark.sql.types._
+    g.store.createTable("facts", StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType))),
+      keys = Seq("id"))
+    // time-correlated appends: each batch covers a disjoint id range
+    (0 until 4).foreach { b =>
+      import spark.implicits._
+      g.store.append("facts",
+        (0 until 100).map(i => (b * 100L + i, s"g$b")).toDF("id", "grp"))
+    }
+    val viaSql = g.sql("SELECT * FROM TABLE(graft_scan_where(facts, " +
+      "'id >= 150 AND id < 250'))").get
+    val expect = g.store.read("facts")
+      .filter(col("id") >= 150L && col("id") < 250L)
+    assert(rows(viaSql) == rows(expect))
+    // the Scala surface proves files were actually pruned
+    val pruned = g.store.scanWhere("facts",
+      col("id") >= 150L && col("id") < 250L)
+    assert(pruned.inputFiles.length < g.store.read("facts").inputFiles.length,
+      "manifest stats should exclude the non-matching batches' files")
+    // string predicate through the SQL quoting ('' escape)
+    val s2 = g.sql(
+      "SELECT count(*) AS n FROM TABLE(graft_scan_where(facts, 'grp = ''g3''')) ").get
+    assert(s2.head().getLong(0) == 100L)
+  }
+
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
     val g = sess()
     docs.createOrReplaceTempView("docs_tf")

@@ -576,4 +576,132 @@ class TableStoreSpec extends AnyFunSuite {
     assert(legacyRead * 5 < pRead,
       s"compacted legacy table must prune like a born-clustered one: $legacyRead")
   }
+
+  test("ZORDER clustering prunes row groups on BOTH keys; linear only on the lead") {
+    def mkStore() = new TableStore(spark,
+      Files.createTempDirectory("graft_store").toString,
+      numBuckets = 2, parquetBlockSize = 64L * 1024)
+    val n = 200000
+    // two independent uniform dims (hash-scattered so arrival order
+    // carries no locality) + padding to get many row groups
+    val df = (0 until n).map { i =>
+      val x = ((i * 2654435761L) % 10000).toInt
+      val y = ((i * 0x9e3779b97f4a7c15L) % 10000).toInt.abs
+      (i.toLong, x, y, "x" * 32)
+    }.toDF("id", "x", "y", "pad")
+    val zs = mkStore()
+    zs.createTable("t", df.schema, keys = Seq("id"),
+      clusterBy = Seq("x", "y"), zorder = true)
+    zs.append("t", df)
+    val ls = mkStore()
+    ls.createTable("t", df.schema, keys = Seq("id"), clusterBy = Seq("x", "y"))
+    ls.append("t", df)
+
+    def readCount(s: TableStore, cond: org.apache.spark.sql.Column): Long =
+      recordsReadDuring {
+        s.read("t").filter(cond).agg(count(lit(1))).collect()
+      }
+    val onY = col("y") >= 4000 && col("y") < 4600   // 6% slice, non-lead key
+    val onX = col("x") >= 4000 && col("x") < 4600   // 6% slice, lead key
+    // results identical regardless of layout
+    assert(zs.read("t").filter(onY).count() == ls.read("t").filter(onY).count())
+    val (zY, lY) = (readCount(zs, onY), readCount(ls, onY))
+    val (zX, lX) = (readCount(zs, onX), readCount(ls, onX))
+    // lexicographic (x,y): y scatters across the whole range within every
+    // x — a y-filter reads ~everything; the z-curve constrains y's high
+    // bits in every contiguous run, so the same filter prunes hard
+    assert(lY > (n * 8L) / 10, s"linear layout should scan ~all rows on y: $lY")
+    assert(zY * 3 < lY, s"zorder must prune on the non-lead key: z=$zY linear=$lY")
+    // both layouts prune on the lead key (linear prunes tighter — the
+    // declared z-order trade)
+    assert(lX * 5 < n, s"linear must prune on the lead key: $lX")
+    assert(zX * 3 < n, s"zorder must still prune on the lead key: $zX")
+    // the hidden z column stays off the declared surface
+    assert(!zs.read("t").schema.fieldNames.contains("__graft_z"))
+    assert(zs.zorderOf("t") && !ls.zorderOf("t"))
+
+    // ALTER ... CLUSTER BY ZORDER on an existing linear table re-lays it out
+    ls.recluster("t", Seq("x", "y"), zorder = true)
+    val lY2 = readCount(ls, onY)
+    assert(lY2 * 3 < lY, s"reclustered-to-zorder table must prune on y: $lY2 vs $lY")
+
+    // strings are rejected with a clear error
+    val e = intercept[IllegalArgumentException] {
+      mkStore().createTable("s", df.schema, keys = Seq("id"),
+        clusterBy = Seq("pad"), zorder = true)
+    }
+    assert(e.getMessage.contains("ZORDER"))
+  }
+
+  test("scanWhere prunes files from manifest stats before any footer is opened") {
+    val store = freshStore()
+    val sch = StructType(Seq(
+      StructField("id", LongType), StructField("day", DateType),
+      StructField("ts", TimestampNTZType), StructField("grp", StringType),
+      StructField("amt", DecimalType(12, 2)), StructField("note", StringType)))
+    store.createTable("t", sch, keys = Seq("id"))
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    // time-correlated ingest: 8 appends, each a disjoint 10-day window —
+    // the arrival order a 100 TB fact table actually has
+    (0 until 8).foreach { b =>
+      val rows = (0 until 500).map { i =>
+        val d = base.plusDays(b * 10 + i % 10)
+        (b * 500L + i, java.sql.Date.valueOf(d), d.atStartOfDay(),
+          s"g$b", BigDecimal(b * 1000 + i).setScale(2),
+          if (b == 3 && i % 7 == 0) null else s"n$i")
+      }
+      store.append("t", rows.toDF("id", "day", "ts", "grp", "amt", "note"))
+    }
+    val all = store.read("t")
+    val allFiles = all.inputFiles.length
+    assert(allFiles >= 8, s"expected >=1 file per batch, got $allFiles")
+
+    def check(cond: org.apache.spark.sql.Column, maxFrac: Double): Unit = {
+      val pruned = store.scanWhere("t", cond)
+      val expected = all.filter(cond).orderBy("id").collect().toSeq
+      assert(pruned.orderBy("id").collect().toSeq == expected,
+        s"scanWhere result must match unpruned filter for $cond")
+      val n = pruned.inputFiles.length
+      assert(n <= (allFiles * maxFrac).ceil.toInt,
+        s"$cond should prune: $n of $allFiles files survived")
+    }
+
+    // long range → 1 batch; date range; NTZ range (file-level, no parquet
+    // NTZ stat-prune involved); string equality; IN; decimal range
+    check(col("id") >= 1000L && col("id") < 1500L, 0.2)
+    check(col("day") === lit(java.sql.Date.valueOf(base.plusDays(35))), 0.2)
+    check(col("ts") >= lit(base.plusDays(50).atStartOfDay()) &&
+      col("ts") < lit(base.plusDays(60).atStartOfDay()), 0.2)
+    check(col("grp") === "g6", 0.2)
+    check(col("grp").isin("g0", "g7"), 0.3)
+    check(col("amt") >= lit(BigDecimal(5000).setScale(2)) &&
+      col("amt") < lit(BigDecimal(6000).setScale(2)), 0.2)
+    check(col("note").isNull, 0.2) // only batch 3 carries nulls
+    check(col("grp").startsWith("g5"), 0.2)
+
+    // unprovable predicates keep everything and stay correct
+    val weird = store.scanWhere("t", length(col("grp")) === 2)
+    assert(weird.count() == all.filter(length(col("grp")) === 2).count())
+
+    // a legacy batch without a sidecar is always kept, never wrong
+    val root = new org.apache.hadoop.fs.Path(store.root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "t/data"))
+    fs.delete(new org.apache.hadoop.fs.Path(batchDirs.head.getPath, "_graft_stats"), false)
+    val afterDelete = store.scanWhere("t", col("id") >= 1000L && col("id") < 1500L)
+    assert(afterDelete.orderBy("id").collect().toSeq ==
+      all.filter(col("id") >= 1000L && col("id") < 1500L).orderBy("id").collect().toSeq)
+  }
+
+  test("scanWhere string bounds compare as unsigned UTF-8 bytes") {
+    val store = freshStore()
+    store.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType))), keys = Seq("id"))
+    // one batch entirely below 'm', one above (incl. non-ASCII above BMP)
+    store.append("t", Seq((1L, "alpha"), (2L, "beta")).toDF("id", "s"))
+    store.append("t", Seq((3L, "omega"), (4L, "😀emoji")).toDF("id", "s"))
+    val q = store.scanWhere("t", col("s") >= "z")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(4L)) // emoji sorts above 'z' in UTF-8
+    assert(q.inputFiles.length < store.read("t").inputFiles.length)
+  }
 }
