@@ -381,4 +381,39 @@ object EventAnalytics {
         (col("n_active").cast("double") / col("cohort_size").cast("double"))
           .as("retention"))
   }
+
+  /** DAU / MAU stickiness — the product-analytics engagement headline:
+    * per day, distinct daily actives, distinct trailing-`window`-day
+    * actives, and their ratio. Exact (no sketches), so the oracle
+    * hash-matches; at 100 TB an operating dashboard might swap the MAU
+    * branch for a sliding HLL, trading exactness it can't check for a
+    * shuffle it can skip — this is the truth-side form.
+    *
+    * Scale: one distinct over (user, day) — the only pass over the raw
+    * log, with partial aggregation map-side — then a BOUNDED `window`×
+    * expansion of that already-deduped table for the trailing-window
+    * membership (each user-day appears in `window` MAU days), distinct
+    * again, count per day. State never exceeds (users × active days) ×
+    * window — log-volume-independent. Days with zero events emit no row
+    * (inner join on the DAU side), so a sparse log stays sparse.
+    *
+    * @return (day, dau, mau, stickiness) ordered by day. */
+  def dauMau(events: DataFrame, userCol: String, tsCol: String,
+      window: Int = 30): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ud = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .filter(col("u").isNotNull && col("d").isNotNull)
+      .distinct()
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("u"),
+        explode(expr(s"sequence(d, date_add(d, ${window - 1}))")).as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy("day")
+  }
 }

@@ -837,6 +837,41 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Cross-source near-dup overlap matrix — which sources duplicate
+    // WHICH OTHER sources (mirror-site detection, the pairwise upgrade
+    // of d21's per-source dup impact): the d2-family LSH+verify chain
+    // once (shared shingle artifact), sources joined on both ends,
+    // orientation normalized (least/greatest), per-pair counts with
+    // order-independent min/max jaccard — no double sums, so the report
+    // stays hash-exact. Output ≤ sources² rows.
+    "a15_source_overlap" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val vp = Dedup.lshVerifiedPairsWithShingles(docShingles(s, dir),
+        minJaccard = 0.02, k = 16, bands = 8, maxBucketSize = Some(8))
+      val src = docs.select(col("doc_id"), col("source"))
+      vp.join(src.select(col("doc_id").as("id_a"), col("source").as("sa0")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb0")),
+          Seq("id_b"))
+        .select(least(col("sa0"), col("sb0")).as("source_a"),
+          greatest(col("sa0"), col("sb0")).as("source_b"), col("jaccard"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("jaccard")).as("min_jaccard"),
+          max(col("jaccard")).as("max_jaccard"),
+          sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_strong"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // DAU/MAU stickiness — the engagement headline over the event log:
+    // distinct daily actives vs trailing-30-day actives per day, exact
+    // (truth-side form; a dashboard might sketch the MAU branch). One
+    // distinct over (user, day), then a bounded 30× expansion of that
+    // deduped table — never of the raw log.
+    "st7_dau_mau" -> { (s, dir) =>
+      graft.ops.EventAnalytics.dauMau(Tables.events(s, dir), "user_id", "ts")
+    },
+
     // Per-source vocabulary profile: token volume, type counts, hapax
     // legomena, the modal token, type-token ratio — the lexical-diversity
     // panel of the corpus dashboard (a collapsing TTR/hapax share across
