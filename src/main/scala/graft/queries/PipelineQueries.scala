@@ -867,9 +867,12 @@ object PipelineQueries {
     // distinct daily actives vs trailing-30-day actives per day, exact
     // (truth-side form; a dashboard might sketch the MAU branch). One
     // distinct over (user, day), then a bounded 30× expansion of that
-    // deduped table — never of the raw log.
-    "st7_dau_mau" -> { (s, dir) =>
+    // deduped table — never of the raw log. The harness emits the day as
+    // an ISO string (both engines' native DATE frames land as different
+    // pandas dtypes in the compare).
+    "st8_dau_mau" -> { (s, dir) =>
       graft.ops.EventAnalytics.dauMau(Tables.events(s, dir), "user_id", "ts")
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
     },
 
     // Per-source vocabulary profile: token volume, type counts, hapax
@@ -2431,6 +2434,30 @@ object PipelineQueries {
          |      / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
          |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
          |WHERE jaccard >= 0.02 ORDER BY id_a, id_b""".stripMargin,
+
+    // cross-source overlap mirror: d4b's verified-pair chain (identical
+    // candidate CTEs, skew guard, 0.02 verify floor) joined to each
+    // side's source, orientation normalized with least/greatest, then
+    // the integer/min/max per-pair rollup — no double sums, so the
+    // matrix is hash-exact like the pairs that feed it
+    "a15_source_overlap" ->
+      s"""WITH $dLshCand,
+         |vp AS (SELECT id_a, id_b, jaccard FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      CAST(len(list_filter(a.hs, xs -> list_contains(b.hs, xs))) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
+         |    FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+         |  WHERE jaccard >= 0.02),
+         |srcm AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |  greatest(sa.source, sb.source) AS source_b,
+         |  CAST(count(1) AS BIGINT) AS n_pairs,
+         |  min(jaccard) AS min_jaccard,
+         |  max(jaccard) AS max_jaccard,
+         |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong
+         |FROM vp JOIN srcm sa ON sa.doc_id = vp.id_a
+         |  JOIN srcm sb ON sb.doc_id = vp.id_b
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     // edit-verify mirror: the shared LSH chain's cand pairs screened by
     // the same 4/16 signature-agreement floor, then joined to 256-char
@@ -4055,6 +4082,25 @@ object PipelineQueries {
         |  CAST(c.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p
         |FROM c JOIN tot USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // DAU/MAU mirror: distinct (user, day) once, DAU a plain per-day
+    // count, MAU a bounded range join of the deduped user-days against
+    // the distinct day list ([d-29, d] membership = the Spark side's
+    // 30-day forward expansion) — the window-style formulation, never a
+    // per-day list unnest (check.py's documented DuckDB allocator
+    // caveat). Day emitted as an ISO string to match the Spark harness
+    // column.
+    "st8_dau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT d, CAST(count(1) AS BIGINT) AS dau FROM ud GROUP BY d),
+        |dl AS (SELECT DISTINCT d FROM ud),
+        |mau AS (SELECT dl.d, CAST(count(DISTINCT ud.u) AS BIGINT) AS mau
+        |  FROM dl JOIN ud ON ud.d <= dl.d AND ud.d >= dl.d - 29
+        |  GROUP BY dl.d)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+        |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin,
 
     // Cohort mirror: identical integer-microsecond week buckets
     // (604800000000 µs), distinct (user, week) activity, offset-0 rows

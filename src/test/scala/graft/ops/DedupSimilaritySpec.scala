@@ -689,4 +689,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
       (3L, 3L, 1L, 2.0 / 6.0), (4L, 1L, 0L, -1.0)))
   }
+
+  test("a15 source-overlap matrix on a hand-built two-source fixture") {
+    // three exact dups split across two sources + one unrelated doc:
+    // pairs (1,3) within src_a, (1,2)/(2,3) across — orientation
+    // normalized, so both cross pairs land on ONE (src_a, src_b) row;
+    // exact dups always collide in every LSH band, so the candidate set
+    // is guaranteed, and jaccard 1.0 makes every pair "strong"
+    val dir = java.nio.file.Files.createTempDirectory("a15fix").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "src_a"),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "src_b"),
+      (3L, "the quick brown fox jumps over the lazy dog", "en", "src_a"),
+      (4L, "completely different words entirely unrelated content here",
+        "en", "src_b")
+    ).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("a15_source_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("src_a", "src_a", 1L, 1.0, 1.0, 1L),
+      ("src_a", "src_b", 2L, 1.0, 1.0, 2L)), s"got $got")
+  }
 }

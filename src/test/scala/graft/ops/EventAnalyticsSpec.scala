@@ -219,4 +219,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("a>a>b", 1L), ("c>a>b", 1L)), s"got $got")
   }
+
+  test("dauMau: trailing-window actives, partial leading windows, null hygiene") {
+    val D = 86400L
+    val ev = Seq(
+      (Option(1L), Option(ts(100))),           // day 0
+      (Option(1L), Option(ts(200))),           // day 0 again — one user-day
+      (Option(2L), Option(ts(300))),           // day 0
+      (Option(2L), Option(ts(9 * D + 50))),    // day 9 — day 0 inside its window
+      (Option(3L), Option(ts(45 * D + 50))),   // day 45 — beyond day 9's reach
+      (Option.empty[Long], Option(ts(9 * D))), // null user ignored
+      (Option(7L), Option.empty[Timestamp])    // null ts ignored
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.dauMau(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("1970-01-01", 2L, 2L, 1.0),  // leading partial window = the day itself
+      ("1970-01-10", 1L, 2L, 0.5),  // MAU unions day 0's actives
+      ("1970-02-15", 1L, 1L, 1.0)), // stale actives aged out
+      s"got $got")
+    // zero-event days emit no rows (sparse log stays sparse) — implicit in
+    // the exact 3-row sequence above. Tighter window: day 9 ages day 0 out.
+    val w5 = EventAnalytics.dauMau(ev, "user_id", "ts", window = 5)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(2))).toSeq
+    assert(w5 == Seq(("1970-01-01", 2L), ("1970-01-10", 1L),
+      ("1970-02-15", 1L)), s"got $w5")
+  }
 }
