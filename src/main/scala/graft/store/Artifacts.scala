@@ -168,7 +168,7 @@ object Artifacts {
   private def claimPath(root: String, table: String) =
     new Path(new Path(root, "_claims"), s"$table.claim")
 
-  private def tryClaim(fs: FileSystem, root: String, table: String): Boolean = {
+  private[store] def tryClaim(fs: FileSystem, root: String, table: String): Boolean = {
     fs.mkdirs(new Path(root, "_claims"))
     try { fs.create(claimPath(root, table), false).close(); true }
     catch { case _: java.io.IOException => false }
@@ -233,8 +233,9 @@ object Artifacts {
         return
       }
       if (tryClaim(fs, r, table)) {
-        renameIntoPlace(fs, r, tmp, table)
-        fs.delete(claimPath(r, table), false)
+        if (!commitUnderClaim(st, tmp, table)) { // lost the TOCTOU race
+          st.dropTable(tmp, purge = true)
+        }
         return
       }
       // claim lost: the winner only has a rename left — wait it out
@@ -249,6 +250,30 @@ object Artifacts {
       require(attempts <= 5,
         s"artifact $table: could not commit after $attempts claim rounds " +
           s"(stale claims at ${claimPath(r, table)})")
+    }
+  }
+
+  /** The commit step, entered ONLY with the claim held. Between the
+    * caller's `fs.exists(latest)` probe and its claim win, a racing
+    * writer can have fully committed AND released — renaming over that
+    * table would delete a LIVE committed artifact out from under
+    * concurrent readers (files vanishing mid-scan). No writer can commit
+    * while we hold the claim, so one re-check here closes the window:
+    * if a committed table is now visible we release the claim and lose
+    * gracefully (return false — the caller drops its redundant build);
+    * otherwise the rename is safe and IS the commit point. */
+  private[store] def commitUnderClaim(st: TableStore, tmp: String,
+      table: String): Boolean = {
+    val r = st.root
+    val fs = fsOf(st.spark, r)
+    val latest = new Path(new Path(r, table), "_latest")
+    if (fs.exists(latest)) {
+      fs.delete(claimPath(r, table), false)
+      false
+    } else {
+      renameIntoPlace(fs, r, tmp, table)
+      fs.delete(claimPath(r, table), false)
+      true
     }
   }
 
@@ -355,24 +380,43 @@ object Artifacts {
     * JVM has NOT built or read (superseded keys from parameter changes /
     * data regeneration, stale-FMT leftovers from code upgrades, and
     * orphaned `_b_` temp builds from crashed writers), plus claim files
-    * whose table never committed. Run it QUIESCED — at the end of a
-    * pipeline run, after every current artifact has been touched (a
-    * concurrent writer's in-flight temp build would be reclaimed as an
-    * orphan; its claim protocol makes that safe but wasteful). Returns
-    * the dropped table names. */
+    * whose table never committed. Safe to run alongside live writers:
+    * in-flight `_b_` temp builds and claim files are only reclaimed once
+    * NOTHING under them has been written for the claim timeout
+    * (`spark.graft.artifactClaimTimeoutMs`) — a mid-protocol writer is
+    * by definition fresher than that, so vacuum can no longer break a
+    * concurrent publish. Committed tables other JVMs are reading are
+    * still only protected by this JVM's served set — run table-level
+    * reclamation quiesced across the fleet. Returns the dropped names. */
   def vacuum(s: SparkSession): Seq[String] = {
     val st = store(s)
     val r = root(s)
     val fs = fsOf(s, r)
+    val minAge = claimTimeoutMs(s)
+    val now = System.currentTimeMillis()
+    // freshest write anywhere under p (dir mtimes only change when DIRECT
+    // entries churn, so a long parquet job keeps its deepest files fresh
+    // while the build root goes quiet — probe files recursively)
+    def lastTouched(p: Path): Long =
+      try {
+        var mx = fs.getFileStatus(p).getModificationTime
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) mx = math.max(mx, it.next().getModificationTime)
+        mx
+      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
     val dropped = st.listTables().filter(_.startsWith("artifact_")).filter { t =>
       val staleFmt = !readMeta(fs, r, t).exists(_.fmt == FMT)
-      staleFmt || !served.contains(s"$r|$t")
+      val unserved = staleFmt || !served.contains(s"$r|$t")
+      if (isTempBuild(t))
+        unserved && now - lastTouched(new Path(r, t)) > minAge
+      else unserved
     }
     dropped.foreach(t => st.dropTable(t, purge = true))
     val claims = new Path(r, "_claims")
     if (fs.exists(claims)) fs.listStatus(claims).foreach { c =>
       val t = c.getPath.getName.stripSuffix(".claim")
-      if (!st.exists(t)) fs.delete(c.getPath, false)
+      if (!st.exists(t) && now - c.getModificationTime > minAge)
+        fs.delete(c.getPath, false)
     }
     dropped
   }

@@ -111,8 +111,8 @@ private[store] object StatsPruning {
       case ("l", DateType) => Some(v.asInstanceOf[Int].toLong)
       case ("l", TimestampType) => Some(v.asInstanceOf[Long])
       case ("l", TimestampNTZType) => Some(v.asInstanceOf[Long])
-      case ("d", FloatType) => Some(v.asInstanceOf[Float].toDouble)
-      case ("d", DoubleType) => Some(v.asInstanceOf[Double])
+      case ("d", FloatType) => doubleDomain(v.asInstanceOf[Float].toDouble)
+      case ("d", DoubleType) => doubleDomain(v.asInstanceOf[Double])
       case ("s", StringType) => Some(v.asInstanceOf[UTF8String].toString)
       case (k, dec: DecimalType) if k.startsWith("c") =>
         val scale = k.drop(1).toInt
@@ -124,6 +124,16 @@ private[store] object StatsPruning {
       case _ => None
     }
 
+  /** Floating literals that `java.lang.Double.compare` orders differently
+    * from Spark row equality are refused or normalized — both silently
+    * lose rows otherwise: a NaN literal would prune files whose parquet
+    * writer SUPPRESSED min/max per NaN-bearing row group (the bounds
+    * describe only the NaN-free groups), and compare() puts -0.0 < 0.0
+    * while Spark's `===` matches them, so `col === -0.0` would prune a
+    * file recording min = max = 0.0 that is full of matching rows. */
+  private def doubleDomain(d: Double): Option[Any] =
+    if (d.isNaN) None else if (d == 0.0d) Some(0.0d) else Some(d)
+
   /** Domain comparison shared with the stats writer: unsigned UTF-8
     * byte order for strings (parquet's binary statistics order — Java
     * String order diverges past the BMP), numeric otherwise. */
@@ -131,8 +141,13 @@ private[store] object StatsPruning {
     cmp(kind, a, b)
 
   private def cmp(kind: String, a: Any, b: Any): Int = kind match {
-    case "d" => java.lang.Double.compare(a.asInstanceOf[Double],
-      b.asInstanceOf[Double])
+    case "d" =>
+      // ±0.0 normalized on BOTH sides: footer bounds can carry -0.0
+      // (parquet writers keep min = -0.0 by spec recommendation) while
+      // Spark equality treats the zeros as one value
+      def z(x: Double) = if (x == 0.0d) 0.0d else x
+      java.lang.Double.compare(z(a.asInstanceOf[Double]),
+        z(b.asInstanceOf[Double]))
     case "s" =>
       val x = a.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
       val y = b.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)

@@ -1284,11 +1284,18 @@ object TableStore {
                     case Some(mx) => maxs ::= mx
                     case None => maxOk = false // e.g. truncated long string
                   }
-                } else if (!st.isNumNullsSet) {
-                  // cannot tell all-null from value-bearing-but-statless
+                } else if (!st.isNumNullsSet || st.getNumNulls < bg.getRowCount) {
+                  // no usable bounds AND not provably all-null: either the
+                  // null count is unknown, or value-bearing rows exist with
+                  // suppressed statistics — parquet-mr omits float/double
+                  // min/max for any row group containing NaN (the recorded
+                  // numNulls stays 0), and those NaN rows order LARGEST
+                  // under Spark comparison, so sibling groups' bounds must
+                  // not be trusted to cap the file
                   minOk = false; maxOk = false
                 }
-                // else: provably all-null group — contributes no bounds
+                // else: provably all-null group (numNulls == rowCount) —
+                // contributes no bounds
               }
           }
         }

@@ -243,6 +243,84 @@ class ArtifactsSpec extends AnyFunSuite {
     }.count() == 2)
   }
 
+  test("late claim winner must NOT clobber a committed table (publish TOCTOU)") {
+    // the window: writer B probes _latest (absent), writer A commits AND
+    // releases its claim, THEN B wins a fresh claim. Reproduced exactly:
+    // commit A first, then take the claim as B would and drive B's
+    // post-claim commit step directly — it must lose gracefully, not
+    // rename over A's live table.
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    val sp = s; import sp.implicits._
+    val t = Artifacts.tableName("spec_toctou", "k")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // writer A: full commit, claim released
+    Artifacts.table(s, "spec_toctou", "k", Seq("id")) {
+      Seq((1L, "committed")).toDF("id", "v")
+    }
+    val st = new TableStore(s, root, numBuckets = 4)
+    assert(st.exists(t))
+    // writer B: its build finished before A's commit became visible
+    val tmp = s"${t}_b_deadbeef"
+    st.createTable(tmp, Seq((9L, "late")).toDF("id", "v").schema, Seq("id"))
+    st.overwriteSnapshot(tmp, Seq((9L, "late")).toDF("id", "v"))
+    // B wins the (now free) claim — the exact interleaving of the race
+    assert(Artifacts.tryClaim(fs, root, t), "claim must be free after A released")
+    assert(!Artifacts.commitUnderClaim(st, tmp, t),
+      "a commit that landed before our claim win must make us lose")
+    // A's table is untouched, B's claim is released, B's build still ours to drop
+    val rows = new TableStore(s, root).read(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "committed")), s"committed table clobbered: $rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_claims/$t.claim")),
+      "losing must release the claim")
+    // the full publish() path on the same state: drops the redundant build
+    st.createTable(s"${t}_b_cafef00d",
+      Seq((8L, "later")).toDF("id", "v").schema, Seq("id"))
+    st.overwriteSnapshot(s"${t}_b_cafef00d", Seq((8L, "later")).toDF("id", "v"))
+    Artifacts.publish(st, s"${t}_b_cafef00d", t)
+    assert(new TableStore(s, root).read(t).count() == 1)
+    assert(!st.listTables().contains(s"${t}_b_cafef00d"),
+      "publish must drop the redundant build")
+    st.dropTable(tmp, purge = true)
+  }
+
+  test("vacuum spares a mid-protocol writer's fresh temp build and young claims") {
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    val sp = s; import sp.implicits._
+    val t = Artifacts.tableName("spec_midflight", "k")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // an in-flight writer: temp build written, claim taken, rename pending
+    val st = new TableStore(s, root, numBuckets = 4)
+    val tmp = s"${t}_b_0badc0de"
+    st.createTable(tmp, Seq((1L, "wip")).toDF("id", "v").schema, Seq("id"))
+    st.overwriteSnapshot(tmp, Seq((1L, "wip")).toDF("id", "v"))
+    assert(Artifacts.tryClaim(fs, root, t))
+    Artifacts.resetServedForTesting() // vacuum sees a foreign writer's state
+    // default timeout (60 s): everything is seconds-fresh — must survive
+    assert(Artifacts.vacuum(s).isEmpty, "fresh mid-protocol state reclaimed")
+    assert(st.exists(tmp), "in-flight temp build must survive vacuum")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_claims/$t.claim")),
+      "young claim must survive vacuum")
+    // the writer completes against the post-vacuum state
+    assert(Artifacts.commitUnderClaim(st, tmp, t))
+    assert(new TableStore(s, root).read(t).count() == 1)
+    // aged-out debris IS reclaimed: drop the table, leave a claim behind,
+    // then shrink the timeout below its age
+    st.dropTable(t, purge = true)
+    Artifacts.tryClaim(fs, root, t)
+    Thread.sleep(5L)
+    s.conf.set("spark.graft.artifactClaimTimeoutMs", "1")
+    Artifacts.vacuum(s)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_claims/$t.claim")),
+      "aged-out orphan claim must be reclaimed")
+  }
+
   test("concurrent consumers of one key build exactly once") {
     val root = Files.createTempDirectory("graft_artifacts_spec").toString
     val builds = new AtomicInteger(0)

@@ -704,4 +704,32 @@ class TableStoreSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).toSet == Set(4L)) // emoji sorts above 'z' in UTF-8
     assert(q.inputFiles.length < store.read("t").inputFiles.length)
   }
+
+  test("scanWhere double pruning is sound on ±0.0 and NaN") {
+    // the two places java.lang.Double.compare diverges from Spark row
+    // equality: -0.0 < 0.0 (Spark: equal) and NaN (Spark: largest value,
+    // NaN = NaN true; parquet-mr suppresses a NaN group's double bounds
+    // with numNulls = 0) — each silently lost rows before the fix
+    val store = freshStore()
+    store.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))), keys = Seq("id"))
+    store.append("t", Seq((1L, 0.0), (2L, 0.0)).toDF("id", "v"))    // min=max=+0.0
+    store.append("t", Seq((3L, -0.0), (4L, -0.0)).toDF("id", "v"))  // min=max=-0.0
+    store.append("t", Seq((5L, 1.0), (6L, Double.NaN)).toDF("id", "v")) // bounds suppressed
+    store.append("t", Seq((7L, 100.0), (8L, 200.0)).toDF("id", "v"))
+    val all = store.read("t")
+    def sameRows(cond: org.apache.spark.sql.Column): Unit = assert(
+      store.scanWhere("t", cond).orderBy("id").collect().toSeq ==
+        all.filter(cond).orderBy("id").collect().toSeq,
+      s"scanWhere lost rows under $cond")
+    sameRows(col("v") === 0.0)        // ids 1-4: both zero batches match
+    sameRows(col("v") === -0.0)       // same four rows
+    sameRows(col("v") === Double.NaN) // id 6: the bounds-suppressed batch
+    sameRows(col("v") > 150.0)        // ids 6 (NaN sorts largest) and 8
+    sameRows(col("v") <= 0.0)
+    // conservatism didn't kill pruning where it IS sound: a zero-equality
+    // scan still drops the [100, 200] batch
+    assert(store.scanWhere("t", col("v") === 0.0).inputFiles.length <
+      all.inputFiles.length, "sound double pruning must still prune")
+  }
 }
