@@ -98,6 +98,39 @@ object SkewScale {
       graft.ops.EventAnalytics.funnelSteps(ev, "user_id", "event_type",
         "ts", steps, maxEventsPerUser = Some(1000)).count()
     }
+
+    // st7 A/B — the window-lead pair formation (shipped) vs the
+    // collect_list array form it replaced: identical matrix required;
+    // the array form buffers the bot's whole history in one task
+    def transitionsCollect(): DataFrame = {
+      val base = ev.select(col("user_id").as("u"), col("event_type").as("t"),
+          unix_micros(col("ts")).as("ets"))
+        .filter(col("ets").isNotNull && col("t").isNotNull)
+      val seqs = base.groupBy("u").agg(
+        array_sort(collect_list(struct(col("ets"), col("t")))).as("seq"))
+      val pairs = seqs.select(explode(
+          transform(slice(col("seq"), lit(1), size(col("seq")) - 1),
+            (x, i) => struct(x.getField("t").as("f"),
+              element_at(col("seq"), i + 2).getField("t").as("o")))).as("pr"))
+        .select(col("pr.f").as("from_type"), col("pr.o").as("to_type"))
+      val counts = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+      counts.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+        .orderBy("from_type", "to_type")
+    }
+    val winM = graft.ops.EventAnalytics
+      .eventTransitionMatrix(ev, "user_id", "event_type", "ts")
+      .collect().map(_.toString).toSeq
+    val arrM = transitionsCollect().collect().map(_.toString).toSeq
+    require(winM == arrM, s"st7 A/B mismatch:\n$winM\nvs\n$arrM")
+    time("st7 window-lead (shipped)") {
+      graft.ops.EventAnalytics
+        .eventTransitionMatrix(ev, "user_id", "event_type", "ts").count()
+    }
+    time("st7 collect_list (old)") { transitionsCollect().count() }
     spark.stop()
   }
 }

@@ -938,7 +938,7 @@ object CorpusOps {
     val classes = train.groupBy(col(labelCol).as("lbl"))
       .agg(count(lit(1)).as("ndc"))
       .join(model.groupBy("lbl").agg(sum(col("n")).as("totc")), Seq("lbl"), "left_outer")
-      .crossJoin(vsize).crossJoin(nDocs)
+      .crossJoin(broadcast(vsize)).crossJoin(broadcast(nDocs))
       .select(col("lbl"),
         bitlen(coalesce(col("totc"), lit(0L)) + col("vn")).as("den_bits"),
         (bitlen(col("nd")) - bitlen(col("ndc"))).as("prior_bits"))
@@ -1185,7 +1185,10 @@ object CorpusOps {
       .filter(col("np") >= minCount)
       .withColumn("w1", split(col("pair"), " ").getItem(0))
       .withColumn("w2", split(col("pair"), " ").getItem(1))
-    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    // bit lengths of the PRODUCTS without forming them (graft_pbits
+    // widens to 128 bits internally): ntot × np wraps Long at real
+    // corpus scale (ntot ~1e13, np ~1e6+) — the naive length(bin(a*b))
+    // would silently poison every pmi_bits value there
     pairs
       .join(broadcast(uni.withColumnRenamed("tok", "w1")
         .withColumnRenamed("cn", "n1")), Seq("w1"))
@@ -1194,7 +1197,8 @@ object CorpusOps {
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("np").as("n_pair"),
         col("n1").as("n_left"), col("n2").as("n_right"),
-        (bitlen(col("ntot") * col("np")) - bitlen(col("n1") * col("n2")))
+        (call_function("graft_pbits", col("ntot"), col("np")) -
+          call_function("graft_pbits", col("n1"), col("n2")))
           .as("pmi_bits"))
       .orderBy(desc("n_pair"), asc("w1"), asc("w2"))
       .limit(topK)

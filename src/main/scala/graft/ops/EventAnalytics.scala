@@ -298,10 +298,15 @@ object EventAnalytics {
     * counts throughout; the one division casts exact longs to double —
     * oracle hash-stable.
     *
-    * Shape: ONE user-keyed aggregation (the [[topEventPaths]] bound),
-    * pairs formed INSIDE the sorted per-user array (an indexed
-    * transform — no self-join, no window), then a count on the tiny
-    * (from, to) key and a broadcast-sized per-from total join.
+    * Shape: consecutive rows of the (u)-partitioned (ets, type)-ordered
+    * WINDOW are exactly the consecutive pairs of each user's sequence,
+    * so pair formation is one `lead` over a spillable sort — unlike a
+    * per-user `collect_list`, a bot with tens of millions of events
+    * never has to fit one task's memory (the sorter spills; the earlier
+    * array form buffered the user's entire history per row). Ties on
+    * ets order by type, matching a lexicographic (ets, type) array
+    * sort. Then a count on the tiny (from, to) key and a
+    * broadcast-sized per-from total join.
     *
     * @return (from_type, to_type, n, p), ordered by (from, to). */
   def eventTransitionMatrix(events: DataFrame, userCol: String,
@@ -309,16 +314,11 @@ object EventAnalytics {
     val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
         unix_micros(col(tsCol)).as("ets"))
       .filter(col("ets").isNotNull && col("t").isNotNull)
-    val seqs = base.groupBy("u").agg(
-      array_sort(collect_list(struct(col("ets"), col("t")))).as("seq"))
-    // pair i = (seq[i], seq[i+1]); the slice keeps indices valid under
-    // ANSI (i ranges over the first size−1 elements), and single-event
-    // users produce an empty pair array that explode simply drops
-    val pairs = seqs.select(explode(
-        transform(slice(col("seq"), lit(1), size(col("seq")) - 1),
-          (x, i) => struct(x.getField("t").as("f"),
-            element_at(col("seq"), i + 2).getField("t").as("o")))).as("pr"))
-      .select(col("pr.f").as("from_type"), col("pr.o").as("to_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("ets"), col("t"))
+    val pairs = base
+      .select(col("t").as("from_type"), lead(col("t"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull) // each user's last event ends no pair
     val counts = pairs.groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
     val totals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
@@ -414,6 +414,42 @@ object EventAnalytics {
     dau.join(mau, Seq("d"))
       .select(col("d").as("day"), col("dau"), col("mau"),
         (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Sketch twin of [[dauMau]] — the operating-dashboard form the exact
+    * op's scaladoc promises: per-day DataSketches HLL sketches of the
+    * user id, the trailing window answered by UNIONING the window's
+    * daily sketches. This is the branch swap that matters at 100 TB:
+    * the exact MAU's one unavoidable pass is the (user, day) distinct —
+    * state proportional to user-days — while a sketch absorbs the raw
+    * log through a mergeable, map-side-partial day-keyed aggregation
+    * whose state is lgK-bounded PER DAY (a few KB), and the window
+    * expansion then moves `window` sketches per day, not user sets.
+    * HLL register state is a max over hashes, so estimates are
+    * insertion-order-independent — deterministic per input set.
+    *
+    * ~1.6% standard error at the default lgK = 12; the `st8b` harness
+    * query pins |estimate − exact| per day under an x1-style slack gate.
+    *
+    * @return (day, dau_est, mau_est, stickiness_est) ordered by day. */
+  def dauMauApprox(events: DataFrame, userCol: String, tsCol: String,
+      window: Int = 30, lgConfigK: Int = 12): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val daily = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .filter(col("u").isNotNull && col("d").isNotNull)
+      .groupBy("d")
+      .agg(hll_sketch_agg(col("u"), lit(lgConfigK)).as("sk"))
+    val mau = daily
+      .select(explode(expr(s"sequence(d, date_add(d, ${window - 1}))")).as("d"),
+        col("sk"))
+      .groupBy("d").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("mau_est"))
+    daily.select(col("d"), hll_sketch_estimate(col("sk")).as("dau_est"))
+      .join(mau, Seq("d")) // inner: days with no events emit no row, like the exact op
+      .select(col("d").as("day"), col("dau_est"), col("mau_est"),
+        (col("dau_est").cast("double") / col("mau_est").cast("double"))
+          .as("stickiness_est"))
       .orderBy("day")
   }
 }

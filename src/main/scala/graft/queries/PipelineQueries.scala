@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -873,6 +873,27 @@ object PipelineQueries {
     "st8_dau_mau" -> { (s, dir) =>
       graft.ops.EventAnalytics.dauMau(Tables.events(s, dir), "user_id", "ts")
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    },
+
+    // The sketch twin under the x1 contract pattern: exact DAU/MAU next
+    // to booleans gating the HLL estimates (|est − exact| within 5%
+    // relative, absolute floor 4 — lgK=12 runs ~1.6% standard error;
+    // HLL state is a hash-max, so the estimate is deterministic per
+    // input set and the gated booleans hash-stably TRUE). The estimates
+    // themselves stay out of the output — DuckDB has no DataSketches
+    // HLL to reproduce them.
+    "st8b_dau_mau_hll" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val exact = graft.ops.EventAnalytics.dauMau(ev, "user_id", "ts")
+      val est = graft.ops.EventAnalytics.dauMauApprox(ev, "user_id", "ts")
+      def ok(e: Column, x: Column) =
+        abs(e - x.cast("double")) <= greatest(lit(4.0), x.cast("double") * 0.05)
+      exact.join(est, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("mau"),
+          ok(col("dau_est"), col("dau")).as("dau_ok"),
+          ok(col("mau_est"), col("mau")).as("mau_ok"))
+        .orderBy("day")
     },
 
     // Per-source vocabulary profile: token volume, type counts, hapax
@@ -2544,7 +2565,9 @@ object PipelineQueries {
 
     // collocation mirror: adjacent pairs from the token lists (1-based
     // tk[i] over range(1, len) = Spark's 0-based zip-with-next), same
-    // min-count gate, unigram join, floor-log2 bits via bin()
+    // min-count gate, unigram join, floor-log2 bits via bin() — on
+    // HUGEINT products, mirroring graft_pbits' 128-bit widening (a
+    // BIGINT product would error out at real corpus magnitudes)
     "e38_collocations" ->
       s"""WITH $dToks,
          |tok AS (SELECT unnest(tk) AS tok FROM toks),
@@ -2558,7 +2581,8 @@ object PipelineQueries {
          |sp AS (SELECT string_split(pair, ' ')[1] AS w1,
          |    string_split(pair, ' ')[2] AS w2, np FROM pairs)
          |SELECT w1, w2, np AS n_pair, u1.cn AS n_left, u2.cn AS n_right,
-         |  CAST(length(bin(t.ntot * np)) - length(bin(u1.cn * u2.cn)) AS BIGINT)
+         |  CAST(length(bin(CAST(t.ntot AS HUGEINT) * np))
+         |    - length(bin(CAST(u1.cn AS HUGEINT) * u2.cn)) AS BIGINT)
          |    AS pmi_bits
          |FROM sp JOIN uni u1 ON u1.tok = sp.w1
          |  JOIN uni u2 ON u2.tok = sp.w2 CROSS JOIN tot t
@@ -4100,6 +4124,21 @@ object PipelineQueries {
         |  GROUP BY dl.d)
         |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
         |  CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+        |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin,
+
+    // HLL-twin mirror: the exact st8 frame again, the sketch-accuracy
+    // gates pinned TRUE (the estimates never enter the output — x1's
+    // contract-boolean pattern)
+    "st8b_dau_mau_hll" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT d, CAST(count(1) AS BIGINT) AS dau FROM ud GROUP BY d),
+        |dl AS (SELECT DISTINCT d FROM ud),
+        |mau AS (SELECT dl.d, CAST(count(DISTINCT ud.u) AS BIGINT) AS mau
+        |  FROM dl JOIN ud ON ud.d <= dl.d AND ud.d >= dl.d - 29
+        |  GROUP BY dl.d)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+        |  TRUE AS dau_ok, TRUE AS mau_ok
         |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin,
 
     // Cohort mirror: identical integer-microsecond week buckets

@@ -94,6 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
       (children: Seq[Expression]) => L2Squared(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pbits"),
+      new ExpressionInfo(classOf[ProductBits].getName, "graft_pbits"),
+      (children: Seq[Expression]) => ProductBits(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_vecsum"),
       new ExpressionInfo(classOf[VecSum].getName, "graft_vecsum"),
       (children: Seq[Expression]) => VecSum(children.head)))

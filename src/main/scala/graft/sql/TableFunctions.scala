@@ -126,6 +126,9 @@ import graft.store.TableStore
   *  - `TABLE(graft_cohorts(events, 'user', 'ts'))` →
   *    [[graft.ops.EventAnalytics.cohortRetention]]: weekly cohort
   *    retention matrix
+  *  - `TABLE(graft_dau_mau(events, 'user', 'ts'[, window_days]))` →
+  *    [[graft.ops.EventAnalytics.dauMau]]: exact DAU / trailing-window
+  *    MAU / stickiness per active day
   *  - `TABLE(graft_hash_tfidf(t, 'id', 'text', dim))` →
   *    [[CorpusOps.hashingTfidf]]: fixed-dim hashed TF-IDF vectors
   *    bridging text tables into the vector operators
@@ -528,6 +531,13 @@ object TableFunctions {
         graft.ops.EventAnalytics.cohortRetention(rel(args(0)), str(args(1)),
           str(args(2)))
 
+      case "graft_dau_mau" =>
+        arity(args.length == 3 || args.length == 4,
+          "3 or 4 (events, 'user', 'ts'[, window_days])")
+        graft.ops.EventAnalytics.dauMau(rel(args(0)), str(args(1)),
+          str(args(2)),
+          window = if (args.length > 3) args(3).toInt else 30)
+
       case "graft_hash_tfidf" =>
         arity(args.length == 4, "4 (t, 'id', 'text', dim)")
         CorpusOps.hashingTfidf(rel(args(0)), str(args(1)), str(args(2)),
@@ -656,7 +666,7 @@ object TableFunctions {
         "graft_collocations, " +
         "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
         "graft_pagerank, graft_triangles, graft_funnel, graft_funnel_gaps, " +
-        "graft_event_paths, graft_transitions, graft_cohorts, " +
+        "graft_event_paths, graft_transitions, graft_cohorts, graft_dau_mau, " +
         "graft_hash_tfidf, graft_semdedup_kmeans, " +
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
         "graft_asof_join, graft_range_join, graft_hard_negatives, " +

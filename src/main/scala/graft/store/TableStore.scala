@@ -502,17 +502,31 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     entries.map(_._2).groupBy(p => new Path(p).getParent).foreach {
       case (batchDir, bucketDirs) =>
         val stats = readStatsSidecar(batchDir)
-        bucketDirs.foreach { bd =>
+        if (stats.nonEmpty) {
+          // the sidecar IS the batch's file inventory (written from the
+          // exact post-write listing, batches immutable after commit), so
+          // the candidate list comes straight from metadata the driver
+          // just read — at millions of files the per-bucket listStatus
+          // loop below would be the GET storm this tier exists to avoid.
+          // The manifest may reference only SOME of the batch's buckets
+          // (update/merge rewrite touched buckets into newer batches), so
+          // filter the inventory to the referenced bucket dirs.
+          val wanted = bucketDirs.map(bd => new Path(bd).getName).toSet
+          stats.foreach { case (rel, colStats) =>
+            val slash = rel.indexOf('/')
+            if (slash > 0 && wanted.contains(rel.substring(0, slash))) {
+              total += 1
+              if (tests.forall(t => t(colStats)))
+                kept += new Path(batchDir, rel).toString
+              else pruned += 1
+            }
+          }
+        } else bucketDirs.foreach { bd => // legacy batch without sidecar
           val bdPath = new Path(bd)
           if (fs.exists(bdPath)) fs.listStatus(bdPath).foreach { st =>
             if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
               total += 1
-              val rel = s"${bdPath.getName}/${st.getPath.getName}"
-              val keep = stats.get(rel) match {
-                case Some(colStats) => tests.forall(t => t(colStats))
-                case None => true // legacy batch without sidecar
-              }
-              if (keep) kept += st.getPath.toString else pruned += 1
+              kept += st.getPath.toString
             }
           }
         }
@@ -603,11 +617,14 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   /** The Z-value column for one batch: per-column 255 quantile cut
     * points (one `approxQuantile` pass over the batch), each value →
-    * 8-bit rank, ranks bit-interleaved MSB-first into a long. Nulls
-    * rank 0 (sort first, like NULLS FIRST). Costs one extra pass over
-    * the batch at write time — the same analysis pass Delta's OPTIMIZE
-    * ZORDER runs, and the declared price of multi-dim clustering. */
-  private def zValueColumn(df: DataFrame,
+    * 8-bit rank, ranks bit-interleaved MSB-first into a long by the
+    * native codegen'd [[graft.spark.ZValue]] expression (the cut-point
+    * tables ride into generated code as a driver-held `double[][]` —
+    * no UDF, no per-row boxing). Nulls rank 0 (sort first, like NULLS
+    * FIRST). Costs one extra pass over the batch at write time — the
+    * same analysis pass Delta's OPTIMIZE ZORDER runs, and the declared
+    * price of multi-dim clustering. */
+  private[store] def zValueColumn(df: DataFrame,
       cols: Seq[String]): org.apache.spark.sql.Column = {
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val proj = cols.zipWithIndex.map { case (c, i) =>
@@ -617,40 +634,10 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val probs = (1 until 256).map(_ / 256.0).toArray
     val bounds: Array[Array[Double]] = num.stat.approxQuantile(
       cols.indices.map(i => s"__zq_$i").toArray, probs, 0.001)
-    val m = cols.size
-    val zf = udf { xs: Seq[java.lang.Double] =>
-      val ranks = new Array[Int](m)
-      var j = 0
-      while (j < m) {
-        val x = xs(j)
-        ranks(j) =
-          if (x == null || bounds(j).isEmpty) 0
-          else {
-            // count of cut points <= x (binary search) → 0..255
-            var lo = 0; var hi = bounds(j).length
-            while (lo < hi) {
-              val mid = (lo + hi) >>> 1
-              if (bounds(j)(mid) <= x) lo = mid + 1 else hi = mid
-            }
-            lo
-          }
-        j += 1
-      }
-      var z = 0L
-      var bit = 7
-      while (bit >= 0) {
-        j = 0
-        while (j < m) {
-          z = (z << 1) | ((ranks(j) >> bit) & 1)
-          j += 1
-        }
-        bit -= 1
-      }
-      z
-    }
-    zf(array(cols.zipWithIndex.map { case (c, i) =>
-      zDouble(c, types(c))
-    }: _*))
+    val values = array(cols.map(c => zDouble(c, types(c))): _*)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.spark.ZValue(
+        org.apache.spark.sql.GraftColumnBridge.expression(values), bounds))
   }
 
   /** TIMESTAMP_NTZ clustering keys, in clustering order — the ones that

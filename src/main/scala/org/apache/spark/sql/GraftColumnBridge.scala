@@ -11,6 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a Catalyst expression as a user-facing Column (the converter's
+    * inverse, also sql-private) — lets internal write paths compose
+    * native codegen'd expressions (e.g. the ZORDER interleave, whose
+    * per-batch cut-point tables can't pass through a SQL-registered
+    * function signature) without a UDF. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
   /** Eagerly convert the Column's node tree to a Catalyst expression
     * (the same converter the classic Dataset API applies): operators
     * come back as real `GreaterThanOrEqual`/`EqualTo`/… nodes instead

@@ -572,6 +572,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 1L, s"got ${r.getLong(5)}")
   }
 
+  test("graft_pbits: product bit lengths are exact past Long overflow") {
+    // the corpus-scale shape pmi_bits hits: ntot ~1e13 × np ~1e6+ wraps
+    // a Long product; the expression must read the true 128-bit length
+    import graft.spark.ProductBits
+    def truth(a: Long, b: Long): Long =
+      (BigInt(a) * BigInt(b)).bitLength.toLong
+    val cases = Seq(
+      (1L, 1L), (6L, 16L), (1L << 31, 1L << 31), // boundary: exactly 2^62
+      (10_000_000_000_000L, 2_000_000L),         // the advertised overflow
+      (Long.MaxValue, Long.MaxValue),            // 126-bit extreme
+      (3_037_000_499L, 3_037_000_500L),          // straddles 2^63
+      ((1L << 62) - 1L, 2L), (1L << 62, 2L))     // 63/64-bit edge
+    cases.foreach { case (a, b) =>
+      assert(ProductBits.productBits(a, b) == truth(a, b),
+        s"pbits($a, $b): got ${ProductBits.productBits(a, b)}, want ${truth(a, b)}")
+    }
+    // non-positive counts are a broken pipeline: fail loud
+    intercept[IllegalArgumentException](ProductBits.productBits(0L, 5L))
+    // and the SQL surface agrees with the codegen'd path end-to-end
+    val viaSql = spark.sql(
+      "SELECT graft_pbits(10000000000000L, 2000000L)").head().getLong(0)
+    assert(viaSql == truth(10_000_000_000_000L, 2_000_000L))
+  }
+
   test("freqOfFreq: Good-Turing head table") {
     val d = Seq((1L, "a a a b b c d e")).toDF("doc_id", "text")
     val out = CorpusOps.freqOfFreq(d, "text", topK = 10)

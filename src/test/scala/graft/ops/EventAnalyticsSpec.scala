@@ -246,4 +246,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(w5 == Seq(("1970-01-01", 2L), ("1970-01-10", 1L),
       ("1970-02-15", 1L)), s"got $w5")
   }
+
+  test("dauMauApprox: HLL twin tracks exact within sketch error, same day set") {
+    val D = 86400L
+    // 400 users across 40 days, each active on (id % 7 == day % 7) days —
+    // enough cardinality for dense-mode HLL, small enough to cross-check
+    val ev = (0 until 400).flatMap { u =>
+      (0 until 40).collect { case day if (u + day) % 7 == 0 =>
+        (u.toLong, ts(day * D + u))
+      }
+    }.toDF("user_id", "ts")
+    val exact = EventAnalytics.dauMau(ev, "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val est = EventAnalytics.dauMauApprox(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(est.map(_._1).toSet == exact.keySet, "same active-day set")
+    est.foreach { case (day, dauE, mauE) =>
+      val (dau, mau) = exact(day)
+      assert(math.abs(dauE - dau) <= math.max(4.0, dau * 0.05),
+        s"$day dau: est $dauE vs exact $dau")
+      assert(math.abs(mauE - mau) <= math.max(4.0, mau * 0.05),
+        s"$day mau: est $mauE vs exact $mau")
+    }
+  }
 }

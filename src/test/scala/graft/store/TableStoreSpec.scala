@@ -633,6 +633,60 @@ class TableStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ZORDER"))
   }
 
+  test("ZValue native expression: byte-identical to the UDF it replaced, no UDF in the plan") {
+    val store = freshStore()
+    // doubles (one nullable) so the monotone image is the identity cast
+    // and the spec can recompute the same cut points zValueColumn does
+    val df = (0 until 2048).map { i =>
+      (i.toLong, (i * 37 % 1000).toDouble,
+        if (i % 11 == 0) null else java.lang.Double.valueOf((i * 0.61803) % 97.0))
+    }.toDF("id", "x", "y")
+    val zCol = store.zValueColumn(df, Seq("x", "y"))
+    // the retired UDF, replayed verbatim against identical bounds
+    val probs = (1 until 256).map(_ / 256.0).toArray
+    val bounds = df.select(col("x").cast("double").as("__zq_0"),
+        col("y").cast("double").as("__zq_1"))
+      .stat.approxQuantile(Array("__zq_0", "__zq_1"), probs, 0.001)
+    val zf = udf { xs: Seq[java.lang.Double] =>
+      val ranks = new Array[Int](2)
+      var j = 0
+      while (j < 2) {
+        val x = xs(j)
+        ranks(j) =
+          if (x == null || bounds(j).isEmpty) 0
+          else {
+            var lo = 0; var hi = bounds(j).length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (bounds(j)(mid) <= x) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+        j += 1
+      }
+      var z = 0L
+      var bit = 7
+      while (bit >= 0) {
+        j = 0
+        while (j < 2) { z = (z << 1) | ((ranks(j) >> bit) & 1); j += 1 }
+        bit -= 1
+      }
+      z
+    }
+    val native = df.select(col("id"), zCol.as("z")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val replica = df.select(col("id"),
+        zf(array(col("x").cast("double"), col("y").cast("double"))).as("z"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native == replica, "native interleave must be byte-identical to the UDF")
+    assert(native.map(_._2).distinct.size > 100, "fixture must spread z values")
+    // the write path's plan carries NO Scala UDF anymore
+    val plan = df.select(zCol.as("z")).queryExecution.analyzed
+    assert(!plan.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])),
+      "zorder write plan must not contain a ScalaUDF")
+  }
+
   test("scanWhere prunes files from manifest stats before any footer is opened") {
     val store = freshStore()
     val sch = StructType(Seq(
@@ -703,6 +757,36 @@ class TableStoreSpec extends AnyFunSuite {
     val q = store.scanWhere("t", col("s") >= "z")
     assert(q.collect().map(_.getLong(0)).toSet == Set(4L)) // emoji sorts above 'z' in UTF-8
     assert(q.inputFiles.length < store.read("t").inputFiles.length)
+  }
+
+  test("scanWhere candidates come from the sidecar inventory, not a listStatus sweep") {
+    // the sidecar is written from the exact post-write file listing and
+    // batches are immutable after commit, so the candidate list is pure
+    // driver-held metadata. Proof without counters: plant a parquet file
+    // on disk that the sidecar does not know — a listStatus-driven scan
+    // would pick it up, the sidecar-driven scan must not. Deleting the
+    // sidecar (legacy batch) falls back to the listing and sees it.
+    val store = freshStore()
+    store.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("x", LongType))), keys = Seq("id"))
+    store.append("t", (0L until 100L).map(i => (i, i)).toDF("id", "x"))
+    val root = new org.apache.hadoop.fs.Path(store.root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch = fs.listStatus(new org.apache.hadoop.fs.Path(root, "t/data")).head.getPath
+    val bucket = fs.listStatus(batch)
+      .filter(_.getPath.getName.startsWith("__bucket=")).head.getPath
+    val existing = fs.listStatus(bucket)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val planted = new org.apache.hadoop.fs.Path(bucket, "part-99999-planted.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, existing, fs, planted, false,
+      spark.sparkContext.hadoopConfiguration)
+    val q = store.scanWhere("t", col("x") >= 0L)
+    assert(!q.inputFiles.exists(_.contains("planted")),
+      "sidecar-driven candidates must ignore files outside the inventory")
+    fs.delete(new org.apache.hadoop.fs.Path(batch, "_graft_stats"), false)
+    val legacy = store.scanWhere("t", col("x") >= 0L)
+    assert(legacy.inputFiles.exists(_.contains("planted")),
+      "legacy sidecar-less batches must fall back to the directory listing")
   }
 
   test("scanWhere double pruning is sound on ±0.0 and NaN") {
