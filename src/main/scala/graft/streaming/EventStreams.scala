@@ -57,6 +57,31 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 
+  /** Streaming DAU — the real-time twin of
+    * [[graft.ops.EventAnalytics.dauMau]]'s DAU branch: distinct daily
+    * actives per event-time day, exactly-once under duplicate delivery.
+    * The per-(user, day) dedup rides the watermark (state for a day's
+    * users evicts once the watermark passes the day — bounded by ONE
+    * day's distinct actives, never the log), then a day-keyed count.
+    * Late events inside the watermark still count toward their
+    * event-time day; beyond it they drop, the standard trade. Batch
+    * frames compute the same distinct directly, so the spec can pin
+    * stream ≡ batch on finalized days. Run with outputMode("update")
+    * (the count row for a day re-emits as stragglers arrive). */
+  def streamingDau(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    val keyed = events
+      .select(col(userCol).as("u"), col(tsCol).as("ts"),
+        to_date(col(tsCol)).as("day"))
+      .filter(col("u").isNotNull && col("day").isNotNull)
+    val deduped =
+      if (events.isStreaming)
+        keyed.withWatermark("ts", watermark)
+          .dropDuplicatesWithinWatermark(Seq("u", "day"))
+      else keyed.dropDuplicates("u", "day")
+    deduped.groupBy("day").agg(count(lit(1)).as("dau"))
+  }
+
   /** Stream-stream interval join: each left event pairs with right events
     * of the same user within `[l.ts - lookback, l.ts]` — the standard
     * impression⋈click enrichment. Both sides are watermarked so the join

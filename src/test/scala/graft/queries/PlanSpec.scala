@@ -510,6 +510,30 @@ class PlanSpec extends AnyFunSuite {
       "the (user, week) dedup and cohort min must be two-phase")
   }
 
+  test("transitions: window pair formation over a spillable sort, no per-user array") {
+    val p = plan("st7_transitions")
+    assert(p.contains("Window") && p.contains("lead"),
+      "pairs must form via a lead window (spillable sort)")
+    assert(!p.contains("collect_list"),
+      "no per-user history may buffer in an aggregation array")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "the per-from totals must broadcast onto the counts")
+  }
+
+  test("DAU/MAU: exact dedups once; HLL twin aggregates sketches, never user sets") {
+    val pe = plan("st8_dau_mau")
+    assert(pe.contains("partial_count") || pe.contains("HashAggregate"),
+      "DAU/MAU counts must aggregate two-phase")
+    val ph = plan("st8b_dau_mau_hll")
+    assert(ph.contains("hll_sketch_agg") && ph.contains("hll_union_agg"),
+      "the sketch branch must build per-day sketches and union them")
+    assert(ph.contains("partial_hll_sketch_agg") || ph.contains("partial hll") ||
+      "partial.*hll".r.findFirstIn(ph).isDefined,
+      s"daily sketches must combine map-side (mergeable partials)")
+    assert(!ph.contains("CartesianProduct"),
+      "the window expansion is an explode, never a join")
+  }
+
   test("unpivot lowers to one Expand over the aggregated frame, no join") {
     val p = plan("a13_unpivot")
     assert(p.contains("Expand"), "Dataset.unpivot must lower to an Expand node")

@@ -134,6 +134,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDau counts distinct event-time daily actives exactly once") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.streamingDau(mem.toDF(), "user_id", "ts", "2 minutes")
+      .writeStream.format("memory").queryName("dau_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // u1 twice same day (dedup), u2 once; u1 again in a later batch —
+      // still the same (user, day), must not recount
+      mem.addData(Event(1, 1, "click", 1.0, ts(10)), Event(2, 1, "click", 1.0, ts(20)),
+        Event(3, 2, "view", 1.0, ts(30)))
+      q.processAllAvailable()
+      mem.addData(Event(4, 1, "click", 1.0, ts(40)), Event(5, 3, "view", 1.0, ts(50)))
+      q.processAllAvailable()
+      // update mode re-emits a day's row as it grows: latest value wins
+      val byDay = spark.table("dau_stream").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1))
+        .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).max }
+      assert(byDay == Map("1970-01-01" -> 3L), s"got $byDay")
+      // batch form of the same op = the exact dauMau DAU branch
+      val batch = Seq((1L, ts(10)), (1L, ts(40)), (2L, ts(30)), (3L, ts(50)))
+        .toDF("user_id", "ts")
+      val b = EventStreams.streamingDau(batch, "user_id", "ts")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(b == Map("1970-01-01" -> 3L))
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs right events within the lookback window") {
     implicit val sc = spark.sqlContext
     val impressions = MemoryStream[Event]
