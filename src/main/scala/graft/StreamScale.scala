@@ -143,6 +143,7 @@ object StreamScale {
 
     var totalIn = 0L
     var sessionsTotal = 0L
+    val dauLatest = scala.collection.mutable.Map.empty[String, Long]
     for (t <- 0 until ticks) {
       val staged = stageTick(t)
       totalIn += staged
@@ -183,7 +184,33 @@ object StreamScale {
         OutputMode.Append())
       require(fState <= 15000L * factor,
         s"tick $t: funnel state ($fState) must stay bounded by distinct users")
+      // streaming DAU (6th state shape: per-(user, day) dedup rows inside
+      // the watermark horizon + one aggregate row per day): update-mode
+      // re-emission keeps each day's latest count; the 25 h watermark
+      // covers any same-day duplicate arrival, so the final value per day
+      // must equal the exact batch distinct — checked after the run
+      val (uWall, uState) = {
+        val q = EventStreams.streamingDau(
+            spark.readStream.schema(schema).parquet(watch.toString),
+            "user_id", "ts", watermark = "25 hours")
+          .writeStream
+          .option("checkpointLocation", ckpt.resolve("dau").toString)
+          .outputMode(OutputMode.Update())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(r =>
+              dauLatest(r.getDate(0).toString) = r.getLong(1))
+          }
+          .start()
+        val t0 = System.nanoTime()
+        q.awaitTermination()
+        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        val st =
+          if (progs.isEmpty) 0L else progs.last.stateOperators.map(_.numRowsTotal).sum
+        ((System.nanoTime() - t0) / 1e9, st)
+      }
       println(f"""{"tick":$t,"rows":$staged,"win_wall_s":$wWall%.2f,""" +
+        f""""dau_wall_s":$uWall%.2f,"dau_state_rows":$uState,""" +
         f""""win_emitted":$wEmit,"win_state_rows":$wState,""" +
         f""""dedup_wall_s":$dWall%.2f,"dedup_state_rows":$dState,""" +
         f""""sess_wall_s":$sWall%.2f,"sessions_closed":$sEmit,""" +
@@ -196,6 +223,20 @@ object StreamScale {
     }
     println(s"""{"metric":"stream_scale_sessions","value":$sessionsTotal}""")
     println(s"""{"metric":"stream_scale_total_rows","value":$totalIn,"ticks":$ticks,"factor":$factor}""")
+    // streaming DAU ≡ exact batch distinct per day across the whole run
+    // (the update-mode latest value per day is the day's final count)
+    val exactDau = scaled
+      .select(col("user_id").as("u"), to_date(col("ts")).as("day"))
+      .filter(col("u").isNotNull && col("day").isNotNull)
+      .distinct().groupBy("day").agg(count(lit(1)).as("dau"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    require(dauLatest == exactDau,
+      s"streaming DAU diverged from batch: ${
+        (exactDau.keySet ++ dauLatest.keySet).toSeq.sorted
+          .filter(d => dauLatest.get(d) != exactDau.get(d))
+          .map(d => s"$d stream=${dauLatest.get(d)} exact=${exactDau.get(d)}")
+          .mkString("; ")}")
+    println(s"""{"metric":"stream_scale_dau_days","value":${dauLatest.size}}""")
     spark.stop()
   }
 }

@@ -124,7 +124,7 @@ object PipelineQueries {
     "d21_dedup_impact", "r1_bm25_topk", "r2_hybrid_rrf", "r3_bm25_prf",
     "r4_hard_negatives", "n5_ann_ivf_kmeans", "n7_ann_recall_kmeans",
     "n8_cluster_sample", "n10_ann_pq", "n12_knn_graph", "n13_knn_recall",
-    "n13b_knn_recall_ivf")
+    "n13b_knn_recall_ivf", "a15_source_overlap")
 
   private def kmEmbLabels(s: SparkSession, dir: String,
       k: Int, iters: Int): DataFrame = {
