@@ -122,15 +122,17 @@ object StreamScale {
         spark.readStream.schema(schema).parquet(watch.toString)), mode)
 
     /** drain() for sinks that construct their own source(s) — the
-      * stream-stream join reads the watched dir twice. */
-    def drainFrom(name: String, build: () => DataFrame,
-        mode: OutputMode): (Double, Long, Long, Int) = {
+      * stream-stream join reads the watched dir twice. `sink` consumes
+      * each micro-batch and returns its contribution to the emitted
+      * count (default: the batch size). */
+    def drainFrom(name: String, build: () => DataFrame, mode: OutputMode,
+        sink: DataFrame => Long = _.count()): (Double, Long, Long, Int) = {
       var emitted = 0L
       val q = build().writeStream
         .option("checkpointLocation", ckpt.resolve(name).toString)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) => emitted += b.count() }
+        .foreachBatch { (b: DataFrame, _: Long) => emitted += sink(b) }
         .start()
       val t0 = System.nanoTime()
       q.awaitTermination()
@@ -189,26 +191,16 @@ object StreamScale {
       // re-emission keeps each day's latest count; the 25 h watermark
       // covers any same-day duplicate arrival, so the final value per day
       // must equal the exact batch distinct — checked after the run
-      val (uWall, uState) = {
-        val q = EventStreams.streamingDau(
-            spark.readStream.schema(schema).parquet(watch.toString),
-            "user_id", "ts", watermark = "25 hours")
-          .writeStream
-          .option("checkpointLocation", ckpt.resolve("dau").toString)
-          .outputMode(OutputMode.Update())
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.collect().foreach(r =>
-              dauLatest(r.getDate(0).toString) = r.getLong(1))
-          }
-          .start()
-        val t0 = System.nanoTime()
-        q.awaitTermination()
-        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
-        val st =
-          if (progs.isEmpty) 0L else progs.last.stateOperators.map(_.numRowsTotal).sum
-        ((System.nanoTime() - t0) / 1e9, st)
-      }
+      val (uWall, _, uState, _) = drainFrom("dau", () =>
+        EventStreams.streamingDau(
+          spark.readStream.schema(schema).parquet(watch.toString),
+          "user_id", "ts", watermark = "25 hours"),
+        OutputMode.Update(),
+        sink = { b =>
+          val rows = b.collect()
+          rows.foreach(r => dauLatest(r.getDate(0).toString) = r.getLong(1))
+          rows.length.toLong
+        })
       println(f"""{"tick":$t,"rows":$staged,"win_wall_s":$wWall%.2f,""" +
         f""""dau_wall_s":$uWall%.2f,"dau_state_rows":$uState,""" +
         f""""win_emitted":$wEmit,"win_state_rows":$wState,""" +

@@ -293,6 +293,33 @@ object PipelineQueries {
        |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.bucket = b.bucket
        |    AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared CTE chain: the full LSH+verify pipeline — d2's candidates
+    * exact-verified by true distinct-shingle Jaccard at the 0.02 floor,
+    * ending in `vp(id_a, id_b, jaccard)` — reused by d4b (the pairs
+    * themselves) and a15 (the per-source-pair rollup), so a threshold
+    * or parameter fix can never desync the two mirrors. */
+  private lazy val dLshVerified =
+    s"""$dLshCand,
+       |vp AS (SELECT id_a, id_b, jaccard FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      CAST(len(list_filter(a.hs, xv -> list_contains(b.hs, xv))) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
+       |    FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+       |  WHERE jaccard >= 0.02)""".stripMargin
+
+  /** Shared CTE chain: distinct user-days → per-day DAU → trailing
+    * 30-day MAU via the bounded range join — ends with `dau(d, dau)`
+    * and `mau(d, mau)` in scope; reused by st8 (the frame itself) and
+    * st8b (the same frame next to the sketch-gate booleans). */
+  private lazy val dDauMau =
+    """ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |dau AS (SELECT d, CAST(count(1) AS BIGINT) AS dau FROM ud GROUP BY d),
+      |dl AS (SELECT DISTINCT d FROM ud),
+      |mau AS (SELECT dl.d, CAST(count(DISTINCT ud.u) AS BIGINT) AS mau
+      |  FROM dl JOIN ud ON ud.d <= dl.d AND ud.d >= dl.d - 29
+      |  GROUP BY dl.d)""".stripMargin
+
   /** Shared CTE: whitespace tokens of documents. */
   private val dToks =
     """toks AS (SELECT doc_id, lang, source,
@@ -876,10 +903,13 @@ object PipelineQueries {
     },
 
     // The sketch twin under the x1 contract pattern: exact DAU/MAU next
-    // to booleans gating the HLL estimates (|est − exact| within 5%
-    // relative, absolute floor 4 — lgK=12 runs ~1.6% standard error;
-    // HLL state is a hash-max, so the estimate is deterministic per
-    // input set and the gated booleans hash-stably TRUE). The estimates
+    // to booleans gating the HLL estimates (|est − exact| within 10%
+    // relative, absolute floor 6 — lgK=12 runs ~1.6% standard error, so
+    // 10% ≈ 6σ: the gate cannot flip on a re-rolled dataset or a new
+    // scale point, where a 5% ≈ 3σ gate would carry material aggregate
+    // flip probability across 2 gates × 30 days × scale points. HLL
+    // state is a hash-max, so the estimate is deterministic per input
+    // set and the gated booleans hash-stably TRUE). The estimates
     // themselves stay out of the output — DuckDB has no DataSketches
     // HLL to reproduce them.
     "st8b_dau_mau_hll" -> { (s, dir) =>
@@ -887,7 +917,7 @@ object PipelineQueries {
       val exact = graft.ops.EventAnalytics.dauMau(ev, "user_id", "ts")
       val est = graft.ops.EventAnalytics.dauMauApprox(ev, "user_id", "ts")
       def ok(e: Column, x: Column) =
-        abs(e - x.cast("double")) <= greatest(lit(4.0), x.cast("double") * 0.05)
+        abs(e - x.cast("double")) <= greatest(lit(6.0), x.cast("double") * 0.10)
       exact.join(est, Seq("day"))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("dau"), col("mau"),
@@ -2429,46 +2459,21 @@ object PipelineQueries {
 
     // d2's candidate CTEs (identical parameters, skew guard included)
     // composed with d4's exact distinct-shingle Jaccard — verified pairs
-    // are the candidates whose TRUE Jaccard clears the threshold.
+    // are the candidates whose TRUE Jaccard clears the threshold; the
+    // whole chain is the shared dLshVerified val (a15 rolls up the same
+    // vp rows per source pair).
     "d4b_lsh_verified" ->
-      s"""WITH $dToks,
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
-         |         si -> ${dPhash("tk[si] || ' ' || tk[si+1]", "v")})) AS hs
-         |       FROM toks WHERE len(tk) >= 2),
-         |sigs AS (SELECT doc_id, list_transform(range(0, 16), pi ->
-         |    list_min(list_transform(hs, hv ->
-         |      (((1103515245*pi + 12345) % $P) * hv + ((1234567891*pi + 987654321) % $P)) % $P))) AS sig
-         |  FROM sh),
-         |bands AS (SELECT doc_id, bi AS band,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[(bi*2+1):(bi*2+2)]),
-         |      (hb, vb) -> (hb*31+vb) % $P) AS bucket
-         |  FROM sigs, (SELECT unnest(range(0, 8)) AS bi)),
-         |bsz AS (SELECT band, bucket FROM bands GROUP BY band, bucket
-         |  HAVING count(1) <= 8),
-         |pruned AS (SELECT bands.* FROM bands JOIN bsz USING (band, bucket)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM pruned a JOIN pruned b ON a.band = b.band AND a.bucket = b.bucket
-         |    AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT c.id_a, c.id_b,
-         |    CAST(len(list_filter(a.hs, xe -> list_contains(b.hs, xe))) AS DOUBLE)
-         |      / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
-         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
-         |WHERE jaccard >= 0.02 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $dLshVerified
+         |SELECT id_a, id_b, jaccard FROM vp ORDER BY id_a, id_b""".stripMargin,
 
-    // cross-source overlap mirror: d4b's verified-pair chain (identical
-    // candidate CTEs, skew guard, 0.02 verify floor) joined to each
-    // side's source, orientation normalized with least/greatest, then
-    // the integer/min/max per-pair rollup — no double sums, so the
-    // matrix is hash-exact like the pairs that feed it
+    // cross-source overlap mirror: d4b's verified-pair chain (the SAME
+    // dLshVerified val — identical candidates, skew guard, 0.02 floor)
+    // joined to each side's source, orientation normalized with
+    // least/greatest, then the integer/min/max per-pair rollup — no
+    // double sums, so the matrix is hash-exact like the pairs that
+    // feed it
     "a15_source_overlap" ->
-      s"""WITH $dLshCand,
-         |vp AS (SELECT id_a, id_b, jaccard FROM (
-         |    SELECT c.id_a, c.id_b,
-         |      CAST(len(list_filter(a.hs, xs -> list_contains(b.hs, xs))) AS DOUBLE)
-         |        / CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE) AS jaccard
-         |    FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
-         |  WHERE jaccard >= 0.02),
+      s"""WITH $dLshVerified,
          |srcm AS (SELECT doc_id, source FROM documents)
          |SELECT least(sa.source, sb.source) AS source_a,
          |  greatest(sa.source, sb.source) AS source_b,
@@ -4115,31 +4120,19 @@ object PipelineQueries {
     // caveat). Day emitted as an ISO string to match the Spark harness
     // column.
     "st8_dau_mau" ->
-      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |dau AS (SELECT d, CAST(count(1) AS BIGINT) AS dau FROM ud GROUP BY d),
-        |dl AS (SELECT DISTINCT d FROM ud),
-        |mau AS (SELECT dl.d, CAST(count(DISTINCT ud.u) AS BIGINT) AS mau
-        |  FROM dl JOIN ud ON ud.d <= dl.d AND ud.d >= dl.d - 29
-        |  GROUP BY dl.d)
-        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
-        |  CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
-        |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin,
+      s"""WITH $dDauMau
+         |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+         |  CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+         |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin,
 
-    // HLL-twin mirror: the exact st8 frame again, the sketch-accuracy
-    // gates pinned TRUE (the estimates never enter the output — x1's
-    // contract-boolean pattern)
+    // HLL-twin mirror: the exact st8 frame again (the SAME dDauMau val),
+    // the sketch-accuracy gates pinned TRUE (the estimates never enter
+    // the output — x1's contract-boolean pattern)
     "st8b_dau_mau_hll" ->
-      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |dau AS (SELECT d, CAST(count(1) AS BIGINT) AS dau FROM ud GROUP BY d),
-        |dl AS (SELECT DISTINCT d FROM ud),
-        |mau AS (SELECT dl.d, CAST(count(DISTINCT ud.u) AS BIGINT) AS mau
-        |  FROM dl JOIN ud ON ud.d <= dl.d AND ud.d >= dl.d - 29
-        |  GROUP BY dl.d)
-        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
-        |  TRUE AS dau_ok, TRUE AS mau_ok
-        |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin,
+      s"""WITH $dDauMau
+         |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+         |  TRUE AS dau_ok, TRUE AS mau_ok
+         |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin,
 
     // Cohort mirror: identical integer-microsecond week buckets
     // (604800000000 µs), distinct (user, week) activity, offset-0 rows

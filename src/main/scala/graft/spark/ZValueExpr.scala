@@ -52,8 +52,15 @@ object ZValueInterleave {
   }
 }
 
-case class ZValue(child: Expression, bounds: Array[Array[Double]])
+// bounds is a Seq-of-Seq, not Array-of-Array: case-class equality on an
+// Array field is REFERENCE equality, which would make two semantically
+// identical ZValue expressions compare unequal and defeat Catalyst's
+// semanticEquals/canonicalization (exchange reuse, subexpression dedup)
+case class ZValue(child: Expression, bounds: Seq[Seq[Double]])
     extends UnaryExpression {
+
+  @transient private lazy val boundsArr: Array[Array[Double]] =
+    bounds.map(_.toArray).toArray
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_zvalue"
@@ -69,10 +76,10 @@ case class ZValue(child: Expression, bounds: Array[Array[Double]])
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    ZValueInterleave.zvalue(input.asInstanceOf[ArrayData], bounds)
+    ZValueInterleave.zvalue(input.asInstanceOf[ArrayData], boundsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("zbounds", bounds, "double[][]")
+    val ref = ctx.addReferenceObj("zbounds", boundsArr, "double[][]")
     defineCodeGen(ctx, ev,
       c => s"graft.spark.ZValueInterleave$$.MODULE$$.zvalue($c, $ref)")
   }

@@ -261,7 +261,15 @@ object Artifacts {
     * while we hold the claim, so one re-check here closes the window:
     * if a committed table is now visible we release the claim and lose
     * gracefully (return false — the caller drops its redundant build);
-    * otherwise the rename is safe and IS the commit point. */
+    * otherwise the rename is safe and IS the commit point.
+    *
+    * The guarantee is exactly as strong as claim exclusivity: a rename
+    * that outlasts the claim timeout can have its claim broken by a
+    * waiter (or an aged-out vacuum) and a second writer can slip past
+    * this re-check — the documented residual of break-able claims on
+    * stores without conditional delete. Size
+    * `spark.graft.artifactClaimTimeoutMs` above the slowest
+    * rename+manifest-rewrite the store can see. */
   private[store] def commitUnderClaim(st: TableStore, tmp: String,
       table: String): Boolean = {
     val r = st.root
@@ -380,19 +388,25 @@ object Artifacts {
     * JVM has NOT built or read (superseded keys from parameter changes /
     * data regeneration, stale-FMT leftovers from code upgrades, and
     * orphaned `_b_` temp builds from crashed writers), plus claim files
-    * whose table never committed. Safe to run alongside live writers:
-    * in-flight `_b_` temp builds and claim files are only reclaimed once
-    * NOTHING under them has been written for the claim timeout
-    * (`spark.graft.artifactClaimTimeoutMs`) — a mid-protocol writer is
-    * by definition fresher than that, so vacuum can no longer break a
-    * concurrent publish. Committed tables other JVMs are reading are
-    * still only protected by this JVM's served set — run table-level
-    * reclamation quiesced across the fleet. Returns the dropped names. */
+    * whose table never committed. Safe to run alongside live writers
+    * WITHIN the protocol's timing assumption: in-flight `_b_` temp
+    * builds and claim files are only reclaimed once NOTHING under them
+    * has been written for 3× the claim timeout
+    * (`spark.graft.artifactClaimTimeoutMs`) — the margin covers a loser
+    * that sits idle for one full `awaitCommitted` timeout before
+    * re-racing (age gate == timeout would reclaim it mid-protocol with
+    * zero slack). A publish whose rename+manifest-rewrite outlasts even
+    * that margin can still lose its claim (same residual as the
+    * stale-claim break below — local FS has no conditional delete);
+    * size the timeout above the slowest commit the store can see.
+    * Committed tables other JVMs are reading are still only protected
+    * by this JVM's served set — run table-level reclamation quiesced
+    * across the fleet. Returns the dropped names. */
   def vacuum(s: SparkSession): Seq[String] = {
     val st = store(s)
     val r = root(s)
     val fs = fsOf(s, r)
-    val minAge = claimTimeoutMs(s)
+    val minAge = 3L * claimTimeoutMs(s)
     val now = System.currentTimeMillis()
     // freshest write anywhere under p (dir mtimes only change when DIRECT
     // entries churn, so a long parquet job keeps its deepest files fresh

@@ -637,7 +637,8 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val values = array(cols.map(c => zDouble(c, types(c))): _*)
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.spark.ZValue(
-        org.apache.spark.sql.GraftColumnBridge.expression(values), bounds))
+        org.apache.spark.sql.GraftColumnBridge.expression(values),
+        bounds.map(_.toIndexedSeq).toIndexedSeq))
   }
 
   /** TIMESTAMP_NTZ clustering keys, in clustering order — the ones that

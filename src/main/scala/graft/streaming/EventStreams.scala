@@ -60,14 +60,18 @@ object EventStreams {
   /** Streaming DAU — the real-time twin of
     * [[graft.ops.EventAnalytics.dauMau]]'s DAU branch: distinct daily
     * actives per event-time day, exactly-once under duplicate delivery.
-    * The per-(user, day) dedup rides the watermark (state for a day's
-    * users evicts once the watermark passes the day — bounded by ONE
-    * day's distinct actives, never the log), then a day-keyed count.
-    * Late events inside the watermark still count toward their
-    * event-time day; beyond it they drop, the standard trade. Batch
-    * frames compute the same distinct directly, so the spec can pin
-    * stream ≡ batch on finalized days. Run with outputMode("update")
-    * (the count row for a day re-emits as stragglers arrive). */
+    * BOTH stateful stages ride the watermark: the per-(user, day) dedup
+    * evicts a day's user set once the watermark passes it, and the
+    * count aggregates on the 1-day event-time WINDOW (not a derived day
+    * column — a plain day key would accrete one permanent state row per
+    * day forever), so finalized windows evict too. Total state is
+    * bounded by one watermark-horizon of distinct actives plus the open
+    * windows. Late events inside the watermark still count toward
+    * their event-time day; beyond it they drop, the standard trade.
+    * Batch frames compute the same distinct directly, so the spec can
+    * pin stream ≡ batch on finalized days. Run with
+    * outputMode("update") (the count row for a day re-emits as
+    * stragglers arrive). */
   def streamingDau(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
     val keyed = events
@@ -79,7 +83,9 @@ object EventStreams {
         keyed.withWatermark("ts", watermark)
           .dropDuplicatesWithinWatermark(Seq("u", "day"))
       else keyed.dropDuplicates("u", "day")
-    deduped.groupBy("day").agg(count(lit(1)).as("dau"))
+    deduped.groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("window.start").cast("date").as("day"), col("dau"))
   }
 
   /** Stream-stream interval join: each left event pairs with right events
