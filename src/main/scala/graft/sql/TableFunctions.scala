@@ -129,6 +129,9 @@ import graft.store.TableStore
   *  - `TABLE(graft_dau_mau(events, 'user', 'ts'[, window_days]))` →
   *    [[graft.ops.EventAnalytics.dauMau]]: exact DAU / trailing-window
   *    MAU / stickiness per active day
+  *  - `TABLE(graft_dau_mau_hll(events, 'user', 'ts'[, window_days]))` →
+  *    [[graft.ops.EventAnalytics.dauMauApprox]]: the HLL sketch twin
+  *    (per-day sketches, trailing MAU by sketch union)
   *  - `TABLE(graft_hash_tfidf(t, 'id', 'text', dim))` →
   *    [[CorpusOps.hashingTfidf]]: fixed-dim hashed TF-IDF vectors
   *    bridging text tables into the vector operators
@@ -538,6 +541,13 @@ object TableFunctions {
           str(args(2)),
           window = if (args.length > 3) args(3).toInt else 30)
 
+      case "graft_dau_mau_hll" =>
+        arity(args.length == 3 || args.length == 4,
+          "3 or 4 (events, 'user', 'ts'[, window_days])")
+        graft.ops.EventAnalytics.dauMauApprox(rel(args(0)), str(args(1)),
+          str(args(2)),
+          window = if (args.length > 3) args(3).toInt else 30)
+
       case "graft_hash_tfidf" =>
         arity(args.length == 4, "4 (t, 'id', 'text', dim)")
         CorpusOps.hashingTfidf(rel(args(0)), str(args(1)), str(args(2)),
@@ -667,6 +677,7 @@ object TableFunctions {
         "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
         "graft_pagerank, graft_triangles, graft_funnel, graft_funnel_gaps, " +
         "graft_event_paths, graft_transitions, graft_cohorts, graft_dau_mau, " +
+        "graft_dau_mau_hll, " +
         "graft_hash_tfidf, graft_semdedup_kmeans, " +
         "graft_containment_pairs, graft_pps_sample, graft_cluster_keywords, " +
         "graft_asof_join, graft_range_join, graft_hard_negatives, " +

@@ -346,6 +346,9 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(rows(g.sql("SELECT * FROM TABLE(graft_dau_mau(events_tf, " +
       "'user_id', 'ts', 7))").get) ==
       rows(graft.ops.EventAnalytics.dauMau(ev, "user_id", "ts", window = 7)))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_dau_mau_hll(events_tf, " +
+      "'user_id', 'ts', 7))").get) ==
+      rows(graft.ops.EventAnalytics.dauMauApprox(ev, "user_id", "ts", window = 7)))
   }
 
   test("graft_asof_join / graft_range_join: SQL calls equal TemporalJoins") {
