@@ -165,11 +165,31 @@ object Dedup {
       idCol: String, textCol: String, minSim: Double,
       prefixLen: Int = 256, k: Int = 16, bands: Int = 8,
       maxBucketSize: Option[Int] = Some(10000),
-      minEst: Double = 0.0): DataFrame = {
+      minEst: Double = 0.0): DataFrame =
+    // bounded report, materialized like the sibling verify ops: the
+    // broadcast text joins leave no shuffle boundary above the DP, so a
+    // downstream global ORDER BY's range-sampling pass would re-run
+    // every levenshtein a second time (measured 1.6× end-to-end on the
+    // registered d19 at sf0.1)
+    lshEditVerifiedPlan(docs, ex, idCol, textCol, minSim, prefixLen,
+      k, bands, maxBucketSize, minEst).materialized
+
+  /** The lazy plan under [[lshEditVerifiedPairs]] — split out so
+    * PlanSpec can assert the DP/join shapes that the public op's eager
+    * materialization cuts out of the returned frame's lineage. */
+  private[graft] def lshEditVerifiedPlan(docs: DataFrame, ex: DataFrame,
+      idCol: String, textCol: String, minSim: Double,
+      prefixLen: Int, k: Int, bands: Int,
+      maxBucketSize: Option[Int], minEst: Double): DataFrame = {
     require(minSim > 0, "minSim must be > 0")
+    // bounded screened pair list, consumed by two text joins downstream —
+    // materialize once (the minhashEstimationReport pattern), so the
+    // signature chain can never re-compute per join arm regardless of
+    // how the optimizer places the est screen
     val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
       .filter(col("est_jaccard") >= minEst)
       .select("id_a", "id_b")
+      .materialized
     val t = docs.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("t"))
     candidates

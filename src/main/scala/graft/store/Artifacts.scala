@@ -82,6 +82,11 @@ object Artifacts {
   // cache strongly retained every SparkSession ever used. Build/append
   // mutual exclusion comes from the striped locks below (bounded forever)
   // plus the cross-JVM claim protocol, not from handle identity.
+  // 8 buckets, measured: raising to 32 to widen scan parallelism was
+  // A/B'd at sf0.1 and LOST — per-file overhead on the many small
+  // artifact reads cost more across the suite (+3.3 s) than the wider
+  // signature-scan stage saved; at cluster scale the bucket count is a
+  // per-root tuning knob, not a constant to inflate on a 32-core box.
   private def store(s: SparkSession): TableStore =
     new TableStore(s, root(s), numBuckets = 8)
 

@@ -417,7 +417,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("edit verify: candidate-bounded DP via the built-in, id equi-joins only") {
-    val p = plan("d19_edit_verify")
+    // the public op materializes its bounded report eagerly (the ORDER
+    // BY range-sampling guard), which cuts the returned frame's lineage —
+    // assert on the lazy plan the op runs, via the private[graft] seam
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val sh = graft.ops.Dedup.shingleRows(docs, "doc_id", "text", shingleN = 2)
+    val p = graft.ops.Dedup.lshEditVerifiedPlan(docs, sh, "doc_id", "text",
+        minSim = 0.3, prefixLen = 256, k = 16, bands = 8,
+        maxBucketSize = Some(8), minEst = 0.25)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("levenshtein"),
       "the DP must be the codegen'd built-in, not a UDF")
     assert(!p.contains("ScalaUDF"), "no UDF anywhere in the verify path")
