@@ -68,15 +68,26 @@ object EventStreams {
     * bounded by one watermark-horizon of distinct actives plus the open
     * windows. Late events inside the watermark still count toward
     * their event-time day; beyond it they drop, the standard trade.
-    * Batch frames compute the same distinct directly, so the spec can
-    * pin stream ≡ batch on finalized days. Run with
-    * outputMode("update") (the count row for a day re-emits as
-    * stragglers arrive). */
+    * Batch frames run the same dedup+window pipeline, so stream ≡ batch
+    * on finalized days AT ANY SESSION TIMEZONE.
+    *
+    * Day semantics: UTC epoch days throughout — Spark's event-time
+    * windows are epoch-aligned regardless of the session timezone, so
+    * the dedup key is the epoch-day index (floor division, exact for
+    * pre-1970 rows) and the emitted `day` label converts that index
+    * timezone-free via date_from_unix_date. A session-local `to_date`
+    * key would bucket differently from the window in any non-UTC
+    * session (the batch twin [[graft.ops.EventAnalytics.dauMau]] uses
+    * session-local days; the two agree under the UTC sessions every
+    * graft entry point pins). Run with outputMode("update") (the count
+    * row for a day re-emits as stragglers arrive). */
   def streamingDau(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    val DayUs = 86400000000L
+    val us = unix_micros(col(tsCol))
     val keyed = events
       .select(col(userCol).as("u"), col(tsCol).as("ts"),
-        to_date(col(tsCol)).as("day"))
+        ((us - pmod(us, lit(DayUs))) / lit(DayUs)).cast("long").as("day"))
       .filter(col("u").isNotNull && col("day").isNotNull)
     val deduped =
       if (events.isStreaming)
@@ -85,7 +96,9 @@ object EventStreams {
       else keyed.dropDuplicates("u", "day")
     deduped.groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("dau"))
-      .select(col("window.start").cast("date").as("day"), col("dau"))
+      .select(date_from_unix_date(
+          (unix_micros(col("window.start")) / lit(DayUs)).cast("int")).as("day"),
+        col("dau"))
   }
 
   /** Stream-stream interval join: each left event pairs with right events

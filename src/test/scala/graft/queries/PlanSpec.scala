@@ -432,6 +432,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "no UDF anywhere in the verify path")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "texts attach to candidates by id equi-joins — never an unkeyed pair scan")
+    // the candidate CHAIN is materialized out of the plan above — pin its
+    // shapes separately (this is the shared chain under d2/d4b/d19/d20):
+    // two-phase min() signatures, band/bucket equi-self-join, no UDF
+    val pc = graft.ops.Dedup.minhashCandidates(sh, 16, 8, Some(8))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(pc.contains("partial_min"),
+      "signature minima must aggregate map-side")
+    assert(!pc.contains("ScalaUDF"), "no UDF in the LSH candidate chain")
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
+      "the bucket self-join must stay an equi-join on (band, bucket)")
   }
 
   test("ngram novelty: gram-hash keyed join, two-phase aggs, nothing pairwise") {

@@ -159,6 +159,17 @@ class EventStreamsSpec extends AnyFunSuite {
       val b = EventStreams.streamingDau(batch, "user_id", "ts")
         .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
       assert(b == Map("1970-01-01" -> 3L))
+      // UTC-epoch-day semantics are session-timezone-independent: the
+      // dedup key, the window and the day label are all epoch-derived
+      // (a to_date key would bucket differently from the epoch-aligned
+      // window in any non-UTC session)
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        val la = EventStreams.streamingDau(batch, "user_id", "ts")
+          .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+        assert(la == b, s"day bucketing moved with the session timezone: $la")
+      } finally spark.conf.set("spark.sql.session.timeZone", tz)
     } finally q.stop()
   }
 
