@@ -160,7 +160,23 @@ object Dedup {
     * @param minEst DP only candidates whose MinHash estimate ≥ this
     *               (0.0 = verify every candidate).
     * @return (id_a, id_b, edit_sim) with id_a < id_b; identical empty
-    *   prefixes score 1.0. */
+    *   prefixes score 1.0.
+    *
+    * @note EAGER: this op runs its Spark jobs AT CALL TIME — the
+    *   screened candidate list and the full verified report are both
+    *   materialized ([[graft.spark.Materialize]]) before the frame is
+    *   returned, because the broadcast text joins leave no shuffle
+    *   boundary above the DP and a lazy plan would re-run every
+    *   levenshtein under a downstream ORDER BY's range-sampling pass.
+    *   Callers that want only a restricted subset still pay the whole
+    *   bounded report; plan-building callers (tests asserting join/DP
+    *   shapes, pipelines that fuse their own bounds) should use the
+    *   lazy [[lshEditVerifiedPlan]] seam instead. Under the default
+    *   `localCheckpoint` mode the materialized blocks are NOT
+    *   fault-tolerant — losing an executor makes the returned frame
+    *   unrecomputable; on a real cluster set
+    *   `spark.graft.reliableCheckpoint=true` (+ a checkpoint dir) to
+    *   trade a storage copy for executor-loss survival. */
   def lshEditVerifiedPairs(docs: DataFrame, ex: DataFrame,
       idCol: String, textCol: String, minSim: Double,
       prefixLen: Int = 256, k: Int = 16, bands: Int = 8,

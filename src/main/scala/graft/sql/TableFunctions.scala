@@ -257,6 +257,24 @@ object TableFunctions {
     }
     def arity(ok: Boolean, want: String): Unit =
       require(ok, s"$fn takes $want arguments, got ${args.length}: ${args.mkString(", ")}")
+    // numeric literals get the same user-facing diagnostics as arity/str
+    // violations — a bare toInt would surface a raw NumberFormatException
+    // with no hint of which function or argument was at fault
+    def int(a: String): Int =
+      try a.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$fn: expected an integer literal, got $a")
+      }
+    def posInt(a: String, what: String): Int = {
+      val v = int(a)
+      require(v > 0, s"$fn: $what must be a positive integer, got $v")
+      v
+    }
+    def num(a: String): Double =
+      try a.trim.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$fn: expected a numeric literal, got $a")
+      }
     def budgets(a: String): Map[String, Long] =
       str(a).split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
         val i = kv.lastIndexOf('=')
@@ -268,21 +286,21 @@ object TableFunctions {
       case "graft_neardup_filter" =>
         arity(args.length >= 3 && args.length <= 7, "3 to 7")
         Dedup.nearDupFilter(rel(args(0)), str(args(1)), str(args(2)),
-          minJaccard = if (args.length > 3) args(3).toDouble else 0.8,
-          k = if (args.length > 4) args(4).toInt else 16,
-          bands = if (args.length > 5) args(5).toInt else 8,
-          shingleN = if (args.length > 6) args(6).toInt else 2)
+          minJaccard = if (args.length > 3) num(args(3)) else 0.8,
+          k = if (args.length > 4) int(args(4)) else 16,
+          bands = if (args.length > 5) int(args(5)) else 8,
+          shingleN = if (args.length > 6) int(args(6)) else 2)
 
       case "graft_decontaminate" =>
         arity(args.length == 5, "5 (corpus, benchmark, 'id', 'text', n)")
         CorpusOps.decontaminate(rel(args(0)), rel(args(1)),
-          str(args(2)), str(args(3)), args(4).toInt)
+          str(args(2)), str(args(3)), int(args(4)))
 
       case "graft_bm25_topk" =>
         arity(args.length == 7,
           "7 (docs, queries, 'id', 'text', 'qid', 'qtext', k)")
         Retrieval.bm25TopK(rel(args(0)), rel(args(1)), str(args(2)),
-          str(args(3)), str(args(4)), str(args(5)), args(6).toInt)
+          str(args(3)), str(args(4)), str(args(5)), int(args(6)))
 
       case "graft_kmeans_ivf_topk" =>
         arity(args.length == 8,
@@ -291,10 +309,10 @@ object TableFunctions {
         val idCol = str(args(2))
         val vecCol = str(args(3))
         val km = Similarity
-          .kmeans(corpus, idCol, vecCol, args(4).toInt, args(5).toInt)
+          .kmeans(corpus, idCol, vecCol, int(args(4)), int(args(5)))
           .withColumnRenamed("id", idCol)
         Similarity.ivfTopK(corpus.join(km, Seq(idCol)), rel(args(1)),
-          idCol, vecCol, "cluster", args(6).toInt, args(7).toInt)
+          idCol, vecCol, "cluster", int(args(6)), int(args(7)))
 
       case "graft_token_budget_mix" =>
         arity(args.length == 5 || args.length == 6,
@@ -312,64 +330,64 @@ object TableFunctions {
         arity(args.length == 5 || args.length == 6,
           "5 or 6 (corpus, benchmark, 'id', 'text', n[, fpp])")
         CorpusOps.decontaminateBloom(rel(args(0)), rel(args(1)),
-          str(args(2)), str(args(3)), args(4).toInt,
-          fpp = if (args.length > 5) args(5).toDouble else 0.01)
+          str(args(2)), str(args(3)), int(args(4)),
+          fpp = if (args.length > 5) num(args(5)) else 0.01)
 
       case "graft_neardup_pairs" =>
         arity(args.length >= 4 && args.length <= 7,
           "4 to 7 (t, 'id', 'text', min_jaccard[, k, bands, shingle_n])")
         Dedup.lshVerifiedPairs(rel(args(0)), str(args(1)), str(args(2)),
-          args(3).toDouble,
-          k = if (args.length > 4) args(4).toInt else 16,
-          bands = if (args.length > 5) args(5).toInt else 8,
-          shingleN = if (args.length > 6) args(6).toInt else 2)
+          num(args(3)),
+          k = if (args.length > 4) int(args(4)) else 16,
+          bands = if (args.length > 5) int(args(5)) else 8,
+          shingleN = if (args.length > 6) int(args(6)) else 2)
 
       case "graft_chunk" =>
         arity(args.length == 4 || args.length == 5,
           "4 or 5 (t, 'id', 'text', size[, overlap])")
         CorpusOps.chunk(rel(args(0)), str(args(1)), str(args(2)),
-          args(3).toInt, overlap = if (args.length > 4) args(4).toInt else 0)
+          int(args(3)), overlap = if (args.length > 4) int(args(4)) else 0)
 
       case "graft_brute_topk" =>
         arity(args.length == 5, "5 (corpus, queries, 'id', 'vec', k)")
         Similarity.bruteForceTopK(rel(args(0)), rel(args(1)),
-          str(args(2)), str(args(3)), args(4).toInt)
+          str(args(2)), str(args(3)), int(args(4)))
 
       case "graft_bm25_prf_topk" =>
         arity(args.length >= 7 && args.length <= 9,
           "7 to 9 (docs, queries, 'id', 'text', 'qid', 'qtext', k[, fb_docs, fb_terms])")
         Retrieval.bm25PrfTopK(rel(args(0)), rel(args(1)), str(args(2)),
-          str(args(3)), str(args(4)), str(args(5)), args(6).toInt,
-          fbDocs = if (args.length > 7) args(7).toInt else 5,
-          fbTerms = if (args.length > 8) args(8).toInt else 10)
+          str(args(3)), str(args(4)), str(args(5)), int(args(6)),
+          fbDocs = if (args.length > 7) int(args(7)) else 5,
+          fbTerms = if (args.length > 8) int(args(8)) else 10)
 
       case "graft_semantic_dedup" =>
         arity(args.length >= 3 && args.length <= 5,
           "3 to 5 (t, 'id', 'vec'[, min_cosine[, planes]])")
         Dedup.semanticDedup(rel(args(0)), str(args(1)), str(args(2)),
-          minCosine = if (args.length > 3) args(3).toDouble else 0.95,
-          planes = if (args.length > 4) args(4).toInt else 12)
+          minCosine = if (args.length > 3) num(args(3)) else 0.95,
+          planes = if (args.length > 4) int(args(4)) else 12)
 
       case "graft_nb_classify" =>
         arity(args.length == 5 || args.length == 6,
           "5 or 6 (train, test, 'id', 'text', 'label'[, vocab_size])")
         CorpusOps.nbClassifyBits(rel(args(0)), rel(args(1)), str(args(2)),
           str(args(3)), str(args(4)),
-          vocabSize = if (args.length > 5) args(5).toInt else 30000)
+          vocabSize = if (args.length > 5) int(args(5)) else 30000)
 
       case "graft_incremental_neardup" =>
         arity(args.length == 4 || args.length == 5,
           "4 or 5 (corpus, batch, 'id', 'text'[, min_jaccard])")
         Dedup.incrementalNearDupFilter(rel(args(0)), rel(args(1)),
           str(args(2)), str(args(3)),
-          minJaccard = if (args.length > 4) args(4).toDouble else 0.8)
+          minJaccard = if (args.length > 4) num(args(4)) else 0.8)
 
       case "graft_dsir_select" =>
         arity(args.length == 5 || args.length == 6,
           "5 or 6 (raw, target, 'id', 'text', k[, dim])")
         CorpusOps.dsirSelect(rel(args(0)), rel(args(1)), str(args(2)),
-          str(args(3)), args(4).toInt,
-          dim = if (args.length > 5) args(5).toInt else 4096)
+          str(args(3)), int(args(4)),
+          dim = if (args.length > 5) int(args(5)) else 4096)
 
       case "graft_cluster_reps" =>
         arity(args.length == 3 || args.length == 4,
@@ -407,33 +425,33 @@ object TableFunctions {
 
       case "graft_shuffle_shards" =>
         arity(args.length == 3, "3 (t, 'id', n_shards)")
-        CorpusOps.shuffleShards(rel(args(0)), str(args(1)), args(2).toInt)
+        CorpusOps.shuffleShards(rel(args(0)), str(args(1)), int(args(2)))
 
       case "graft_quality_retention" =>
         arity(args.length == 5, "5 (t, 'id', 'text', 'lang', retention)")
         CorpusOps.qualityRetention(rel(args(0)), str(args(1)), str(args(2)),
-          str(args(3)), args(4).toDouble)
+          str(args(3)), num(args(4)))
 
       case "graft_curriculum" =>
         arity(args.length == 4 || args.length == 5,
           "4 or 5 (t, 'id', 'text', n_phases[, vocab_size])")
         CorpusOps.curriculum(rel(args(0)), str(args(1)), str(args(2)),
-          args(3).toInt,
-          if (args.length > 4) args(4).toInt else 30000)
+          int(args(3)),
+          if (args.length > 4) int(args(4)) else 30000)
 
       case "graft_knn_graph" =>
         arity(args.length == 4, "4 (t, 'id', 'vec', k)")
         Similarity.knnGraph(rel(args(0)), str(args(1)), str(args(2)),
-          args(3).toInt)
+          int(args(3)))
 
       case "graft_winnow_overlap" =>
         arity(args.length >= 3 && args.length <= 7,
           "3 to 7 (t, 'id', 'text'[, shingle_n, window, min_shared, max_doc_freq])")
         Dedup.winnowOverlapPairs(rel(args(0)), str(args(1)), str(args(2)),
-          shingleN = if (args.length > 3) args(3).toInt else 3,
-          window = if (args.length > 4) args(4).toInt else 4,
-          minShared = if (args.length > 5) args(5).toInt else 3,
-          maxDocFreq = if (args.length > 6) args(6).toInt else 8)
+          shingleN = if (args.length > 3) int(args(3)) else 3,
+          window = if (args.length > 4) int(args(4)) else 4,
+          minShared = if (args.length > 5) int(args(5)) else 3,
+          maxDocFreq = if (args.length > 6) int(args(6)) else 8)
 
       case "graft_artifacts" =>
         arity(args.isEmpty, "0 () — lists this session's artifact-store tables")
@@ -458,22 +476,22 @@ object TableFunctions {
         arity(args.length >= 2 && args.length <= 4,
           "2 to 4 (t, 'text'[, top_k, min_count])")
         CorpusOps.collocationBits(rel(args(0)), str(args(1)),
-          topK = if (args.length > 2) args(2).toInt else 20,
-          minCount = if (args.length > 3) args(3).toInt else 5)
+          topK = if (args.length > 2) int(args(2)) else 20,
+          minCount = if (args.length > 3) int(args(3)) else 5)
 
       case "graft_winnow_fp" =>
         arity(args.length >= 3 && args.length <= 5,
           "3 to 5 (t, 'id', 'text'[, shingle_n, window])")
         Dedup.winnowFingerprints(rel(args(0)), str(args(1)), str(args(2)),
-          shingleN = if (args.length > 3) args(3).toInt else 3,
-          window = if (args.length > 4) args(4).toInt else 4)
+          shingleN = if (args.length > 3) int(args(3)) else 3,
+          window = if (args.length > 4) int(args(4)) else 4)
 
       case "graft_dup_spans" =>
         arity(args.length == 4 || args.length == 5,
           "4 or 5 (t, 'id', 'text', n[, min_docs])")
         Dedup.duplicatedSpans(rel(args(0)), str(args(1)), str(args(2)),
-          n = args(3).toInt,
-          minDocs = if (args.length > 4) args(4).toInt else 2)
+          n = int(args(3)),
+          minDocs = if (args.length > 4) int(args(4)) else 2)
 
       case "graft_cut_spans" =>
         arity(args.length == 4 || args.length == 5,
@@ -481,22 +499,22 @@ object TableFunctions {
         val spanSrc = rel(args(0))
         Dedup.cutSpans(spanSrc, str(args(1)), str(args(2)),
           Dedup.duplicatedSpans(spanSrc, str(args(1)), str(args(2)),
-            n = args(3).toInt,
-            minDocs = if (args.length > 4) args(4).toInt else 2))
+            n = int(args(3)),
+            minDocs = if (args.length > 4) int(args(4)) else 2))
 
       case "graft_bpe_tokenize" =>
         arity(args.length == 3 || args.length == 4,
           "3 or 4 (t, 'text', num_merges[, batch_k])")
         CorpusOps.bpeSubwordHistogram(rel(args(0)), str(args(1)),
-          args(2).toInt,
-          batchK = if (args.length > 3) args(3).toInt else 1)
+          int(args(2)),
+          batchK = if (args.length > 3) int(args(3)) else 1)
 
       case "graft_pagerank" =>
         arity(args.length >= 1 && args.length <= 3,
           "1 to 3 (pairs[, iters[, damping]]) — pairs has (id_a, id_b)")
         Dedup.pagerankCentrality(rel(args(0)),
-          iters = if (args.length > 1) args(1).toInt else 3,
-          damping = if (args.length > 2) args(2).toDouble else 0.85)
+          iters = if (args.length > 1) int(args(1)) else 3,
+          damping = if (args.length > 2) num(args(2)) else 0.85)
 
       case "graft_triangles" =>
         arity(args.length == 1, "1 (pairs) — pairs has (id_a, id_b)")
@@ -527,7 +545,7 @@ object TableFunctions {
         arity(args.length == 6,
           "6 (events, 'user', 'type', 'ts', depth, top_n)")
         graft.ops.EventAnalytics.topEventPaths(rel(args(0)), str(args(1)),
-          str(args(2)), str(args(3)), args(4).toInt, args(5).toInt)
+          str(args(2)), str(args(3)), int(args(4)), int(args(5)))
 
       case "graft_cohorts" =>
         arity(args.length == 3, "3 (events, 'user', 'ts')")
@@ -539,49 +557,49 @@ object TableFunctions {
           "3 or 4 (events, 'user', 'ts'[, window_days])")
         graft.ops.EventAnalytics.dauMau(rel(args(0)), str(args(1)),
           str(args(2)),
-          window = if (args.length > 3) args(3).toInt else 30)
+          window = if (args.length > 3) posInt(args(3), "window_days") else 30)
 
       case "graft_dau_mau_hll" =>
         arity(args.length == 3 || args.length == 4,
           "3 or 4 (events, 'user', 'ts'[, window_days])")
         graft.ops.EventAnalytics.dauMauApprox(rel(args(0)), str(args(1)),
           str(args(2)),
-          window = if (args.length > 3) args(3).toInt else 30)
+          window = if (args.length > 3) posInt(args(3), "window_days") else 30)
 
       case "graft_hash_tfidf" =>
         arity(args.length == 4, "4 (t, 'id', 'text', dim)")
         CorpusOps.hashingTfidf(rel(args(0)), str(args(1)), str(args(2)),
-          args(3).toInt)
+          int(args(3)))
 
       case "graft_semdedup_kmeans" =>
         arity(args.length >= 4 && args.length <= 6,
           "4 to 6 (t, 'id', 'vec', min_cosine[, k_clusters, iters])")
         Dedup.semDedupKmeans(rel(args(0)), str(args(1)), str(args(2)),
-          args(3).toDouble,
-          kClusters = if (args.length > 4) args(4).toInt else 20,
-          iters = if (args.length > 5) args(5).toInt else 5)
+          num(args(3)),
+          kClusters = if (args.length > 4) int(args(4)) else 20,
+          iters = if (args.length > 5) int(args(5)) else 5)
 
       case "graft_containment_pairs" =>
         arity(args.length >= 4 && args.length <= 7,
           "4 to 7 (t, 'id', 'text', min_containment[, k, bands, shingle_n])")
         Dedup.lshContainmentPairs(rel(args(0)), str(args(1)), str(args(2)),
-          args(3).toDouble,
-          k = if (args.length > 4) args(4).toInt else 16,
-          bands = if (args.length > 5) args(5).toInt else 8,
-          shingleN = if (args.length > 6) args(6).toInt else 2)
+          num(args(3)),
+          k = if (args.length > 4) int(args(4)) else 16,
+          bands = if (args.length > 5) int(args(5)) else 8,
+          shingleN = if (args.length > 6) int(args(6)) else 2)
 
       case "graft_pps_sample" =>
         arity(args.length == 4 || args.length == 5,
           "4 or 5 (t, 'id', 'weight_col', n[, buckets])")
         CorpusOps.ppsSample(rel(args(0)), str(args(1)), str(args(2)),
-          args(3).toInt,
-          buckets = if (args.length > 4) args(4).toInt else 64)
+          int(args(3)),
+          buckets = if (args.length > 4) int(args(4)) else 64)
 
       case "graft_cluster_keywords" =>
         arity(args.length == 6,
           "6 (docs, labels, 'id', 'text', k_clusters, top_m) — labels has (id, cluster)")
         CorpusOps.clusterKeywords(rel(args(0)), str(args(2)), str(args(3)),
-          rel(args(1)), args(4).toInt, args(5).toInt)
+          rel(args(1)), int(args(4)), int(args(5)))
 
       case "graft_hard_negatives" =>
         arity(args.length == 12,
@@ -589,55 +607,55 @@ object TableFunctions {
         Retrieval.bm25HardNegatives(rel(args(0)), rel(args(1)),
           str(args(3)), str(args(4)), str(args(5)), str(args(6)),
           rel(args(2)), str(args(7)), str(args(8)),
-          kLex = args(9).toInt, maxCosine = args(10).toDouble,
-          k = args(11).toInt)
+          kLex = int(args(9)), maxCosine = num(args(10)),
+          k = int(args(11)))
 
       case "graft_edit_pairs" =>
         arity(args.length >= 4 && args.length <= 9,
           "4 to 9 (t, 'id', 'text', min_sim[, prefix_len, k, bands, shingle_n, min_est])")
         val t = rel(args(0))
         val sh = Dedup.shingleRows(t, str(args(1)), str(args(2)),
-          shingleN = if (args.length > 7) args(7).toInt else 2)
+          shingleN = if (args.length > 7) int(args(7)) else 2)
         Dedup.lshEditVerifiedPairs(t, sh, str(args(1)), str(args(2)),
-          args(3).toDouble,
-          prefixLen = if (args.length > 4) args(4).toInt else 256,
-          k = if (args.length > 5) args(5).toInt else 16,
-          bands = if (args.length > 6) args(6).toInt else 8,
-          minEst = if (args.length > 8) args(8).toDouble else 0.0)
+          num(args(3)),
+          prefixLen = if (args.length > 4) int(args(4)) else 256,
+          k = if (args.length > 5) int(args(5)) else 16,
+          bands = if (args.length > 6) int(args(6)) else 8,
+          minEst = if (args.length > 8) num(args(8)) else 0.0)
 
       case "graft_minhash_est" =>
         arity(args.length >= 3 && args.length <= 6,
           "3 to 6 (t, 'id', 'text'[, k, bands, shingle_n])")
         Dedup.minhashEstimationReport(
           Dedup.shingleRows(rel(args(0)), str(args(1)), str(args(2)),
-            shingleN = if (args.length > 5) args(5).toInt else 2),
-          k = if (args.length > 3) args(3).toInt else 16,
-          bands = if (args.length > 4) args(4).toInt else 8)
+            shingleN = if (args.length > 5) int(args(5)) else 2),
+          k = if (args.length > 3) int(args(3)) else 16,
+          bands = if (args.length > 4) int(args(4)) else 8)
 
       case "graft_ngram_novelty" =>
         arity(args.length == 3 || args.length == 4,
           "3 or 4 (t, 'id', 'text'[, n])")
         Dedup.ngramNovelty(rel(args(0)), str(args(1)), str(args(2)),
-          n = if (args.length > 3) args(3).toInt else 5)
+          n = if (args.length > 3) int(args(3)) else 5)
 
       case "graft_bpe_fertility" =>
         arity(args.length == 4 || args.length == 5,
           "4 or 5 (t, 'text', 'lang', num_merges[, batch_k])")
         CorpusOps.bpeFertility(rel(args(0)), str(args(1)), str(args(2)),
-          args(3).toInt,
-          batchK = if (args.length > 4) args(4).toInt else 1)
+          int(args(3)),
+          batchK = if (args.length > 4) int(args(4)) else 1)
 
       case "graft_knn_classify" =>
         arity(args.length == 6,
           "6 (seeds, targets, 'id', 'vec', 'label', k)")
         Similarity.knnLabelPropagate(rel(args(0)), rel(args(1)),
-          str(args(2)), str(args(3)), str(args(4)), args(5).toInt)
+          str(args(2)), str(args(3)), str(args(4)), int(args(5)))
 
       case "graft_source_divergence" =>
         arity(args.length == 3 || args.length == 4,
           "3 or 4 (t, 'text', 'source'[, vocab_size])")
         CorpusOps.sourceDivergenceBits(rel(args(0)), str(args(1)), str(args(2)),
-          vocabSize = if (args.length > 3) args(3).toInt else 30000)
+          vocabSize = if (args.length > 3) int(args(3)) else 30000)
 
       case "graft_asof_join" =>
         arity(args.length == 5 || args.length == 6,

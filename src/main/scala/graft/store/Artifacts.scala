@@ -413,21 +413,32 @@ object Artifacts {
     val fs = fsOf(s, r)
     val minAge = 3L * claimTimeoutMs(s)
     val now = System.currentTimeMillis()
-    // freshest write anywhere under p (dir mtimes only change when DIRECT
-    // entries churn, so a long parquet job keeps its deepest files fresh
-    // while the build root goes quiet — probe files recursively)
-    def lastTouched(p: Path): Long =
+    // is ANY write under p within minAge? (dir mtimes only change when
+    // DIRECT entries churn, so a long parquet job keeps its deepest files
+    // fresh while the build root goes quiet — probe files recursively).
+    // Short-circuits on the FIRST fresh file: a large in-flight build is
+    // by definition fresh, so the walk stops after a handful of entries
+    // instead of listing the entire tree (an object-store GET storm when
+    // many vacuums race a many-thousand-file parquet build). Only a
+    // genuinely stale tree — about to be reclaimed once, then gone —
+    // pays the full walk. A vanished path counts as fresh (another
+    // vacuum or the owner just removed it; nothing left to reclaim).
+    def touchedWithin(p: Path, age: Long): Boolean =
       try {
-        var mx = fs.getFileStatus(p).getModificationTime
-        val it = fs.listFiles(p, true)
-        while (it.hasNext) mx = math.max(mx, it.next().getModificationTime)
-        mx
-      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        if (now - fs.getFileStatus(p).getModificationTime <= age) true
+        else {
+          val it = fs.listFiles(p, true)
+          var fresh = false
+          while (!fresh && it.hasNext)
+            fresh = now - it.next().getModificationTime <= age
+          fresh
+        }
+      } catch { case _: java.io.FileNotFoundException => true }
     val dropped = st.listTables().filter(_.startsWith("artifact_")).filter { t =>
       val staleFmt = !readMeta(fs, r, t).exists(_.fmt == FMT)
       val unserved = staleFmt || !served.contains(s"$r|$t")
       if (isTempBuild(t))
-        unserved && now - lastTouched(new Path(r, t)) > minAge
+        unserved && !touchedWithin(new Path(r, t), minAge)
       else unserved
     }
     dropped.foreach(t => st.dropTable(t, purge = true))

@@ -829,7 +829,17 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   /** One sidecar line per (file, column):
     * `rel\tcol\tkind\tnulls\tmin\tmax` — string bounds base64'd (TSV-safe),
-    * numeric bounds in plain text, "" = unbounded on that side. */
+    * numeric bounds in plain text, "" = unbounded on that side.
+    *
+    * INTEGRITY SENTINEL: the first line is `#graft_stats files=<n>`
+    * (distinct data files inventoried) and the last line is `#end`.
+    * [[scanWhere]] treats the sidecar as the batch's authoritative file
+    * inventory, so a sidecar that is present and parseable but
+    * INCOMPLETE (a non-atomic writer that flushed a prefix, truncation
+    * exactly on a line boundary) would silently drop committed files
+    * from every scan. [[readStatsSidecar]] verifies both markers and
+    * the file count before trusting the inventory; any mismatch
+    * degrades to the conservative directory-listing path. */
   private def writeStatsSidecar(table: String, batchDir: Path,
       bucketDirs: Seq[String]): Unit = {
     val statFields = schemaOf(table).fields.toIndexedSeq
@@ -843,12 +853,16 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       case Some(x) => x.toString
     }
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var nFiles = 0
     bucketDirs.foreach { bd =>
       val bdPath = new Path(bd)
       fs.listStatus(bdPath).foreach { st =>
         if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          nFiles += 1
           val rel = s"${bdPath.getName}/${st.getPath.getName}"
           val perCol = TableStore.fileColumnStats(st.getPath, hconf, statFields)
+          if (perCol.isEmpty) // keep the inventory complete even when no
+            lines += s"$rel\t\t\t\t\t" // column produced a usable stat
           perCol.foreach { case (col, cs) =>
             val n = cs.hasNulls.map(h => if (h) "1" else "0").getOrElse("?")
             lines += s"$rel\t$col\t${cs.kind}\t$n\t${enc(cs.kind, cs.min)}\t${enc(cs.kind, cs.max)}"
@@ -856,12 +870,19 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
         }
       }
     }
-    writeFile(new Path(batchDir, "_graft_stats"), lines.mkString("\n"))
+    writeFile(new Path(batchDir, "_graft_stats"),
+      (s"#graft_stats files=$nFiles" +: lines :+ "#end").mkString("\n"))
   }
 
   /** Parse a batch dir's stats sidecar: relative file path →
     * (column → interval). Empty map when the sidecar is absent (legacy
-    * batch) or unreadable — callers then keep every file. */
+    * batch), unreadable, or FAILS ITS INTEGRITY SENTINEL (header
+    * `#graft_stats files=<n>` present but the `#end` trailer or the
+    * declared file count doesn't match — a partially-flushed or
+    * truncated sidecar) — callers then keep every file via the
+    * conservative directory-listing path instead of silently scanning
+    * an incomplete inventory. Headerless sidecars from pre-sentinel
+    * writers still parse (no integrity claim to check). */
   private def readStatsSidecar(batchDir: Path)
       : Map[String, StatsPruning.FileStats] = {
     val p = new Path(batchDir, "_graft_stats")
@@ -875,7 +896,19 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
         case _ => Some(s.toLong)
       }
     scala.util.Try {
-      readFile(p).split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+      val all = readFile(p).split("\n").toIndexedSeq.filter(_.nonEmpty)
+      val (body, declared) = all.headOption match {
+        case Some(h) if h.startsWith("#graft_stats") =>
+          val n = h.split("files=", 2) match {
+            case Array(_, c) => c.trim.toInt
+            case _ => sys.error(s"malformed sidecar header: $h")
+          }
+          require(all.last == "#end",
+            s"sidecar missing #end trailer (truncated write): $p")
+          (all.slice(1, all.length - 1), Some(n))
+        case _ => (all.filterNot(_.startsWith("#")), None) // legacy
+      }
+      val parsed = body.map { line =>
         val Array(rel, colName, kind, nulls, mn, mx) = line.split("\t", -1)
         val hasNulls = nulls match {
           case "1" => Some(true); case "0" => Some(false); case _ => None
@@ -883,8 +916,12 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
         (rel, colName,
           StatsPruning.ColStat(kind, hasNulls, dec(kind, mn), dec(kind, mx)))
       }.groupBy(_._1).map { case (rel, rows) =>
-        rel -> rows.map(r => r._2 -> r._3).toMap
+        rel -> rows.collect {
+          case (_, c, st) if c.nonEmpty => c -> st }.toMap
       }
+      declared.foreach(n => require(parsed.size == n,
+        s"sidecar inventories ${parsed.size} files but declares $n: $p"))
+      parsed
     }.getOrElse(Map.empty)
   }
 

@@ -461,4 +461,25 @@ class TableFunctionsSpec extends AnyFunSuite {
       g.sql("SELECT * FROM TABLE(graft_bm25_topk(docs_tf, 'x'))"))
     assert(e3.getMessage.contains("arguments"))
   }
+
+  test("numeric table-function arguments get user-facing validation") {
+    val g = sess()
+    graft.Tables.events(spark, dir).createOrReplaceTempView("events_tf")
+    docs.createOrReplaceTempView("docs_tf2")
+    // non-numeric → named-function diagnostic, not a raw NumberFormatException
+    val e1 = intercept[IllegalArgumentException](g.sql(
+      "SELECT * FROM TABLE(graft_dau_mau(events_tf, 'user_id', 'ts', 'thirty'))"))
+    assert(e1.getMessage.contains("graft_dau_mau") &&
+      e1.getMessage.contains("integer"), e1.getMessage)
+    // zero/negative window rejected at the argument, not deep in dauMau
+    val e2 = intercept[IllegalArgumentException](g.sql(
+      "SELECT * FROM TABLE(graft_dau_mau_hll(events_tf, 'user_id', 'ts', 0))"))
+    assert(e2.getMessage.contains("window_days") &&
+      e2.getMessage.contains("positive"), e2.getMessage)
+    // the sweep covers every numeric site, not just dau_mau
+    val e3 = intercept[IllegalArgumentException](g.sql(
+      "SELECT * FROM TABLE(graft_chunk(docs_tf2, 'doc_id', 'text', 'big'))"))
+    assert(e3.getMessage.contains("graft_chunk") &&
+      e3.getMessage.contains("integer"), e3.getMessage)
+  }
 }

@@ -789,6 +789,63 @@ class TableStoreSpec extends AnyFunSuite {
       "legacy sidecar-less batches must fall back to the directory listing")
   }
 
+  test("scanWhere: a truncated or incomplete sidecar degrades to the listing, never drops files") {
+    // the sidecar is the batch's authoritative inventory, so a partial
+    // flush (non-atomic writer) or a truncation exactly on a line
+    // boundary must NOT silently exclude committed files from scans —
+    // the integrity sentinel (files=<n> header + #end trailer) detects
+    // both and falls back to the conservative directory listing
+    val store = freshStore()
+    store.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("x", LongType))), keys = Seq("id"))
+    store.append("t", (0L until 2000L).map(i => (i, i)).toDF("id", "x"))
+    val root = new org.apache.hadoop.fs.Path(store.root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch = fs.listStatus(new org.apache.hadoop.fs.Path(root, "t/data")).head.getPath
+    val sidecar = new org.apache.hadoop.fs.Path(batch, "_graft_stats")
+    def readLines(): Seq[String] = {
+      val in = fs.open(sidecar)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      s.split("\n").toIndexedSeq
+    }
+    def writeLines(ls: Seq[String]): Unit = {
+      val out = fs.create(sidecar, true)
+      try out.write(ls.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+    val full = readLines()
+    assert(full.head.startsWith("#graft_stats files=") && full.last == "#end",
+      s"sidecar must carry the integrity sentinel, got head=${full.head} last=${full.last}")
+    val nInv = full.head.stripPrefix("#graft_stats files=").trim.toInt
+    assert(nInv > 1, s"need a multi-file batch to prove fallback, got $nInv")
+    val allFiles = store.read("t").inputFiles.toSet
+    val cond = col("x") >= 0L // matches everything: any dropped file loses rows
+
+    // (1) truncated exactly on a line boundary (loses #end + tail lines)
+    writeLines(full.dropRight(full.length / 2))
+    val truncated = store.scanWhere("t", cond)
+    assert(truncated.inputFiles.toSet == allFiles,
+      "truncated sidecar must fall back to the full listing")
+    assert(truncated.count() == 2000L)
+
+    // (2) #end intact but an inventory entry missing (count mismatch)
+    val firstRel = full(1).split("\t")(0)
+    writeLines(full.filterNot(_.startsWith(firstRel + "\t")))
+    val holed = store.scanWhere("t", cond)
+    assert(holed.inputFiles.toSet == allFiles,
+      "inventory/count mismatch must fall back to the full listing")
+
+    // (3) a pre-sentinel (headerless) sidecar still parses and prunes
+    writeLines(full.slice(1, full.length - 1))
+    val legacy = store.scanWhere("t", col("id") < 0L)
+    assert(legacy.inputFiles.isEmpty,
+      "legacy headerless sidecar should still drive pruning")
+
+    // (4) intact sentinel prunes as before
+    writeLines(full)
+    assert(store.scanWhere("t", col("id") < 0L).inputFiles.isEmpty)
+  }
+
   test("scanWhere double pruning is sound on ±0.0 and NaN") {
     // the two places java.lang.Double.compare diverges from Spark row
     // equality: -0.0 < 0.0 (Spark: equal) and NaN (Spark: largest value,
