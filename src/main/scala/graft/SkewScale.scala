@@ -99,6 +99,27 @@ object SkewScale {
         "ts", steps, maxEventsPerUser = Some(1000)).count()
     }
 
+    // st4c/st4e A/B — transition stats share the fold; capped must agree
+    // here for the same reason (the bot's chain realizes in its earliest
+    // events by construction)
+    val gapsExact = graft.ops.EventAnalytics
+      .funnelTransitionStats(ev, "user_id", "event_type", "ts", steps)
+      .orderBy("step_from").collect().map(_.toString).toSeq
+    val gapsCapped = graft.ops.EventAnalytics
+      .funnelTransitionStats(ev, "user_id", "event_type", "ts", steps,
+        maxEventsPerUser = Some(1000))
+      .orderBy("step_from").collect().map(_.toString).toSeq
+    require(gapsExact == gapsCapped,
+      s"capped gaps diverged:\n$gapsExact\nvs\n$gapsCapped")
+    time("st4c gaps exact") {
+      graft.ops.EventAnalytics.funnelTransitionStats(ev, "user_id",
+        "event_type", "ts", steps).count()
+    }
+    time("st4e gaps capped(1000)") {
+      graft.ops.EventAnalytics.funnelTransitionStats(ev, "user_id",
+        "event_type", "ts", steps, maxEventsPerUser = Some(1000)).count()
+    }
+
     // st7 A/B — the window-lead pair formation (shipped) vs the
     // collect_list array form it replaced: identical matrix required;
     // the array form buffers the bot's whole history in one task

@@ -146,6 +146,8 @@ object StreamScale {
     var totalIn = 0L
     var sessionsTotal = 0L
     val dauLatest = scala.collection.mutable.Map.empty[String, Long]
+    val skFinal = scala.collection.mutable
+      .ArrayBuffer.empty[(java.sql.Date, Long, Array[Byte])]
     for (t <- 0 until ticks) {
       val staged = stageTick(t)
       totalIn += staged
@@ -201,8 +203,26 @@ object StreamScale {
           rows.foreach(r => dauLatest(r.getDate(0).toString) = r.getLong(1))
           rows.length.toLong
         })
+      // streaming DAU + day-keyed HLL sketch (7th state shape: the DAU
+      // dedup rows plus ONE (count, lgK-bounded sketch) row per open
+      // window — the MAU-feeding state is kilobytes per day, watermark-
+      // evicted): append mode emits each finalized day exactly once;
+      // the read-time trailing-window union is checked after the run
+      val (kWall, kEmit, kState, _) = drainFrom("dausk", () =>
+        EventStreams.streamingDauSketches(
+          spark.readStream.schema(schema).parquet(watch.toString),
+          "user_id", "ts", watermark = "25 hours"),
+        OutputMode.Append(),
+        sink = { b =>
+          val rows = b.collect()
+          rows.foreach(r => skFinal +=
+            ((r.getDate(0), r.getLong(1), r.getAs[Array[Byte]](2))))
+          rows.length.toLong
+        })
       println(f"""{"tick":$t,"rows":$staged,"win_wall_s":$wWall%.2f,""" +
         f""""dau_wall_s":$uWall%.2f,"dau_state_rows":$uState,""" +
+        f""""dausk_wall_s":$kWall%.2f,"dausk_state_rows":$kState,""" +
+        f""""dausk_days_finalized":$kEmit,""" +
         f""""win_emitted":$wEmit,"win_state_rows":$wState,""" +
         f""""dedup_wall_s":$dWall%.2f,"dedup_state_rows":$dState,""" +
         f""""sess_wall_s":$sWall%.2f,"sessions_closed":$sEmit,""" +
@@ -229,6 +249,24 @@ object StreamScale {
           .map(d => s"$d stream=${dauLatest.get(d)} exact=${exactDau.get(d)}")
           .mkString("; ")}")
     println(s"""{"metric":"stream_scale_dau_days","value":${dauLatest.size}}""")
+    // the sketch twin's finalized (day, dau, sk) rows: exact DAU rode
+    // along bit-for-bit, and the read-time trailing-7-day union equals
+    // the batch st8b twin EXACTLY on the finalized prefix (append-mode
+    // emission is a time-prefix of days, so every source day a
+    // finalized target day unions is itself finalized; identical input
+    // sets → identical HLL registers → identical estimates)
+    val skDf = skFinal.toSeq.toDF("day", "dau", "sk")
+    val twin = EventStreams.dauMauFromDailySketches(skDf, window = 7)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    val st8b = graft.ops.EventAnalytics
+      .dauMauApprox(scaled, "user_id", "ts", window = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    val badTwin = twin.filter { case (d, dau, mauEst) =>
+      !exactDau.get(d).contains(dau) || !st8b.get(d).contains(mauEst) }
+    require(badTwin.isEmpty,
+      s"sketch twin diverged on finalized days: $badTwin")
+    println(s"""{"metric":"stream_scale_dau_sketch_days","value":${twin.size}}""")
     spark.stop()
   }
 }

@@ -116,14 +116,7 @@ object EventAnalytics {
     // collects the user's whole funnel history; capped form keeps the
     // cap smallest packed values in a bounded heap (ascending output =
     // the same sort), per-user state O(cap) even against a bot
-    val sortedPacked = maxEventsPerUser match {
-      case None => array_sort(collect_list(col("p")))
-      case Some(cap) =>
-        require(cap >= k, s"maxEventsPerUser ($cap) must be >= the step count ($k)")
-        transform(
-          call_function("graft_topk_min", col("p"), lit(""), lit(cap)),
-          e => e.getField("key"))
-    }
+    val sortedPacked = sortedPackedAsc(maxEventsPerUser, k)
     val grouped = packedRows
       .groupBy("u").agg(
         aggregate(sortedPacked, zero, advance)
@@ -149,9 +142,28 @@ object EventAnalytics {
     *
     * @return (step_from, step_to, event_from, event_to, n_converted,
     *   avg_gap_us, min_gap_us, max_gap_us), ordered by step_from. */
+  /** The ascending per-user packed-event array every funnel fold walks:
+    * exact form collects the user's whole funnel history; capped form
+    * keeps the `cap` smallest packed values in a bounded heap
+    * (ascending output = the same sort), per-user state O(cap) — map
+    * side included — even against a bot (shared by [[funnelSteps]] and
+    * [[funnelTransitionStats]]; same disclosed under-report semantics:
+    * a user whose funnel only completes after their first `cap` funnel
+    * events under-reports). */
+  private def sortedPackedAsc(maxEventsPerUser: Option[Int],
+      k: Int): Column = maxEventsPerUser match {
+    case None => array_sort(collect_list(col("p")))
+    case Some(cap) =>
+      require(cap >= k, s"maxEventsPerUser ($cap) must be >= the step count ($k)")
+      transform(
+        call_function("graft_topk_min", col("p"), lit(""), lit(cap)),
+        e => e.getField("key"))
+  }
+
   def funnelTransitionStats(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, steps: Seq[String],
-      maxGapUs: Option[Long] = None): DataFrame = {
+      maxGapUs: Option[Long] = None,
+      maxEventsPerUser: Option[Int] = None): DataFrame = {
     require(steps.size >= 2, "transition stats need at least two steps")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val k = steps.size
@@ -181,7 +193,7 @@ object EventAnalytics {
     }
     val perUser = base.select(col("u"), packed)
       .groupBy("u").agg(
-        aggregate(array_sort(collect_list(col("p"))), zero, advance)
+        aggregate(sortedPackedAsc(maxEventsPerUser, k), zero, advance)
           .as("times"))
     // melt the k−1 candidate transitions per user in ONE Expand (inline
     // of a literal-index array), keep the realized ones, aggregate on

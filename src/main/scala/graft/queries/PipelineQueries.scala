@@ -2174,6 +2174,34 @@ object PipelineQueries {
         .orderBy("step_from")
     },
 
+    // PRODUCTION twin of st4: the bot-capped funnel — per-user fold
+    // state bounded at O(cap) by the `graft_topk_min` heap (each user's
+    // 8 time-earliest funnel events), the form a 100 TB event log needs
+    // where one bot's tens of millions of funnel-typed events would
+    // otherwise buffer in a single task (SkewScale measures the 10 M-
+    // event bot). cap = 8 BINDS at every test sf (active users hold
+    // more than 8 funnel events), so the oracle checks the capped
+    // semantics itself — each engine restricts to the row_number-by-
+    // (ets, step)-≤ 8 event set, then runs the same sequential-min
+    // chain. Disclosed under-report semantics in the op scaladoc.
+    "st4d_funnel_capped" -> { (s, dir) =>
+      graft.ops.EventAnalytics.funnelSteps(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("signup", "click", "purchase"),
+          maxEventsPerUser = Some(8))
+        .orderBy("step")
+    },
+
+    // PRODUCTION twin of st4c: transition stats over the same capped
+    // event set — closes the funnel family's last unbounded per-user
+    // fold. (st6's topEventPaths needs no twin: its bounded heap keeps
+    // only the `depth` earliest events per user by construction.)
+    "st4e_funnel_gaps_capped" -> { (s, dir) =>
+      graft.ops.EventAnalytics.funnelTransitionStats(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("signup", "click", "purchase"),
+          maxEventsPerUser = Some(8))
+        .orderBy("step_from")
+    },
+
     // Top user-journey paths (the product-analytics "pathfinder"): each
     // user's first 4 events in (ts, type) order join into a path
     // string; the report keeps the 20 most-common paths. One user-keyed
@@ -4060,6 +4088,74 @@ object PipelineQueries {
       """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
         |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
         |    AND epoch_us(ts) < 72057594037927936),
+        |s1 AS (SELECT u, min(ets) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
+        |s2 AS (SELECT s1.u, min(e.ets) AS t2 FROM s1 JOIN e
+        |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1 GROUP BY s1.u),
+        |s3 AS (SELECT s2.u, min(e.ets) AS t3 FROM s2 JOIN e
+        |  ON e.u = s2.u AND e.t = 'purchase' AND e.ets > s2.t2 GROUP BY s2.u),
+        |g1 AS (SELECT s2.t2 - s1.t1 AS gap FROM s2 JOIN s1 ON s1.u = s2.u),
+        |g2 AS (SELECT s3.t3 - s2.t2 AS gap FROM s3 JOIN s2 ON s2.u = s3.u)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step_from, CAST(2 AS INTEGER) AS step_to,
+        |    'signup' AS event_from, 'click' AS event_to,
+        |    CAST(count(1) AS BIGINT) AS n_converted,
+        |    CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avg_gap_us,
+        |    min(gap) AS min_gap_us, max(gap) AS max_gap_us
+        |  FROM g1 HAVING count(1) > 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS INTEGER), CAST(3 AS INTEGER), 'click', 'purchase',
+        |    CAST(count(1) AS BIGINT),
+        |    CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / CAST(count(1) AS DOUBLE),
+        |    min(gap), max(gap)
+        |  FROM g2 HAVING count(1) > 0
+        |) ORDER BY step_from""".stripMargin,
+
+    // Capped-funnel mirror: each engine first restricts to every user's
+    // 8 (ets, step)-earliest FUNNEL events — row_number over the same
+    // lexicographic order the packed bounded heap keeps — then runs the
+    // exact sequential-min chain on the restricted set. The cap binds
+    // at test sf, so a cap-semantics drift on either side hash-fails.
+    "st4d_funnel_capped" ->
+      """WITH e0 AS (SELECT user_id AS u,
+        |    CASE event_type WHEN 'signup' THEN 0 WHEN 'click' THEN 1
+        |      ELSE 2 END AS si, epoch_us(ts) AS ets
+        |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+        |    AND epoch_us(ts) < 72057594037927936
+        |    AND event_type IN ('signup', 'click', 'purchase')),
+        |e1 AS (SELECT u, si, ets,
+        |    row_number() OVER (PARTITION BY u ORDER BY ets, si) AS rn FROM e0),
+        |e AS (SELECT u, CASE si WHEN 0 THEN 'signup' WHEN 1 THEN 'click'
+        |    ELSE 'purchase' END AS t, ets FROM e1 WHERE rn <= 8),
+        |s1 AS (SELECT u, min(ets) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
+        |s2 AS (SELECT s1.u, min(e.ets) AS t2 FROM s1 JOIN e
+        |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1 GROUP BY s1.u),
+        |s3 AS (SELECT s2.u, min(e.ets) AS t3 FROM s2 JOIN e
+        |  ON e.u = s2.u AND e.t = 'purchase' AND e.ets > s2.t2 GROUP BY s2.u),
+        |c AS (SELECT (SELECT CAST(count(1) AS BIGINT) FROM s1) AS n1,
+        |             (SELECT CAST(count(1) AS BIGINT) FROM s2) AS n2,
+        |             (SELECT CAST(count(1) AS BIGINT) FROM s3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type, n1 AS n_users,
+        |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conversion FROM c
+        |  UNION ALL SELECT CAST(2 AS INTEGER), 'click', n2,
+        |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM c
+        |  UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', n3,
+        |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM c
+        |) ORDER BY step""".stripMargin,
+
+    // Capped-gaps mirror: st4d's restricted event set, st4c's gap
+    // aggregation over the chain it realizes.
+    "st4e_funnel_gaps_capped" ->
+      """WITH e0 AS (SELECT user_id AS u,
+        |    CASE event_type WHEN 'signup' THEN 0 WHEN 'click' THEN 1
+        |      ELSE 2 END AS si, epoch_us(ts) AS ets
+        |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+        |    AND epoch_us(ts) < 72057594037927936
+        |    AND event_type IN ('signup', 'click', 'purchase')),
+        |e1 AS (SELECT u, si, ets,
+        |    row_number() OVER (PARTITION BY u ORDER BY ets, si) AS rn FROM e0),
+        |e AS (SELECT u, CASE si WHEN 0 THEN 'signup' WHEN 1 THEN 'click'
+        |    ELSE 'purchase' END AS t, ets FROM e1 WHERE rn <= 8),
         |s1 AS (SELECT u, min(ets) AS t1 FROM e WHERE t = 'signup' GROUP BY u),
         |s2 AS (SELECT s1.u, min(e.ets) AS t2 FROM s1 JOIN e
         |  ON e.u = s1.u AND e.t = 'click' AND e.ets > s1.t1 GROUP BY s1.u),

@@ -107,5 +107,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => BpeApplyMerges(children(0), children(1))))
     // NTZ clustering keys prune through their derived day column
     ext.injectOptimizerRule(_ => NtzDayPrune)
+    // filtered store scans prune to the _graft_stats file inventory
+    // transparently — scanWhere's metadata tier as default behavior
+    ext.injectOptimizerRule(_ => graft.store.SidecarPrune)
   }
 }

@@ -183,6 +183,38 @@ object Artifacts {
     s.conf.getOption("spark.graft.artifactClaimTimeoutMs")
       .map(_.toLong).getOrElse(60000L)
 
+  /** Commit-time HEARTBEAT: refresh the mtime of `paths` every
+    * `periodMs` on a daemon thread until closed. While a writer's
+    * rename+manifest-rewrite runs, this keeps (a) the claim file fresh —
+    * so [[publish]]'s freshness-gated stale-claim break and vacuum's
+    * claim age gate only ever fire on DEAD writers, never on a slow
+    * object-store rename — and (b) a `_hb` marker inside the temp-build
+    * tree fresh, so vacuum's recursive freshness probe sees an alive
+    * build even after its last data file went quiet. A path deleted out
+    * from under us (claim legitimately broken after we stopped beating)
+    * is NOT re-created — resurrecting a broken claim would wedge the
+    * breaker's re-race; the writer then loses the residual race exactly
+    * as before. */
+  private def heartbeat(fs: FileSystem, periodMs: Long,
+      paths: Path*): AutoCloseable = {
+    @volatile var live = true
+    val t = new Thread(() => {
+      while (live) {
+        val now = System.currentTimeMillis()
+        paths.foreach { p =>
+          try if (fs.exists(p)) fs.setTimes(p, now, now)
+          catch { case _: java.io.IOException => } // next beat retries
+        }
+        try Thread.sleep(periodMs)
+        catch { case _: InterruptedException => live = false }
+      }
+    })
+    t.setDaemon(true)
+    t.setName("graft-artifact-commit-heartbeat")
+    t.start()
+    () => { live = false; t.interrupt(); t.join(2000L) }
+  }
+
   private def awaitCommitted(fs: FileSystem, latest: Path,
       timeoutMs: Long): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
@@ -248,13 +280,23 @@ object Artifacts {
         st.dropTable(tmp, purge = true)
         return
       }
-      // stale claim (claimer died between claim and rename): break it
-      // and re-race; bounded so a pathological store can't spin forever
-      fs.delete(claimPath(r, table), false)
-      attempts += 1
-      require(attempts <= 5,
-        s"artifact $table: could not commit after $attempts claim rounds " +
-          s"(stale claims at ${claimPath(r, table)})")
+      // the winner's commit outlasted the wait — but a LIVE writer
+      // heartbeats its claim while the rename runs, so break the claim
+      // only once its mtime has gone quiet for a full timeout (claimer
+      // died between claim and rename); a fresh claim is a held lock
+      // and we simply wait another round, unbounded like any lock
+      val cp = claimPath(r, table)
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(cp)
+          .getModificationTime > timeout
+        catch { case _: java.io.FileNotFoundException => true } // released
+      if (stale) {
+        fs.delete(cp, false)
+        attempts += 1
+        require(attempts <= 5,
+          s"artifact $table: could not commit after $attempts claim rounds " +
+            s"(stale claims at ${claimPath(r, table)})")
+      }
     }
   }
 
@@ -268,15 +310,19 @@ object Artifacts {
     * gracefully (return false — the caller drops its redundant build);
     * otherwise the rename is safe and IS the commit point.
     *
-    * The guarantee is exactly as strong as claim exclusivity: a rename
-    * that outlasts the claim timeout can have its claim broken by a
-    * waiter (or an aged-out vacuum) and a second writer can slip past
-    * this re-check — the documented residual of break-able claims on
-    * stores without conditional delete. Size
-    * `spark.graft.artifactClaimTimeoutMs` above the slowest
-    * rename+manifest-rewrite the store can see. */
+    * The guarantee is exactly as strong as claim exclusivity. The
+    * rename runs under a HEARTBEAT that refreshes the claim's mtime
+    * (and a `_hb` marker inside the build tree), and both [[publish]]'s
+    * stale-claim break and vacuum's age gates are mtime-freshness
+    * checks — so an arbitrarily slow rename presents as a live writer
+    * and is waited out, and only a DEAD writer's claim (no beats for a
+    * full timeout) is ever broken. The residual shrinks to a writer
+    * whose heartbeat thread itself is starved/partitioned for a full
+    * timeout while the JVM lives — local FS has no conditional delete
+    * to close that; `spark.graft.artifactClaimTimeoutMs` sizes the
+    * margin. */
   private[store] def commitUnderClaim(st: TableStore, tmp: String,
-      table: String): Boolean = {
+      table: String, renameDelayMsForTest: Long = 0L): Boolean = {
     val r = st.root
     val fs = fsOf(st.spark, r)
     val latest = new Path(new Path(r, table), "_latest")
@@ -284,7 +330,21 @@ object Artifacts {
       fs.delete(claimPath(r, table), false)
       false
     } else {
-      renameIntoPlace(fs, r, tmp, table)
+      // heartbeat the claim and the build tree for the duration of the
+      // rename — a slow commit now presents as a LIVE writer to waiters
+      // and to vacuum, instead of aging into a breakable stale claim
+      val hb = new Path(new Path(r, tmp), "_hb")
+      try fs.create(hb, true).close()
+      catch { case _: java.io.IOException => } // tree beat degrades only
+      val timeout = claimTimeoutMs(st.spark)
+      val beat = heartbeat(fs, math.max(50L, timeout / 3),
+        claimPath(r, table), hb)
+      try {
+        if (renameDelayMsForTest > 0) Thread.sleep(renameDelayMsForTest)
+        renameIntoPlace(fs, r, tmp, table)
+      } finally beat.close()
+      // the marker rode the rename into the committed dir; drop it
+      fs.delete(new Path(new Path(r, table), "_hb"), false)
       fs.delete(claimPath(r, table), false)
       true
     }
@@ -400,10 +460,12 @@ object Artifacts {
     * (`spark.graft.artifactClaimTimeoutMs`) — the margin covers a loser
     * that sits idle for one full `awaitCommitted` timeout before
     * re-racing (age gate == timeout would reclaim it mid-protocol with
-    * zero slack). A publish whose rename+manifest-rewrite outlasts even
-    * that margin can still lose its claim (same residual as the
-    * stale-claim break below — local FS has no conditional delete);
-    * size the timeout above the slowest commit the store can see.
+    * zero slack). A publish mid-rename stays protected however long the
+    * rename takes: [[commitUnderClaim]]'s heartbeat refreshes both the
+    * claim's mtime and a `_hb` marker inside the build tree, so these
+    * age gates only ever fire on writers whose JVM died (the residual
+    * is a live JVM whose heartbeat thread is starved for the full
+    * margin — local FS has no conditional delete to close that).
     * Committed tables other JVMs are reading are still only protected
     * by this JVM's served set — run table-level reclamation quiesced
     * across the fleet. Returns the dropped names. */

@@ -874,56 +874,11 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       (s"#graft_stats files=$nFiles" +: lines :+ "#end").mkString("\n"))
   }
 
-  /** Parse a batch dir's stats sidecar: relative file path →
-    * (column → interval). Empty map when the sidecar is absent (legacy
-    * batch), unreadable, or FAILS ITS INTEGRITY SENTINEL (header
-    * `#graft_stats files=<n>` present but the `#end` trailer or the
-    * declared file count doesn't match — a partially-flushed or
-    * truncated sidecar) — callers then keep every file via the
-    * conservative directory-listing path instead of silently scanning
-    * an incomplete inventory. Headerless sidecars from pre-sentinel
-    * writers still parse (no integrity claim to check). */
+  /** See [[TableStore.readStatsSidecar]] (static form) for semantics,
+    * including the integrity-sentinel fallback contract. */
   private def readStatsSidecar(batchDir: Path)
-      : Map[String, StatsPruning.FileStats] = {
-    val p = new Path(batchDir, "_graft_stats")
-    if (!fs.exists(p)) return Map.empty
-    val b64 = java.util.Base64.getDecoder
-    def dec(kind: String, s: String): Option[Any] =
-      if (s.isEmpty) None
-      else kind match {
-        case "s" => Some(new String(b64.decode(s), "UTF-8"))
-        case "d" => Some(s.toDouble)
-        case _ => Some(s.toLong)
-      }
-    scala.util.Try {
-      val all = readFile(p).split("\n").toIndexedSeq.filter(_.nonEmpty)
-      val (body, declared) = all.headOption match {
-        case Some(h) if h.startsWith("#graft_stats") =>
-          val n = h.split("files=", 2) match {
-            case Array(_, c) => c.trim.toInt
-            case _ => sys.error(s"malformed sidecar header: $h")
-          }
-          require(all.last == "#end",
-            s"sidecar missing #end trailer (truncated write): $p")
-          (all.slice(1, all.length - 1), Some(n))
-        case _ => (all.filterNot(_.startsWith("#")), None) // legacy
-      }
-      val parsed = body.map { line =>
-        val Array(rel, colName, kind, nulls, mn, mx) = line.split("\t", -1)
-        val hasNulls = nulls match {
-          case "1" => Some(true); case "0" => Some(false); case _ => None
-        }
-        (rel, colName,
-          StatsPruning.ColStat(kind, hasNulls, dec(kind, mn), dec(kind, mx)))
-      }.groupBy(_._1).map { case (rel, rows) =>
-        rel -> rows.collect {
-          case (_, c, st) if c.nonEmpty => c -> st }.toMap
-      }
-      declared.foreach(n => require(parsed.size == n,
-        s"sidecar inventories ${parsed.size} files but declares $n: $p"))
-      parsed
-    }.getOrElse(Map.empty)
-  }
+      : Map[String, StatsPruning.FileStats] =
+    TableStore.readStatsSidecar(fs, batchDir)
 
   private def withAction(df: DataFrame, action: String): DataFrame =
     df.withColumn("__action", lit(action))
@@ -1241,6 +1196,62 @@ object TableStore {
       case d: DecimalType if d.precision <= 18 => Some("c" + d.scale)
       case _ => None
     }
+  }
+
+  /** Parse a batch dir's stats sidecar (static form — also consumed by
+    * [[SidecarPrune]], which prunes arbitrary Filter-over-store-scan
+    * plans without a [[TableStore]] handle): relative file path →
+    * (column → interval). Empty map when the sidecar is absent (legacy
+    * batch), unreadable, or FAILS ITS INTEGRITY SENTINEL (header
+    * `#graft_stats files=<n>` present but the `#end` trailer or the
+    * declared file count doesn't match — a partially-flushed or
+    * truncated sidecar) — callers then keep every file via the
+    * conservative directory-listing path instead of silently scanning
+    * an incomplete inventory. Headerless sidecars from pre-sentinel
+    * writers still parse (no integrity claim to check). */
+  private[store] def readStatsSidecar(fs: FileSystem, batchDir: Path)
+      : Map[String, StatsPruning.FileStats] = {
+    val p = new Path(batchDir, "_graft_stats")
+    if (!fs.exists(p)) return Map.empty
+    val b64 = java.util.Base64.getDecoder
+    def dec(kind: String, s: String): Option[Any] =
+      if (s.isEmpty) None
+      else kind match {
+        case "s" => Some(new String(b64.decode(s), "UTF-8"))
+        case "d" => Some(s.toDouble)
+        case _ => Some(s.toLong)
+      }
+    scala.util.Try {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val all = raw.split("\n").toIndexedSeq.filter(_.nonEmpty)
+      val (body, declared) = all.headOption match {
+        case Some(h) if h.startsWith("#graft_stats") =>
+          val n = h.split("files=", 2) match {
+            case Array(_, c) => c.trim.toInt
+            case _ => sys.error(s"malformed sidecar header: $h")
+          }
+          require(all.last == "#end",
+            s"sidecar missing #end trailer (truncated write): $p")
+          (all.slice(1, all.length - 1), Some(n))
+        case _ => (all.filterNot(_.startsWith("#")), None) // legacy
+      }
+      val parsed = body.map { line =>
+        val Array(rel, colName, kind, nulls, mn, mx) = line.split("\t", -1)
+        val hasNulls = nulls match {
+          case "1" => Some(true); case "0" => Some(false); case _ => None
+        }
+        (rel, colName,
+          StatsPruning.ColStat(kind, hasNulls, dec(kind, mn), dec(kind, mx)))
+      }.groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.collect {
+          case (_, c, st) if c.nonEmpty => c -> st }.toMap
+      }
+      declared.foreach(n => require(parsed.size == n,
+        s"sidecar inventories ${parsed.size} files but declares $n: $p"))
+      parsed
+    }.getOrElse(Map.empty)
   }
 
   // string bounds above this length are truncated: a truncated MIN is

@@ -101,6 +101,83 @@ object EventStreams {
         col("dau"))
   }
 
+  /** Streaming DAU + day-keyed HLL sketch — the real-time twin of the
+    * st8b operating-dashboard form ([[graft.ops.EventAnalytics
+    * .dauMauApprox]]): the same dedup+window pipeline as
+    * [[streamingDau]], with each finalized day additionally carrying
+    * the DataSketches HLL sketch of its active users. The sketch is
+    * the MERGEABLE half of the MAU problem: trailing-window MAU needs
+    * cross-day distinct-union state that would grow with users ×
+    * window inside the stream, but a day's lgK-bounded sketch (a few
+    * KB) unions associatively AFTER finalization — so the stream keeps
+    * only the bounded per-day state it already kept (dedup rows inside
+    * the watermark + one open-window row per day, both
+    * watermark-evicted), and [[dauMauFromDailySketches]] answers MAU
+    * over the finalized (day, dau, sk) table at read time by moving
+    * `window` sketches per day, not user sets. This split is the
+    * production architecture at 100 TB: the log-volume pass lives in
+    * the stream with hard state bounds; the dashboard union touches
+    * kilobytes.
+    *
+    * Run with outputMode("append"): a day's row emits ONCE, when the
+    * watermark finalizes its window — exactly the rows the batch union
+    * may trust. Same UTC-epoch-day semantics as [[streamingDau]]
+    * (session-timezone-independent); batch frames run the identical
+    * dedup+window pipeline, so stream ≡ batch on finalized days. The
+    * dedup stage costs the sketch nothing (HLL registers are
+    * insertion-idempotent) but keeps the emitted `dau` EXACT — the
+    * st8b twin estimates both sides, this one estimates only the MAU
+    * it cannot afford exactly.
+    *
+    * @return (day DATE, dau LONG exact, sk BINARY HLL sketch). */
+  def streamingDauSketches(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", watermark: String = "1 hour",
+      lgConfigK: Int = 12): DataFrame = {
+    val DayUs = 86400000000L
+    val us = unix_micros(col(tsCol))
+    val keyed = events
+      .select(col(userCol).as("u"), col(tsCol).as("ts"),
+        ((us - pmod(us, lit(DayUs))) / lit(DayUs)).cast("long").as("day"))
+      .filter(col("u").isNotNull && col("day").isNotNull)
+    val deduped =
+      if (events.isStreaming)
+        keyed.withWatermark("ts", watermark)
+          .dropDuplicatesWithinWatermark(Seq("u", "day"))
+      else keyed.dropDuplicates("u", "day")
+    deduped.groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"),
+        hll_sketch_agg(col("u"), lit(lgConfigK)).as("sk"))
+      .select(date_from_unix_date(
+          (unix_micros(col("window.start")) / lit(DayUs)).cast("int")).as("day"),
+        col("dau"), col("sk"))
+  }
+
+  /** The read-time MAU union over [[streamingDauSketches]]' finalized
+    * (day, dau, sk) table: each day's trailing-`window` MAU estimate is
+    * the HLL union of the window's daily sketches — the same
+    * forward-expansion + `hll_union_agg` shape as the batch st8b twin
+    * ([[graft.ops.EventAnalytics.dauMauApprox]]), so on fully-finalized
+    * days the two produce IDENTICAL estimates (HLL register state is a
+    * max over hashes — deterministic per input set, dedup- and
+    * order-independent). A day whose trailing window is only partially
+    * finalized under-unions — read the report a watermark behind the
+    * stream head, the standard dashboard trade.
+    *
+    * @return (day, dau, mau_est, stickiness_est) ordered by day. */
+  def dauMauFromDailySketches(daily: DataFrame,
+      window: Int = 30): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val mau = daily
+      .select(explode(expr(s"sequence(day, date_add(day, ${window - 1}))")).as("day"),
+        col("sk"))
+      .groupBy("day").agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("mau_est"))
+    daily.select(col("day"), col("dau"))
+      .join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau_est"),
+        (col("dau").cast("double") / col("mau_est")).as("stickiness_est"))
+      .orderBy("day")
+  }
+
   /** Stream-stream interval join: each left event pairs with right events
     * of the same user within `[l.ts - lookback, l.ts]` — the standard
     * impression⋈click enrichment. Both sides are watermarked so the join

@@ -206,6 +206,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "a funnel completing past the cap under-reports — the documented trade")
   }
 
+  test("bot-skew cap: funnelTransitionStats(maxEventsPerUser) shares the fold semantics") {
+    val steps = Seq("signup", "click", "purchase")
+    // same shape as the funnel-cap fixture: the bot completes its chain
+    // inside the first three funnel events, then floods clicks
+    val bot = Seq((9L, "signup", ts(1)), (9L, "click", ts(2)),
+      (9L, "purchase", ts(3))) ++
+      (1 to 5000).map(i => (9L, "click", ts(10 + i)))
+    val ev = (bot ++ Seq(
+      (1L, "signup", ts(10)), (1L, "click", ts(20)),
+      (2L, "signup", ts(10)), (2L, "click", ts(5))
+    )).toDF("user_id", "event_type", "ts")
+    def run(cap: Option[Int]) =
+      EventAnalytics.funnelTransitionStats(ev, "user_id", "event_type",
+          "ts", steps, maxEventsPerUser = cap)
+        .orderBy("step_from").collect().map(_.toString).toSeq
+    val exact = run(None)
+    assert(exact.size == 2, s"both transitions realize: $exact")
+    assert(run(Some(10)) == exact,
+      "capped gaps must equal exact when chains realize within the cap")
+    assert(run(Some(3)) == exact,
+      "cap = completion position is still exact (earliest events win)")
+    // the under-report side: a chain realizing past the cap drops out
+    val late = Seq((8L, "click", ts(1)), (8L, "click", ts(2)),
+      (8L, "click", ts(3)), (8L, "click", ts(4)),
+      (8L, "signup", ts(5)), (8L, "click", ts(100)))
+      .toDF("user_id", "event_type", "ts")
+    def run2(cap: Option[Int]) =
+      EventAnalytics.funnelTransitionStats(late, "user_id", "event_type",
+          "ts", Seq("signup", "click"), maxEventsPerUser = cap)
+        .orderBy("step_from").collect().map(_.toString).toSeq
+    assert(run2(None).size == 1 && run2(Some(3)).isEmpty,
+      "a chain realizing past the cap under-reports — the documented trade")
+  }
+
   test("topEventPaths bounded-heap form matches the collect+slice semantics") {
     // duplicate (ts, type) pairs, ties, and a deep history: the bounded
     // top-k heap must reproduce the exact (ts, type)-sorted first-depth

@@ -321,6 +321,77 @@ class ArtifactsSpec extends AnyFunSuite {
       "aged-out orphan claim must be reclaimed")
   }
 
+  test("a slow commit heartbeats its claim: waiters wait it out, vacuum spares it, dead claims still break") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    s.conf.set("spark.graft.artifactClaimTimeoutMs", "200") // tiny on purpose
+    val sp = s; import sp.implicits._
+    val t = Artifacts.tableName("spec_hb", "k")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = new TableStore(s, root, numBuckets = 4)
+    val claim = new org.apache.hadoop.fs.Path(s"$root/_claims/$t.claim")
+
+    // writer A: build fully written, then BACKDATED far past vacuum's
+    // 3x-timeout margin — from here on only the commit heartbeat can
+    // present the build as alive
+    val tmp = s"${t}_b_510beef5"
+    st.createTable(tmp, Seq((1L, "slow")).toDF("id", "v").schema, Seq("id"))
+    st.overwriteSnapshot(tmp, Seq((1L, "slow")).toDF("id", "v"))
+    val old = System.currentTimeMillis() - 60000L
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, tmp), true)
+    while (it.hasNext) fs.setTimes(it.next().getPath, old, old)
+    assert(Artifacts.tryClaim(fs, root, t))
+    Artifacts.resetServedForTesting() // vacuum sees a foreign writer
+
+    // A's rename takes 1.5 s — 7.5x the claim timeout
+    val a = Future {
+      Artifacts.commitUnderClaim(st, tmp, t, renameDelayMsForTest = 1500L)
+    }
+    // waiter B: a full publish racing the slow commit — it must WAIT
+    // (fresh claim = held lock), not break mid-protocol and clobber
+    val tmp2 = s"${t}_b_1a7e0001"
+    st.createTable(tmp2, Seq((9L, "late")).toDF("id", "v").schema, Seq("id"))
+    st.overwriteSnapshot(tmp2, Seq((9L, "late")).toDF("id", "v"))
+    val b = Future { Artifacts.publish(st, tmp2, t) }
+
+    // vacuum DURING the slow commit, after the build dir's own mtime
+    // (touched when the _hb marker was created at commit start) has
+    // aged past the 600 ms margin: only the heartbeat keeps it alive
+    Thread.sleep(1000L)
+    Artifacts.vacuum(s)
+    assert(st.exists(tmp) || st.exists(t),
+      "mid-rename build vanished under vacuum despite the heartbeat")
+    assert(fs.exists(claim) || st.exists(t),
+      "heartbeating claim reclaimed by vacuum")
+
+    assert(Await.result(a, 30.seconds), "the slow writer must still win")
+    Await.result(b, 30.seconds)
+    assert(new TableStore(s, root).read(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "slow")), "waiter must lose gracefully to the slow winner")
+    assert(!st.listTables().contains(tmp2), "loser build must be dropped")
+    assert(!fs.exists(claim), "winner must release its claim")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t/_hb")),
+      "heartbeat marker must not survive into the committed table")
+
+    // DEAD writer: a claim nobody beats still breaks after one quiet
+    // timeout — publish must not wait forever on a corpse
+    st.dropTable(t, purge = true)
+    assert(Artifacts.tryClaim(fs, root, t))
+    val tmp3 = s"${t}_b_1a7e0002"
+    st.createTable(tmp3, Seq((7L, "next")).toDF("id", "v").schema, Seq("id"))
+    st.overwriteSnapshot(tmp3, Seq((7L, "next")).toDF("id", "v"))
+    Artifacts.publish(st, tmp3, t) // breaks the stale claim, commits
+    assert(new TableStore(s, root).read(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "next")), "stale dead claim must be broken and overtaken")
+  }
+
   test("concurrent consumers of one key build exactly once") {
     val root = Files.createTempDirectory("graft_artifacts_spec").toString
     val builds = new AtomicInteger(0)

@@ -173,6 +173,61 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDauSketches + read-time union ≡ the batch st8b twin on finalized days") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // append mode: a (day, dau, sketch) row emits once, on finalization
+    val q = EventStreams.streamingDauSketches(mem.toDF(), "user_id", "ts",
+        watermark = "2 minutes")
+      .writeStream.format("memory").queryName("dau_sk_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val day = 86400L
+      // three active days with overlapping user sets (u1 every day,
+      // u2/u3 partial), duplicates included — dedup keeps dau exact and
+      // HLL registers are insertion-idempotent
+      mem.addData(
+        Event(1, 1, "click", 1.0, ts(10)), Event(2, 1, "click", 1.0, ts(20)),
+        Event(3, 2, "view", 1.0, ts(30)),
+        Event(4, 1, "click", 1.0, ts(day + 10)), Event(5, 3, "view", 1.0, ts(day + 20)),
+        Event(6, 1, "view", 1.0, ts(2 * day + 10)), Event(7, 2, "view", 1.0, ts(2 * day + 20)),
+        Event(8, 3, "click", 1.0, ts(2 * day + 30)))
+      q.processAllAvailable()
+      // sentinel far in the future: advances the watermark so all three
+      // real days finalize; its own window stays open and never emits
+      mem.addData(Event(99, 999, "click", 1.0, ts(30 * day)))
+      q.processAllAvailable()
+      val finalized = spark.table("dau_sk_stream")
+      assert(finalized.count() == 3, "three finalized days expected")
+      // exact DAU rode along with the sketches
+      val dau = finalized.collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(dau == Map("1970-01-01" -> 2L, "1970-01-02" -> 2L, "1970-01-03" -> 3L), s"got $dau")
+
+      // read-time trailing-2-day union over the finalized sketch table
+      // must equal the batch st8b form over the same (sentinel-free)
+      // events — identical sketches → identical estimates, bit for bit
+      val got = EventStreams.dauMauFromDailySketches(finalized, window = 2)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getLong(2), r.getDouble(3))).toSeq
+      val batchEvents = Seq(
+        (1L, ts(10)), (1L, ts(20)), (2L, ts(30)),
+        (1L, ts(day + 10)), (3L, ts(day + 20)),
+        (1L, ts(2 * day + 10)), (2L, ts(2 * day + 20)), (3L, ts(2 * day + 30)))
+        .toDF("user_id", "ts")
+      val want = graft.ops.EventAnalytics
+        .dauMauApprox(batchEvents, "user_id", "ts", window = 2)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(2), r.getDouble(3))).toSeq
+      assert(got.map(g => (g._1, g._3)) == want.map(w => (w._1, w._2)),
+        s"stream-side MAU union diverged from st8b: $got vs $want")
+      // the streaming twin's dau column is EXACT (st8b estimates it)
+      assert(got.map(g => (g._1, g._2)) ==
+        Seq(("1970-01-01", 2L), ("1970-01-02", 2L), ("1970-01-03", 3L)))
+      // tiny distinct sets: the HLL estimates are exact here, so
+      // stickiness_est = dau / mau_est is checkable directly
+      assert(got.map(_._4) == Seq(2.0 / 2.0, 2.0 / 3.0, 3.0 / 3.0), s"got $got")
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs right events within the lookback window") {
     implicit val sc = spark.sqlContext
     val impressions = MemoryStream[Event]
