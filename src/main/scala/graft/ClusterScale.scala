@@ -134,25 +134,47 @@ object ClusterScale {
     years.foreach { y => // yearly arrival batches — bounded count at any SF
       store.append("li_monthly", li.filter(year(col("l_shipday")) === y))
     }
-    def scanMonthly(pruned: Boolean): (Long, Long, Double, Int) = {
+    // three arms: opt-in scanWhere; the same plain read(t).filter with
+    // the SidecarPrune optimizer rule ON (the new DEFAULT — must serve
+    // scanWhere's exact file set); and the rule disabled via its kill
+    // switch as the true unpruned baseline
+    def scanMonthly(mode: String): (Long, Long, Double, Int) = {
       val cond = col("l_shipday") >= lo && col("l_shipday") < hi
-      val df = if (pruned) store.scanWhere("li_monthly", cond)
-               else store.read("li_monthly").filter(cond)
-      var out = 0L; var took = 0.0
-      val read = readDuring {
-        val (o, t2) = timed(df.agg(count(lit(1))).head().getLong(0))
-        out = o; took = t2
-      }
-      (read, out, took, df.inputFiles.length)
+      if (mode == "off")
+        spark.conf.set(graft.store.SidecarPrune.EnabledConf, "false")
+      try {
+        val df = if (mode == "scanWhere") store.scanWhere("li_monthly", cond)
+                 else store.read("li_monthly").filter(cond)
+        var out = 0L; var took = 0.0
+        val read = readDuring {
+          val (o, t2) = timed(df.agg(count(lit(1))).head().getLong(0))
+          out = o; took = t2
+        }
+        // the transparent rewrite lives in the OPTIMIZED plan, which
+        // Dataset.inputFiles (analyzed plan) misses by design
+        val files = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.inputFiles.length
+        }.sum
+        (read, out, took, files)
+      } finally
+        spark.conf.set(graft.store.SidecarPrune.EnabledConf, "true")
     }
-    scanMonthly(pruned = true); scanMonthly(pruned = false) // warm
-    val (mpRead, mpRows, mpSec, mpFiles) = scanMonthly(pruned = true)
-    val (muRead, muRows, muSec, muFiles) = scanMonthly(pruned = false)
+    scanMonthly("scanWhere"); scanMonthly("off") // warm
+    val (mpRead, mpRows, mpSec, mpFiles) = scanMonthly("scanWhere")
+    val (mtRead, mtRows, mtSec, mtFiles) = scanMonthly("transparent")
+    val (muRead, muRows, muSec, muFiles) = scanMonthly("off")
     require(mpRows == muRows, s"scanWhere must match: $mpRows vs $muRows")
+    require(mtRows == muRows, s"transparent prune must match: $mtRows vs $muRows")
+    require(mtFiles == mpFiles,
+      s"transparent prune must serve scanWhere's file set: $mtFiles vs $mpFiles")
     println(f"CLUSTERSCALE_FILES files=$muFiles%d keptFiles=$mpFiles%d " +
       f"filePrune=${muFiles.toDouble / math.max(1, mpFiles)}%.1fx " +
+      f"transparentKept=$mtFiles%d transparentRead=$mtRead%d " +
       f"prunedRead=$mpRead%d unprunedRead=$muRead%d " +
-      f"prunedScan=$mpSec%.2fs unprunedScan=$muSec%.2fs")
+      f"prunedScan=$mpSec%.2fs transparentScan=$mtSec%.2fs unprunedScan=$muSec%.2fs")
 
     // ---- ZORDER vs linear on two independent dims ------------------------
     // (l_partkey, l_suppkey): neither correlates with arrival order; a

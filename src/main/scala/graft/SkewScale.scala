@@ -111,13 +111,17 @@ object SkewScale {
       .orderBy("step_from").collect().map(_.toString).toSeq
     require(gapsExact == gapsCapped,
       s"capped gaps diverged:\n$gapsExact\nvs\n$gapsCapped")
-    time("st4c gaps exact") {
-      graft.ops.EventAnalytics.funnelTransitionStats(ev, "user_id",
-        "event_type", "ts", steps).count()
-    }
+    // capped timed FIRST: the exact run's single-task 10 M-element
+    // collect_list leaves GC debt that a subsequent measurement in the
+    // same JVM pays (measured 2 s → 48 s when timed after it)
+    System.gc()
     time("st4e gaps capped(1000)") {
       graft.ops.EventAnalytics.funnelTransitionStats(ev, "user_id",
         "event_type", "ts", steps, maxEventsPerUser = Some(1000)).count()
+    }
+    time("st4c gaps exact") {
+      graft.ops.EventAnalytics.funnelTransitionStats(ev, "user_id",
+        "event_type", "ts", steps).count()
     }
 
     // st7 A/B — the window-lead pair formation (shipped) vs the

@@ -52,7 +52,18 @@ import org.apache.spark.sql.types.StructType
   * original node is returned unchanged. */
 object SidecarPrune extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** Escape hatch (default on): `spark.graft.sidecarPrune.enabled=false`
+    * restores un-pruned filtered reads — for A/B measurement
+    * ([[graft.ClusterScale]] uses it to time the true baseline) and as
+    * the operational kill switch any transparent rewrite owes its
+    * operators. */
+  val EnabledConf = "spark.graft.sidecarPrune.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledConf, "true").toBoolean) plan
+    else applyEnabled(plan)
+
+  private def applyEnabled(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, l: LogicalRelation) =>
       prune(cond, l).map(nl => Filter(cond, nl)).getOrElse(f)
     // post-ColumnPruning shape: the filter was pushed below the project,
