@@ -110,13 +110,15 @@ import graft.store.TableStore
   *    per-node (degree, n_triangles, clustering_coeff) over an
   *    (id_a, id_b) pair table — neighbor-graph quality diagnostics
   *  - `TABLE(graft_funnel(events, 'user', 'type', 'ts',
-  *    'step1,step2,…'[, max_gap_us]))` →
+  *    'step1,step2,…'[, max_gap_us[, max_events_per_user]]))` →
   *    [[graft.ops.EventAnalytics.funnelSteps]]: sequential-order funnel
-  *    reach counts + conversion, optional per-step conversion window
+  *    reach counts + conversion, optional per-step conversion window,
+  *    optional bot-skew cap (per-user fold state O(cap))
   *  - `TABLE(graft_funnel_gaps(events, 'user', 'type', 'ts',
-  *    'step1,step2,…'[, max_gap_us]))` →
+  *    'step1,step2,…'[, max_gap_us[, max_events_per_user]]))` →
   *    [[graft.ops.EventAnalytics.funnelTransitionStats]]: per-transition
-  *    converted counts + exact time-between-steps statistics
+  *    converted counts + exact time-between-steps statistics, same
+  *    optional bot-skew cap
   *  - `TABLE(graft_event_paths(events, 'user', 'type', 'ts', depth,
   *    top_n))` → [[graft.ops.EventAnalytics.topEventPaths]]: the top-N
   *    most common first-`depth` user-journey paths
@@ -270,6 +272,11 @@ object TableFunctions {
       require(v > 0, s"$fn: $what must be a positive integer, got $v")
       v
     }
+    def long(a: String): Long =
+      try a.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$fn: expected an integer literal, got $a")
+      }
     def num(a: String): Double =
       try a.trim.toDouble catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -279,7 +286,7 @@ object TableFunctions {
       str(a).split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
         val i = kv.lastIndexOf('=')
         require(i > 0, s"$fn: budget entries are source=tokens, got '$kv'")
-        kv.take(i).trim -> kv.drop(i + 1).trim.toLong
+        kv.take(i).trim -> long(kv.drop(i + 1))
       }.toMap
 
     fn match {
@@ -319,7 +326,7 @@ object TableFunctions {
           "5 or 6 (t, 'id', 'text', 'source', 'src=tokens,…'[, default_budget])")
         CorpusOps.tokenBudgetMix(rel(args(0)), str(args(1)), str(args(2)),
           str(args(3)), budgets(args(4)),
-          defaultBudget = if (args.length > 5) args(5).toLong else Long.MaxValue)
+          defaultBudget = if (args.length > 5) long(args(5)) else Long.MaxValue)
 
       case "graft_epoch_mix" =>
         arity(args.length == 5, "5 (t, 'id', 'text', 'source', 'src=tokens,…')")
@@ -421,7 +428,7 @@ object TableFunctions {
       case "graft_temperature_mix" =>
         arity(args.length == 5, "5 (t, 'id', 'text', 'source', total_budget)")
         CorpusOps.temperatureMix(rel(args(0)), str(args(1)), str(args(2)),
-          str(args(3)), args(4).toLong)
+          str(args(3)), long(args(4)))
 
       case "graft_shuffle_shards" =>
         arity(args.length == 3, "3 (t, 'id', n_shards)")
@@ -521,20 +528,26 @@ object TableFunctions {
         Dedup.triangleCounts(rel(args(0)))
 
       case "graft_funnel" =>
-        arity(args.length == 5 || args.length == 6,
-          "5 or 6 (events, 'user', 'type', 'ts', 'step1,step2,…'[, max_gap_us])")
+        arity(args.length >= 5 && args.length <= 7,
+          "5 to 7 (events, 'user', 'type', 'ts', 'step1,step2,…'" +
+            "[, max_gap_us[, max_events_per_user]])")
         graft.ops.EventAnalytics.funnelSteps(rel(args(0)), str(args(1)),
           str(args(2)), str(args(3)),
           str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          maxGapUs = if (args.length > 5) Some(args(5).toLong) else None)
+          maxGapUs = if (args.length > 5) Some(long(args(5))) else None,
+          maxEventsPerUser = if (args.length > 6)
+            Some(posInt(args(6), "max_events_per_user")) else None)
 
       case "graft_funnel_gaps" =>
-        arity(args.length == 5 || args.length == 6,
-          "5 or 6 (events, 'user', 'type', 'ts', 'step1,step2,…'[, max_gap_us])")
+        arity(args.length >= 5 && args.length <= 7,
+          "5 to 7 (events, 'user', 'type', 'ts', 'step1,step2,…'" +
+            "[, max_gap_us[, max_events_per_user]])")
         graft.ops.EventAnalytics.funnelTransitionStats(rel(args(0)),
           str(args(1)), str(args(2)), str(args(3)),
           str(args(4)).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          maxGapUs = if (args.length > 5) Some(args(5).toLong) else None)
+          maxGapUs = if (args.length > 5) Some(long(args(5))) else None,
+          maxEventsPerUser = if (args.length > 6)
+            Some(posInt(args(6), "max_events_per_user")) else None)
 
       case "graft_transitions" =>
         arity(args.length == 4, "4 (events, 'user', 'type', 'ts')")
@@ -679,7 +692,7 @@ object TableFunctions {
         arity(args.length == 6,
           "6 (points, intervals, 'point_ts', 'start', 'end', bin_width)")
         graft.ops.TemporalJoins.pointInRange(rel(args(0)), rel(args(1)),
-          str(args(2)), str(args(3)), str(args(4)), args(5).toLong)
+          str(args(2)), str(args(3)), str(args(4)), long(args(5)))
 
       case other => sys.error(s"unknown table function $other — supported: " +
         "graft_neardup_filter, graft_neardup_pairs, graft_semantic_dedup, " +

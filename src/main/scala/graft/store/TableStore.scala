@@ -488,7 +488,15 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     * normal 100 TB arrival order) makes append batches range-disjoint
     * on event time, so date/timestamp range scans touch only the
     * matching batches — clustering keys sharpen the same effect within
-    * a batch. */
+    * a batch.
+    *
+    * Since the [[SidecarPrune]] optimizer rule landed, the same prune
+    * fires TRANSPARENTLY on any `Filter` over a plain [[read]] (and on
+    * SQL over registered views), so calling scanWhere is no longer
+    * required to get the metadata tier — it remains the explicit API
+    * for pre-resolved `Column` predicates and for callers that want
+    * the pruned file list reflected in `Dataset.inputFiles` (the rule
+    * rewrites the optimized plan, which inputFiles doesn't read). */
   def scanWhere(table: String, cond: org.apache.spark.sql.Column,
       version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion(table)

@@ -332,6 +332,19 @@ class TableFunctionsSpec extends AnyFunSuite {
       "'user_id', 'event_type', 'ts', 'signup,click,purchase'))").get) ==
       rows(graft.ops.EventAnalytics.funnelTransitionStats(ev, "user_id",
         "event_type", "ts", Seq("signup", "click", "purchase"))))
+    // the bot-capped production forms (st4d/st4e) from SQL: 7th arg
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_funnel(events_tf, " +
+      "'user_id', 'event_type', 'ts', 'signup,click,purchase', " +
+      "86400000000, 8))").get) ==
+      rows(graft.ops.EventAnalytics.funnelSteps(ev, "user_id", "event_type",
+        "ts", Seq("signup", "click", "purchase"),
+        maxGapUs = Some(86400000000L), maxEventsPerUser = Some(8))))
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_funnel_gaps(events_tf, " +
+      "'user_id', 'event_type', 'ts', 'signup,click,purchase', " +
+      "86400000000, 8))").get) ==
+      rows(graft.ops.EventAnalytics.funnelTransitionStats(ev, "user_id",
+        "event_type", "ts", Seq("signup", "click", "purchase"),
+        maxGapUs = Some(86400000000L), maxEventsPerUser = Some(8))))
     assert(rows(g.sql("SELECT * FROM TABLE(graft_event_paths(events_tf, " +
       "'user_id', 'event_type', 'ts', 4, 20))").get) ==
       rows(graft.ops.EventAnalytics.topEventPaths(ev, "user_id",
