@@ -151,6 +151,22 @@ object SkewScale {
       .collect().map(_.toString).toSeq
     val arrM = transitionsCollect().collect().map(_.toString).toSeq
     require(winM == arrM, s"st7 A/B mismatch:\n$winM\nvs\n$arrM")
+    // chunked twin (st7b): the bot's single-task sort split into
+    // parallel per-(user, time-chunk) sorts + boundary recovery —
+    // identical matrix required. 10-minute chunks here: the bot's 10 M
+    // events span ~2.8 h at 1 ms spacing, so day chunks (the registered
+    // st7b's choice for the 30-day table) would not split it
+    val botChunk = 600000000L
+    val chunkM = graft.ops.EventAnalytics
+      .eventTransitionMatrix(ev, "user_id", "event_type", "ts",
+        chunkUs = Some(botChunk))
+      .collect().map(_.toString).toSeq
+    require(chunkM == winM, s"st7b A/B mismatch:\n$chunkM\nvs\n$winM")
+    time("st7b chunked (bot-split)") {
+      graft.ops.EventAnalytics
+        .eventTransitionMatrix(ev, "user_id", "event_type", "ts",
+          chunkUs = Some(botChunk)).count()
+    }
     time("st7 window-lead (shipped)") {
       graft.ops.EventAnalytics
         .eventTransitionMatrix(ev, "user_id", "event_type", "ts").count()

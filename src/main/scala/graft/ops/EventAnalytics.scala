@@ -322,15 +322,65 @@ object EventAnalytics {
     *
     * @return (from_type, to_type, n, p), ordered by (from, to). */
   def eventTransitionMatrix(events: DataFrame, userCol: String,
-      typeCol: String, tsCol: String): DataFrame = {
+      typeCol: String, tsCol: String): DataFrame =
+    eventTransitionMatrix(events, userCol, typeCol, tsCol, None)
+
+  /** `chunkUs` variant — the BOT-SKEW formulation: the default window
+    * form sorts each user's WHOLE history in one task (spillable, but
+    * single-threaded — a bot with tens of millions of events serializes
+    * the stage on one core). Chunking splits every user's timeline into
+    * `chunkUs`-microsecond time chunks: consecutive pairs form with a
+    * `lead` INSIDE each (user, chunk) window — per-task state bounded
+    * by a chunk's events, and a bot's chunks sort in parallel — and the
+    * chunk-boundary pairs are recovered from each chunk's (first, last)
+    * event: the global (ets, type) order is the concatenation of the
+    * chunk sequences in chunk order (the chunk id is monotone in ets
+    * and equal timestamps share a chunk), so (last of chunk k, first of
+    * the next present chunk) are exactly the consecutive pairs the
+    * per-chunk windows can't see. Per-user boundary state is
+    * O(time-range / chunkUs) — independent of event count. Output is
+    * IDENTICAL to the default form (spec-pinned; the registered st7b
+    * twin hash-checks it against the same oracle); the trade is one
+    * extra aggregation over the (user, chunk) key, which is why the
+    * un-skewed default keeps the plain window. */
+  def eventTransitionMatrix(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, chunkUs: Option[Long]): DataFrame = {
     val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
         unix_micros(col(tsCol)).as("ets"))
       .filter(col("ets").isNotNull && col("t").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("u").orderBy(col("ets"), col("t"))
-    val pairs = base
-      .select(col("t").as("from_type"), lead(col("t"), 1).over(w).as("to_type"))
-      .filter(col("to_type").isNotNull) // each user's last event ends no pair
+    val pairs = chunkUs match {
+      case None =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("ets"), col("t"))
+        base.select(col("t").as("from_type"),
+            lead(col("t"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull) // a user's last event ends no pair
+      case Some(c) =>
+        require(c > 0, "chunkUs must be positive")
+        // exact floor division (ets may be pre-1970): pmod keeps the
+        // remainder non-negative, so chunk ids stay monotone in ets
+        val ck = ((col("ets") - pmod(col("ets"), lit(c))) / lit(c))
+          .cast("long")
+        val chunked = base.withColumn("ck", ck)
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy("u", "ck").orderBy(col("ets"), col("t"))
+        val within = chunked
+          .select(col("t").as("from_type"),
+            lead(col("t"), 1).over(wc).as("to_type"))
+          .filter(col("to_type").isNotNull)
+        // per-(user, chunk) first/last by the SAME (ets, type) order —
+        // struct min/max compares fields lexicographically
+        val edges = chunked.groupBy("u", "ck")
+          .agg(min(struct(col("ets"), col("t"))).as("first"),
+            max(struct(col("ets"), col("t"))).as("last"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("ck"))
+        val boundary = edges
+          .select(col("last.t").as("from_type"),
+            lead(col("first.t"), 1).over(wb).as("to_type"))
+          .filter(col("to_type").isNotNull)
+        within.unionByName(boundary)
+    }
     val counts = pairs.groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
     val totals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))

@@ -2220,6 +2220,17 @@ object PipelineQueries {
         "user_id", "event_type", "ts")
     },
 
+    // BOT-SKEW twin of st7: pair formation chunked into 1-day windows —
+    // per-task sort state bounded by a chunk's events (a bot's chunks
+    // sort in PARALLEL instead of serializing one task), boundary pairs
+    // recovered from per-chunk (first, last); output identical to st7
+    // and hash-checked against the same oracle. SkewScale measures the
+    // 10 M-event bot.
+    "st7b_transitions_chunked" -> { (s, dir) =>
+      graft.ops.EventAnalytics.eventTransitionMatrix(Tables.events(s, dir),
+        "user_id", "event_type", "ts", chunkUs = Some(86400000000L))
+    },
+
     // Weekly cohort retention: cohort = epoch-week of first activity,
     // retained-at-offset from distinct (user, week) activity. Exact
     // integer week arithmetic — no calendar/timezone drift cross-engine.
@@ -4195,6 +4206,24 @@ object PipelineQueries {
     // the window form scales where a 10 M-element list unnest breaks
     // DuckDB's allocator; integer counts, one division
     "st7_transitions" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |o AS (SELECT t AS from_type,
+        |    lead(t) OVER (PARTITION BY u ORDER BY ets, t) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(1) AS BIGINT) AS n
+        |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p
+        |FROM c JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // Chunked-transitions mirror: the chunking is an ENGINE-side
+    // execution strategy with identical semantics, so the oracle is
+    // st7's exact global-window formulation — any boundary-pair bug on
+    // the Spark side hash-fails against the unchunked truth.
+    "st7b_transitions_chunked" ->
       """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ets
         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
         |o AS (SELECT t AS from_type,

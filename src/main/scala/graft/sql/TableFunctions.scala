@@ -122,9 +122,12 @@ import graft.store.TableStore
   *  - `TABLE(graft_event_paths(events, 'user', 'type', 'ts', depth,
   *    top_n))` → [[graft.ops.EventAnalytics.topEventPaths]]: the top-N
   *    most common first-`depth` user-journey paths
-  *  - `TABLE(graft_transitions(events, 'user', 'type', 'ts'))` →
+  *  - `TABLE(graft_transitions(events, 'user', 'type', 'ts'
+  *    [, chunk_us]))` →
   *    [[graft.ops.EventAnalytics.eventTransitionMatrix]]: first-order
-  *    Markov (from, to, n, P(to|from)) flow matrix
+  *    Markov (from, to, n, P(to|from)) flow matrix; the optional chunk
+  *    width switches to the bot-skew formulation (per-task sort state
+  *    bounded by a time chunk, identical output)
   *  - `TABLE(graft_cohorts(events, 'user', 'ts'))` →
   *    [[graft.ops.EventAnalytics.cohortRetention]]: weekly cohort
   *    retention matrix
@@ -550,9 +553,12 @@ object TableFunctions {
             Some(posInt(args(6), "max_events_per_user")) else None)
 
       case "graft_transitions" =>
-        arity(args.length == 4, "4 (events, 'user', 'type', 'ts')")
+        arity(args.length == 4 || args.length == 5,
+          "4 or 5 (events, 'user', 'type', 'ts'[, chunk_us])")
         graft.ops.EventAnalytics.eventTransitionMatrix(rel(args(0)),
-          str(args(1)), str(args(2)), str(args(3)))
+          str(args(1)), str(args(2)), str(args(3)),
+          chunkUs = if (args.length > 4)
+            Some(long(args(4))) else None)
 
       case "graft_event_paths" =>
         arity(args.length == 6,

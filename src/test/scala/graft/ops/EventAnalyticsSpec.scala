@@ -240,6 +240,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "a chain realizing past the cap under-reports — the documented trade")
   }
 
+  test("chunked eventTransitionMatrix equals the global-window form") {
+    // adversarial boundary placement: events straddling chunk edges,
+    // ties on ets at an edge, single-event chunks, empty chunks between
+    // active ones, a pre-1970 timestamp (negative ets floor division),
+    // and a user whose whole history fits one chunk
+    val c = 1000000L // 1 s chunks (ts() steps are seconds)
+    val ev = Seq(
+      (1L, "a", ts(0)), (1L, "b", ts(0)),   // tie inside chunk 0
+      (1L, "c", ts(1)),                     // chunk 1: single event
+      (1L, "d", ts(5)), (1L, "e", ts(5)),   // gap of empty chunks, tie
+      (2L, "x", ts(2)), (2L, "y", ts(2)), (2L, "z", ts(2)), // one chunk
+      (3L, "p", new java.sql.Timestamp(-1500L)), // pre-1970
+      (3L, "q", ts(0)), (3L, "r", ts(3))
+    ).toDF("user_id", "event_type", "ts")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val exact = rows(EventAnalytics.eventTransitionMatrix(
+      ev, "user_id", "event_type", "ts"))
+    val chunked = rows(EventAnalytics.eventTransitionMatrix(
+      ev, "user_id", "event_type", "ts", chunkUs = Some(c)))
+    assert(chunked == exact, s"chunked diverged:\n$chunked\nvs\n$exact")
+    // degenerate chunk sizes: everything in one chunk / every event its
+    // own chunk — both still exact
+    assert(rows(EventAnalytics.eventTransitionMatrix(
+      ev, "user_id", "event_type", "ts", Some(Long.MaxValue))) == exact)
+    assert(rows(EventAnalytics.eventTransitionMatrix(
+      ev, "user_id", "event_type", "ts", Some(1L))) == exact)
+  }
+
   test("topEventPaths bounded-heap form matches the collect+slice semantics") {
     // duplicate (ts, type) pairs, ties, and a deep history: the bounded
     // top-k heap must reproduce the exact (ts, type)-sorted first-depth
