@@ -280,6 +280,11 @@ object TableFunctions {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"$fn: expected an integer literal, got $a")
       }
+    def posLong(a: String, what: String): Long = {
+      val v = long(a)
+      require(v > 0, s"$fn: $what must be a positive integer, got $v")
+      v
+    }
     def num(a: String): Double =
       try a.trim.toDouble catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -558,7 +563,7 @@ object TableFunctions {
         graft.ops.EventAnalytics.eventTransitionMatrix(rel(args(0)),
           str(args(1)), str(args(2)), str(args(3)),
           chunkUs = if (args.length > 4)
-            Some(long(args(4))) else None)
+            Some(posLong(args(4), "chunk_us")) else None)
 
       case "graft_event_paths" =>
         arity(args.length == 6,

@@ -264,6 +264,7 @@ object Artifacts {
     val latest = new Path(new Path(r, table), "_latest")
     val timeout = claimTimeoutMs(st.spark)
     var attempts = 0
+    val waitStart = System.currentTimeMillis()
     while (true) {
       if (fs.exists(latest)) { // someone else committed — ours is redundant
         st.dropTable(tmp, purge = true)
@@ -296,6 +297,15 @@ object Artifacts {
         require(attempts <= 5,
           s"artifact $table: could not commit after $attempts claim rounds " +
             s"(stale claims at ${claimPath(r, table)})")
+      } else {
+        // a FRESH claim is a held lock and the wait is unbounded by
+        // design — but an operator watching a hung pipeline must be able
+        // to tell "waiting on a live writer" from "wedged": say so, with
+        // the elapsed time and the claim path, once per wait round
+        val waitedS = (System.currentTimeMillis() - waitStart) / 1000
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"artifact $table: waiting on a LIVE claim for ${waitedS}s " +
+            s"(holder heartbeats $cp; breaks only if it goes quiet for ${timeout}ms)")
       }
     }
   }

@@ -1,7 +1,5 @@
 package graft.store
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
@@ -127,9 +125,19 @@ object SidecarPrune extends Rule[LogicalPlan] {
 
   // sidecar parse memo — batches are immutable after commit, so the
   // (path, mtime, length) key only ever changes when a spec (or an
-  // out-of-band writer) rewrites the file in place, which then re-parses
-  private val memo =
-    new ConcurrentHashMap[(String, Long, Long), Map[String, StatsPruning.FileStats]]()
+  // out-of-band writer) rewrites the file in place, which then
+  // re-parses. Bounded as a size-capped LRU: under sustained load cold
+  // entries evict one at a time instead of dumping the whole cache
+  // (a full clear() caused periodic re-parse storms of every HOT
+  // sidecar on the next optimization pass).
+  private val MemoCap = 4096
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long),
+        Map[String, StatsPruning.FileStats]](64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long),
+            Map[String, StatsPruning.FileStats]]): Boolean = size() > MemoCap
+    })
 
   private def sidecarFor(batchDir: Path,
       hconf: org.apache.hadoop.conf.Configuration)
@@ -142,8 +150,11 @@ object SidecarPrune extends Rule[LogicalPlan] {
       val hit = memo.get(key)
       if (hit != null) hit
       else {
-        if (memo.size > 4096) memo.clear() // unbounded-session backstop
-        val parsed = TableStore.readStatsSidecar(fs, batchDir)
+        // headerless legacy sidecars are STATS-ONLY by contract
+        // ([[TableStore.Sidecar]]); this consumer takes its inventory
+        // from the FileIndex listing and treats absent entries as keep,
+        // so using .files directly is already the stats-only behavior
+        val parsed = TableStore.readStatsSidecar(fs, batchDir).files
         memo.put(key, parsed)
         parsed
       }

@@ -509,18 +509,19 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     var (total, pruned) = (0, 0)
     entries.map(_._2).groupBy(p => new Path(p).getParent).foreach {
       case (batchDir, bucketDirs) =>
-        val stats = readStatsSidecar(batchDir)
-        if (stats.nonEmpty) {
-          // the sidecar IS the batch's file inventory (written from the
-          // exact post-write listing, batches immutable after commit), so
-          // the candidate list comes straight from metadata the driver
-          // just read — at millions of files the per-bucket listStatus
-          // loop below would be the GET storm this tier exists to avoid.
-          // The manifest may reference only SOME of the batch's buckets
-          // (update/merge rewrite touched buckets into newer batches), so
-          // filter the inventory to the referenced bucket dirs.
+        val sc = readStatsSidecar(batchDir)
+        if (sc.inventoryTrusted && sc.files.nonEmpty) {
+          // a sentinel-verified sidecar IS the batch's file inventory
+          // (written from the exact post-write listing, batches immutable
+          // after commit), so the candidate list comes straight from
+          // metadata the driver just read — at millions of files the
+          // per-bucket listStatus loop below would be the GET storm this
+          // tier exists to avoid. The manifest may reference only SOME of
+          // the batch's buckets (update/merge rewrite touched buckets into
+          // newer batches), so filter the inventory to the referenced
+          // bucket dirs.
           val wanted = bucketDirs.map(bd => new Path(bd).getName).toSet
-          stats.foreach { case (rel, colStats) =>
+          sc.files.foreach { case (rel, colStats) =>
             val slash = rel.indexOf('/')
             if (slash > 0 && wanted.contains(rel.substring(0, slash))) {
               total += 1
@@ -529,12 +530,21 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
               else pruned += 1
             }
           }
-        } else bucketDirs.foreach { bd => // legacy batch without sidecar
+        } else bucketDirs.foreach { bd =>
+          // legacy batch: no sidecar, or a headerless pre-sentinel one
+          // whose writer skipped stat-less files — either way the
+          // DIRECTORY LISTING is the inventory, and any per-file stats
+          // that do exist still prune (stats-only consumption)
           val bdPath = new Path(bd)
           if (fs.exists(bdPath)) fs.listStatus(bdPath).foreach { st =>
             if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
               total += 1
-              kept += st.getPath.toString
+              val rel = s"${bdPath.getName}/${st.getPath.getName}"
+              sc.files.get(rel) match {
+                case Some(colStats) if !tests.forall(t => t(colStats)) =>
+                  pruned += 1
+                case _ => kept += st.getPath.toString
+              }
             }
           }
         }
@@ -884,8 +894,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   /** See [[TableStore.readStatsSidecar]] (static form) for semantics,
     * including the integrity-sentinel fallback contract. */
-  private def readStatsSidecar(batchDir: Path)
-      : Map[String, StatsPruning.FileStats] =
+  private def readStatsSidecar(batchDir: Path): TableStore.Sidecar =
     TableStore.readStatsSidecar(fs, batchDir)
 
   private def withAction(df: DataFrame, action: String): DataFrame =
@@ -1206,21 +1215,35 @@ object TableStore {
     }
   }
 
+  /** A parsed batch sidecar. `inventoryTrusted` says whether `files`'
+    * KEY SET is the batch's complete data-file inventory: only sidecars
+    * carrying the integrity sentinel (`#graft_stats files=<n>` header +
+    * `#end` trailer, both verified) earn it. Headerless sidecars from
+    * pre-sentinel writers are STATS-ONLY — that writer also omitted
+    * files whose parquet footers yielded no usable column stats, so
+    * trusting its key set as the inventory would silently drop those
+    * files from every pruned scan; consumers must take the inventory
+    * from a directory listing and use `files` only to prune entries
+    * that are present. */
+  private[store] final case class Sidecar(
+      files: Map[String, StatsPruning.FileStats], inventoryTrusted: Boolean)
+
   /** Parse a batch dir's stats sidecar (static form — also consumed by
     * [[SidecarPrune]], which prunes arbitrary Filter-over-store-scan
     * plans without a [[TableStore]] handle): relative file path →
-    * (column → interval). Empty map when the sidecar is absent (legacy
+    * (column → interval), plus the inventory-trust flag (see
+    * [[Sidecar]]). Empty+untrusted when the sidecar is absent (legacy
     * batch), unreadable, or FAILS ITS INTEGRITY SENTINEL (header
     * `#graft_stats files=<n>` present but the `#end` trailer or the
     * declared file count doesn't match — a partially-flushed or
     * truncated sidecar) — callers then keep every file via the
     * conservative directory-listing path instead of silently scanning
     * an incomplete inventory. Headerless sidecars from pre-sentinel
-    * writers still parse (no integrity claim to check). */
+    * writers still parse, but stats-only (untrusted inventory). */
   private[store] def readStatsSidecar(fs: FileSystem, batchDir: Path)
-      : Map[String, StatsPruning.FileStats] = {
+      : Sidecar = {
     val p = new Path(batchDir, "_graft_stats")
-    if (!fs.exists(p)) return Map.empty
+    if (!fs.exists(p)) return Sidecar(Map.empty, inventoryTrusted = false)
     val b64 = java.util.Base64.getDecoder
     def dec(kind: String, s: String): Option[Any] =
       if (s.isEmpty) None
@@ -1258,8 +1281,8 @@ object TableStore {
       }
       declared.foreach(n => require(parsed.size == n,
         s"sidecar inventories ${parsed.size} files but declares $n: $p"))
-      parsed
-    }.getOrElse(Map.empty)
+      Sidecar(parsed, inventoryTrusted = declared.isDefined)
+    }.getOrElse(Sidecar(Map.empty, inventoryTrusted = false))
   }
 
   // string bounds above this length are truncated: a truncated MIN is

@@ -494,5 +494,12 @@ class TableFunctionsSpec extends AnyFunSuite {
       "SELECT * FROM TABLE(graft_chunk(docs_tf2, 'doc_id', 'text', 'big'))"))
     assert(e3.getMessage.contains("graft_chunk") &&
       e3.getMessage.contains("integer"), e3.getMessage)
+    // long-typed args validate positivity too: chunk_us = 0 must name the
+    // function and argument, not surface EventAnalytics' bare require
+    val e4 = intercept[IllegalArgumentException](g.sql(
+      "SELECT * FROM TABLE(graft_transitions(events_tf, 'user_id', 'event_type', 'ts', 0))"))
+    assert(e4.getMessage.contains("graft_transitions") &&
+      e4.getMessage.contains("chunk_us") &&
+      e4.getMessage.contains("positive"), e4.getMessage)
   }
 }

@@ -841,6 +841,18 @@ class TableStoreSpec extends AnyFunSuite {
     assert(legacy.inputFiles.isEmpty,
       "legacy headerless sidecar should still drive pruning")
 
+    // (3b) headerless sidecars are STATS-ONLY: the pre-sentinel writer
+    // omitted files whose footers yielded no usable stats, so a file
+    // ABSENT from a headerless sidecar must still be scanned — the
+    // inventory comes from the directory listing, the stats only prune
+    // files they do describe
+    writeLines(full.slice(1, full.length - 1)
+      .filterNot(_.startsWith(firstRel + "\t")))
+    val statsOnly = store.scanWhere("t", cond)
+    assert(statsOnly.inputFiles.toSet == allFiles,
+      "headerless sidecar must take its inventory from the listing")
+    assert(statsOnly.count() == 2000L)
+
     // (4) intact sentinel prunes as before
     writeLines(full)
     assert(store.scanWhere("t", col("id") < 0L).inputFiles.isEmpty)
