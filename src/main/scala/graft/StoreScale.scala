@@ -55,7 +55,7 @@ object StoreScale {
       val (_, tMerge) = timed(store.merge("fact_lineitem", delta))
       val v = store.currentVersion("fact_lineitem")
       val entries = store.readManifest("fact_lineitem", v)
-      val rewritten = entries.count(_._2.contains(f"/b$v%08d/"))
+      val rewritten = entries.count(_._2.contains(f"/b$v%08d_")) // token-suffixed batch dirs
       val nNow = store.read("fact_lineitem").count()
       require(nNow == nRows, s"merge of existing keys must not change row count: $nRows -> $nNow")
       println(f"STORESCALE $label rows=$nRows delta=$nDelta " +
@@ -80,6 +80,35 @@ object StoreScale {
     val nAfter = store.read("fact_lineitem").count()
     require(nAfter == nRows, s"rebucket must preserve rows: $nRows -> $nAfter")
     println(f"STORESCALE rebucket buckets=$bAfter rows=$nAfter rebucket_s=$tRebucket%.1f")
+
+    // cross-JVM optimistic commits at scale: two INDEPENDENT TableStore
+    // instances (no shared lock — the two-JVM shape) race real appends
+    // of lineitem chunks onto one table. Every batch must land: the
+    // committed version count equals the append count and the row total
+    // is exact — the lost-update the old pointer swap allowed is gone.
+    val perWriter = 4
+    val chunk = li.filter(col("row_id") % 8 === 0) // ~1/8 of lineitem
+    val nChunk = chunk.count()
+    val wa = new TableStore(spark, root, numBuckets = 64)
+    val wb = new TableStore(spark, root, numBuckets = 64)
+    wa.createTable("race_t", li.schema, keys = Seq("row_id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def racer(st: TableStore) = new Thread(() =>
+      try (0 until perWriter).foreach(_ => st.append("race_t", chunk))
+      catch { case e: Throwable => errs.add(e) })
+    val (_, tRace) = timed {
+      val t1 = racer(wa); val t2 = racer(wb)
+      t1.start(); t2.start(); t1.join(); t2.join()
+    }
+    require(errs.isEmpty, s"concurrent writer failed: ${errs.peek()}")
+    val vRace = wa.currentVersion("race_t")
+    val nRace = wa.read("race_t").count()
+    require(vRace == 2L * perWriter,
+      s"every racing append must commit its own version: $vRace of ${2 * perWriter}")
+    require(nRace == 2L * perWriter * nChunk,
+      s"lost update under concurrent appends: $nRace of ${2L * perWriter * nChunk}")
+    println(f"STORESCALE concurrent_writers writers=2 appends_each=$perWriter " +
+      f"chunk_rows=$nChunk versions=$vRace rows=$nRace wall_s=$tRace%.1f")
     spark.stop()
   }
 }

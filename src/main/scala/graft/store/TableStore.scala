@@ -31,9 +31,29 @@ import graft.ops.Merge
   *    source hitting k of them, a merge costs O(tableSize · k/B) IO instead
   *    of a full rewrite — the same partition-pruning idea a cluster-scale
   *    engine uses (Delta/Iceberg file pruning, Snowflake micro-partitions).
-  *  - the commit point is a single pointer-file swap (atomic on HDFS/local;
-  *    on S3 use a conditional PUT). Failed jobs leave orphan batch dirs,
-  *    never a corrupt table.
+  *  - the commit point is an OPTIMISTIC CROSS-JVM protocol on the versioned
+  *    manifest (Delta/Iceberg-style): the writer creates
+  *    `_versions/v<base+1>` with create-if-absent, a `#commit <token>`
+  *    header and an `#end <token>` trailer, then re-reads the file —
+  *    winning iff its own token survives verbatim. Exactly one writer can
+  *    own a version: create-if-absent is atomic on HDFS (and a conditional
+  *    PUT on object stores); on local FS the read-back verification closes
+  *    the check-then-create window. A loser REBASES — re-reads the new
+  *    current version and recomputes (appends reuse their already-written
+  *    batch; merges/updates recompute against the winner's output, i.e.
+  *    serializable last-writer-rebases) — so two JVMs appending to the same
+  *    table both land and neither batch is silently orphaned. Batch dirs
+  *    and change batches carry a per-attempt random token in their names,
+  *    so concurrent attempts never collide on data paths either.
+  *  - `_latest` remains as a monotone CACHE of the committed version (two
+  *    winners can race its swap out of order); [[currentVersion]] probes
+  *    forward from it through committed manifests, so a stale or regressed
+  *    pointer only ever costs an extra metadata read, never correctness.
+  *    A writer that dies mid-commit leaves an UNCOMMITTED manifest (no
+  *    verified trailer); waiters break it after
+  *    `spark.graft.store.commitTimeoutMs` (default 60 s) of mtime quiet —
+  *    the same freshness-gated staleness rule the artifact store uses.
+  *    Failed jobs leave orphan batch dirs, never a corrupt table.
   *  - readers of version N are unaffected by concurrent commits (MVCC-ish:
   *    old files are never mutated).
   */
@@ -54,8 +74,16 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   // ---- small-file helpers -------------------------------------------------
 
+  /** 8 hex chars of thread-local randomness — the per-attempt uniqueness
+    * that keeps concurrent writers' batch dirs, change batches, and tmp
+    * files from ever colliding on a path. */
+  private def newToken(): String =
+    f"${java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL}%08x"
+
   private def writeFile(p: Path, content: String): Unit = {
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    // unique tmp name: two JVMs refreshing the same small file (e.g. the
+    // `_latest` cache) must not interleave writes into a shared tmp
+    val tmp = new Path(p.getParent, p.getName + ".tmp" + newToken())
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
@@ -107,7 +135,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       writeFile(new Path(tdir(table), "_defaults"), lines.mkString("\n"))
     }
     writeFile(new Path(tdir(table), "_buckets"), numBuckets.toString)
-    writeFile(manifestPath(table, 0L), manifestText(numBuckets, Nil))
+    writeFile(manifestPath(table, 0L), manifestText(numBuckets, Nil, newToken()))
     writeFile(latestPtr(table), "0")
   }
 
@@ -200,7 +228,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     // boundary must keep pruning against the old hashing)
     val srcBuckets = bucketsOfVersion(src, version.getOrElse(currentVersion(src)))
     writeFile(new Path(tdir(dst), "_buckets"), srcBuckets.toString)
-    writeFile(manifestPath(dst, 0L), manifestText(srcBuckets, entries))
+    writeFile(manifestPath(dst, 0L), manifestText(srcBuckets, entries, newToken()))
     writeFile(latestPtr(dst), "0")
   }
 
@@ -258,8 +286,11 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     if (fs.exists(new Path(tdir(table), "_defaults")))
       writeFile(new Path(tdir(table), "_defaults"),
         defs.map { case (c, k, x) => s"$c\t$k\t$x" }.mkString("\n"))
-    val v = currentVersion(table) + 1
-    commit(table, v, writeBatch(table, v, renamed), changes = None)
+    // the captured `renamed` plan (old schema) is reused across rebases:
+    // rename is maintenance and replaces the whole table, so a write
+    // landing mid-rename is superseded exactly as before the protocol
+    val entries = writeBatch(table, currentVersion(table) + 1, renamed)
+    commitLoop(table)(_ => (entries, None, -1))
     // rewrite pending change batches: [[readChanges]] selects by NAME
     // against the NEW schema, so an un-rewritten batch from before the
     // rename would silently surface null for the renamed column to any
@@ -271,13 +302,13 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       // discard stale .tmp dirs; the loop below then redoes the rewrite
       fs.listStatus(chRoot).foreach { st =>
         val name = st.getPath.getName
-        if (name.matches("v\\d+\\.bak")) {
+        if (name.matches("(v\\d+|c_[0-9a-f]+)\\.bak")) {
           val orig = new Path(chRoot, name.stripSuffix(".bak"))
           if (fs.exists(orig)) fs.delete(st.getPath, true) else fs.rename(st.getPath, orig)
           ()
-        } else if (name.matches("v\\d+\\.tmp")) { fs.delete(st.getPath, true); () }
+        } else if (name.matches("(v\\d+|c_[0-9a-f]+)\\.tmp")) { fs.delete(st.getPath, true); () }
       }
-      fs.listStatus(chRoot).filter(_.getPath.getName.matches("v\\d+")).foreach { st =>
+      fs.listStatus(chRoot).filter(_.getPath.getName.matches("v\\d+|c_[0-9a-f]+")).foreach { st =>
         val df = spark.read.parquet(st.getPath.toString)
         if (df.columns.exists(_.equalsIgnoreCase(from))) {
           // tmp → bak → swap: the original batch survives any crash point
@@ -341,7 +372,29 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   def autoIncOf(table: String): Seq[String] =
     defaultLines(table).collect { case (c, "autoincrement", _) => c }
 
-  def currentVersion(table: String): Long = readFile(latestPtr(table)).trim.toLong
+  /** The latest COMMITTED version. `_latest` is a best-effort monotone
+    * cache under concurrent cross-JVM commits (two winners can race its
+    * swap out of order), so the versioned manifests are the truth: probe
+    * forward from the cached value through committed manifests. In the
+    * steady state the probe costs one metadata miss (v+1 absent). The
+    * pointer read retries briefly through the HDFS delete-then-rename
+    * refresh window (local-FS renames overwrite atomically, no window). */
+  def currentVersion(table: String): Long = {
+    var cached = -1L
+    var tries = 0
+    while (cached < 0) {
+      try cached = readFile(latestPtr(table)).trim.toLong
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (tries >= 50) throw e
+          tries += 1; Thread.sleep(10L)
+      }
+    }
+    var v = cached
+    while (manifestCommitted(table, v + 1)) v += 1
+    if (v > cached) advanceLatest(table, v) // heal a stale/regressed cache
+    v
+  }
 
   /** The table's CURRENT bucket count = the current version's count.
     * Per-version (manifest header), NOT the store constructor: a 100 TB
@@ -368,17 +421,22 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     * with the rewrite commit (both live in the new version's manifest): a
     * crash mid-rewrite leaves the old version + old count fully intact. */
   def rebucket(table: String, n: Int = 0): Unit = synchronized {
-    val target =
-      if (n > 0) n
-      else {
-        val bytes = readManifest(table, currentVersion(table)).map { case (_, p) =>
-          val dir = new Path(p)
-          if (fs.exists(dir)) fs.getContentSummary(dir).getLength else 0L
-        }.sum
-        math.max(1, math.min(4096, math.ceil(bytes / (256.0 * 1024 * 1024)).toInt))
-      }
-    val v = currentVersion(table) + 1
-    commit(table, v, writeBatch(table, v, read(table), target), changes = None, buckets = target)
+    var lastBatch: Seq[(Int, String)] = null
+    var target = 0
+    commitLoop(table) { base =>
+      if (lastBatch != null) dropBatchDirs(lastBatch) // rebased attempt
+      target =
+        if (n > 0) n
+        else {
+          val bytes = readManifest(table, base).map { case (_, p) =>
+            val dir = new Path(p)
+            if (fs.exists(dir)) fs.getContentSummary(dir).getLength else 0L
+          }.sum
+          math.max(1, math.min(4096, math.ceil(bytes / (256.0 * 1024 * 1024)).toInt))
+        }
+      lastBatch = writeBatch(table, base + 1, readVersion(table, base), target)
+      (lastBatch, None, target)
+    }
     // best-effort hint for pre-header readers; authoritative copy is the
     // manifest header committed above
     writeFile(new Path(tdir(table), "_buckets"), target.toString)
@@ -395,11 +453,36 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   // ---- manifests ----------------------------------------------------------
 
-  /** Manifest text: `#buckets\tN` header + one `bucket\tpath` line per
-    * data dir. The header makes the bucket count per-version metadata,
-    * committed atomically with the file list it describes. */
-  private def manifestText(buckets: Int, entries: Seq[(Int, String)]): String =
-    (s"#buckets\t$buckets" +: entries.map { case (b, p) => s"$b\t$p" }).mkString("\n")
+  /** Manifest text: `#commit\t<token>` header, `#buckets\tN` (the bucket
+    * count as per-version metadata, committed atomically with the file
+    * list it describes), an optional `#changes\t<dir>` pointer to the
+    * version's CDC batch (token-named — see [[commitLoop]]), one
+    * `bucket\tpath` line per data dir, and an `#end\t<token>` trailer.
+    * The token pair is the cross-JVM commit sentinel: a manifest is
+    * COMMITTED only when its trailer token matches its header token
+    * (see [[manifestCommitted]]) — a partially-written file from a
+    * writer that died mid-commit never enters the version chain. */
+  private def manifestText(buckets: Int, entries: Seq[(Int, String)],
+      token: String, changesName: Option[String] = None): String =
+    ((s"#commit\t$token" +: s"#buckets\t$buckets" +:
+      changesName.map(c => s"#changes\t$c").toSeq) ++
+      entries.map { case (b, p) => s"$b\t$p" } :+ s"#end\t$token")
+      .mkString("\n")
+
+  /** Whether version v's manifest exists and is COMMITTED: a protocol
+    * manifest (leading `#commit` header) needs its matching `#end`
+    * trailer; a legacy pre-protocol manifest (no `#commit`) was written
+    * via atomic tmp+rename and is committed by existence. */
+  private def manifestCommitted(table: String, v: Long): Boolean =
+    try manifestTextCommitted(readFile(manifestPath(table, v)))
+    catch { case _: java.io.IOException => false }
+
+  private def manifestTextCommitted(txt: String): Boolean = {
+    val lines = txt.split("\n")
+    if (lines.isEmpty || lines.head.isEmpty) false
+    else if (!lines.head.startsWith("#commit\t")) true // legacy
+    else lines.last == "#end\t" + lines.head.stripPrefix("#commit\t")
+  }
 
   private[graft] def readManifest(table: String, v: Long): Seq[(Int, String)] = {
     val txt = readFile(manifestPath(table, v))
@@ -418,17 +501,140 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       .find(_.startsWith("#buckets\t")).map(_.stripPrefix("#buckets\t").trim.toInt)
   }
 
-  /** `buckets = -1` (all writes except [[rebucket]]) carries the current
-    * version's count forward — resolved BEFORE `_latest` moves, so it is
-    * the same count the paired [[writeBatch]] default hashed with. */
-  private def commit(table: String, v: Long, entries: Seq[(Int, String)],
-      changes: Option[DataFrame], buckets: Int = -1): Unit = {
-    val n = if (buckets > 0) buckets else bucketsOf(table)
-    changes.foreach { ch =>
-      ch.write.mode("overwrite").parquet(changesDir(table, v).toString)
+  // ---- optimistic cross-JVM commit ----------------------------------------
+
+  /** How long an UNCOMMITTED manifest (a competing writer's in-flight
+    * commit claim) may sit mtime-quiet before waiters break it as a dead
+    * writer's leftover. Mirrors the artifact store's claim timeout. */
+  private def commitTimeoutMs: Long =
+    spark.conf.getOption("spark.graft.store.commitTimeoutMs")
+      .map(_.toLong).getOrElse(60000L)
+
+  /** Optimistic cross-JVM commit driver: run `body(base)` to produce the
+    * next version's (manifest entries, CDC batch, bucket count `-1` =
+    * carry base's forward), then race to publish it as `base+1`. On a
+    * lost race the loop REBASES — waits out (or breaks) the competing
+    * writer, re-reads the new committed version, and recomputes `body`
+    * against it — so no writer's batch is ever silently orphaned by a
+    * concurrent `_latest`-style swap. Bodies that can reuse work across
+    * rebases (append's already-written batch files) memoize internally.
+    * Returns the committed version.
+    *
+    * The change batch is written BEFORE the manifest attempt under a
+    * token-unique name recorded in the manifest's `#changes` header, so
+    * a committed manifest always implies its CDC batch is fully present
+    * (stream consumers can never see a committed version whose changes
+    * are still being written), and concurrent attempts never clobber
+    * each other's batches. A losing attempt deletes its own. */
+  private def commitLoop(table: String)(
+      body: Long => (Seq[(Int, String)], Option[DataFrame], Int)): Long = {
+    var attempts = 0
+    var base = currentVersion(table)
+    while (true) {
+      val (entries, changes, buckets) = body(base)
+      val n = if (buckets > 0) buckets else bucketsOfVersion(table, base)
+      val chName = changes.map { ch =>
+        val name = s"c_${newToken()}"
+        ch.write.mode("overwrite")
+          .parquet(new Path(new Path(tdir(table), "_changes"), name).toString)
+        name
+      }
+      if (tryCommit(table, base + 1, n, entries, chName)) return base + 1
+      chName.foreach(nm =>
+        fs.delete(new Path(new Path(tdir(table), "_changes"), nm), true))
+      attempts += 1
+      require(attempts <= 20,
+        s"table $table: lost $attempts commit races in a row — giving up " +
+          "(pathological contention; stagger the writers)")
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"commit($table): lost the race for v${base + 1}, rebasing (attempt $attempts)")
+      base = awaitBaseAdvance(table, base)
     }
-    writeFile(manifestPath(table, v), manifestText(n, entries))
-    writeFile(latestPtr(table), v.toString) // <- the commit point
+    -1L // unreachable
+  }
+
+  /** One commit attempt: atomically create `_versions/v<v>` with this
+    * attempt's token sentinel, then READ IT BACK — winning iff the
+    * content survives verbatim. create-if-absent is atomic on HDFS (and
+    * maps to a conditional PUT on object stores); on local FS the
+    * read-back verification closes the check-then-create window (two
+    * interleaved creators both fail verification, neither version is
+    * treated as committed, and [[awaitBaseAdvance]] breaks the corpse). */
+  private def tryCommit(table: String, v: Long, buckets: Int,
+      entries: Seq[(Int, String)], changesName: Option[String]): Boolean = {
+    val token = newToken()
+    val text = manifestText(buckets, entries, token, changesName)
+    val p = manifestPath(table, v)
+    val created =
+      try {
+        val out = fs.create(p, false) // throws if the version is taken
+        try out.write(text.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    val won = created &&
+      (try readFile(p) == text catch { case _: java.io.IOException => false })
+    if (won) advanceLatest(table, v)
+    won
+  }
+
+  /** Advance the `_latest` cache monotonically (never regress it — a
+    * slower winner of an OLDER version must not roll the pointer back
+    * under a faster winner of a newer one; [[currentVersion]]'s forward
+    * probe heals any interleaving this best-effort check still loses). */
+  private def advanceLatest(table: String, v: Long): Unit =
+    try {
+      if (readFile(latestPtr(table)).trim.toLong < v)
+        writeFile(latestPtr(table), v.toString)
+    } catch { case _: java.io.IOException => writeFile(latestPtr(table), v.toString) }
+
+  /** After a lost race for `base+1`: wait for the competing writer to
+    * finish (returning the new base to rebase onto) or break its corpse
+    * (an uncommitted manifest mtime-quiet for a full
+    * [[commitTimeoutMs]] — a writer that died between create and close,
+    * or two local-FS creators whose interleaved writes both failed
+    * verification) and retry the SAME base. Never waits more than two
+    * timeouts before falling back to whatever is committed. */
+  private def awaitBaseAdvance(table: String, base: Long): Long = {
+    val timeout = commitTimeoutMs
+    val deadline = System.currentTimeMillis() + 2 * timeout
+    while (System.currentTimeMillis() < deadline) {
+      val cur = currentVersion(table)
+      if (cur > base) return cur
+      val p = manifestPath(table, base + 1)
+      val st =
+        try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case None => return base // competing attempt vanished — retry as-is
+        case Some(s)
+            if System.currentTimeMillis() - s.getModificationTime > timeout =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"commit($table): breaking a dead writer's uncommitted manifest v${base + 1}")
+          fs.delete(p, false)
+          return base
+        case _ => Thread.sleep(25L)
+      }
+    }
+    currentVersion(table)
+  }
+
+  /** Delete a failed/rebased attempt's batch dirs (orphans otherwise
+    * swept only by a graced [[vacuum]]). */
+  private def dropBatchDirs(entries: Seq[(Int, String)]): Unit =
+    entries.map(e => new Path(e._2).getParent).distinct
+      .foreach(d => fs.delete(d, true))
+
+  /** The committed changes dir of version v: the manifest's `#changes`
+    * header (token-named, optimistic-commit era) or the legacy
+    * `_changes/v<v>` naming. None = no change batch for v. */
+  private[store] def changesDirOf(table: String, v: Long): Option[Path] = {
+    val header =
+      try readFile(manifestPath(table, v)).split("\n").toIndexedSeq
+        .find(_.startsWith("#changes\t")).map(_.stripPrefix("#changes\t").trim)
+      catch { case _: java.io.IOException => None }
+    header.map(nm => new Path(new Path(tdir(table), "_changes"), nm))
+      .orElse(Some(changesDir(table, v)))
+      .filter(fs.exists(_))
   }
 
   // ---- read ---------------------------------------------------------------
@@ -560,9 +766,12 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     * file set per bucket without changing contents. Commits as a new
     * version with NO change batch (streams see no phantom changes). */
   def compact(table: String): Unit = synchronized {
-    val v = currentVersion(table) + 1
-    val entries = writeBatch(table, v, read(table))
-    commit(table, v, entries, changes = None)
+    var lastBatch: Seq[(Int, String)] = null
+    commitLoop(table) { base =>
+      if (lastBatch != null) dropBatchDirs(lastBatch) // rebased attempt
+      lastBatch = writeBatch(table, base + 1, readVersion(table, base))
+      (lastBatch, None, -1)
+    }
   }
 
   /** ALTER TABLE … CLUSTER BY: declare (or change) the clustering keys
@@ -747,19 +956,28 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val keptDirs: Set[String] = (keepFrom to cur)
       .flatMap(v => readManifest(table, v).map(e => new Path(e._2).getParent.toString))
       .toSet ++ externallyReferenced
+    // freshness grace: an unreferenced batch dir can be a CONCURRENT
+    // writer's in-flight attempt (written before its manifest commits) —
+    // only dirs mtime-quiet past the grace are orphans (losing rebases,
+    // dead writers) and safe to reap
+    val grace = 3L * commitTimeoutMs
+    def quietPast(p: Path): Boolean = {
+      val now = System.currentTimeMillis()
+      def old(s: org.apache.hadoop.fs.FileStatus) =
+        now - s.getModificationTime > grace
+      try old(fs.getFileStatus(p)) && fs.listStatus(p).forall(old)
+      catch { case _: java.io.IOException => false } // vanished → skip
+    }
     val dataRoot = new Path(tdir(table), "data")
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).foreach { st =>
-        if (!keptDirs.contains(st.getPath.toString)) fs.delete(st.getPath, true)
-      }
-    val verRoot = new Path(tdir(table), "_versions")
-    if (fs.exists(verRoot))
-      fs.listStatus(verRoot).foreach { st =>
-        val v = st.getPath.getName.stripPrefix("v").toLong
-        if (v < keepFrom) fs.delete(st.getPath, false)
+        if (!keptDirs.contains(st.getPath.toString) && quietPast(st.getPath))
+          fs.delete(st.getPath, true)
       }
     // change batches are retained while ANY stream still has them pending
-    // (offset < v means version v is unconsumed by that stream)
+    // (offset < v means version v is unconsumed by that stream); their
+    // MANIFESTS are retained just as long — the `#changes` header is the
+    // only pointer to a token-named change batch
     val streamsRoot = new Path(tdir(table), "_streams")
     val minConsumed: Long =
       if (!fs.exists(streamsRoot)) cur
@@ -769,12 +987,38 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
           .map(st => readFile(st.getPath).trim.toLong)
         if (offs.isEmpty) cur else offs.min
       }
-    val chRoot = new Path(tdir(table), "_changes")
-    if (fs.exists(chRoot))
-      fs.listStatus(chRoot).foreach { st =>
+    val verRoot = new Path(tdir(table), "_versions")
+    if (fs.exists(verRoot))
+      fs.listStatus(verRoot).foreach { st =>
         val v = st.getPath.getName.stripPrefix("v").toLong
-        if (v < keepFrom && v <= minConsumed) fs.delete(st.getPath, true)
+        if (v < keepFrom && v <= minConsumed) {
+          // resolve the change batch BEFORE dropping its manifest pointer
+          changesDirOf(table, v).foreach(d => fs.delete(d, true))
+          fs.delete(st.getPath, false)
+        }
       }
+    val chRoot = new Path(tdir(table), "_changes")
+    if (fs.exists(chRoot)) {
+      // token-named batches still referenced by a surviving manifest
+      val referenced: Set[String] =
+        if (!fs.exists(verRoot)) Set.empty
+        else fs.listStatus(verRoot).toIndexedSeq.flatMap { st =>
+          try readFile(st.getPath).split("\n").toIndexedSeq
+            .find(_.startsWith("#changes\t")).map(_.stripPrefix("#changes\t").trim)
+          catch { case _: java.io.IOException => None }
+        }.toSet
+      fs.listStatus(chRoot).foreach { st =>
+        val name = st.getPath.getName
+        if (name.matches("v\\d+")) {
+          // legacy version-named batch whose manifest may already be gone
+          val v = name.stripPrefix("v").toLong
+          if (v < keepFrom && v <= minConsumed) fs.delete(st.getPath, true)
+        } else if (name.matches("c_[0-9a-f]+") && !referenced(name) &&
+            quietPast(st.getPath)) {
+          fs.delete(st.getPath, true) // losing writer's orphaned attempt
+        }
+      }
+    }
   }
 
   // ---- write paths --------------------------------------------------------
@@ -790,7 +1034,10 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val n = if (buckets > 0) buckets else bucketsOf(table)
     val keys = keysOf(table)
     val cluster = clusterByOf(table)
-    val dir = new Path(new Path(tdir(table), "data"), f"b$v%08d")
+    // token suffix: concurrent writers racing toward the same version
+    // must never collide on a data path (the manifest records full paths,
+    // so the name is otherwise cosmetic; v aids debugging)
+    val dir = new Path(new Path(tdir(table), "data"), f"b$v%08d_${newToken()}")
     // NTZ clustering keys get a derived epoch-day INT32 companion in the
     // files (parquet stat-prunes ints, not NTZ) — hidden on read, and
     // free to derive here since the batch is already flowing
@@ -900,21 +1147,35 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   private def withAction(df: DataFrame, action: String): DataFrame =
     df.withColumn("__action", lit(action))
 
-  /** INSERT append (S5): writes only the new batch; old files carry over. */
+  /** INSERT append (S5): writes only the new batch; old files carry over.
+    * Cross-JVM safe: a rebase after a lost commit race only re-reads the
+    * carried-over manifest (the batch files are state-free and reused) —
+    * unless the table declares autoincrement columns, whose values derive
+    * from the base version's max and must be recomputed against the
+    * winner's output. */
   def append(table: String, df: DataFrame): Unit = synchronized {
-    val v = currentVersion(table) + 1
-    val aligned = fillAutoInc(table, align(table, df))
-    val newEntries = writeBatch(table, v, aligned)
-    val old = readManifest(table, v - 1)
-    commit(table, v, old ++ newEntries, Some(withAction(readBack(table, newEntries), "insert")))
+    val stateFree = autoIncOf(table).isEmpty
+    var batch: Seq[(Int, String)] = null
+    commitLoop(table) { base =>
+      if (batch == null || !stateFree) {
+        if (batch != null) dropBatchDirs(batch) // rebased autoinc attempt
+        batch = writeBatch(table, base + 1, fillAutoInc(table, align(table, df), base))
+      }
+      (readManifest(table, base) ++ batch,
+        Some(withAction(readBack(table, batch), "insert")), -1)
+    }
   }
 
-  /** INSERT OVERWRITE (S6): full replace; change batch = new contents. */
+  /** INSERT OVERWRITE (S6): full replace; change batch = new contents.
+    * The batch is reused across rebases — a full replace is insensitive
+    * to what the lost-race winner committed. */
   def overwrite(table: String, df: DataFrame): Unit = synchronized {
-    val v = currentVersion(table) + 1
-    val aligned = fillAutoInc(table, align(table, df))
-    val newEntries = writeBatch(table, v, aligned)
-    commit(table, v, newEntries, Some(withAction(readBack(table, newEntries), "insert")))
+    var batch: Seq[(Int, String)] = null
+    commitLoop(table) { base =>
+      if (batch == null)
+        batch = writeBatch(table, base + 1, fillAutoInc(table, align(table, df), base))
+      (batch, Some(withAction(readBack(table, batch), "insert")), -1)
+    }
   }
 
   /** Full replace committed with NO change batch — the write shape for
@@ -923,15 +1184,18 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     * nothing to see (no phantom changes) and the write costs exactly one
     * parquet copy (append/overwrite also write a change batch). */
   def overwriteSnapshot(table: String, df: DataFrame): Unit = synchronized {
-    val v = currentVersion(table) + 1
-    val aligned = fillAutoInc(table, align(table, df))
-    commit(table, v, writeBatch(table, v, aligned), changes = None)
+    var batch: Seq[(Int, String)] = null
+    commitLoop(table) { base =>
+      if (batch == null)
+        batch = writeBatch(table, base + 1, fillAutoInc(table, align(table, df), base))
+      (batch, None, -1)
+    }
   }
 
   /** TRUNCATE (S7): empty manifest, no data IO at all. */
   def truncate(table: String): Unit = synchronized {
-    val v = currentVersion(table) + 1
-    commit(table, v, Nil, changes = None)
+    commitLoop(table)(_ => (Nil, None, -1))
+    ()
   }
 
   /** UPDATE ... SET ... WHERE (P7): bucket-pruned rewrite. Touched buckets
@@ -942,14 +1206,20 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     * At 100 TB a key-bound UPDATE costs O(tableSize·k/B) IO, same as MERGE. */
   def update(table: String, pred: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): Unit = synchronized {
-    val v = currentVersion(table) + 1
-    val touchedBuckets = matchingBuckets(table, pred)
-    val updated = graft.ops.TableOps.update(read(table, touchedBuckets), pred, set)
-    val newEntries = writeBatch(table, v, updated)
-    val untouched = touchedBuckets.map(bs => readManifest(table, v - 1).filterNot(e => bs(e._1)))
-      .getOrElse(Nil)
-    val changed = graft.ops.TableOps.update(read(table, touchedBuckets).filter(pred), pred, set)
-    commit(table, v, untouched ++ newEntries, Some(withAction(changed, "update")))
+    var lastBatch: Seq[(Int, String)] = null
+    commitLoop(table) { base =>
+      if (lastBatch != null) dropBatchDirs(lastBatch) // recompute vs winner
+      val touchedBuckets = matchingBuckets(table, pred, base)
+      val updated = graft.ops.TableOps.update(
+        readVersion(table, base, touchedBuckets), pred, set)
+      lastBatch = writeBatch(table, base + 1, updated)
+      val untouched = touchedBuckets
+        .map(bs => readManifest(table, base).filterNot(e => bs(e._1)))
+        .getOrElse(Nil)
+      val changed = graft.ops.TableOps.update(
+        readVersion(table, base, touchedBuckets).filter(pred), pred, set)
+      (untouched ++ lastBatch, Some(withAction(changed, "update")), -1)
+    }
   }
 
   /** DELETE FROM ... WHERE: bucket-pruned like [[update]]. The change
@@ -957,15 +1227,20 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     * METADATA$ACTION='DELETE' analogue — the reference's item acceptance
     * note names delete propagation, item-...sql:220). */
   def delete(table: String, pred: org.apache.spark.sql.Column): Unit = synchronized {
-    val v = currentVersion(table) + 1
-    val touchedBuckets = matchingBuckets(table, pred)
-    // NULL-pred rows are kept (SQL DELETE removes only TRUE rows)
-    val kept = read(table, touchedBuckets).filter(!coalesce(pred, lit(false)))
-    val newEntries = writeBatch(table, v, kept)
-    val untouched = touchedBuckets.map(bs => readManifest(table, v - 1).filterNot(e => bs(e._1)))
-      .getOrElse(Nil)
-    val deleted = read(table, touchedBuckets).filter(pred)
-    commit(table, v, untouched ++ newEntries, Some(withAction(deleted, "delete")))
+    var lastBatch: Seq[(Int, String)] = null
+    commitLoop(table) { base =>
+      if (lastBatch != null) dropBatchDirs(lastBatch) // recompute vs winner
+      val touchedBuckets = matchingBuckets(table, pred, base)
+      // NULL-pred rows are kept (SQL DELETE removes only TRUE rows)
+      val kept = readVersion(table, base, touchedBuckets)
+        .filter(!coalesce(pred, lit(false)))
+      lastBatch = writeBatch(table, base + 1, kept)
+      val untouched = touchedBuckets
+        .map(bs => readManifest(table, base).filterNot(e => bs(e._1)))
+        .getOrElse(Nil)
+      val deleted = readVersion(table, base, touchedBuckets).filter(pred)
+      (untouched ++ lastBatch, Some(withAction(deleted, "delete")), -1)
+    }
   }
 
   /** Buckets touched by `pred`. Resolution order:
@@ -978,12 +1253,12 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     *     bucket assignment is write-time round-robin and not re-derivable
     *     from rows. */
   private def matchingBuckets(table: String,
-      pred: org.apache.spark.sql.Column): Option[Set[Int]] = {
+      pred: org.apache.spark.sql.Column, base: Long): Option[Set[Int]] = {
     val keys = keysOf(table)
     if (keys.isEmpty) None
-    else bucketsFromLiterals(table, pred).orElse(
-      Some(read(table).filter(pred)
-        .select(bucketCol(keys, bucketsOf(table)).as("b")).distinct()
+    else bucketsFromLiterals(table, pred, base).orElse(
+      Some(readVersion(table, base).filter(pred)
+        .select(bucketCol(keys, bucketsOfVersion(table, base)).as("b")).distinct()
         .collect().map(_.getInt(0)).toSet))
   }
 
@@ -998,7 +1273,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     * the key type could lose precision (string → numeric), > 1024 combos,
     * or any unbound key fall back (None → caller scans). */
   private def bucketsFromLiterals(table: String,
-      pred: org.apache.spark.sql.Column): Option[Set[Int]] = {
+      pred: org.apache.spark.sql.Column, base: Long): Option[Set[Int]] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast,
       EqualTo, Expression, In, Literal, XxHash64}
@@ -1040,7 +1315,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       }
     }
     if (perKey.map(_.size.toLong).product > 1024) return None
-    val n = bucketsOf(table)
+    val n = bucketsOfVersion(table, base)
     val keyTypes = keys.map(k => fieldType(k.toLowerCase))
     val combos = perKey.foldLeft(Seq(Seq.empty[Any]))((acc, vs) =>
       acc.flatMap(pre => vs.map(v => pre :+ v)))
@@ -1067,7 +1342,6 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None): Unit = synchronized {
     val keys = keysOf(table)
     require(keys.nonEmpty, s"merge into $table requires declared keys")
-    val v = currentVersion(table) + 1
 
     val alignedSrc =
       if (alignSource) align(table, source, padMissing = true)
@@ -1076,17 +1350,25 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
           .filter(f => keys.contains(f.name)).map(f => f.name -> f.dataType).toMap
         keyTypes.foldLeft(source) { case (df, (k, dt)) => df.withColumn(k, col(k).cast(dt)) }
       }
-    val srcBuckets = alignedSrc.select(bucketCol(keys, bucketsOf(table)).as("b"))
+    // a lost commit race recomputes the WHOLE merge against the winner's
+    // output (the upsert read the base version's bucket contents, which
+    // the winner may have changed) — serializable, last writer rebases
+    var lastBatch: Seq[(Int, String)] = null
+    commitLoop(table) { base =>
+    if (lastBatch != null) dropBatchDirs(lastBatch)
+    val srcBuckets = alignedSrc
+      .select(bucketCol(keys, bucketsOfVersion(table, base)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val touched = read(table, Some(srcBuckets))
+    val touched = readVersion(table, base, Some(srcBuckets))
     // column DEFAULTs act as the insert-branch fallback (autoinc cols stay
     // null through the merge and are filled below, past the global max)
     val insertDefaults = defaultsOf(table).map { case (c, e) => c -> expr(e) }
     val merged = fillAutoInc(table, Merge.upsert(touched, alignedSrc, keys, whenMatchedSet,
-      whenNotMatchedInsert, whenMatchedDelete, insertDefaults))
+      whenNotMatchedInsert, whenMatchedDelete, insertDefaults), base)
 
-    val newEntries = writeBatch(table, v, merged)
-    val untouched = readManifest(table, v - 1).filterNot(e => srcBuckets(e._1))
+    val newEntries = writeBatch(table, base + 1, merged)
+    lastBatch = newEntries
+    val untouched = readManifest(table, base).filterNot(e => srcBuckets(e._1))
 
     // CDC batch, labeled by what the MERGE did to each source key (matches
     // Snowflake: a stream on the target sees the merged values). Post-merge
@@ -1128,7 +1410,9 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
         upserts.join(survivors, keys, "left_semi")
           .unionByName(withAction(align(table, deletedRows), "delete"))
     }
-    commit(table, v, untouched ++ newEntries, Some(changes))
+    (untouched ++ newEntries, Some(changes), -1)
+    } // commitLoop
+    ()
   }
 
   // ---- helpers ------------------------------------------------------------
@@ -1158,9 +1442,9 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   /** Fill null autoincrement columns continuing past the table-wide max
     * (one column-pruned max() scan per autoinc column, only on tables that
     * declare one — zero cost otherwise). */
-  private def fillAutoInc(table: String, df: DataFrame): DataFrame =
+  private def fillAutoInc(table: String, df: DataFrame, base: Long): DataFrame =
     autoIncOf(table).foldLeft(df) { (d, c) =>
-      val globalMax: Long = read(table).agg(max(col(c))).head() match {
+      val globalMax: Long = readVersion(table, base).agg(max(col(c))).head() match {
         case r if r.isNullAt(0) => 0L
         case r                  => r.getLong(0)
       }
@@ -1174,8 +1458,7 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
 
   private[graft] def readChanges(table: String, fromExclusive: Long, toInclusive: Long): DataFrame = {
     val dirs = (fromExclusive + 1 to toInclusive)
-      .map(v => changesDir(table, v))
-      .filter(fs.exists(_))
+      .flatMap(v => changesDirOf(table, v))
       .map(_.toString)
     val schema = schemaOf(table).add("__action", org.apache.spark.sql.types.StringType)
     if (dirs.isEmpty)

@@ -431,10 +431,10 @@ class TableStoreSpec extends AnyFunSuite {
     // not in a file flipped before the rewrite ran
     val manifestTxt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(st.root, "t", "_versions", f"v$v%08d")), "UTF-8")
-    assert(manifestTxt.startsWith("#buckets\t8"))
+    assert(manifestTxt.contains("#buckets\t8"))
     val prevTxt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(st.root, "t", "_versions", f"v${v - 1}%08d")), "UTF-8")
-    assert(prevTxt.startsWith("#buckets\t4"),
+    assert(prevTxt.contains("#buckets\t4"),
       "pre-rebucket manifest must still carry the old count a crash would roll back to")
   }
 
@@ -445,7 +445,9 @@ class TableStoreSpec extends AnyFunSuite {
     st.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     // simulate a crash between `orig -> .bak` and `tmp -> orig`: the batch
     // dir is gone, .bak holds the original, .tmp may be incomplete
-    val chDir = java.nio.file.Paths.get(st.root, "t", "_changes", "v%08d".format(1))
+    // resolve the token-named change batch through the manifest pointer
+    val chDir = java.nio.file.Paths.get(
+      st.changesDirOf("t", 1L).get.toUri.getPath)
     val bak = java.nio.file.Paths.get(chDir.toString + ".bak")
     java.nio.file.Files.move(chDir, bak)
     val tmp = java.nio.file.Paths.get(chDir.toString + ".tmp")
