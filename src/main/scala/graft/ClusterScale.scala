@@ -176,6 +176,46 @@ object ClusterScale {
       f"prunedRead=$mpRead%d unprunedRead=$muRead%d " +
       f"prunedScan=$mpSec%.2fs transparentScan=$mtSec%.2fs unprunedScan=$muSec%.2fs")
 
+    // ---- point-lookup BLOOM pruning (search optimization) ----------------
+    // A hash-scattered surrogate id: uniform within EVERY file, so the
+    // interval tier keeps 100% of the files on an equality probe — the
+    // shape Snowflake answers with search optimization. The per-file
+    // blooms must cut the probe to ~the one holding file + the declared
+    // 1% false-positive tail. Interval-only baseline: the SAME point
+    // expressed as a closed range (>= v AND <= v) compiles to two range
+    // conjuncts the bloom never sees — identical selectivity, interval
+    // tier only.
+    val liLk = li.withColumn("probe_id", xxhash64(monotonically_increasing_id()))
+    store.createTable("li_lookup", liLk.schema, keys = Seq("l_orderkey"),
+      lookup = Seq("probe_id"))
+    val (_, tLoadLk) = timed {
+      years.foreach { y =>
+        store.append("li_lookup", liLk.filter(year(col("l_shipday")) === y))
+      }
+    }
+    val probeV = store.read("li_lookup").select("probe_id").head().getLong(0)
+    def probe(cond: org.apache.spark.sql.Column): (Long, Int, Double) = {
+      val df = store.scanWhere("li_lookup", cond)
+      val (rows, took) = timed(df.agg(count(lit(1))).head().getLong(0))
+      (rows, df.inputFiles.length, took)
+    }
+    val totalLkFiles = store.read("li_lookup").inputFiles.length
+    probe(col("probe_id") === probeV) // warm
+    val (eqRows, eqFiles, eqSec) = probe(col("probe_id") === probeV)
+    val (rgRows, rgFiles, rgSec) =
+      probe(col("probe_id") >= probeV && col("probe_id") <= probeV)
+    val (abRows, abFiles, abSec) = probe(col("probe_id") === (probeV + 1L))
+    require(eqRows == rgRows && eqRows >= 1,
+      s"bloom probe must match the interval-only range: $eqRows vs $rgRows")
+    require(abRows == 0, s"absent probe returned rows: $abRows")
+    require(eqFiles < rgFiles,
+      s"bloom must beat intervals on a point probe: $eqFiles vs $rgFiles")
+    println(f"CLUSTERSCALE_BLOOM files=$totalLkFiles%d intervalKept=$rgFiles%d " +
+      f"bloomKept=$eqFiles%d absentKept=$abFiles%d " +
+      f"bloomPrune=${rgFiles.toDouble / math.max(1, eqFiles)}%.1fx " +
+      f"loadWithBlooms=$tLoadLk%.1fs " +
+      f"scans(s) eq=$eqSec%.2f range=$rgSec%.2f absent=$abSec%.2f")
+
     // ---- ZORDER vs linear on two independent dims ------------------------
     // (l_partkey, l_suppkey): neither correlates with arrival order; a
     // lexicographic (partkey, suppkey) sort gives suppkey filters nothing.

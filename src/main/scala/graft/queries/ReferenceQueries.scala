@@ -214,6 +214,30 @@ object ReferenceQueries {
         .orderBy("o_orderkey")
     },
 
+    // S10: search-optimized point lookup — the docs table written ONCE
+    // through the durable store with `lookup = doc_id` (per-file blooms
+    // in the stats sidecar), then probed by equality/IN through the
+    // transparent SidecarPrune tier. Interval stats can't prune a
+    // hash-bucketed id (every file spans ~the full range); the per-file
+    // bloom cuts the probe to the holding files — Snowflake's search
+    // optimization service, as a sidecar tier (reference monitoring
+    // lookups, e.g. order-end-to-end-pipeline-script.sql:257-261 read
+    // single keys back). Correctness gate: the probed rows must equal
+    // DuckDB's on the raw parquet.
+    "s10_point_lookup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          length(col("text")).cast("long").as("text_len"))
+      val key = s"$dir|${graft.store.Artifacts.dataFingerprint(s,
+        s"$dir/documents.parquet")}|so1"
+      val t = graft.store.Artifacts.table(s, "docs_so", key,
+        keys = Seq("doc_id"), lookup = Seq("doc_id"))(docs)
+      val bounds = t.agg(min("doc_id"), max("doc_id")).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      t.filter(col("doc_id").isin(mn, (mn + mx) / 2, mx))
+        .orderBy("doc_id")
+    },
+
     // J11 + A-MERGE: MERGE with a WHEN MATCHED AND cond THEN DELETE branch
     // (Snowflake semantics; matched rows above the price cut are dropped,
     // the rest update, source-only rows insert).
@@ -498,6 +522,13 @@ object ReferenceQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT coalesce(o_orderstatus = 'O' AND o_totalprice > 150000.0, false)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "s10_point_lookup" ->
+      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents)
+        |SELECT doc_id, source, lang, length(text) AS text_len
+        |FROM documents, b
+        |WHERE doc_id IN (b.mn, (b.mn + b.mx) // 2, b.mx)
+        |ORDER BY doc_id""".stripMargin,
 
     "j11_merge_delete" ->
       """WITH t AS (SELECT p_partkey AS item_id, p_name AS item_desc, p_retailprice AS price

@@ -377,7 +377,8 @@ object Artifacts {
     *   Corpus-global artifacts (kNN truth, cluster labels, codebooks)
     *   keep the default false and re-key per corpus version. */
   def table(s: SparkSession, name: String, key: String,
-      keys: Seq[String] = Nil, rowLocal: Boolean = false)(
+      keys: Seq[String] = Nil, rowLocal: Boolean = false,
+      lookup: Seq[String] = Nil)(
       build: => DataFrame): DataFrame = {
     val r = root(s)
     val st = store(s)
@@ -386,7 +387,7 @@ object Artifacts {
       if (!st.exists(t)) {
         val df = build
         val tmp = s"${t}_b_${java.util.UUID.randomUUID().toString.take(8)}"
-        st.createTable(tmp, df.schema, keys)
+        st.createTable(tmp, df.schema, keys, lookup = lookup)
         st.overwriteSnapshot(tmp, df)
         writeMeta(fsOf(s, r), r, tmp, Meta(name, key, FMT, rowLocal))
         publish(st, tmp, t)

@@ -39,9 +39,13 @@ private[store] object StatsPruning {
   /** One column's recorded interval in a file. `min`/`max` are None when
     * the writer had no usable statistic (all-null chunk, truncated upper
     * bound, INT96 timestamps) — each absent bound is unbounded on that
-    * side. `hasNulls` None = unknown. */
+    * side. `hasNulls` None = unknown. `bloom` (declared lookup columns
+    * only) holds the file's value bloom over `xxhash64(col)` — the
+    * point-lookup tier interval stats can't serve on high-cardinality
+    * unclustered keys; absent bloom = conservative keep. */
   final case class ColStat(kind: String, hasNulls: Option[Boolean],
-      min: Option[Any], max: Option[Any])
+      min: Option[Any], max: Option[Any],
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
 
   type FileStats = Map[String, ColStat]
 
@@ -173,6 +177,48 @@ private[store] object StatsPruning {
   private def mayEq(st: ColStat, v: Any): Boolean =
     mayGe(st, v) && mayLe(st, v)
 
+  /** xxhash64 (seed 42 — the identical codegen'd expression the sidecar
+    * writer aggregates file values with, [[TableStore]] bloomLines) of an
+    * equality literal, cast LOSSLESSLY to the column's declared type so
+    * probe and build hash the same physical value. None = lossy or
+    * zone-dependent cast → no bloom probe (conservative keep). */
+  private def probeHash(schema: StructType, colName: String,
+      v: Any, dt: DataType): Option[Long] =
+    schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { f =>
+      val casted =
+        if (f.dataType == dt) Some(v)
+        else if (Cast.canUpCast(dt, f.dataType))
+          scala.util.Try(Cast(Literal(v, dt), f.dataType, None).eval(null))
+            .toOption.filter(_ != null)
+        else None
+      casted.flatMap(cv => scala.util.Try(
+        new XxHash64(Seq(Literal(cv, f.dataType)))
+          .eval(null).asInstanceOf[Long]).toOption)
+    }
+
+  private def bloomKeeps(st: ColStat, hash: Option[Long]): Boolean =
+    (hash, st.bloom) match {
+      case (Some(h), Some(bf)) => bf.mightContainLong(h)
+      case _ => true
+    }
+
+  /** Equality keep test: interval may-contain AND (declared lookup
+    * columns) bloom may-contain — the bloom is the tier that prunes when
+    * every file's interval spans the probe (a uniform unclustered id). */
+  private def eqTest(schema: StructType, col: String, dt0: DataType,
+      v0: Any): Option[FileStats => Boolean] =
+    kindOf(schema, col).map { case (name, kind) =>
+      val dom = toDomain(v0, dt0, kind)
+      val hash = probeHash(schema, col, v0, dt0)
+      fsStats => fsStats.get(name) match {
+        case Some(st) =>
+          val intervalOk =
+            if (st.kind == kind && dom.isDefined) mayEq(st, dom.get) else true
+          intervalOk && bloomKeeps(st, hash)
+        case _ => true
+      }
+    }
+
   /** Lift a (column, op, literal) conjunct into a file test. A file
     * whose stats lack the column entirely (legacy batch, unsupported
     * type) is kept by construction — the test only fires when the
@@ -209,7 +255,7 @@ private[store] object StatsPruning {
         case _ => flip(c, schema)
       }
       case EqualTo(a, l) => (attrName(a), litOf(l)) match {
-        case (Some(col), Some((v, dt))) => bound(col, dt, v, mayEq)
+        case (Some(col), Some((v, dt))) => eqTest(schema, col, dt, v)
         case _ => flip(c, schema)
       }
       case In(a, list) if list.nonEmpty && list.forall(_.foldable) =>
@@ -217,10 +263,19 @@ private[store] object StatsPruning {
           val vs = list.flatMap(litOf)
           if (vs.size != list.size) None // a null element → keep all
           else kindOf(schema, col).map { case (name, kind) =>
-            val doms = vs.map { case (v, dt) => toDomain(v, dt, kind) }
+            // per-literal: interval AND bloom must both admit it; an
+            // unprovable literal (lossy domain/cast) admits the file
+            val entries = vs.map { case (v, dt) =>
+              (toDomain(v, dt, kind), probeHash(schema, col, v, dt))
+            }
             fsStats => fsStats.get(name) match {
-              case Some(st) if st.kind == kind && doms.forall(_.isDefined) =>
-                doms.exists(d => mayEq(st, d.get))
+              case Some(st) =>
+                entries.exists { case (dom, hash) =>
+                  val intervalOk =
+                    if (st.kind == kind && dom.isDefined) mayEq(st, dom.get)
+                    else true
+                  intervalOk && bloomKeeps(st, hash)
+                }
               case _ => true
             }
           }
@@ -298,7 +353,7 @@ private[store] object StatsPruning {
         case _ => None
       }
       case EqualTo(l, a) => (litOf(l), attrName(a)) match {
-        case (Some((v, dt)), Some(col)) => bound(col, dt, v, mayEq)
+        case (Some((v, dt)), Some(col)) => eqTest(schema, col, dt, v)
         case _ => None
       }
       case _ => None

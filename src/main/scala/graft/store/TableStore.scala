@@ -117,12 +117,14 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     *                 autoincrement`, customer-...sql:32) */
   def createTable(table: String, schema: StructType, keys: Seq[String] = Nil,
       defaults: Map[String, String] = Map.empty, autoInc: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil, zorder: Boolean = false): Unit = {
+      clusterBy: Seq[String] = Nil, zorder: Boolean = false,
+      lookup: Seq[String] = Nil): Unit = {
     require(!exists(table), s"table $table already exists")
     if (zorder) requireZOrderable(schema, clusterBy)
     fs.mkdirs(tdir(table))
     writeFile(new Path(tdir(table), "_schema.json"), schema.json)
     writeFile(new Path(tdir(table), "_keys"), keys.mkString(","))
+    if (lookup.nonEmpty) writeLookup(table, schema, lookup)
     if (clusterBy.nonEmpty) {
       warnNtzClusterKeys(schema, clusterBy)
       writeFile(new Path(tdir(table), "_cluster"), clusterBy.mkString(","))
@@ -223,6 +225,8 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     writeFile(new Path(tdir(dst), "_keys"), keysOf(src).mkString(","))
     val defSrc = new Path(tdir(src), "_defaults")
     if (fs.exists(defSrc)) writeFile(new Path(tdir(dst), "_defaults"), readFile(defSrc))
+    val lkSrc = new Path(tdir(src), "_lookup")
+    if (fs.exists(lkSrc)) writeFile(new Path(tdir(dst), "_lookup"), readFile(lkSrc))
     // the clone's manifest points at data bucketed with the CLONED VERSION's
     // count (not the source's current one — an AT-clone across a rebucket
     // boundary must keep pruning against the old hashing)
@@ -353,6 +357,44 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     val p = new Path(tdir(table), "_cluster")
     if (!fs.exists(p)) Nil
     else readFile(p).trim.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** SEARCH-OPTIMIZATION columns (Snowflake `ADD SEARCH OPTIMIZATION ON
+    * EQUALITY(col)` analogue): every batch write records a per-FILE
+    * BLOOM FILTER over each declared column's values in the
+    * `_graft_stats` sidecar, so point lookups (`col = X`, `col IN …`)
+    * on HIGH-CARDINALITY UNCLUSTERED keys prune files the min/max
+    * intervals never can — a uniform id column spans nearly the full
+    * range in every file, so interval pruning keeps 100% of them, while
+    * the bloom keeps ~1 file + the false-positive tail. Both pruning
+    * consumers ([[scanWhere]] and the transparent [[SidecarPrune]]
+    * rule) inherit it through the shared [[StatsPruning]] compiler.
+    * Declared cost: one column-pruned read-back pass per batch write
+    * plus the bloom bytes in the sidecar — opt-in per table. */
+  def lookupOf(table: String): Seq[String] = {
+    val p = new Path(tdir(table), "_lookup")
+    if (!fs.exists(p)) Nil
+    else readFile(p).trim.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Declare (or replace) the table's search-optimization columns.
+    * Applies to batches written FROM NOW ON; run [[compact]] to backfill
+    * blooms for existing files (pre-declaration files simply don't
+    * bloom-prune, exactly like legacy stats batches). */
+  def declareLookup(table: String, cols: Seq[String]): Unit = synchronized {
+    writeLookup(table, schemaOf(table), cols)
+  }
+
+  private def writeLookup(table: String, schema: StructType,
+      cols: Seq[String]): Unit = {
+    val canonical = cols.map { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+      require(f.isDefined, s"unknown lookup column $c on $table")
+      require(TableStore.statKind(f.get.dataType).isDefined,
+        s"lookup column $c: type ${f.get.dataType.simpleString} keeps no stats")
+      f.get.name
+    }
+    writeFile(new Path(tdir(table), "_lookup"), canonical.mkString(","))
   }
 
   private def defaultLines(table: String): Seq[(String, String, String)] = {
@@ -774,6 +816,32 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     }
   }
 
+  /** Distinct batch dirs the CURRENT manifest references — the
+    * small-file accretion metric auto-compaction watches: continuous
+    * pipe ingestion commits one batch per micro-batch, and both the
+    * sidecar keep-set walk and the scan file count grow with it. */
+  def batchCount(table: String): Int =
+    readManifest(table, currentVersion(table))
+      .map(e => new Path(e._2).getParent.toString).distinct.size
+
+  /** OPTIMIZE-if-accreted: [[compact]] iff the current manifest
+    * references at least `minBatches` distinct batch dirs; no-op (and
+    * no version bump) otherwise. The write-time policy hook: [[append]]
+    * invokes it when `spark.graft.store.autoCompactBatches` is set
+    * (> 0), so a long-running ingest pipe keeps its file count bounded
+    * at O(minBatches × buckets) without an operator remembering to run
+    * maintenance; [[graft.orchestrate.Orchestrator.createCompactionTask]]
+    * registers the same policy as a scheduled task-DAG maintenance node
+    * (the reference's own idiom for warehouse upkeep). Compaction
+    * commits with NO change batch, so CDC streams see nothing, and old
+    * versions stay readable until [[vacuum]]. Returns true iff it
+    * compacted. */
+  def autoCompact(table: String, minBatches: Int = 16): Boolean = synchronized {
+    require(minBatches >= 2, s"minBatches must be >= 2, got $minBatches")
+    if (batchCount(table) < minBatches) false
+    else { compact(table); true }
+  }
+
   /** ALTER TABLE … CLUSTER BY: declare (or change) the clustering keys
     * and RECLUSTER the current contents in place — one compaction pass
     * through the clustered write path, committed with no change batch
@@ -1107,9 +1175,12 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     * degrades to the conservative directory-listing path. */
   private def writeStatsSidecar(table: String, batchDir: Path,
       bucketDirs: Seq[String]): Unit = {
-    val statFields = schemaOf(table).fields.toIndexedSeq
+    val schema = schemaOf(table)
+    val statFields = schema.fields.toIndexedSeq
       .flatMap(f => TableStore.statKind(f.dataType).map(k => (f.name, k)))
-    if (statFields.isEmpty) return
+    val lookups = lookupOf(table)
+      .filter(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (statFields.isEmpty && lookups.isEmpty) return
     val b64 = java.util.Base64.getEncoder
     def enc(kind: String, v: Option[Any]): String = v match {
       case None => ""
@@ -1119,13 +1190,16 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     }
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     var nFiles = 0
+    var maxRows = 0L
     bucketDirs.foreach { bd =>
       val bdPath = new Path(bd)
       fs.listStatus(bdPath).foreach { st =>
         if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
           nFiles += 1
           val rel = s"${bdPath.getName}/${st.getPath.getName}"
-          val perCol = TableStore.fileColumnStats(st.getPath, hconf, statFields)
+          val (perCol, rows) =
+            TableStore.fileColumnStats(st.getPath, hconf, statFields)
+          maxRows = math.max(maxRows, rows)
           if (perCol.isEmpty) // keep the inventory complete even when no
             lines += s"$rel\t\t\t\t\t" // column produced a usable stat
           perCol.foreach { case (col, cs) =>
@@ -1135,8 +1209,56 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
         }
       }
     }
+    if (lookups.nonEmpty && nFiles > 0)
+      lines ++= bloomLines(schema, bucketDirs, lookups, maxRows)
     writeFile(new Path(batchDir, "_graft_stats"),
       (s"#graft_stats files=$nFiles" +: lines :+ "#end").mkString("\n"))
+  }
+
+  /** Per-(file, lookup-column) bloom sidecar lines
+    * (`rel\tcol\tb\t?\t<base64 spark-sketch bloom>\t`): ONE distributed
+    * pass over the freshly-written batch — column-pruned to the lookup
+    * columns — grouping `xxhash64(col)` per file into Spark's native
+    * [[org.apache.spark.sql.catalyst.expressions.aggregate
+    * .BloomFilterAggregate]] (the same sketch runtime join filtering
+    * uses; codegen'd hash, no UDF). Probe side hashes its literal with
+    * the identical expression ([[StatsPruning]]). Sizing: bits for
+    * `spark.graft.store.bloomFpp` (default 1%) at the batch's largest
+    * file's row count, capped by `spark.graft.store.bloomMaxBits`
+    * (default 2^22 ≈ 512 KiB per file-column). */
+  private def bloomLines(schema: StructType, bucketDirs: Seq[String],
+      lookups: Seq[String], maxRowsPerFile: Long): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val fpp = spark.conf.getOption("spark.graft.store.bloomFpp")
+      .map(_.toDouble).getOrElse(0.01)
+    val maxBits = spark.conf.getOption("spark.graft.store.bloomMaxBits")
+      .map(_.toLong).getOrElse(1L << 22)
+    val est = math.min(4000000L, math.max(1024L, maxRowsPerFile))
+    val ln2sq = math.log(2) * math.log(2)
+    val numBits = math.max(64L,
+      math.min(math.min(maxBits, 67108864L),
+        math.ceil(est * math.log(1 / fpp) / ln2sq).toLong))
+    val fields = StructType(schema.fields
+      .filter(f => lookups.exists(_.equalsIgnoreCase(f.name))))
+    def bloomAgg(c: String): org.apache.spark.sql.Column =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          org.apache.spark.sql.GraftColumnBridge.expression(xxhash64(col(c))),
+          Literal(est), Literal(numBits)).toAggregateExpression()).as(c)
+    val names = fields.fieldNames.toIndexedSeq
+    val rows = spark.read.schema(fields).parquet(bucketDirs: _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(bloomAgg(names.head), names.tail.map(bloomAgg): _*)
+      .collect()
+    val b64 = java.util.Base64.getEncoder
+    rows.toIndexedSeq.flatMap { r =>
+      val p = new Path(r.getString(0))
+      val rel = s"${p.getParent.getName}/${p.getName}"
+      names.map { c =>
+        s"$rel\t$c\tb\t?\t${b64.encodeToString(r.getAs[Array[Byte]](c))}\t"
+      }
+    }
   }
 
   /** See [[TableStore.readStatsSidecar]] (static form) for semantics,
@@ -1164,6 +1286,10 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
       (readManifest(table, base) ++ batch,
         Some(withAction(readBack(table, batch), "insert")), -1)
     }
+    // write-time auto-compaction (opt-in): bound small-file accretion
+    // from continuous micro-batch appends
+    spark.conf.getOption("spark.graft.store.autoCompactBatches")
+      .map(_.toInt).filter(_ > 0).foreach(n => autoCompact(table, n))
   }
 
   /** INSERT OVERWRITE (S6): full replace; change batch = new contents.
@@ -1551,16 +1677,30 @@ object TableStore {
           (all.slice(1, all.length - 1), Some(n))
         case _ => (all.filterNot(_.startsWith("#")), None) // legacy
       }
-      val parsed = body.map { line =>
-        val Array(rel, colName, kind, nulls, mn, mx) = line.split("\t", -1)
-        val hasNulls = nulls match {
-          case "1" => Some(true); case "0" => Some(false); case _ => None
+      val split = body.map(_.split("\t", -1))
+      split.foreach(f => require(f.length == 6, s"malformed sidecar line in $p"))
+      val parsed = split.groupBy(_.head).map { case (rel, rows) =>
+        val intervals = rows.collect {
+          case Array(_, colName, kind, nulls, mn, mx)
+              if colName.nonEmpty && kind != "b" =>
+            val hasNulls = nulls match {
+              case "1" => Some(true); case "0" => Some(false); case _ => None
+            }
+            colName -> StatsPruning.ColStat(kind, hasNulls,
+              dec(kind, mn), dec(kind, mx))
+        }.toMap
+        // lookup blooms attach to the column's interval stat (or stand
+        // alone when the footer yielded none); an unparseable bloom is
+        // simply dropped — absent bloom = conservative keep
+        val blooms = rows.collect {
+          case Array(_, colName, "b", _, payload, _) if colName.nonEmpty =>
+            colName -> scala.util.Try(org.apache.spark.util.sketch.BloomFilter
+              .readFrom(b64.decode(payload))).toOption
+        }.collect { case (c, Some(bf)) => c -> bf }
+        rel -> blooms.foldLeft(intervals) { case (m, (c, bf)) =>
+          m.updated(c, m.getOrElse(c,
+            StatsPruning.ColStat("b", None, None, None)).copy(bloom = Some(bf)))
         }
-        (rel, colName,
-          StatsPruning.ColStat(kind, hasNulls, dec(kind, mn), dec(kind, mx)))
-      }.groupBy(_._1).map { case (rel, rows) =>
-        rel -> rows.collect {
-          case (_, c, st) if c.nonEmpty => c -> st }.toMap
       }
       declared.foreach(n => require(parsed.size == n,
         s"sidecar inventories ${parsed.size} files but declares $n: $p"))
@@ -1595,17 +1735,20 @@ object TableStore {
     }
 
   /** Per-column (kind, hasNulls, min, max) of one parquet file, merged
-    * across its row groups from the footer — one footer read per file,
-    * paid ONCE at write time and amortized over every pruned scan. */
+    * across its row groups from the footer, plus the file's ROW COUNT
+    * (sizes the lookup blooms) — one footer read per file, paid ONCE at
+    * write time and amortized over every pruned scan. */
   private[store] def fileColumnStats(file: Path,
       hconf: org.apache.hadoop.conf.Configuration,
-      statFields: Seq[(String, String)]): Seq[(String, StatsPruning.ColStat)] = {
+      statFields: Seq[(String, String)])
+      : (Seq[(String, StatsPruning.ColStat)], Long) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toIndexedSeq
-      statFields.map { case (name, kind) =>
+      val nRows = blocks.map(_.getRowCount).sum
+      val stats = statFields.map { case (name, kind) =>
         var mins = List.empty[Any]
         var maxs = List.empty[Any]
         // a bound is only usable when EVERY value-bearing row group
@@ -1658,6 +1801,7 @@ object TableStore {
         name -> StatsPruning.ColStat(kind, nulls,
           fold(minOk, mins, takeMin = true), fold(maxOk, maxs, takeMin = false))
       }
+      (stats, nRows)
     } finally reader.close()
   }
 }
