@@ -267,6 +267,61 @@ object StreamScale {
     require(badTwin.isEmpty,
       s"sketch twin diverged on finalized days: $badTwin")
     println(s"""{"metric":"stream_scale_dau_sketch_days","value":${twin.size}}""")
+
+    // ---- funnel BOT-CAP arm: one user emitting funnel-typed events
+    // inside a single watermark horizon is the state bomb the batch caps
+    // (st4d/st4e) defused; the streaming twin's pending buffer is only
+    // watermark-bounded without the cap. Same data, two fresh drains:
+    // maxEventsPerUser=None vs Some(8) — identical emissions (the bot's
+    // events never finalize; normal users are under the cap), state
+    // memory collapses from O(bot events) to O(cap).
+    val botWatch = root.resolve("bot_watch")
+    val botN = 200000
+    val tsBase = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    def at(sec: Long) = new java.sql.Timestamp(tsBase + sec * 1000L)
+    val normal = (1 to 100).flatMap { u =>
+      Seq(EventStreams.Event(u * 10L, u, "signup", 0.0, at(u)),
+        EventStreams.Event(u * 10L + 1, u, "click", 0.0, at(u + 3600)),
+        EventStreams.Event(u * 10L + 2, u, "purchase", 0.0, at(u + 7200)))
+    }
+    // the bot burst rides the LAST watermark horizon of the timeline, so
+    // its buffer is still live at end-of-stream and the final state
+    // metrics expose it
+    val bot = (0 until botN).map(i =>
+      EventStreams.Event(1000000L + i, 777L, "signup", 0.0, at(8000L + i % 60)))
+    (normal ++ bot).toDF().write.mode("overwrite").parquet(botWatch.toString)
+    def drainFunnel(name: String, cap: Option[Int]): (Double, Long, Long, Long) = {
+      var emitted = 0L
+      val q = EventStreams.streamingFunnel(
+          spark.readStream.schema(schema).parquet(botWatch.toString)
+            .as[EventStreams.Event](org.apache.spark.sql.Encoders.product),
+          Seq("signup", "click", "purchase"), maxEventsPerUser = cap).toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt.resolve(name).toString)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) => emitted += b.count() }
+        .start()
+      val t0 = System.nanoTime(); q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      val rows = if (progs.isEmpty) 0L
+        else progs.last.stateOperators.map(_.numRowsTotal).sum
+      val mem = if (progs.isEmpty) 0L
+        else progs.last.stateOperators.map(_.memoryUsedBytes).sum
+      (wall, emitted, rows, mem)
+    }
+    val (uWall2, uEmit2, uRows2, uMem2) = drainFunnel("funnel_bot_exact", None)
+    val (cWall2, cEmit2, cRows2, cMem2) = drainFunnel("funnel_bot_capped", Some(8))
+    require(cEmit2 == uEmit2,
+      s"cap must not change finalized emissions here: $cEmit2 vs $uEmit2")
+    require(uEmit2 == 300L, s"normal users must emit 300 step hits, got $uEmit2")
+    require(cMem2 * 5 < uMem2,
+      s"capped pending buffer must collapse the bot's state: $cMem2 vs $uMem2 bytes")
+    println(f"""{"metric":"stream_scale_funnel_botcap","bot_events":$botN,""" +
+      f""""exact_state_bytes":$uMem2,"capped_state_bytes":$cMem2,""" +
+      f""""exact_state_rows":$uRows2,"capped_state_rows":$cRows2,""" +
+      f""""exact_wall_s":$uWall2%.2f,"capped_wall_s":$cWall2%.2f}""")
     spark.stop()
   }
 }

@@ -249,7 +249,7 @@ object EventStreams {
   }
 
   final case class FunnelState(pending: List[(Long, Int)], reached: Int,
-    lastUs: Long)
+    lastUs: Long, seen: Long = 0L)
   final case class FunnelStepHit(user_id: Long, step: Int,
     event_type: String, step_time: Timestamp)
 
@@ -281,10 +281,25 @@ object EventStreams {
     * — evicting completed state would do exactly that. The tombstone is
     * the per-user floor any exactly-once funnel carries; billions of
     * completed users cost O(users) state-store bytes, the same bound the
-    * active population already holds. */
+    * active population already holds.
+    *
+    * `maxEventsPerUser` is the BOT-SKEW cap, mirroring the batch twin
+    * ([[graft.ops.EventAnalytics.funnelSteps]]'s parameter and the
+    * st4d registered form): only each user's cap time-earliest funnel
+    * events fold — a `seen` counter charges every finalized event
+    * against the cap, and the pending buffer keeps at most the
+    * remaining-budget earliest events (anything past the budget could
+    * never fold). Without it the pending list is only watermark-bounded:
+    * a bot emitting funnel-typed events INSIDE one watermark horizon
+    * grows a single user's state without bound; with it per-user state
+    * is O(min(cap, horizon events)) — the same disclosed under-count
+    * trade as the batch cap, and stream ≡ batch holds at the same cap. */
   def streamingFunnel(events: Dataset[Event], steps: Seq[String],
       maxGapUs: Option[Long] = None,
+      maxEventsPerUser: Option[Int] = None,
       watermark: String = "2 minutes"): Dataset[FunnelStepHit] = {
+    maxEventsPerUser.foreach(cap => require(cap >= steps.size,
+      s"maxEventsPerUser ($cap) must be >= the step count (${steps.size})"))
     import events.sparkSession.implicits._
     val k = steps.size
     val idx = steps.zipWithIndex.toMap
@@ -310,24 +325,41 @@ object EventStreams {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           // events at or below the watermark are FINAL — fold them in
           // (ts, step) order, the exact batch recurrence; keep the rest
-          val (ready, pending) = (prev.pending ++ incoming).partition(_._1 <= wmUs)
+          val (ready, pending0) = (prev.pending ++ incoming).partition(_._1 <= wmUs)
           var reached = prev.reached
           var last = prev.lastUs
+          var seen = prev.seen
           val hits = List.newBuilder[FunnelStepHit]
           ready.sorted.foreach { case (t, si) =>
-            val gapOk = maxGapUs.forall(g => reached == 0 || t <= last + g)
-            if (si == reached && t > last && gapOk) {
-              reached += 1
-              last = t
-              hits += FunnelStepHit(userId, reached, stepArr(si), toTs(t))
+            // bot cap: only the cap time-earliest events fold — ready
+            // events finalize in global (ts, step) order across batches,
+            // so the running counter replays the batch cap exactly
+            if (maxEventsPerUser.forall(seen < _)) {
+              seen += 1
+              val gapOk = maxGapUs.forall(g => reached == 0 || t <= last + g)
+              if (si == reached && t > last && gapOk) {
+                reached += 1
+                last = t
+                hits += FunnelStepHit(userId, reached, stepArr(si), toTs(t))
+              }
             }
+          }
+          // capped pending buffer: at most the remaining cap budget of
+          // TIME-EARLIEST not-yet-final events — later ones could never
+          // fold, and a bot inside one watermark horizon stays O(cap)
+          val pending = maxEventsPerUser match {
+            case Some(cap) =>
+              val budget = (cap - seen).max(0L).min(Int.MaxValue).toInt
+              if (pending0.size <= budget) pending0
+              else pending0.sorted.take(budget)
+            case None => pending0
           }
           // completed users keep a TOMBSTONE (reached=k, Nil, no timeout)
           // instead of evicting: a late step-1 event after completion
           // folds against reached=k and is rejected — exactly the batch
           // fold — where removed state would restart the funnel and
           // over-count every step downstream
-          state.update(FunnelState(pending, reached, last))
+          state.update(FunnelState(pending, reached, last, seen))
           // drain guarantee: wake when the watermark passes the newest
           // buffered event, even if the user never sends another one
           if (pending.nonEmpty)

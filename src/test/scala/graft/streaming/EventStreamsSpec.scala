@@ -429,4 +429,49 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamReach == batchReach, s"stream $streamReach != batch $batchReach")
     } finally q.stop()
   }
+
+  test("streamingFunnel bot cap: bounded pending buffer, capped-batch equivalence") {
+    implicit val sc = spark.sqlContext
+    val steps = Seq("signup", "click", "purchase")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.streamingFunnel(mem.toDS(), steps,
+        maxEventsPerUser = Some(4), watermark = "10 seconds")
+      .writeStream.format("memory").queryName("funnel_cap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 3: cap BINDS — six signups precede its click/purchase, so
+      // under cap=4 only the first four (all signups) fold → reach 1.
+      // user 8: three events inside the cap → full funnel. The bot
+      // events arrive across TWO micro-batches so the running `seen`
+      // counter (not a per-batch count) is what enforces the cap.
+      mem.addData((0 until 3).map(i => Event(100 + i, 3, "signup", 0, ts(10 + i))): _*)
+      mem.addData((3 until 6).map(i => Event(100 + i, 3, "signup", 0, ts(10 + i))) ++
+        Seq(Event(110, 3, "click", 0, ts(20)), Event(111, 3, "purchase", 0, ts(21)),
+          Event(120, 8, "signup", 0, ts(10)), Event(121, 8, "click", 0, ts(12)),
+          Event(122, 8, "purchase", 0, ts(14))): _*)
+      mem.addData(Event(200, 1, "signup", 0, ts(500))) // watermark push
+      q.processAllAvailable()
+      mem.addData(Event(201, 1, "signup", 0, ts(510))) // flush timeouts
+      q.processAllAvailable()
+      val hits = spark.table("funnel_cap").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(hits.count(_._1 == 3L) == 1 && hits.exists(h => h == (3L, 1)),
+        s"cap=4 must stop user 3 at step 1 (click/purchase past the cap): $hits")
+      assert(hits.count(_._1 == 8L) == 3,
+        s"user 8 is under the cap and must complete: $hits")
+
+      // batch twin at the SAME cap agrees exactly
+      val batch = ((0 until 6).map(i => (3L, "signup", ts(10 + i))) ++
+        Seq((3L, "click", ts(20)), (3L, "purchase", ts(21)),
+          (8L, "signup", ts(10)), (8L, "click", ts(12)), (8L, "purchase", ts(14))))
+        .toDF("user_id", "event_type", "ts")
+      val batchReach = graft.ops.EventAnalytics
+        .funnelSteps(batch, "user_id", "event_type", "ts", steps,
+          maxEventsPerUser = Some(4))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val streamReach = (1 to 3).map(i =>
+        i -> hits.count(h => h._1 != 1L && h._2 == i).toLong).toMap
+      assert(streamReach == batchReach, s"stream $streamReach != batch $batchReach")
+    } finally q.stop()
+  }
 }
