@@ -109,6 +109,35 @@ object StoreScale {
       s"lost update under concurrent appends: $nRace of ${2L * perWriter * nChunk}")
     println(f"STORESCALE concurrent_writers writers=2 appends_each=$perWriter " +
       f"chunk_rows=$nChunk versions=$vRace rows=$nRace wall_s=$tRace%.1f")
+
+    // auto-compaction under a long pipe run: 24 micro-batch appends (the
+    // continuous-ingest shape). Unmanaged accretion grows batch dirs and
+    // file counts linearly with ticks; the write-time policy (threshold
+    // 8) bounds both — and the sidecar keep-set walk with them.
+    val pstore = new TableStore(spark, root, numBuckets = 16)
+    val tick = li.filter(col("l_orderkey") % 1201 === 0)
+    val nTick = tick.count()
+    pstore.createTable("pipe_acc", li.schema, keys = Seq("row_id"))
+    pstore.createTable("pipe_ac", li.schema, keys = Seq("row_id"))
+    var maxBatches = 0
+    val (_, tPipe) = timed {
+      (0 until 24).foreach { _ =>
+        pstore.append("pipe_acc", tick)
+        pstore.append("pipe_ac", tick)
+        pstore.autoCompact("pipe_ac", minBatches = 8)
+        maxBatches = math.max(maxBatches, pstore.batchCount("pipe_ac"))
+      }
+    }
+    val accFiles = pstore.read("pipe_acc").inputFiles.length
+    val acFiles = pstore.read("pipe_ac").inputFiles.length
+    require(pstore.read("pipe_ac").count() == 24L * nTick,
+      "auto-compaction must preserve every ingested row")
+    require(maxBatches < 9 && pstore.batchCount("pipe_acc") == 24,
+      s"policy must bound accretion: maxBatches=$maxBatches")
+    println(f"STORESCALE pipe_autocompact appends=24 tick_rows=$nTick " +
+      f"accretedBatches=${pstore.batchCount("pipe_acc")}%d accretedFiles=$accFiles " +
+      f"boundedBatches=${pstore.batchCount("pipe_ac")}%d boundedFiles=$acFiles " +
+      f"maxBatchesSeen=$maxBatches wall_s=$tPipe%.1f")
     spark.stop()
   }
 }

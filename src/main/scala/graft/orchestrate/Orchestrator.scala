@@ -73,6 +73,25 @@ class Orchestrator(spark: SparkSession, store: TableStore, runLogTable: String =
     tasks += t.name -> t
   }
 
+  /** Register a (suspended, like every fresh task) maintenance node
+    * that auto-compacts `table` once its manifest accretes `minBatches`
+    * batch dirs — the reference's task-DAG idiom applied to warehouse
+    * upkeep: continuous pipes commit one batch per micro-batch, and
+    * this node bounds the table's file count at the scheduler's cadence.
+    * The WHEN gate skips the cycle (costing one manifest read, no data
+    * IO) until the threshold is crossed; [[graft.store.TableStore
+    * .autoCompact]] re-checks under its own lock, so a racing writer
+    * can't make the task compact an already-compacted table twice. */
+  def createCompactionTask(table: String, minBatches: Int = 16,
+      name: String = null, after: Seq[String] = Nil): String = {
+    val tn = Option(name).getOrElse(s"compact_$table")
+    createTask(Task(tn,
+      body = () => { store.autoCompact(table, minBatches); () },
+      after = after,
+      when = () => store.exists(table) && store.batchCount(table) >= minBatches))
+    tn
+  }
+
   /** SHOW TASKS (F7): name, started/suspended, AFTER parents. */
   def listTasks(): Seq[(String, String, String)] =
     tasks.values.toSeq.map { t =>
