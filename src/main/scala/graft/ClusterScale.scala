@@ -216,6 +216,52 @@ object ClusterScale {
       f"loadWithBlooms=$tLoadLk%.1fs " +
       f"scans(s) eq=$eqSec%.2f range=$rgSec%.2f absent=$abSec%.2f")
 
+    // ---- dynamic JOIN-KEY file pruning ------------------------------------
+    // The star shape: the yearly-batched fact joined to a SMALL build
+    // side of ~2 weeks of ship dates — NO literal predicate ever touches
+    // the fact table, yet only one year-batch's files can hold matching
+    // keys. JoinKeyPrune collects the build side's distinct dates at
+    // plan time and prunes fact FILES through the same sidecar tests;
+    // the kill switch gives the unpruned baseline, and the aggregate
+    // must match it exactly.
+    val dimDates = spark.range(0, 14)
+      .select(date_add(lo, col("id").cast("int")).as("l_shipday"),
+        (col("id") % 3).as("bucket3"))
+    def starScan(on: Boolean): (Long, Long, Double, Int) = {
+      if (!on) spark.conf.set(graft.store.JoinKeyPrune.EnabledConf, "false")
+      try {
+        val df = store.read("li_monthly").join(dimDates, Seq("l_shipday"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(20,2)")).as("q"))
+        var out = 0L; var took = 0.0; var qsum = BigDecimal(0)
+        val read = readDuring {
+          val (r, t2) = timed(df.head())
+          out = r.getLong(0); qsum = BigDecimal(r.getDecimal(1)); took = t2
+        }
+        val files = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation
+                .isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+            l.relation
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.inputFiles.length
+        }.sum
+        require(out == 0L || qsum.signum != 0, "sanity: join produced rows")
+        (read, out, took, files)
+      } finally spark.conf.set(graft.store.JoinKeyPrune.EnabledConf, "true")
+    }
+    starScan(true); starScan(false) // warm
+    val (jpRead, jpRows, jpSec, jpFiles) = starScan(true)
+    val (juRead, juRows, juSec, juFiles) = starScan(false)
+    require(jpRows == juRows,
+      s"join-key prune must not change the join: $jpRows vs $juRows")
+    require(jpFiles < juFiles,
+      s"star join must read fewer fact files: $jpFiles vs $juFiles")
+    println(f"CLUSTERSCALE_JOINPRUNE factFiles=$juFiles%d keptFiles=$jpFiles%d " +
+      f"joinPrune=${juFiles.toDouble / math.max(1, jpFiles)}%.1fx rows=$jpRows%d " +
+      f"prunedRead=$jpRead%d unprunedRead=$juRead%d " +
+      f"prunedScan=$jpSec%.2fs unprunedScan=$juSec%.2fs")
+
     // ---- ZORDER vs linear on two independent dims ------------------------
     // (l_partkey, l_suppkey): neither correlates with arrival order; a
     // lexicographic (partkey, suppkey) sort gives suppkey filters nothing.

@@ -224,7 +224,7 @@ object ReferenceQueries {
     // lookups, e.g. order-end-to-end-pipeline-script.sql:257-261 read
     // single keys back). Correctness gate: the probed rows must equal
     // DuckDB's on the raw parquet.
-    "s10_point_lookup" -> { (s, dir) =>
+    "s11_point_lookup" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"),
           length(col("text")).cast("long").as("text_len"))
@@ -523,7 +523,7 @@ object ReferenceQueries {
         |WHERE NOT coalesce(o_orderstatus = 'O' AND o_totalprice > 150000.0, false)
         |ORDER BY o_orderkey""".stripMargin,
 
-    "s10_point_lookup" ->
+    "s11_point_lookup" ->
       """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents)
         |SELECT doc_id, source, lang, length(text) AS text_len
         |FROM documents, b

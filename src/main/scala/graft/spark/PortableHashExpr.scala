@@ -110,5 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filtered store scans prune to the _graft_stats file inventory
     // transparently — scanWhere's metadata tier as default behavior
     ext.injectOptimizerRule(_ => graft.store.SidecarPrune)
+    // star joins over store scans prune fact FILES from the build side's
+    // distinct keys — dynamic partition pruning at sidecar granularity
+    ext.injectOptimizerRule(_ => graft.store.JoinKeyPrune)
   }
 }

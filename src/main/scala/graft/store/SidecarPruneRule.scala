@@ -77,35 +77,50 @@ object SidecarPrune extends Rule[LogicalPlan] {
         if !hfs.location.isInstanceOf[SidecarPrunedFileIndex] &&
           looksLikeStoreScan(hfs) =>
       val tests = StatsPruning.compile(cond, hfs.schema)
-      if (tests.isEmpty) return None
-      val dirs = hfs.location.listFiles(Nil, Nil)
-      val hconf = hfs.sparkSession.sessionState.newHadoopConf()
-      var total, prunedN = 0
-      var keptBytes = 0L
-      val keep = Set.newBuilder[String]
-      dirs.foreach(_.files.foreach { st =>
-        total += 1
-        val p = st.getPath
-        val batchDir = p.getParent.getParent
-        val rel = s"${p.getParent.getName}/${p.getName}"
-        val stats = sidecarFor(batchDir, hconf)
-        // absent sidecar (legacy batch) or absent file entry → keep
-        val mayMatch = stats.get(rel) match {
-          case Some(colStats) => tests.forall(t => t(colStats))
-          case None => true
-        }
-        if (mayMatch) { keep += p.toUri.getPath; keptBytes += st.getLen }
-        else prunedN += 1
-      })
-      if (prunedN == 0) None
-      else {
-        logInfo(s"SidecarPrune: pruned $prunedN of $total files " +
-          s"under ${hfs.location.rootPaths.headOption.getOrElse("?")}")
-        val idx = new SidecarPrunedFileIndex(hfs.location, keep.result(),
-          keptBytes)
-        Some(l.copy(relation = hfs.copy(location = idx)(hfs.sparkSession)))
-      }
+      if (tests.isEmpty) None
+      else pruneWithTests(l, hfs, tests, tag = "SidecarPrune")
     case _ => None
+  }
+
+  /** The shared sidecar file walk: evaluate compiled keep tests against
+    * every file the relation's index serves and, when anything prunes,
+    * swap in a [[SidecarPrunedFileIndex]] over the survivors. Also the
+    * back half of [[JoinKeyPrune]] (which compiles its tests from a
+    * JOIN's build side rather than a literal filter) — one soundness
+    * surface, one sidecar parse memo. Wrapping an ALREADY-pruned index
+    * is allowed (the keep sets intersect through delegation); `None`
+    * unless the served file set strictly shrinks, so optimizer
+    * iteration terminates. */
+  private[store] def pruneWithTests(l: LogicalRelation, hfs: HadoopFsRelation,
+      tests: Seq[StatsPruning.FileStats => Boolean],
+      tag: String): Option[LogicalRelation] = {
+    val dirs = hfs.location.listFiles(Nil, Nil)
+    val hconf = hfs.sparkSession.sessionState.newHadoopConf()
+    var total, prunedN = 0
+    var keptBytes = 0L
+    val keep = Set.newBuilder[String]
+    dirs.foreach(_.files.foreach { st =>
+      total += 1
+      val p = st.getPath
+      val batchDir = p.getParent.getParent
+      val rel = s"${p.getParent.getName}/${p.getName}"
+      val stats = sidecarFor(batchDir, hconf)
+      // absent sidecar (legacy batch) or absent file entry → keep
+      val mayMatch = stats.get(rel) match {
+        case Some(colStats) => tests.forall(t => t(colStats))
+        case None => true
+      }
+      if (mayMatch) { keep += p.toUri.getPath; keptBytes += st.getLen }
+      else prunedN += 1
+    })
+    if (prunedN == 0) None
+    else {
+      logInfo(s"$tag: pruned $prunedN of $total files " +
+        s"under ${hfs.location.rootPaths.headOption.getOrElse("?")}")
+      val idx = new SidecarPrunedFileIndex(hfs.location, keep.result(),
+        keptBytes)
+      Some(l.copy(relation = hfs.copy(location = idx)(hfs.sparkSession)))
+    }
   }
 
   /** Structural store-layout check on driver-held metadata only: every
@@ -114,7 +129,7 @@ object SidecarPrune extends Rule[LogicalPlan] {
     * data file inside one ([[TableStore.scanWhere]] passes exact file
     * lists). Anything else — directory reads, external parquet,
     * testdata — bails here before any fs round-trip. */
-  private def looksLikeStoreScan(hfs: HadoopFsRelation): Boolean = {
+  private[store] def looksLikeStoreScan(hfs: HadoopFsRelation): Boolean = {
     val roots = hfs.location.rootPaths
     roots.nonEmpty && roots.forall { p =>
       val parent = p.getParent

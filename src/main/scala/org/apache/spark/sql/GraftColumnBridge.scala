@@ -25,4 +25,12 @@ object GraftColumnBridge {
     * (stats pruning, bucket derivation) can pattern-match them. */
   def converted(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Materialize an analyzed logical plan as a DataFrame (the sql-private
+    * `Dataset.ofRows`) — lets optimizer rules that must evaluate a small
+    * sub-plan driver-side (the join-key file-pruning rule's build-side
+    * distinct keys) run it through the normal execution path. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
