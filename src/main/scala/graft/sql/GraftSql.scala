@@ -27,6 +27,9 @@ import graft.store.TableStore
   *    [AFTER p1, p2] [WHEN [NOT] system$stream_has_data('s')] AS <stmt>`
   *  - `ALTER TASK name RESUME|SUSPEND`; `ALTER PIPE p SET
   *    PIPE_EXECUTION_PAUSED = true|false`; `ALTER PIPE p REFRESH`
+  *  - `ALTER TABLE t ADD SEARCH OPTIMIZATION ON EQUALITY(c, ...)`
+  *    (per-file lookup blooms in the stats sidecar — point-lookup
+  *    pruning on unclustered high-cardinality keys)
   *  - `SHOW TABLES|STREAMS|PIPES|TASKS|STAGES`; `LIST @stage`
   *  - `SELECT SYSTEM$PIPE_STATUS('p') | SYSTEM$PIPE_FORCE_RESUME('p') |
   *    SYSTEM$STREAM_HAS_DATA('s')`
@@ -77,6 +80,8 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CLUSTER\s+BY\s*(ZORDER\s*)?\(([^)]*)\)\s*;?\s*$""".r
   private val AlterTableDropClusterRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CLUSTERING\s+KEY\s*;?\s*$""".r
+  private val AlterTableSearchOptRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+SEARCH\s+OPTIMIZATION\s+ON\s+EQUALITY\s*\(([^)]*)\)\s*;?\s*$""".r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*?)\s*;?\s*$""".r
   private val CreateStreamRe =
@@ -168,6 +173,16 @@ object GraftSql {
 
       case UndropTableRe(name) =>
         store.undropTable(session.map(_.recordName(name)).getOrElse(name))
+        None
+
+      // must precede ADD COLUMN: `ADD SEARCH OPTIMIZATION ...` would
+      // otherwise parse as a column named SEARCH
+      case AlterTableSearchOptRe(name, cols) =>
+        // Snowflake's search optimization service, as sidecar metadata:
+        // subsequent batch writes carry per-file lookup blooms for these
+        // columns; compact() backfills existing files
+        store.declareLookup(session.map(_.recordName(name)).getOrElse(name),
+          cols.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
         None
 
       case AlterTableAddColRe(name, colDdl) =>

@@ -35,6 +35,23 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(g.sql("SHOW VIEWS").get.count() == 1)
   }
 
+  test("ALTER TABLE ... ADD SEARCH OPTIMIZATION ON EQUALITY declares lookup blooms") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_searchopt").toString, 2)
+    g.sql("CREATE TABLE so1 (id BIGINT, v STRING) KEYS (id)")
+    assert(g.store.lookupOf("so1") == Nil)
+    g.sql("ALTER TABLE so1 ADD SEARCH OPTIMIZATION ON EQUALITY(id, v)")
+    assert(g.store.lookupOf("so1") == Seq("id", "v"))
+    // post-declaration writes carry blooms; a point probe still returns
+    // exactly its rows through the transparent prune
+    g.sql("INSERT INTO so1 SELECT 1, 'a' UNION ALL SELECT 2, 'b' UNION ALL SELECT 3, 'c'")
+    val hit = g.sql("SELECT v FROM so1 WHERE id = 2").get.collect()
+    assert(hit.map(_.getString(0)).toSeq == Seq("b"))
+    val e = intercept[Exception](
+      g.sql("ALTER TABLE so1 ADD SEARCH OPTIMIZATION ON EQUALITY(nosuch)"))
+    assert(e.getMessage.contains("unknown lookup column"))
+  }
+
   test("CREATE TABLE ... CLUSTER BY declares clustering keys (either clause order)") {
     val g = graft.GraftSession(spark,
       Files.createTempDirectory("graft_cluster").toString, 2)
