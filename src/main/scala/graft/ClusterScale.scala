@@ -262,6 +262,61 @@ object ClusterScale {
       f"prunedRead=$jpRead%d unprunedRead=$juRead%d " +
       f"prunedScan=$jpSec%.2fs unprunedScan=$juSec%.2fs")
 
+    // ---- join pruning, SPAN fallback (build side over the IN budget) ----
+    // 8 orderkey-range-disjoint append batches; the build side is 50k
+    // CONTIGUOUS candidate keys — over the 10k IN-list budget (so the
+    // exact-keys probe gives up) but well under the size gate — so
+    // JoinKeyPrune degrades to the [min, max] span probe, and only the
+    // one holding batch's files can match.
+    val ord = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val okMax = ord.agg(max("o_orderkey")).head().getLong(0)
+    val okStep = okMax / 8 + 1
+    store.createTable("ord_ranged", ord.schema, keys = Seq("o_orderkey"))
+    val (_, tLoadOrd) = timed {
+      (0 until 8).foreach { b =>
+        store.append("ord_ranged", ord.filter(col("o_orderkey") >= b * okStep &&
+          col("o_orderkey") < (b + 1) * okStep))
+      }
+    }
+    val spanLo = 3L * okStep + okStep / 4
+    val dimSpan = spark.range(spanLo, spanLo + 50000L)
+      .select(col("id").as("k"))
+    def spanScan(on: Boolean): (Long, Long, Double, Int) = {
+      if (!on) spark.conf.set(graft.store.JoinKeyPrune.EnabledConf, "false")
+      try {
+        val df = store.read("ord_ranged")
+          .join(dimSpan, col("o_orderkey") === col("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(20,2)")).as("p"))
+        var out = 0L; var took = 0.0
+        val read = readDuring {
+          val (r, t2) = timed(df.head())
+          out = r.getLong(0); took = t2
+        }
+        val files = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if l.relation
+                .isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+            l.relation
+              .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.inputFiles.length
+        }.sum
+        (read, out, took, files)
+      } finally spark.conf.set(graft.store.JoinKeyPrune.EnabledConf, "true")
+    }
+    spanScan(true); spanScan(false) // warm
+    val (spRead, spRows, spSec, spFiles) = spanScan(true)
+    val (suRead, suRows, suSec, suFiles) = spanScan(false)
+    require(spRows == suRows,
+      s"span join prune must not change the join: $spRows vs $suRows")
+    require(spRows > 0, "sanity: the span window must hold some orders")
+    require(spFiles < suFiles,
+      s"span probe must prune range-batched fact files: $spFiles vs $suFiles")
+    println(f"CLUSTERSCALE_JOINSPAN factFiles=$suFiles%d keptFiles=$spFiles%d " +
+      f"spanPrune=${suFiles.toDouble / math.max(1, spFiles)}%.1fx rows=$spRows%d " +
+      f"prunedRead=$spRead%d unprunedRead=$suRead%d load=$tLoadOrd%.1fs " +
+      f"prunedScan=$spSec%.2fs unprunedScan=$suSec%.2fs")
+
     // ---- ZORDER vs linear on two independent dims ------------------------
     // (l_partkey, l_suppkey): neither correlates with arrival order; a
     // lexicographic (partkey, suppkey) sort gives suppkey filters nothing.

@@ -238,6 +238,30 @@ object ReferenceQueries {
         .orderBy("doc_id")
     },
 
+    // J12: dynamic join-key file pruning, SPAN-fallback path — the fact
+    // (orders through the durable store) joins a build side whose
+    // distinct-key count EXCEEDS the 10k IN-list budget at sf0.01
+    // (14,743 lineitem orderkeys), so [[graft.store.JoinKeyPrune]]
+    // degrades to its [min, max] span probe at plan time. No literal
+    // predicate ever touches the fact; the correctness gate pins the
+    // span-probed plan's rows to DuckDB on the raw parquet. (At
+    // sf0.001 the same query exercises the exact IN-list probe —
+    // ~1.5k keys — so both probe kinds ride the oracle ladder.)
+    "j12_join_span" -> { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      val key = s"$dir|${graft.store.Artifacts.dataFingerprint(s,
+        s"$dir/orders.parquet")}|js1"
+      val fact = graft.store.Artifacts.table(s, "orders_js", key,
+        keys = Seq("o_orderkey"))(orders)
+      val dim = Tables.load(s, dir, "lineitem").select(col("l_orderkey")).distinct()
+      fact.join(dim, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(count(lit(1)).as("orders_cnt"),
+          moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("order_month")
+    },
+
     // J11 + A-MERGE: MERGE with a WHEN MATCHED AND cond THEN DELETE branch
     // (Snowflake semantics; matched rows above the price cut are dropped,
     // the rest update, source-only rows insert).
@@ -529,6 +553,14 @@ object ReferenceQueries {
         |FROM documents, b
         |WHERE doc_id IN (b.mn, (b.mn + b.mx) // 2, b.mx)
         |ORDER BY doc_id""".stripMargin,
+
+    "j12_join_span" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |  count(1) AS orders_cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "j11_merge_delete" ->
       """WITH t AS (SELECT p_partkey AS item_id, p_name AS item_desc, p_retailprice AS price

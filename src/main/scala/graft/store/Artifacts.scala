@@ -228,9 +228,23 @@ object Artifacts {
   /** Rewrite the temp table's manifests to the published paths, then
     * rename the whole directory — `_latest` travels inside the rename,
     * so the rename IS the atomic commit point (a crash before it leaves
-    * no table; a crash after leaves a complete one). */
+    * no table; a crash after leaves a complete one).
+    *
+    * Returns whether OUR tree is the one now committed. The claim is
+    * supposed to make this uncontended, but the claim's residual (a
+    * live writer whose heartbeat is starved for a full timeout loses
+    * its claim to a breaker) means a competing commit can land while
+    * ours runs — so the commit point itself is fenced the same way the
+    * table store's manifest protocol is: a committed table is NEVER
+    * deleted (only latest-less debris is — a committed winner makes us
+    * lose instead of clobbering it under concurrent readers), a failed
+    * rename is a lost race rather than a crash, and a `_commit` token
+    * read-back after the rename verifies that the tree serving the
+    * published name is OURS (an HDFS-semantics rename onto a directory
+    * that appeared mid-flight nests the source inside it — the
+    * read-back detects that and sweeps the nested stray). */
   private def renameIntoPlace(fs: FileSystem, root: String, tmp: String,
-      table: String): Unit = {
+      table: String, token: String): Boolean = {
     val tmpDir = new Path(root, tmp)
     val dstDir = new Path(root, table)
     val qTmp = fs.makeQualified(tmpDir).toString
@@ -247,11 +261,35 @@ object Artifacts {
         try out.write(rewritten.getBytes("UTF-8")) finally out.close()
       }
     }
-    // debris without _latest (a claimer that died mid-createTable under a
-    // pre-protocol layout) is not a committed table; we hold the claim
-    if (fs.exists(dstDir)) fs.delete(dstDir, true)
-    require(fs.rename(tmpDir, dstDir),
-      s"artifact commit rename $tmpDir -> $dstDir failed")
+    if (fs.exists(dstDir)) {
+      // a committed table (it has _latest) means a competing writer won
+      // while we slept on a stolen claim — LOSE, never delete live data
+      if (fs.exists(new Path(dstDir, "_latest"))) return false
+      // debris without _latest (a claimer that died mid-createTable under
+      // a pre-protocol layout) is not a committed table; we hold the claim
+      fs.delete(dstDir, true)
+    }
+    if (!fs.rename(tmpDir, dstDir)) return false // dst reappeared — lost
+    val committed =
+      try {
+        val in = fs.open(new Path(dstDir, "_commit"))
+        val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        t == token
+      } catch { case _: java.io.IOException => false }
+    if (!committed) {
+      // POSIX/HDFS rename onto an existing dir moves the source INSIDE
+      // it: our whole tree may now sit nested in the winner's table dir
+      val nested = new Path(dstDir, tmp)
+      val nestedTok =
+        try {
+          val in = fs.open(new Path(nested, "_commit"))
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      if (nestedTok == token) fs.delete(nested, true)
+    }
+    committed
   }
 
   /** Commit the fully-written temp table `tmp` under the published name
@@ -320,17 +358,21 @@ object Artifacts {
     * gracefully (return false — the caller drops its redundant build);
     * otherwise the rename is safe and IS the commit point.
     *
-    * The guarantee is exactly as strong as claim exclusivity. The
-    * rename runs under a HEARTBEAT that refreshes the claim's mtime
-    * (and a `_hb` marker inside the build tree), and both [[publish]]'s
-    * stale-claim break and vacuum's age gates are mtime-freshness
-    * checks — so an arbitrarily slow rename presents as a live writer
-    * and is waited out, and only a DEAD writer's claim (no beats for a
-    * full timeout) is ever broken. The residual shrinks to a writer
-    * whose heartbeat thread itself is starved/partitioned for a full
-    * timeout while the JVM lives — local FS has no conditional delete
-    * to close that; `spark.graft.artifactClaimTimeoutMs` sizes the
-    * margin. */
+    * The guarantee is exactly as strong as claim exclusivity PLUS the
+    * fenced commit point. The rename runs under a HEARTBEAT that
+    * refreshes the claim's mtime (and a `_hb` marker inside the build
+    * tree), and both [[publish]]'s stale-claim break and vacuum's age
+    * gates are mtime-freshness checks — so an arbitrarily slow rename
+    * presents as a live writer and is waited out, and only a DEAD
+    * writer's claim (no beats for a full timeout) is ever broken. And
+    * if claim exclusivity DOES fail (a live writer starved past the
+    * timeout loses its claim to a breaker), [[renameIntoPlace]]'s
+    * fencing turns the old silent-clobber outcome into a detected lost
+    * race: a committed table is never deleted, and the `_commit` token
+    * read-back decides the winner — the same conditional-PUT discipline
+    * as [[TableStore]]'s manifest protocol. The residual is now wasted
+    * duplicate build work, not corruption;
+    * `spark.graft.artifactClaimTimeoutMs` sizes the margin. */
   private[store] def commitUnderClaim(st: TableStore, tmp: String,
       table: String, renameDelayMsForTest: Long = 0L): Boolean = {
     val r = st.root
@@ -346,17 +388,27 @@ object Artifacts {
       val hb = new Path(new Path(r, tmp), "_hb")
       try fs.create(hb, true).close()
       catch { case _: java.io.IOException => } // tree beat degrades only
+      // the commit fence: a per-attempt token that rides the rename into
+      // the published dir — renameIntoPlace reads it back to decide who won
+      val token = java.util.UUID.randomUUID().toString
+      val tokPath = new Path(new Path(r, tmp), "_commit")
+      val out = fs.create(tokPath, true)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
       val timeout = claimTimeoutMs(st.spark)
       val beat = heartbeat(fs, math.max(50L, timeout / 3),
         claimPath(r, table), hb)
-      try {
-        if (renameDelayMsForTest > 0) Thread.sleep(renameDelayMsForTest)
-        renameIntoPlace(fs, r, tmp, table)
-      } finally beat.close()
-      // the marker rode the rename into the committed dir; drop it
-      fs.delete(new Path(new Path(r, table), "_hb"), false)
+      val won =
+        try {
+          if (renameDelayMsForTest > 0) Thread.sleep(renameDelayMsForTest)
+          renameIntoPlace(fs, r, tmp, table, token)
+        } finally beat.close()
+      if (won) {
+        // the markers rode the rename into the committed dir; drop them
+        fs.delete(new Path(new Path(r, table), "_hb"), false)
+        fs.delete(new Path(new Path(r, table), "_commit"), false)
+      }
       fs.delete(claimPath(r, table), false)
-      true
+      won
     }
   }
 
@@ -495,7 +547,12 @@ object Artifacts {
     // many vacuums race a many-thousand-file parquet build). Only a
     // genuinely stale tree — about to be reclaimed once, then gone —
     // pays the full walk. A vanished path counts as fresh (another
-    // vacuum or the owner just removed it; nothing left to reclaim).
+    // vacuum or the owner just removed it; nothing left to reclaim) —
+    // and so does ANY stat/list failure mid-walk: a tree being renamed
+    // into place out from under the walk (a committing writer) surfaces
+    // as arbitrary wrapped errors from the local-FS permission probe,
+    // and "fresh" (don't reclaim this pass) is the conservative answer;
+    // the next vacuum sees the settled state.
     def touchedWithin(p: Path, age: Long): Boolean =
       try {
         if (now - fs.getFileStatus(p).getModificationTime <= age) true
@@ -506,7 +563,7 @@ object Artifacts {
             fresh = now - it.next().getModificationTime <= age
           fresh
         }
-      } catch { case _: java.io.FileNotFoundException => true }
+      } catch { case scala.util.control.NonFatal(_) => true }
     val dropped = st.listTables().filter(_.startsWith("artifact_")).filter { t =>
       val staleFmt = !readMeta(fs, r, t).exists(_.fmt == FMT)
       val unserved = staleFmt || !served.contains(s"$r|$t")

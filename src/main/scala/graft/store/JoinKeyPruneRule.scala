@@ -37,7 +37,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * `spark.graft.joinPrune.maxBuildBytes` (default 8 MiB), and yield at
   * most `maxKeys` distinct keys (one column-pruned distinct-limit job,
   * memoized per canonicalized build plan — AQE re-optimizations and
-  * repeated queries of the same dim pay once per session). A thread
+  * repeated queries of the same dim pay once per session). A build side
+  * OVER the `maxKeys` budget degrades to a [[Span]] probe — the key's
+  * [min, max] from one more small agg — so mid-cardinality dims with a
+  * selective key RANGE (a date-restricted surrogate range, a tenant's
+  * id block) still prune by interval even when an IN-list would be too
+  * wide; float keys skip the fallback (NaN ordering). A thread
   * re-entrancy guard keeps the rule from firing inside its own build
   * job. Fixpoint: the rewrite only lands when the served file set
   * STRICTLY shrinks, so optimizer iteration terminates.
@@ -119,36 +124,76 @@ object JoinKeyPrune extends Rule[LogicalPlan] with PredicateHelper {
     }.take(2) // one distinct-collect job per pair — bound the planning cost
   }
 
-  // build-side distinct key memo: canonicalized (plan, key) → the
-  // collected values (None = too many / failed, don't retry this plan)
+  /** What one build-side probe job learned about a join key. */
+  private sealed trait Probe
+  /** ≤ maxKeys distinct non-null values — the exact IN-list probe.
+    * Empty = no non-null keys at all: nothing on the fact can match. */
+  private case class Keys(vals: Seq[Any]) extends Probe
+  /** Too many distinct values for an IN-list, but the key's [min, max]
+    * span is known — the interval probe (Snowflake-style join range
+    * pruning). Sound because equi-join matches need a build value, and
+    * every build value lies in [min, max]; files whose fact-key interval
+    * misses the span cannot produce output. */
+  private case class Span(min: Any, max: Any) extends Probe
+  /** The probe job failed or the type is range-unsafe — proves nothing. */
+  private case object Unknown extends Probe
+
+  // build-side key probe memo: canonicalized (plan, key) → the probe
+  // (Unknown = failed, don't retry this plan)
   private val MemoCap = 256
   private val memo = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(LogicalPlan, Expression), Option[Seq[Any]]](
+    new java.util.LinkedHashMap[(LogicalPlan, Expression), Probe](
         16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(LogicalPlan, Expression), Option[Seq[Any]]])
+          e: java.util.Map.Entry[(LogicalPlan, Expression), Probe])
           : Boolean = size() > MemoCap
     })
 
+  /** Types the [[Span]] fallback trusts for min/max ordering. Floating
+    * types are excluded: Spark's max() ranks NaN above everything and a
+    * NaN build key still equi-matches NaN fact rows, so a float span is
+    * not a sound match envelope. (The IN-list path is unaffected —
+    * [[StatsPruning]]'s double domain is NaN-conservative per literal.) */
+  private def spanSafe(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+        DateType | TimestampType | TimestampNTZType | BooleanType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
   private def buildKeys(spark: org.apache.spark.sql.SparkSession,
-      build: LogicalPlan, attr: AttributeReference): Option[Seq[Any]] = {
+      build: LogicalPlan, attr: AttributeReference): Probe = {
     val maxKeys = conf.getConfString(MaxKeysConf, "10000").toInt
     val key = (build.canonicalized,
       attr.canonicalized.asInstanceOf[Expression])
     val hit = memo.get(key)
     if (hit != null) return hit
-    val computed: Option[Seq[Any]] =
+    val computed: Probe =
       try {
         executing.set(true)
-        val rows = org.apache.spark.sql.GraftColumnBridge
+        val d = org.apache.spark.sql.GraftColumnBridge
           .ofRows(spark, Project(Seq(attr), build))
-          .distinct().limit(maxKeys + 1).collect()
-        if (rows.length > maxKeys) None
-        else Some(rows.toIndexedSeq.map(_.get(0)).filter(_ != null))
+        val rows = d.distinct().limit(maxKeys + 1).collect()
+        if (rows.length <= maxKeys)
+          Keys(rows.toIndexedSeq.map(_.get(0)).filter(_ != null))
+        else if (!spanSafe(attr.dataType)) Unknown
+        else {
+          // over the IN-list budget: fall back to the key's span — one
+          // more small agg on the same ≤ maxBuildBytes side (min/max
+          // aggs skip nulls, and null build keys never equi-match)
+          import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+          val c = d.col(d.columns.head)
+          val r = d.agg(fmin(c), fmax(c)).head()
+          if (r.isNullAt(0)) Keys(Nil) // all-null keys: nothing matches
+          else Span(r.get(0), r.get(1))
+        }
       } catch {
         case e: Exception =>
           logWarning(s"JoinKeyPrune: build-side key collection failed: $e")
-          None
+          Unknown
       } finally executing.set(false)
     memo.put(key, computed)
     computed
@@ -160,13 +205,19 @@ object JoinKeyPrune extends Rule[LogicalPlan] with PredicateHelper {
       : Option[LogicalRelation] = {
     val tests = pairs.flatMap { case (factAttr, buildAttr) =>
       buildKeys(hfs.sparkSession, build, buildAttr) match {
-        case None => Nil // unbounded/failed — this pair proves nothing
-        case Some(Nil) =>
+        case Unknown => Nil // failed — this pair proves nothing
+        case Keys(Nil) =>
           // empty (or all-null-keyed) build side: no fact row can match
           Seq((_: StatsPruning.FileStats) => false)
-        case Some(vals) =>
+        case Keys(vals) =>
           val lits = vals.map(v => Literal.create(v, buildAttr.dataType))
           StatsPruning.compile(In(factAttr, lits), hfs.schema)
+        case Span(mn, mx) =>
+          import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LessThanOrEqual}
+          StatsPruning.compile(
+            And(GreaterThanOrEqual(factAttr, Literal.create(mn, buildAttr.dataType)),
+              LessThanOrEqual(factAttr, Literal.create(mx, buildAttr.dataType))),
+            hfs.schema)
       }
     }
     if (tests.isEmpty) None

@@ -392,6 +392,73 @@ class ArtifactsSpec extends AnyFunSuite {
       Seq((7L, "next")), "stale dead claim must be broken and overtaken")
   }
 
+  test("stolen-claim mid-rename race: the commit fence detects the loss, never clobbers the winner") {
+    // the documented claim residual: writer A's heartbeat is starved for a
+    // full timeout while its (slow) commit runs, a breaker steals the
+    // claim and fully commits. Before the fence, A's rename step deleted
+    // the winner's LIVE committed table out from under readers; now the
+    // commit point itself decides — a committed table is never deleted,
+    // and the _commit token read-back makes A lose detectably.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    val sp = s; import sp.implicits._
+    val t = Artifacts.tableName("spec_fence", "k")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = new TableStore(s, root, numBuckets = 4)
+    val claim = new org.apache.hadoop.fs.Path(s"$root/_claims/$t.claim")
+
+    // both builds fully written BEFORE the race so the window is pure
+    // metadata work
+    val tmpA = s"${t}_b_a11c1a1a"
+    st.createTable(tmpA, Seq((1L, "starved")).toDF("id", "v").schema, Seq("id"))
+    st.overwriteSnapshot(tmpA, Seq((1L, "starved")).toDF("id", "v"))
+    val tmpB = s"${t}_b_b4ea4e4e"
+    st.createTable(tmpB, Seq((2L, "breaker")).toDF("id", "v").schema, Seq("id"))
+    st.overwriteSnapshot(tmpB, Seq((2L, "breaker")).toDF("id", "v"))
+
+    // writer A: claim held, rename stalls 1.5 s (the starved writer)
+    assert(Artifacts.tryClaim(fs, root, t))
+    val a = Future {
+      Artifacts.commitUnderClaim(st, tmpA, t, renameDelayMsForTest = 1500L)
+    }
+    Thread.sleep(300L) // A is inside its stall, entry checks passed
+    // the breaker: claim goes quiet (simulated starvation), B breaks it,
+    // claims, and commits fast
+    fs.delete(claim, false)
+    assert(Artifacts.tryClaim(fs, root, t), "breaker must win the freed claim")
+    assert(Artifacts.commitUnderClaim(st, tmpB, t), "breaker commit must land")
+    assert(new TableStore(s, root).read(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "breaker")))
+
+    // A wakes up into a world where the winner is committed: it must LOSE
+    // (detected), and the winner's table must be byte-for-byte untouched
+    assert(!Await.result(a, 30.seconds),
+      "the starved writer must lose the commit fence, not clobber the winner")
+    val rows = new TableStore(s, root).read(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "breaker")), s"winner's live table clobbered: $rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t/_commit")),
+      "commit token must not survive into the committed table")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t/$tmpA")),
+      "loser's tree must not nest inside the committed table")
+    // the loser's build is still its own to drop — publish()'s contract
+    assert(st.exists(tmpA), "loser keeps its temp build for the caller to drop")
+    st.dropTable(tmpA, purge = true)
+    // a later writer commits normally over the released state
+    val tmpC = s"${t}_b_c0013ace"
+    st.dropTable(t, purge = true)
+    st.createTable(tmpC, Seq((3L, "next")).toDF("id", "v").schema, Seq("id"))
+    st.overwriteSnapshot(tmpC, Seq((3L, "next")).toDF("id", "v"))
+    Artifacts.publish(st, tmpC, t)
+    assert(new TableStore(s, root).read(t).count() == 1)
+  }
+
   test("concurrent consumers of one key build exactly once") {
     val root = Files.createTempDirectory("graft_artifacts_spec").toString
     val builds = new AtomicInteger(0)

@@ -101,6 +101,29 @@ class JoinKeyPruneSpec extends AnyFunSuite {
       "empty build side proves the fact scan contributes nothing")
   }
 
+  test("over the IN-list budget, the span fallback still prunes by key range") {
+    val store = freshStore()
+    val fact = rangeTable(store)
+    val allFiles = factFiles(fact)
+    // 40 distinct build keys — over a maxKeys=10 budget, so the exact
+    // IN-list probe gives up; all keys sit inside batch 3's id range
+    // [1500, 2000), so the [min, max] span prunes to that batch's files
+    val dim = (0 until 40).map(i => (1500L + i * 12, s"v$i")).toDF("id", "label")
+    spark.conf.set(JoinKeyPrune.MaxKeysConf, "10")
+    try {
+      val joined = fact.join(dim, "id")
+      val served = factFiles(joined)
+      assert(served.size < allFiles.size,
+        s"span fallback must shrink the fact scan: ${served.size} of ${allFiles.size}")
+      spark.conf.set(JoinKeyPrune.EnabledConf, "false")
+      val baseline = try fact.join(dim, "id").orderBy("id").collect().toSeq
+        finally spark.conf.unset(JoinKeyPrune.EnabledConf)
+      assert(joined.orderBy("id").collect().toSeq == baseline,
+        "span-pruned join must return exactly the unpruned rows")
+      assert(baseline.size == 40)
+    } finally spark.conf.unset(JoinKeyPrune.MaxKeysConf)
+  }
+
   test("join-key pruning composes with lookup blooms on a scattered key") {
     val store = freshStore()
     store.createTable("fact", StructType(Seq(
