@@ -278,7 +278,11 @@ object ClusterScale {
           col("o_orderkey") < (b + 1) * okStep))
       }
     }
-    val spanLo = 3L * okStep + okStep / 4
+    // anchor the 50k-key window at the smallest key INSIDE batch 3's
+    // range — ScaleGen's copy strides leave huge gaps in the keyspace,
+    // so a blindly-positioned window can hold zero real orders
+    val spanLo = ord.filter(col("o_orderkey") >= 3L * okStep)
+      .agg(min("o_orderkey")).head().getLong(0)
     val dimSpan = spark.range(spanLo, spanLo + 50000L)
       .select(col("id").as("k"))
     def spanScan(on: Boolean): (Long, Long, Double, Int) = {
