@@ -247,7 +247,7 @@ object ReferenceQueries {
     // span-probed plan's rows to DuckDB on the raw parquet. (At
     // sf0.001 the same query exercises the exact IN-list probe —
     // ~1.5k keys — so both probe kinds ride the oracle ladder.)
-    "j12_join_span" -> { (s, dir) =>
+    "j13_join_span" -> { (s, dir) =>
       val orders = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_orderdate", "o_totalprice")
       val key = s"$dir|${graft.store.Artifacts.dataFingerprint(s,
@@ -554,7 +554,7 @@ object ReferenceQueries {
         |WHERE doc_id IN (b.mn, (b.mn + b.mx) // 2, b.mx)
         |ORDER BY doc_id""".stripMargin,
 
-    "j12_join_span" ->
+    "j13_join_span" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
         |  count(1) AS orders_cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_price
