@@ -267,7 +267,12 @@ object ClusterScale {
     // CONTIGUOUS candidate keys — over the 10k IN-list budget (so the
     // exact-keys probe gives up) but well under the size gate — so
     // JoinKeyPrune degrades to the [min, max] span probe, and only the
-    // one holding batch's files can match.
+    // one holding batch's files can match. The 2-column orders fact is
+    // a ~20 MiB stand-in at sf1, UNDER the production 32 MiB benefit
+    // gate (at real scale this shape is TBs) — the arm opens the gate
+    // to measure the span mechanics; the JOINPRUNE arm above proves the
+    // default config fires on the >100 MiB lineitem fact.
+    spark.conf.set(graft.store.JoinKeyPrune.MinFactBytesConf, "0")
     val ord = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
     val okMax = ord.agg(max("o_orderkey")).head().getLong(0)
     val okStep = okMax / 8 + 1
@@ -320,6 +325,7 @@ object ClusterScale {
       f"spanPrune=${suFiles.toDouble / math.max(1, spFiles)}%.1fx rows=$spRows%d " +
       f"prunedRead=$spRead%d unprunedRead=$suRead%d load=$tLoadOrd%.1fs " +
       f"prunedScan=$spSec%.2fs unprunedScan=$suSec%.2fs")
+    spark.conf.unset(graft.store.JoinKeyPrune.MinFactBytesConf)
 
     // ---- ZORDER vs linear on two independent dims ------------------------
     // (l_partkey, l_suppkey): neither correlates with arrival order; a

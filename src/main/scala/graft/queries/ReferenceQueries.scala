@@ -238,7 +238,7 @@ object ReferenceQueries {
         .orderBy("doc_id")
     },
 
-    // J12: dynamic join-key file pruning, SPAN-fallback path — the fact
+    // J13: dynamic join-key file pruning, SPAN-fallback path — the fact
     // (orders through the durable store) joins a build side whose
     // distinct-key count EXCEEDS the 10k IN-list budget at sf0.01
     // (14,743 lineitem orderkeys), so [[graft.store.JoinKeyPrune]]
@@ -247,7 +247,14 @@ object ReferenceQueries {
     // span-probed plan's rows to DuckDB on the raw parquet. (At
     // sf0.001 the same query exercises the exact IN-list probe —
     // ~1.5k keys — so both probe kinds ride the oracle ladder.)
-    "j13_join_span" -> { (s, dir) =>
+    // The plan builds on its OWN session (newSession: same context,
+    // artifact root, and builder confs; private SQLConf) with the
+    // probe's 32 MiB benefit gate opened, so the span path stays
+    // oracle-checked at test sf without leaking the gate override
+    // into the caller's session.
+    "j13_join_span" -> { (s0, dir) =>
+      val s = s0.newSession()
+      s.conf.set(graft.store.JoinKeyPrune.MinFactBytesConf, "0")
       val orders = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_orderdate", "o_totalprice")
       val key = s"$dir|${graft.store.Artifacts.dataFingerprint(s,

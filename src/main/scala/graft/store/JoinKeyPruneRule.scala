@@ -33,7 +33,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * file. The Join node itself is untouched — the full condition still
   * runs on every surviving row.
   *
-  * Cost control: the build side must be deterministic, estimated under
+  * Cost control: the FACT scan must be at least
+  * `spark.graft.joinPrune.minFactBytes` (default 32 MiB — the probe is
+  * a driver-side job paid at plan time, so it only fires where pruning
+  * a large scan can repay it; set 0 to probe unconditionally); the
+  * build side must be deterministic, estimated under
   * `spark.graft.joinPrune.maxBuildBytes` (default 8 MiB), and yield at
   * most `maxKeys` distinct keys (one column-pruned distinct-limit job,
   * memoized per canonicalized build plan — AQE re-optimizations and
@@ -52,6 +56,7 @@ object JoinKeyPrune extends Rule[LogicalPlan] with PredicateHelper {
   val EnabledConf = "spark.graft.joinPrune.enabled"
   val MaxBuildBytesConf = "spark.graft.joinPrune.maxBuildBytes"
   val MaxKeysConf = "spark.graft.joinPrune.maxKeys"
+  val MinFactBytesConf = "spark.graft.joinPrune.minFactBytes"
 
   private val executing = new ThreadLocal[java.lang.Boolean] {
     override def initialValue: java.lang.Boolean = false
@@ -91,6 +96,15 @@ object JoinKeyPrune extends Rule[LogicalPlan] with PredicateHelper {
   private def tryPrune(j: Join): Option[LogicalPlan] = {
     val maxBuildBytes = BigInt(
       conf.getConfString(MaxBuildBytesConf, (8L * 1024 * 1024).toString).toLong)
+    // benefit gate: the probe is a driver-side job paid at PLAN time, so
+    // it must only fire when the prunable scan is large enough that
+    // skipping files can repay it — a fact under a few tens of MiB costs
+    // less to scan outright than to probe (the r18 bench bisect: the
+    // ungated rule taxed every artifact-backed join ~1 s per execution
+    // at sf0.1 where no fact exceeds 11 MiB). Snowflake's join pruning
+    // and Spark's DPP make the same estimated-benefit judgement.
+    val minFactBytes = BigInt(
+      conf.getConfString(MinFactBytesConf, (32L * 1024 * 1024).toString).toLong)
     def arm(fact: LogicalPlan, build: LogicalPlan, factOnLeft: Boolean)
         : Option[LogicalPlan] =
       for {
@@ -99,6 +113,7 @@ object JoinKeyPrune extends Rule[LogicalPlan] with PredicateHelper {
         if build.stats.sizeInBytes <= maxBuildBytes
         if build.deterministic
         hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+        if BigInt(hfs.location.sizeInBytes) >= minFactBytes
         pairs = equiPairs(j.condition.get, rel, build)
         if pairs.nonEmpty
         pruned <- pruneByBuildKeys(rel, hfs, build, pairs)

@@ -15,9 +15,17 @@ import graft.TestSpark
   * whose sidecar stats can contain SOME build key — with NO literal
   * predicate on the fact table at all — and never change results
   * (the Join re-checks every surviving row). */
-class JoinKeyPruneSpec extends AnyFunSuite {
+class JoinKeyPruneSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterEach {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  // the spec's fixture tables are a few KB — open the probe's
+  // benefit gate (default 32 MiB) so the rule under test fires
+  override def beforeEach(): Unit =
+    spark.conf.set(JoinKeyPrune.MinFactBytesConf, "0")
+  override def afterEach(): Unit =
+    spark.conf.unset(JoinKeyPrune.MinFactBytesConf)
 
   private def freshStore() =
     new TableStore(spark, Files.createTempDirectory("graft_jkp").toString,
