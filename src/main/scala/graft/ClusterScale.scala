@@ -272,7 +272,10 @@ object ClusterScale {
     // gate (at real scale this shape is TBs) — the arm opens the gate
     // to measure the span mechanics; the JOINPRUNE arm above proves the
     // default config fires on the >100 MiB lineitem fact.
+    // gate open ONLY for this arm: a failure anywhere inside must not
+    // leak the opened benefit gate into the arms that follow
     spark.conf.set(graft.store.JoinKeyPrune.MinFactBytesConf, "0")
+    try {
     val ord = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
     val okMax = ord.agg(max("o_orderkey")).head().getLong(0)
     val okStep = okMax / 8 + 1
@@ -325,7 +328,7 @@ object ClusterScale {
       f"spanPrune=${suFiles.toDouble / math.max(1, spFiles)}%.1fx rows=$spRows%d " +
       f"prunedRead=$spRead%d unprunedRead=$suRead%d load=$tLoadOrd%.1fs " +
       f"prunedScan=$spSec%.2fs unprunedScan=$suSec%.2fs")
-    spark.conf.unset(graft.store.JoinKeyPrune.MinFactBytesConf)
+    } finally spark.conf.unset(graft.store.JoinKeyPrune.MinFactBytesConf)
 
     // ---- ZORDER vs linear on two independent dims ------------------------
     // (l_partkey, l_suppkey): neither correlates with arrival order; a

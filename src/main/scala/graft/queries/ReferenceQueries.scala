@@ -254,6 +254,12 @@ object ReferenceQueries {
     // into the caller's session.
     "j13_join_span" -> { (s0, dir) =>
       val s = s0.newSession()
+      // newSession() copies builder confs but NOT runtime-set ones: a
+      // caller that pointed the artifact root at a durable location via
+      // the documented `spark.graft.artifactDir` conf must not have this
+      // query silently fall back to the JVM temp root.
+      s0.conf.getOption("spark.graft.artifactDir")
+        .foreach(s.conf.set("spark.graft.artifactDir", _))
       s.conf.set(graft.store.JoinKeyPrune.MinFactBytesConf, "0")
       val orders = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_orderdate", "o_totalprice")

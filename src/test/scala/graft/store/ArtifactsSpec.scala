@@ -328,7 +328,14 @@ class ArtifactsSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_artifacts_spec").toString
     val s = spark.newSession()
     s.conf.set("spark.graft.artifactDir", root)
-    s.conf.set("spark.graft.artifactClaimTimeoutMs", "200") // tiny on purpose
+    // 2 s: small enough to keep the test bounded, big enough that the
+    // 666 ms heartbeat cadence and 6 s vacuum margin tolerate multi-
+    // second scheduler stalls under full-suite + concurrent-bench load
+    // (at 200 ms this spec flaked once in a loaded judge run — the
+    // 66 ms cadence lost to a sub-second stall). Every ratio of the
+    // scenario is unchanged: rename delay 7.5x the timeout, vacuum
+    // fired past the 3x-timeout margin.
+    s.conf.set("spark.graft.artifactClaimTimeoutMs", "2000")
     val sp = s; import sp.implicits._
     val t = Artifacts.tableName("spec_hb", "k")
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -348,9 +355,9 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(Artifacts.tryClaim(fs, root, t))
     Artifacts.resetServedForTesting() // vacuum sees a foreign writer
 
-    // A's rename takes 1.5 s — 7.5x the claim timeout
+    // A's rename takes 15 s — 7.5x the claim timeout
     val a = Future {
-      Artifacts.commitUnderClaim(st, tmp, t, renameDelayMsForTest = 1500L)
+      Artifacts.commitUnderClaim(st, tmp, t, renameDelayMsForTest = 15000L)
     }
     // waiter B: a full publish racing the slow commit — it must WAIT
     // (fresh claim = held lock), not break mid-protocol and clobber
@@ -361,8 +368,8 @@ class ArtifactsSpec extends AnyFunSuite {
 
     // vacuum DURING the slow commit, after the build dir's own mtime
     // (touched when the _hb marker was created at commit start) has
-    // aged past the 600 ms margin: only the heartbeat keeps it alive
-    Thread.sleep(1000L)
+    // aged past the 6 s margin: only the heartbeat keeps it alive
+    Thread.sleep(7000L)
     Artifacts.vacuum(s)
     assert(st.exists(tmp) || st.exists(t),
       "mid-rename build vanished under vacuum despite the heartbeat")

@@ -74,6 +74,23 @@ class JoinKeyPruneSpec extends AnyFunSuite
     assert(baseline.size == 3)
   }
 
+  test("default benefit gate: a sub-32MiB fact skips the probe and serves the full file set") {
+    // undo beforeEach's override — this test pins the PRODUCTION default:
+    // the plan-time key probe is a tax worth paying only on facts big
+    // enough (32 MiB+) for file-level pruning to buy back more than the
+    // probe job costs, so a KB-scale fact must plan with zero probe work
+    spark.conf.unset(JoinKeyPrune.MinFactBytesConf)
+    val store = freshStore()
+    val fact = rangeTable(store)
+    val allFiles = factFiles(fact)
+    val dim = Seq((1500L, "a"), (1600L, "b"), (1999L, "c")).toDF("id", "label")
+    val joined = fact.join(dim, "id")
+    assert(factFiles(joined) == allFiles,
+      "under the default gate a KB-scale fact must keep its full file set")
+    assert(joined.orderBy("id").collect().length == 3,
+      "gated-off plan must still join correctly")
+  }
+
   test("outer-join positions whose unmatched rows survive are never pruned") {
     val store = freshStore()
     val fact = rangeTable(store)
