@@ -173,10 +173,17 @@ object Artifacts {
   private def claimPath(root: String, table: String) =
     new Path(new Path(root, "_claims"), s"$table.claim")
 
+  /** Take the build lease: [[CommitPoint.publish]] a per-claimer token
+    * at the claim path — create-if-absent + read-back, the same fenced
+    * commit point as [[TableStore]]'s manifest protocol, so even under
+    * a non-atomic create (object-store check-then-create) two racing
+    * claimers can never BOTH hold the lease. Nothing else reads the
+    * claim's content: breaking a claim stays "delete the file", and
+    * the heartbeat refreshes only its mtime. */
   private[store] def tryClaim(fs: FileSystem, root: String, table: String): Boolean = {
     fs.mkdirs(new Path(root, "_claims"))
-    try { fs.create(claimPath(root, table), false).close(); true }
-    catch { case _: java.io.IOException => false }
+    CommitPoint.publish(fs, claimPath(root, table),
+      java.util.UUID.randomUUID().toString)
   }
 
   private def claimTimeoutMs(s: SparkSession): Long =

@@ -595,26 +595,20 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     -1L // unreachable
   }
 
-  /** One commit attempt: atomically create `_versions/v<v>` with this
-    * attempt's token sentinel, then READ IT BACK — winning iff the
-    * content survives verbatim. create-if-absent is atomic on HDFS (and
-    * maps to a conditional PUT on object stores); on local FS the
-    * read-back verification closes the check-then-create window (two
-    * interleaved creators both fail verification, neither version is
-    * treated as committed, and [[awaitBaseAdvance]] breaks the corpse). */
+  /** One commit attempt: [[CommitPoint.publish]] the token'd manifest
+    * text at `_versions/v<v>` — atomically create-if-absent, then READ
+    * IT BACK, winning iff the content survives verbatim. See
+    * [[CommitPoint]] for the per-store atomicity guarantees (HDFS:
+    * atomic create; object stores: read-back-bounded, conditional-PUT
+    * to close fully) and for the non-atomic-create spec that proves
+    * this protocol never yields two winners for one version. A
+    * zero-winner attempt leaves an mtime-quiet corpse that
+    * [[awaitBaseAdvance]] breaks. */
   private def tryCommit(table: String, v: Long, buckets: Int,
       entries: Seq[(Int, String)], changesName: Option[String]): Boolean = {
     val token = newToken()
     val text = manifestText(buckets, entries, token, changesName)
-    val p = manifestPath(table, v)
-    val created =
-      try {
-        val out = fs.create(p, false) // throws if the version is taken
-        try out.write(text.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    val won = created &&
-      (try readFile(p) == text catch { case _: java.io.IOException => false })
+    val won = CommitPoint.publish(fs, manifestPath(table, v), text)
     if (won) advanceLatest(table, v)
     won
   }
