@@ -82,6 +82,10 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CLUSTERING\s+KEY\s*;?\s*$""".r
   private val AlterTableSearchOptRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+SEARCH\s+OPTIMIZATION\s+ON\s+EQUALITY\s*\(([^)]*)\)\s*;?\s*$""".r
+  private val AlterTableAutoCompactRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+AUTO_COMPACT\s*=\s*(\d+|OFF)\s*;?\s*$""".r
+  private val AlterTableUnsetAutoCompactRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+UNSET\s+AUTO_COMPACT\s*;?\s*$""".r
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*?)\s*;?\s*$""".r
   private val CreateStreamRe =
@@ -183,6 +187,18 @@ object GraftSql {
         // columns; compact() backfills existing files
         store.declareLookup(session.map(_.recordName(name)).getOrElse(name),
           cols.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+        None
+
+      case AlterTableAutoCompactRe(name, n) =>
+        // Snowflake-style table property: the write-time auto-compaction
+        // policy travels WITH the table, so every writer applies it
+        store.setAutoCompact(session.map(_.recordName(name)).getOrElse(name),
+          Some(if (n.equalsIgnoreCase("OFF")) 0 else n.toInt))
+        None
+
+      case AlterTableUnsetAutoCompactRe(name) =>
+        store.setAutoCompact(
+          session.map(_.recordName(name)).getOrElse(name), None)
         None
 
       case AlterTableAddColRe(name, colDdl) =>

@@ -477,6 +477,20 @@ object TableFunctions {
         store.clusteringInfo(
           session.map(_.recordName(args(0))).getOrElse(args(0)))
 
+      case "graft_join_prune_info" =>
+        // operator visibility for the plan-time JoinKeyPrune rule: did
+        // dynamic join pruning fire, on which table, with which probe
+        // kind, and how many files did it serve — without driver logs
+        arity(args.isEmpty,
+          "0 () — this JVM's recent dynamic join-key prune decisions")
+        val sp = spark
+        import sp.implicits._
+        graft.store.JoinKeyPrune.recentEvents
+          .map(e => (new java.sql.Timestamp(e.atMs), e.table, e.probe,
+            e.filesTotal, e.filesKept, e.filesKept < e.filesTotal))
+          .toDF("at", "store_table", "probe",
+            "files_total", "files_kept", "pruned")
+
       case "graft_scan_where" =>
         arity(args.length == 2, "2 (store_table, 'predicate sql')")
         store.scanWhere(
@@ -714,7 +728,8 @@ object TableFunctions {
         "graft_incremental_neardup, graft_cluster_reps, graft_hash_split, " +
         "graft_shuffle_shards, graft_knn_graph, graft_quality_retention, " +
         "graft_curriculum, graft_winnow_overlap, graft_winnow_fp, graft_artifacts, " +
-        "graft_clustering_info, graft_scan_where, graft_vocab_stats, " +
+        "graft_clustering_info, graft_join_prune_info, graft_scan_where, " +
+        "graft_vocab_stats, " +
         "graft_collocations, " +
         "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
         "graft_pagerank, graft_triangles, graft_funnel, graft_funnel_gaps, " +

@@ -58,6 +58,33 @@ object JoinKeyPrune extends Rule[LogicalPlan] with PredicateHelper {
   val MaxKeysConf = "spark.graft.joinPrune.maxKeys"
   val MinFactBytesConf = "spark.graft.joinPrune.minFactBytes"
 
+  /** One recorded probe-and-prune decision, surfaced to operators via
+    * `TABLE(graft_join_prune_info())` — the rule runs at PLAN time
+    * inside the optimizer, so without this an operator can only tell
+    * whether join pruning fired by reading driver logs. `probe`
+    * describes what each key's build-side job learned
+    * (`keys(col:n)` / `span(col)` / `empty(col)` / `unknown(col)`);
+    * `filesKept == filesTotal` means the probe ran but proved nothing
+    * prunable. */
+  case class PruneEvent(atMs: Long, table: String, probe: String,
+      filesTotal: Int, filesKept: Int)
+
+  // bounded ring of recent decisions, JVM-wide (the rule object is a
+  // singleton per JVM, like its probe memo)
+  private val MaxEvents = 128
+  private val events = new java.util.ArrayDeque[PruneEvent]()
+  private def record(e: PruneEvent): Unit = events.synchronized {
+    events.addLast(e)
+    if (events.size > MaxEvents) events.removeFirst()
+  }
+  /** Most-recent-last snapshot of this JVM's prune decisions. */
+  def recentEvents: Seq[PruneEvent] = events.synchronized {
+    import scala.jdk.CollectionConverters._
+    events.iterator.asScala.toIndexedSeq
+  }
+  private[graft] def clearEventsForTesting(): Unit =
+    events.synchronized(events.clear())
+
   private val executing = new ThreadLocal[java.lang.Boolean] {
     override def initialValue: java.lang.Boolean = false
   }
@@ -218,8 +245,11 @@ object JoinKeyPrune extends Rule[LogicalPlan] with PredicateHelper {
       build: LogicalPlan,
       pairs: Seq[(AttributeReference, AttributeReference)])
       : Option[LogicalRelation] = {
-    val tests = pairs.flatMap { case (factAttr, buildAttr) =>
-      buildKeys(hfs.sparkSession, build, buildAttr) match {
+    val probes = pairs.map { case (factAttr, buildAttr) =>
+      (factAttr, buildAttr, buildKeys(hfs.sparkSession, build, buildAttr))
+    }
+    val tests = probes.flatMap { case (factAttr, buildAttr, probe) =>
+      probe match {
         case Unknown => Nil // failed — this pair proves nothing
         case Keys(Nil) =>
           // empty (or all-null-keyed) build side: no fact row can match
@@ -236,7 +266,33 @@ object JoinKeyPrune extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
     if (tests.isEmpty) None
-    else SidecarPrune.pruneWithTests(rel, hfs, tests, tag = "JoinKeyPrune")
+    else {
+      val res = SidecarPrune.pruneWithTests(rel, hfs, tests, tag = "JoinKeyPrune")
+      val total = hfs.location.inputFiles.length
+      val kept = res.map(_.relation.asInstanceOf[HadoopFsRelation]
+        .location.inputFiles.length).getOrElse(total)
+      val desc = probes.map { case (factAttr, _, probe) =>
+        probe match {
+          case Keys(Nil) => s"empty(${factAttr.name})"
+          case Keys(vals) => s"keys(${factAttr.name}:${vals.size})"
+          case Span(_, _) => s"span(${factAttr.name})"
+          case Unknown => s"unknown(${factAttr.name})"
+        }
+      }.mkString("+")
+      record(PruneEvent(System.currentTimeMillis(), tableNameOf(hfs), desc,
+        total, kept))
+      res
+    }
+  }
+
+  /** The store table a scan serves, from its root paths' layout
+    * (`<root>/<table>/data/<batch>/__bucket=N/…`) — display only. */
+  private def tableNameOf(hfs: HadoopFsRelation): String = {
+    val p0 = hfs.location.rootPaths.headOption.orNull
+    var p = p0
+    while (p != null && p.getName != "data") p = p.getParent
+    if (p == null || p.getParent == null) String.valueOf(p0)
+    else p.getParent.getName
   }
 
   private def replaceRelation(j: Join, from: LogicalRelation,

@@ -836,6 +836,33 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     else { compact(table); true }
   }
 
+  /** ALTER TABLE … SET AUTO_COMPACT: persist the write-time
+    * auto-compaction policy ON THE TABLE (a `_auto_compact` sentinel,
+    * like `_cluster`/`_lookup`), so every writer JVM applies it — the
+    * session conf `spark.graft.store.autoCompactBatches` only governs
+    * writers that happen to set it. Some(n≥2) = compact when the
+    * manifest references ≥ n batch dirs; Some(0) = explicitly OFF,
+    * overriding any session conf; None (UNSET) = defer to the session
+    * conf again. */
+  def setAutoCompact(table: String, minBatches: Option[Int]): Unit = {
+    require(exists(table), s"table $table does not exist")
+    val p = new Path(tdir(table), "_auto_compact")
+    minBatches match {
+      case Some(n) =>
+        require(n == 0 || n >= 2, s"AUTO_COMPACT takes OFF (0) or n >= 2, got $n")
+        writeFile(p, n.toString)
+      case None => fs.delete(p, false)
+    }
+  }
+
+  /** The table's persisted AUTO_COMPACT policy: Some(0) = explicitly
+    * off, Some(n) = compact at n batches, None = table defers to the
+    * session conf. */
+  def autoCompactOf(table: String): Option[Int] = {
+    val p = new Path(tdir(table), "_auto_compact")
+    if (!fs.exists(p)) None else Some(readFile(p).trim.toInt)
+  }
+
   /** ALTER TABLE … CLUSTER BY: declare (or change) the clustering keys
     * and RECLUSTER the current contents in place — one compaction pass
     * through the clustered write path, committed with no change batch
@@ -1281,9 +1308,16 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
         Some(withAction(readBack(table, batch), "insert")), -1)
     }
     // write-time auto-compaction (opt-in): bound small-file accretion
-    // from continuous micro-batch appends
-    spark.conf.getOption("spark.graft.store.autoCompactBatches")
-      .map(_.toInt).filter(_ > 0).foreach(n => autoCompact(table, n))
+    // from continuous micro-batch appends. The TABLE property (ALTER
+    // TABLE … SET AUTO_COMPACT) wins over the session conf — including
+    // an explicit OFF (0), which silences a conf-set session.
+    autoCompactOf(table) match {
+      case Some(0) => // table says OFF
+      case Some(n) => autoCompact(table, n)
+      case None =>
+        spark.conf.getOption("spark.graft.store.autoCompactBatches")
+          .map(_.toInt).filter(_ > 0).foreach(n => autoCompact(table, n))
+    }
   }
 
   /** INSERT OVERWRITE (S6): full replace; change batch = new contents.

@@ -52,6 +52,38 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown lookup column"))
   }
 
+  test("ALTER TABLE ... SET AUTO_COMPACT persists a table-level write-time compaction policy") {
+    val g = graft.GraftSession(spark,
+      Files.createTempDirectory("graft_autocompact").toString, 2)
+    g.sql("CREATE TABLE ac1 (id BIGINT, v STRING) KEYS (id)")
+    assert(g.store.autoCompactOf("ac1").isEmpty)
+    g.sql("ALTER TABLE ac1 SET AUTO_COMPACT = 2")
+    assert(g.store.autoCompactOf("ac1") == Some(2))
+    // the policy travels with the table: every writer compacts at 2
+    // accreted batch dirs without setting any session conf
+    g.sql("INSERT INTO ac1 SELECT 1, 'a'")
+    g.sql("INSERT INTO ac1 SELECT 2, 'b'")
+    g.sql("INSERT INTO ac1 SELECT 3, 'c'")
+    assert(g.store.batchCount("ac1") == 1,
+      s"policy=2 must hold the manifest at one batch dir, got ${g.store.batchCount("ac1")}")
+    assert(g.sql("SELECT count(1) AS n FROM ac1").get.head().getLong(0) == 3)
+    // explicit OFF overrides a conf-set session
+    g.sql("ALTER TABLE ac1 SET AUTO_COMPACT = OFF")
+    assert(g.store.autoCompactOf("ac1") == Some(0))
+    spark.conf.set("spark.graft.store.autoCompactBatches", "2")
+    try {
+      g.sql("INSERT INTO ac1 SELECT 4, 'd'")
+      g.sql("INSERT INTO ac1 SELECT 5, 'e'")
+      assert(g.store.batchCount("ac1") >= 2,
+        "AUTO_COMPACT = OFF must override the session conf")
+    } finally spark.conf.unset("spark.graft.store.autoCompactBatches")
+    // UNSET returns control to the session conf
+    g.sql("ALTER TABLE ac1 UNSET AUTO_COMPACT")
+    assert(g.store.autoCompactOf("ac1").isEmpty)
+    val e = intercept[Exception](g.sql("ALTER TABLE ac1 SET AUTO_COMPACT = 1"))
+    assert(e.getMessage.contains("AUTO_COMPACT takes OFF"))
+  }
+
   test("CREATE TABLE ... CLUSTER BY declares clustering keys (either clause order)") {
     val g = graft.GraftSession(spark,
       Files.createTempDirectory("graft_cluster").toString, 2)

@@ -425,6 +425,37 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(s2.head().getLong(0) == 100L)
   }
 
+  test("graft_join_prune_info: the plan-time join-prune decision is SQL-visible") {
+    val g = sess()
+    import org.apache.spark.sql.types._
+    g.store.createTable("jp_facts", StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType))),
+      keys = Seq("id"))
+    (0 until 4).foreach { b =>
+      import spark.implicits._
+      g.store.append("jp_facts",
+        (0 until 100).map(i => (b * 100L + i, s"g$b")).toDF("id", "grp"))
+    }
+    graft.store.JoinKeyPrune.clearEventsForTesting()
+    // KB-scale fixture: open the benefit gate so the rule under test fires
+    spark.conf.set(graft.store.JoinKeyPrune.MinFactBytesConf, "0")
+    try {
+      import spark.implicits._
+      val dim = Seq((150L, "x"), (160L, "y")).toDF("id", "label")
+      assert(g.store.read("jp_facts").join(dim, "id").count() == 2)
+    } finally spark.conf.unset(graft.store.JoinKeyPrune.MinFactBytesConf)
+    val info = g.sql("SELECT * FROM TABLE(graft_join_prune_info())").get
+      .collect().filter(_.getAs[String]("store_table") == "jp_facts")
+    assert(info.nonEmpty, "the probe decision must surface without driver logs")
+    assert(info.exists(_.getAs[Boolean]("pruned")),
+      "a range-batched fact joined to a 2-key dim must report pruned=true")
+    assert(info.exists(r =>
+      r.getAs[Int]("files_kept") < r.getAs[Int]("files_total")))
+    assert(info.exists(_.getAs[String]("probe").startsWith("keys(id:")),
+      s"probe descriptor should name the key and its cardinality: " +
+        info.map(_.getAs[String]("probe")).mkString(","))
+  }
+
   test("table functions resolve store tables and feed CTAS / INSERT bodies") {
     val g = sess()
     docs.createOrReplaceTempView("docs_tf")
