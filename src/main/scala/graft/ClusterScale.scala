@@ -216,6 +216,66 @@ object ClusterScale {
       f"loadWithBlooms=$tLoadLk%.1fs " +
       f"scans(s) eq=$eqSec%.2f range=$rgSec%.2f absent=$abSec%.2f")
 
+    // ---- auto-compaction cycle: blooms rebuilt, clustering info current ---
+    // Continuous ingest under the TABLE-LEVEL policy (ALTER TABLE … SET
+    // AUTO_COMPACT): the mid-ingest compaction pass must REBUILD the
+    // per-file lookup blooms (not drop them) so point-lookup prune
+    // ratios SURVIVE the rewrite, and graft_clustering_info must report
+    // the POST-compaction layout (it reads the current manifest). Own
+    // mid-size fixture (orders + a hash-scattered probe id, clustered
+    // on o_orderdate) so the BLOOM arm's measurements stay untouched.
+    val ordAc = Tables.load(spark, dir, "orders")
+      .withColumn("probe_id", xxhash64(col("o_orderkey")))
+    // yearly ingest batches, years taken FROM the data (the synthetic
+    // orders span 1995-2001, not TPC-H's 1992-1998); the policy trips
+    // one append before the last, so the cycle runs mid-ingest
+    val acYears = ordAc.select(year(col("o_orderdate")).as("y")).distinct()
+      .orderBy("y").collect().map(_.getInt(0)).toIndexedSeq
+    require(acYears.size >= 3, s"need >= 3 yearly batches, got $acYears")
+    store.createTable("ord_ac", ordAc.schema, keys = Seq("o_orderkey"),
+      clusterBy = Seq("o_orderdate"), lookup = Seq("probe_id"))
+    store.setAutoCompact("ord_ac", Some(math.max(2, acYears.size - 1)))
+    val (_, tLoadAc) = timed {
+      acYears.foreach { y =>
+        store.append("ord_ac", ordAc.filter(year(col("o_orderdate")) === y))
+      }
+    }
+    val acBatches = store.batchCount("ord_ac")
+    require(acBatches < acYears.size,
+      s"the AUTO_COMPACT policy must have compacted mid-ingest: $acBatches")
+    val acFiles = store.read("ord_ac").inputFiles.length
+    val acProbeV = store.read("ord_ac").select("probe_id").head().getLong(0)
+    def acProbe(cond: org.apache.spark.sql.Column): (Long, Int, Double) = {
+      val df = store.scanWhere("ord_ac", cond)
+      val (rows, took) = timed(df.agg(count(lit(1))).head().getLong(0))
+      (rows, df.inputFiles.length, took)
+    }
+    acProbe(col("probe_id") === acProbeV) // warm
+    val (acEqRows, acEqFiles, acEqSec) = acProbe(col("probe_id") === acProbeV)
+    val (acRgRows, acRgFiles, acRgSec) =
+      acProbe(col("probe_id") >= acProbeV && col("probe_id") <= acProbeV)
+    require(acEqRows == acRgRows && acEqRows >= 1,
+      s"post-compaction bloom probe must match the interval range: $acEqRows vs $acRgRows")
+    require(acEqFiles < acRgFiles,
+      "blooms must survive the auto-compaction rewrite: point probe kept " +
+        s"$acEqFiles of interval-tier $acRgFiles")
+    // graft_clustering_info reads the CURRENT manifest: its file set is
+    // exactly the post-compaction layout, rows conserved
+    val ci = store.clusteringInfo("ord_ac")
+      .agg(countDistinct(col("bucket"), col("file")).as("files"),
+        sum(col("n_rows")).as("rows"))
+      .head()
+    val ordN = ordAc.count()
+    require(ci.getLong(1) == ordN,
+      s"clustering_info must cover the full post-compaction table: ${ci.getLong(1)} vs $ordN")
+    require(ci.getLong(0) == acFiles,
+      s"clustering_info must report the post-compaction file layout: ${ci.getLong(0)} vs $acFiles")
+    println(f"CLUSTERSCALE_AUTOCOMPACT batches=$acBatches%d files=$acFiles%d " +
+      f"intervalKept=$acRgFiles%d bloomKept=$acEqFiles%d " +
+      f"bloomPrune=${acRgFiles.toDouble / math.max(1, acEqFiles)}%.1fx " +
+      f"ciFiles=${ci.getLong(0)}%d ciRows=${ci.getLong(1)}%d load=$tLoadAc%.1fs " +
+      f"scans(s) eq=$acEqSec%.2f range=$acRgSec%.2f")
+
     // ---- dynamic JOIN-KEY file pruning ------------------------------------
     // The star shape: the yearly-batched fact joined to a SMALL build
     // side of ~2 weeks of ship dates — NO literal predicate ever touches

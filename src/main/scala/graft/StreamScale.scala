@@ -145,6 +145,7 @@ object StreamScale {
 
     var totalIn = 0L
     var sessionsTotal = 0L
+    var funnelTotal = 0L
     val dauLatest = scala.collection.mutable.Map.empty[String, Long]
     val skFinal = scala.collection.mutable
       .ArrayBuffer.empty[(java.sql.Date, Long, Array[Byte])]
@@ -188,6 +189,7 @@ object StreamScale {
         OutputMode.Append())
       require(fState <= 15000L * factor,
         s"tick $t: funnel state ($fState) must stay bounded by distinct users")
+      funnelTotal += fEmit
       // streaming DAU (6th state shape: per-(user, day) dedup rows inside
       // the watermark horizon + one aggregate row per day): update-mode
       // re-emission keeps each day's latest count; the 25 h watermark
@@ -254,7 +256,16 @@ object StreamScale {
     // the batch st8b twin EXACTLY on the finalized prefix (append-mode
     // emission is a time-prefix of days, so every source day a
     // finalized target day unions is itself finalized; identical input
-    // sets → identical HLL registers → identical estimates)
+    // sets → identical HLL registers → identical estimates).
+    // Caveat pinned at the soak's committed params (sf0.1 × factor 50):
+    // ~33k users/day puts the lgK=12 sketch in DENSE mode on both
+    // sides, where the equality is structural. At toy fill (hundreds of
+    // users/day, e.g. sf0.01 × factor 5) the streaming aggregate's
+    // state-store roundtrip serializes the buffer out of sparse mode
+    // while the batch sketch stays sparse-exact, and the two estimators
+    // legitimately differ by <1% — a DataSketches mode artifact, not a
+    // state-loss bug (the exact `dau` column, same deduped input rows,
+    // still matches bit-for-bit there).
     val skDf = skFinal.toSeq.toDF("day", "dau", "sk")
     val twin = EventStreams.dauMauFromDailySketches(skDf, window = 7)
       .collect()
@@ -267,6 +278,50 @@ object StreamScale {
     require(badTwin.isEmpty,
       s"sketch twin diverged on finalized days: $badTwin")
     println(s"""{"metric":"stream_scale_dau_sketch_days","value":${twin.size}}""")
+
+    // ---- funnel RESTART-to-truth pin ------------------------------------
+    // Every tick above was ALREADY a kill/restart: each drain starts a
+    // fresh query against the persistent "funnel" checkpoint, so per-user
+    // chain state round-tripped the state store `ticks` times mid-soak.
+    // What the loop can't check is total emissions (the last watermark
+    // horizon is still pending at end-of-soak) — two sentinel drains push
+    // the watermark past the whole timeline and flush it, and the sum of
+    // emissions ACROSS ALL RESTARTS must then equal the batch funnel on
+    // the identical event log, exactly. The sentinel's own signup sits
+    // 40 days out, beyond every later watermark, so it never emits.
+    val maxTsMs = scaled.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val sentUser = (factor + 1L) * usrS + 7L
+    def stageSentinel(tag: String, offSec: Long): Unit = {
+      val tmp = root.resolve(s"tmp_sent_$tag")
+      Seq(EventStreams.Event((factor + 1L) * evS + offSec, sentUser, "signup",
+          0.0, new java.sql.Timestamp(maxTsMs + 40L * 86400 * 1000 + offSec * 1000)))
+        .toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      var n = 0
+      Files.list(tmp).forEach { f: Path =>
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          Files.move(f, watch.resolve(s"sent_${tag}_$n.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+          n += 1
+        }
+      }
+    }
+    def drainFunnelTick(): Long = drain("funnel",
+      df => EventStreams.streamingFunnel(
+        df.as[EventStreams.Event](org.apache.spark.sql.Encoders.product),
+        Seq("signup", "click", "purchase")).toDF(),
+      OutputMode.Append())._2
+    stageSentinel("a", 0L)
+    funnelTotal += drainFunnelTick() // watermark jumps past the timeline
+    stageSentinel("b", 10L)
+    funnelTotal += drainFunnelTick() // event-time timeouts flush the tail
+    val batchFunnelReach = graft.ops.EventAnalytics
+      .funnelSteps(scaled, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .agg(sum(col("n_users"))).head().getLong(0)
+    require(funnelTotal == batchFunnelReach,
+      s"funnel emissions across $ticks checkpoint restarts + final flush " +
+        s"must equal the batch funnel: stream=$funnelTotal batch=$batchFunnelReach")
+    println(s"""{"metric":"stream_scale_funnel_restart_pin","emitted":$funnelTotal,"ticks":$ticks}""")
 
     // ---- funnel BOT-CAP arm: one user emitting funnel-typed events
     // inside a single watermark horizon is the state bomb the batch caps

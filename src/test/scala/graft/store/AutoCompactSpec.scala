@@ -58,6 +58,39 @@ class AutoCompactSpec extends AnyFunSuite {
     assert(st.currentVersion("t") > 10L)
   }
 
+  test("table-level AUTO_COMPACT rebuilds lookup blooms and keeps clustering_info current") {
+    val st = freshStore()
+    st.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("probe", LongType))),
+      keys = Seq("id"), clusterBy = Seq("id"), lookup = Seq("probe"))
+    st.setAutoCompact("t", Some(3)) // the TABLE property, no session conf
+    // multiplicative-hash scatter: every file spans ~the full probe
+    // range, so intervals keep 100% and only the bloom can prune
+    def scatter(x: Long): Long = (x * 2654435761L) & 0x7fffffffL
+    (0 until 6).foreach { b =>
+      st.append("t", (0 until 50)
+        .map(i => (b * 50L + i, scatter(b * 50L + i)))
+        .toDF("id", "probe"))
+    }
+    assert(st.batchCount("t") <= 3,
+      s"the table policy must bound accretion: ${st.batchCount("t")}")
+    assert(st.currentVersion("t") > 6L, "compaction commits must be present")
+    // blooms SURVIVE the compaction rewrite: a point probe on the
+    // hash-scattered column (intervals keep everything) still prunes
+    val probeV = scatter(125L)
+    val hit = st.scanWhere("t", col("probe") === probeV)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(125L))
+    val all = st.read("t").inputFiles.length
+    assert(hit.inputFiles.length < all,
+      s"post-compaction blooms must prune the point probe: ${hit.inputFiles.length} of $all")
+    // clustering_info reads the CURRENT manifest: post-compaction layout
+    val ci = st.clusteringInfo("t")
+      .agg(countDistinct(col("bucket"), col("file")), sum(col("n_rows"))).head()
+    assert(ci.getLong(0) == all,
+      s"clustering_info must report the post-compaction files: ${ci.getLong(0)} vs $all")
+    assert(ci.getLong(1) == 300L, s"rows conserved: ${ci.getLong(1)}")
+  }
+
   test("orchestrator compaction task: WHEN-gated, compacts once accreted") {
     val st = freshStore()
     st.createTable("t", schema, keys = Seq("id"))

@@ -474,4 +474,143 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamReach == batchReach, s"stream $streamReach != batch $batchReach")
     } finally q.stop()
   }
+
+  test("streamingFunnel kill/restart: per-user state round-trips the checkpoint, emissions pin to batch truth") {
+    implicit val sc = spark.sqlContext
+    val steps = Seq("signup", "click", "purchase")
+    val mem = MemoryStream[Event]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_funnel_ckpt").toString
+    // idempotent sink: keyed by batchId, so a replayed batch after the
+    // restart overwrites instead of double-counting (the discipline a
+    // production exactly-once sink follows)
+    val emitted =
+      new scala.collection.concurrent.TrieMap[Long, Seq[(Long, Int, String)]]()
+    def start() = EventStreams.streamingFunnel(mem.toDS(), steps,
+        watermark = "30 seconds")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[EventStreams.FunnelStepHit], id: Long) =>
+          emitted(id) =
+            df.collect().map(h => (h.user_id, h.step, h.event_type)).toSeq
+          ()
+      }
+      .start()
+
+    // phase 1: users 7 and 9 make PARTIAL progress, the watermark
+    // flushes it, then the query is killed
+    val q1 = start()
+    try {
+      mem.addData(Event(1, 7, "signup", 0, ts(10)), Event(2, 7, "click", 0, ts(20)),
+        Event(3, 9, "signup", 0, ts(40)))
+      mem.addData(Event(4, 1, "signup", 0, ts(100))) // watermark → 70s
+      q1.processAllAvailable()
+      mem.addData(Event(5, 1, "signup", 0, ts(110))) // flush timeouts
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val pre = emitted.values.flatten.toSet
+    assert(pre.contains((7L, 2, "click")) && pre.contains((9L, 1, "signup")),
+      s"partial progress must have emitted before the kill: $pre")
+
+    // phase 2: a NEW query on the same checkpoint. User 7's step-2 and
+    // user 9's step-1 progress live ONLY in the state store now — if
+    // the round-trip loses them, the completions below can never emit
+    // (a purchase with no prior signup+click folds to nothing).
+    val q2 = start()
+    try {
+      mem.addData(Event(6, 7, "purchase", 0, ts(200)), Event(7, 9, "click", 0, ts(210)))
+      mem.addData(Event(8, 1, "signup", 0, ts(500))) // watermark past 200/210
+      q2.processAllAvailable()
+      mem.addData(Event(9, 1, "signup", 0, ts(510))) // flush timeouts
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val hits = emitted.values.flatten.toSet.filter(_._1 != 1L)
+    assert(hits == Set((7L, 1, "signup"), (7L, 2, "click"), (7L, 3, "purchase"),
+      (9L, 1, "signup"), (9L, 2, "click")),
+      s"restart must neither lose nor duplicate step hits: $hits")
+    // batch truth over the identical (sentinel-free) log
+    val batch = Seq(
+      (7L, "signup", ts(10)), (7L, "click", ts(20)), (9L, "signup", ts(40)),
+      (7L, "purchase", ts(200)), (9L, "click", ts(210)))
+      .toDF("user_id", "event_type", "ts")
+    val batchReach = graft.ops.EventAnalytics
+      .funnelSteps(batch, "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val streamReach = (1 to 3).map(i => i -> hits.count(_._2 == i).toLong).toMap
+    assert(streamReach == batchReach,
+      s"across the restart: stream $streamReach != batch $batchReach")
+  }
+
+  test("streamingDauSketches kill/restart: dedup + window state round-trip, finalized days equal the batch twin") {
+    implicit val sc = spark.sqlContext
+    val day = 86400L
+    val mem = MemoryStream[Event]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dau_ckpt").toString
+    val emitted =
+      new scala.collection.concurrent.TrieMap[Long, Seq[org.apache.spark.sql.Row]]()
+    @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+    def start() = EventStreams.streamingDauSketches(mem.toDF(), "user_id", "ts",
+        watermark = "2 minutes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        outSchema = df.schema
+        emitted(id) = df.collect().toSeq
+        ()
+      }
+      .start()
+
+    // phase 1: day 0 complete, day 1 PARTIAL (u1 + the sentinel user);
+    // the sentinel lands at day+125 so the watermark (day+5) finalizes
+    // day 0 while keeping day 1's dedup + aggregate state live
+    val q1 = start()
+    try {
+      mem.addData(
+        Event(1, 1, "click", 0, ts(10)), Event(2, 2, "view", 0, ts(20)),
+        Event(3, 1, "click", 0, ts(day + 10)))
+      mem.addData(Event(4, 999, "click", 0, ts(day + 125)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(emitted.values.flatten.size == 1,
+      s"day 0 must have finalized before the kill: ${emitted.values.flatten}")
+
+    // phase 2: a new query on the checkpoint. u1's duplicate day-1
+    // event must hit the RESTORED dedup state (lost state → dau=4),
+    // and day 1's partial count must still hold u1+999 (lost state →
+    // dau=2). Day 2 rides along; the far sentinel finalizes both.
+    val q2 = start()
+    try {
+      mem.addData(
+        Event(5, 1, "view", 0, ts(day + 200)), // duplicate (u1, day 1)
+        Event(6, 3, "view", 0, ts(day + 300)),
+        Event(7, 2, "click", 0, ts(2 * day + 10)), Event(8, 3, "view", 0, ts(2 * day + 20)))
+      mem.addData(Event(9, 999, "click", 0, ts(30 * day)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = emitted.values.flatten.toSeq
+    val finalized = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), outSchema)
+    val dau = rows.map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(dau == Map("1970-01-01" -> 2L, "1970-01-02" -> 3L, "1970-01-03" -> 2L),
+      s"dedup/aggregate state must survive the restart exactly: $dau")
+    // the finalized sketch table still feeds the read-time MAU union,
+    // bit-identical to the batch twin over the same (sentinel-free) log
+    val got = EventStreams.dauMauFromDailySketches(finalized, window = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(2))).toSeq.sorted
+    val batchEvents = Seq(
+      (1L, ts(10)), (2L, ts(20)), (1L, ts(day + 10)), (999L, ts(day + 125)),
+      (1L, ts(day + 200)), (3L, ts(day + 300)),
+      (2L, ts(2 * day + 10)), (3L, ts(2 * day + 20)))
+      .toDF("user_id", "ts")
+    val want = graft.ops.EventAnalytics
+      .dauMauApprox(batchEvents, "user_id", "ts", window = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(2))).toSeq.sorted
+    assert(got == want, s"across the restart: stream MAU $got != batch $want")
+  }
 }
