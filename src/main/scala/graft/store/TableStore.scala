@@ -227,6 +227,13 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
     if (fs.exists(defSrc)) writeFile(new Path(tdir(dst), "_defaults"), readFile(defSrc))
     val lkSrc = new Path(tdir(src), "_lookup")
     if (fs.exists(lkSrc)) writeFile(new Path(tdir(dst), "_lookup"), readFile(lkSrc))
+    // table properties travel with the clone (Snowflake clone semantics):
+    // clustering keys shape the clone's FUTURE writes (shared files are
+    // already laid out), and the auto-compaction policy follows the data
+    Seq("_cluster", "_zorder", "_auto_compact").foreach { m =>
+      val p = new Path(tdir(src), m)
+      if (fs.exists(p)) writeFile(new Path(tdir(dst), m), readFile(p))
+    }
     // the clone's manifest points at data bucketed with the CLONED VERSION's
     // count (not the source's current one — an AT-clone across a rebucket
     // boundary must keep pruning against the old hashing)

@@ -336,6 +336,23 @@ class TableStoreSpec extends AnyFunSuite {
     assert(st.read("t2").count() == 8)
   }
 
+  test("clone carries table properties: clustering keys, lookup blooms, auto-compact policy") {
+    val st = freshStore()
+    st.createTable("t", schema, keys = Seq("id"),
+      clusterBy = Seq("id"), lookup = Seq("id"))
+    st.setAutoCompact("t", Some(4))
+    st.append("t", (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+    st.cloneTable("t", "t2")
+    assert(st.clusterByOf("t2") == Seq("id"),
+      "Snowflake clone semantics: clustering keys shape the clone's future writes")
+    assert(st.lookupOf("t2") == Seq("id"))
+    assert(st.autoCompactOf("t2") == Some(4),
+      "the auto-compaction policy follows the data")
+    // and the clone's own policy diverges independently of the source
+    st.setAutoCompact("t2", Some(0))
+    assert(st.autoCompactOf("t") == Some(4))
+  }
+
   test("clone at an older version snapshots time travel") {
     val st = freshStore()
     st.createTable("t", schema, keys = Seq("id"))
