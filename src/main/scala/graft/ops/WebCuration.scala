@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rule-based web-corpus curation — the published filtering stages every
+  * large-scale pretraining pipeline runs BEFORE the statistical stages
+  * this repo already covers (quality scoring e2, repetition e14, dedup
+  * d-family): Gopher document-quality rules (Rae et al. 2021,
+  * arXiv:2112.11446 Table A1), C4 line-level cleaning (Raffel et al.
+  * 2020, arXiv:1910.10683 §2.2), and URL canonicalization + URL-level
+  * dedup (the CCNet / RefinedWeb first stage). Builder-prompt extension
+  * surface; the reference has no text pipeline (SURVEY.md §2.8).
+  *
+  * Scale: [[gopherRules]] and [[c4Clean]] are pure per-row projections —
+  * whitespace splits, higher-order-function folds and filters over array
+  * columns, all inside whole-stage codegen, ZERO shuffles (the oracle
+  * queries add one global ORDER BY for determinism; a production run
+  * writes the keep flags straight back to the store). At 100 TB this is
+  * the ideal operator shape: embarrassingly parallel over input splits,
+  * cost O(chars) per document. [[canonicalizeUrls]] adds exactly one
+  * hash shuffle (window over the canonical URL) — the same shuffle an
+  * exact-dedup groupBy would pay, on a key that is ~uniform by
+  * construction (hostnames scatter under hash partitioning; a skewed
+  * mega-host would be handled by AQE skew-join the same way d1's hash
+  * dedup is).
+  *
+  * Oracle determinism: every fold is a left fold in index order, all
+  * counts are exact integers, doubles are produced by a single division
+  * of exact integers — DuckDB reproduces each value bit-for-bit (see
+  * [[graft.functions.TextAnalytics]] determinism notes).
+  */
+object WebCuration {
+
+  /** Deterministic web-structure fixture: folds a flat token stream into
+    * `wordsPerLine`-token lines and decorates them with the artifacts the
+    * web rules test for — bullet prefixes (`- ` on every line when
+    * `id % 7 == 0`), terminal punctuation by line position
+    * (`(id + i) % 5`: 0 → `...`, 4 → none, else `.`) and symbol junk
+    * (` ###` appended when `id % 11 == 0`). The synthetic corpus has no
+    * line structure or punctuation, so — same pattern as e5's synthesized
+    * PII — the fixture is what makes the published rules fire
+    * differentially. Pure codegen'd array ops, no shuffle. */
+  def webRawText(id: Column, tokens: Column, wordsPerLine: Int = 7): Column = {
+    val nt = size(tokens).cast("long")
+    val w = lit(wordsPerLine.toLong)
+    val nLines = floor((nt + w - lit(1L)).cast("double") / w.cast("double")).cast("long")
+    val lines = transform(sequence(lit(0L), nLines - lit(1L)), i => {
+      val base =
+        array_join(slice(tokens, (i * w + lit(1L)).cast("int"), lit(wordsPerLine)), " ")
+      val bulleted = when(id % 7 === 0, concat(lit("- "), base)).otherwise(base)
+      val punct = when((id + i) % 5 === 0, lit("..."))
+        .when((id + i) % 5 === 4, lit(""))
+        .otherwise(lit("."))
+      val p = concat(bulleted, punct)
+      when(id % 11 === 0, concat(p, lit(" ###"))).otherwise(p)
+    })
+    array_join(lines, "\n")
+  }
+
+  /** Gopher document-quality rules (arXiv:2112.11446 Table A1) over a
+    * raw text column with line structure. Emits every metric plus the
+    * conjunctive `keep` flag at the paper's published thresholds:
+    * word count in [minWords, maxWords], mean word length in
+    * [minMeanLen, maxMeanLen], symbol-to-word ratio (`#` here; the
+    * corpus has no `…`) below maxSymbolFrac, bullet-line fraction below
+    * maxBulletFrac, ellipsis-line fraction below maxEllipsisFrac,
+    * fraction of words with an alphabetic character above minAlphaFrac,
+    * and at least minStopwords distinct stop words present. */
+  def gopherRules(docs: DataFrame, idCol: String, rawCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolFrac: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopwords: Long = 2L): DataFrame = {
+    val raw = col(rawCol)
+    val words = split(trim(raw), "\\s+")
+    val nw = size(words).cast("long")
+    val nwD = nw.cast("double")
+    val sumLen = aggregate(words, lit(0L), (a, x) => a + length(x).cast("long"))
+    val meanLen = sumLen.cast("double") / nwD
+    val alphaFrac = size(filter(words, x => x.rlike("[a-z]"))).cast("double") / nwD
+    val symbolFrac =
+      (length(raw) - length(replace(raw, lit("#"), lit("")))).cast("double") / nwD
+    val lines = split(raw, "\n")
+    val nlD = size(lines).cast("double")
+    val bulletFrac = size(filter(lines, l => l.startsWith("- "))).cast("double") / nlD
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("..."))).cast("double") / nlD
+    val stopList = array(gopherStopwords.map(lit): _*)
+    val nStop =
+      size(array_distinct(filter(words, x => array_contains(stopList, x)))).cast("long")
+    docs.select(col(idCol),
+        nw.as("n_words"), meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+        symbolFrac.as("symbol_frac"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), nStop.as("n_stop"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        col("symbol_frac") < maxSymbolFrac &&
+        col("bullet_frac") < maxBulletFrac &&
+        col("ellipsis_frac") < maxEllipsisFrac &&
+        col("alpha_frac") > minAlphaFrac &&
+        col("n_stop") >= minStopwords)
+  }
+
+  /** The Gopher "stop word presence" list (arXiv:2112.11446 Table A1:
+    * the, be, to, of, and, that, have, with — restricted to the members
+    * the synthetic vocabulary can actually contain plus the paper's core
+    * function words). Deterministic, tiny, broadcast by value. */
+  val gopherStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** C4 line-level cleaning (arXiv:1910.10683 §2.2): keep lines with at
+    * least `minLineWords` words that end in terminal punctuation
+    * (`.` `!` `?`) and contain no `{`; keep documents that retain at
+    * least `minKeptLines` lines. Emits per-doc line counts, the retained
+    * word fraction, the keep flag, and the cleaned text (kept lines
+    * re-joined). All array-column ops — no shuffle. */
+  def c4Clean(docs: DataFrame, idCol: String, rawCol: String,
+      minLineWords: Long = 3L, minKeptLines: Long = 3L): DataFrame = {
+    val lines = split(col(rawCol), "\n")
+    def lineWords(l: Column): Column = size(split(trim(l), "\\s+")).cast("long")
+    val kept = filter(lines, l =>
+      lineWords(l) >= minLineWords &&
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")) &&
+      !l.contains("{"))
+    val totalWords = aggregate(lines, lit(0L), (a, l) => a + lineWords(l))
+    val keptWords = aggregate(kept, lit(0L), (a, l) => a + lineWords(l))
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (keptWords.cast("double") / totalWords.cast("double")).as("kept_word_frac"),
+      (size(kept).cast("long") >= minKeptLines).as("keep"),
+      array_join(kept, "\n").as("cleaned"))
+  }
+
+  /** URL canonicalization + URL-level dedup, the first stage of every
+    * CommonCrawl-derived pipeline (CCNet, RefinedWeb): strip the scheme,
+    * fragment and query string, lowercase, strip a leading `www.` and a
+    * trailing `/`, then dedup on the canonical form (first doc id wins —
+    * `keep`) and report the canonical-group size (`url_dups`) and host.
+    * One hash shuffle on the canonical URL; ASCII-class regexes only so
+    * Java and RE2 agree byte-for-byte. */
+  def canonicalizeUrls(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_replace(regexp_replace(regexp_replace(
+            col(urlCol), "^https?://", ""), "#.*$", ""), "\\?.*$", "")),
+          "^www\\.", ""),
+        "/$", "")
+    val w = Window.partitionBy(col("canon_url"))
+    docs.select(col(idCol), col(urlCol), canon.as("canon_url"))
+      .select(col(idCol), col(urlCol), col("canon_url"),
+        regexp_extract(col("canon_url"), "^[^/]+", 0).as("host"),
+        count(lit(1)).over(w).as("url_dups"),
+        (row_number().over(w.orderBy(col(idCol))) === 1).as("keep"))
+  }
+}

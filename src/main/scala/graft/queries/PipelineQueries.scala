@@ -325,6 +325,22 @@ object PipelineQueries {
     """toks AS (SELECT doc_id, lang, source,
       |  regexp_split_to_array(trim(text), '\s+') AS tk FROM documents)""".stripMargin
 
+  /** Shared CTE: the deterministic web-structure fixture — exact mirror of
+    * [[graft.ops.WebCuration.webRawText]] at wordsPerLine=7 (7-token
+    * lines; `- ` bullets when doc_id%7=0; `...`/none/`.` punctuation by
+    * (doc_id+line)%5; ` ###` junk when doc_id%11=0; chr(10) joins). */
+  private val dWebRaw =
+    """toks AS (SELECT doc_id, lang, source,
+      |  regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+      |raws AS (SELECT doc_id, array_to_string(
+      |  list_transform(range(0, CAST(floor((len(tk) + 6) / 7.0) AS BIGINT)), li ->
+      |    (CASE WHEN doc_id % 7 = 0 THEN '- ' ELSE '' END) ||
+      |    array_to_string(list_slice(tk, li*7+1, li*7+7), ' ') ||
+      |    (CASE WHEN (doc_id + li) % 5 = 0 THEN '...'
+      |          WHEN (doc_id + li) % 5 = 4 THEN '' ELSE '.' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN ' ###' ELSE '' END)),
+      |  chr(10)) AS raw FROM toks)""".stripMargin
+
   /** Shared CTE: embeddings as double lists + precomputed norms. */
   private def dVecs(sfx: String): String =
     s"""vecs AS (SELECT vec_id, label,
@@ -2268,6 +2284,48 @@ object PipelineQueries {
           call_function("graft_phash", col("media")).as("checksum"),
           hex(col("media")).substr(lit(1), lit(16)).as("head_hex"))
         .orderBy("doc_id")
+    },
+
+    // ---- web-corpus curation rules (published pre-filters) ---------------
+
+    // Gopher document-quality rules (Rae et al. 2021 Table A1) at the
+    // paper's thresholds, over the deterministic web-structure fixture
+    // (WebCuration.webRawText — lines / bullets / punctuation / symbol
+    // junk derived from doc_id; the e5 synth pattern, since the corpus
+    // has no line structure for the rules to fire on). Zero-shuffle
+    // codegen'd projection; ORDER BY is oracle determinism only.
+    "e40_gopher_rules" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").withColumn("raw",
+        graft.ops.WebCuration.webRawText(col("doc_id"), TA.tokens(col("text"))))
+      graft.ops.WebCuration.gopherRules(docs, "doc_id", "raw").orderBy("doc_id")
+    },
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-punct +
+    // min-words line keep, ≥3 kept lines per doc, cleaned text re-joined.
+    // Same fixture as e40; zero-shuffle array ops.
+    "e41_c4_clean" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").withColumn("raw",
+        graft.ops.WebCuration.webRawText(col("doc_id"), TA.tokens(col("text"))))
+      graft.ops.WebCuration.c4Clean(docs, "doc_id", "raw").orderBy("doc_id")
+    },
+
+    // URL canonicalization + URL-level dedup (the CCNet/RefinedWeb first
+    // stage). URLs synthesized deterministically from doc_id/source with
+    // every canonicalization hazard: scheme variants, WWW./case noise,
+    // tracking query strings, fragments, trailing slashes. One hash
+    // shuffle (window over the canonical form).
+    "e42_url_dedup" -> { (s, dir) =>
+      val id = col("doc_id")
+      val docs = Tables.load(s, dir, "documents").withColumn("url", concat(
+        when(id % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit("-"), (id % 4).cast("string"), lit(".Example.COM"),
+        lit("/articles/"), (id % 7).cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit("?utm_source=feed&sid="), id.cast("string")))
+          .otherwise(lit("")),
+        when(id % 6 === 0, lit("#frag")).otherwise(lit(""))))
+      graft.ops.WebCuration.canonicalizeUrls(docs, "doc_id", "url").orderBy("doc_id")
     }
   )
 
@@ -4728,6 +4786,86 @@ object PipelineQueries {
          |      + (strpos('0123456789ABCDEF', hx[CAST(bi*2+2 AS INTEGER)])-1) AS BIGINT))),
          |    (ba, bv) -> (ba*31+bv) % $P) AS checksum,
          |  substr(hx, 1, 16) AS head_hex
-         |FROM h ORDER BY doc_id""".stripMargin
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules over the shared web fixture: every metric is an exact
+    // integer count or a single division of exact integers, so the hash
+    // compare is bit-exact; thresholds are the paper's published values.
+    "e40_gopher_rules" ->
+      s"""WITH $dWebRaw,
+         |w AS (SELECT doc_id, raw,
+         |    regexp_split_to_array(trim(raw), '\\s+') AS ws,
+         |    string_split(raw, chr(10)) AS ls FROM raws),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(ws, wl -> CAST(length(wl) AS BIGINT))),
+         |      (wa, wb) -> wa + wb) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(list_filter(ws, wx -> regexp_matches(wx, '[a-z]'))) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE) AS alpha_frac,
+         |    CAST(length(raw) - length(replace(raw, '#', '')) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE) AS symbol_frac,
+         |    CAST(len(list_filter(ls, lb -> starts_with(lb, '- '))) AS DOUBLE)
+         |      / CAST(len(ls) AS DOUBLE) AS bullet_frac,
+         |    CAST(len(list_filter(ls, le -> ends_with(le, '...'))) AS DOUBLE)
+         |      / CAST(len(ls) AS DOUBLE) AS ellipsis_frac,
+         |    CAST(len(list_distinct(list_filter(ws, st ->
+         |      list_contains(['the', 'a', 'and', 'of', 'to', 'in'], st)))) AS BIGINT) AS n_stop
+         |  FROM w)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_frac,
+         |  bullet_frac, ellipsis_frac, n_stop,
+         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         |    AND symbol_frac < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+         |    AND alpha_frac > 0.8 AND n_stop >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // C4 line cleaning over the same fixture: kept = ≥3 words AND
+    // terminal punct AND no '{'; doc keep = ≥3 kept lines.
+    "e41_c4_clean" ->
+      s"""WITH $dWebRaw,
+         |l AS (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM raws),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    list_filter(ls, lk -> len(regexp_split_to_array(trim(lk), '\\s+')) >= 3
+         |      AND (ends_with(lk, '.') OR ends_with(lk, '!') OR ends_with(lk, '?'))
+         |      AND NOT contains(lk, '{')) AS kept,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(ls, lw ->
+         |        CAST(len(regexp_split_to_array(trim(lw), '\\s+')) AS BIGINT))),
+         |      (la, lb) -> la + lb) AS BIGINT) AS total_words
+         |  FROM l)
+         |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(kept, kw ->
+         |      CAST(len(regexp_split_to_array(trim(kw), '\\s+')) AS BIGINT))),
+         |    (ka, kb) -> ka + kb) AS DOUBLE) / CAST(total_words AS DOUBLE) AS kept_word_frac,
+         |  len(kept) >= 3 AS keep,
+         |  -- array_to_string([]) is NULL in DuckDB, '' in Spark's array_join
+         |  COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // URL canonicalization: identical regex chain (ASCII classes only, so
+    // Java and RE2 agree), first-doc-wins dedup over the canonical form.
+    "e42_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  source || '-' || CAST(doc_id % 4 AS VARCHAR) || '.Example.COM' ||
+        |  '/articles/' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0
+        |    THEN '?utm_source=feed&sid=' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |FROM documents),
+        |c AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(lower(regexp_replace(regexp_replace(regexp_replace(
+        |    url, '^https?://', ''), '#.*$', ''), '\?.*$', '')), '^www\.', ''), '/$', '')
+        |    AS canon_url
+        |  FROM u)
+        |SELECT doc_id, url, canon_url,
+        |  regexp_extract(canon_url, '^[^/]+') AS host,
+        |  CAST(count(1) OVER (PARTITION BY canon_url) AS BIGINT) AS url_dups,
+        |  (row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

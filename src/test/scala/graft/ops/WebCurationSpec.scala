@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.{TextAnalytics => TA}
+
+class WebCurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withRaw(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text").withColumn("raw",
+      WebCuration.webRawText(col("doc_id"), TA.tokens(col("text"))))
+
+  test("webRawText folds tokens into 7-word lines with deterministic decoration") {
+    // doc 0: %7=0 -> bullets, %11=0 -> ' ###'; punct cycle starts at '...'
+    // doc 1: no bullets/junk; punct cycle starts at '.' ((1+0)%5=1)
+    val raw = withRaw(Seq(
+        (0L, (1 to 15).map(i => s"w$i").mkString(" ")),
+        (1L, (1 to 8).map(i => s"v$i").mkString(" "))))
+      .select("doc_id", "raw").as[(Long, String)].collect().toMap
+    val d0 = raw(0L).split("\n")
+    assert(d0.length == 3) // ceil(15/7)
+    assert(d0(0) == "- w1 w2 w3 w4 w5 w6 w7... ###")
+    assert(d0(1) == "- w8 w9 w10 w11 w12 w13 w14. ###")
+    assert(d0(2) == "- w15. ###") // (0+2)%5=2 -> '.'
+    val d1 = raw(1L).split("\n")
+    assert(d1.toSeq == Seq("v1 v2 v3 v4 v5 v6 v7.", "v8.")) // %5=1,2 -> '.'
+  }
+
+  test("gopherRules computes the published metrics and conjunctive keep") {
+    // 60 words incl. stopwords 'the'/'a' -> passes word count, mean len,
+    // alpha, stopwords; doc_id=2 -> no bullets, no junk
+    val good = (Seq("the", "a") ++ (1 to 58).map(i => s"tok$i")).mkString(" ")
+    val out = WebCuration.gopherRules(withRaw(Seq((2L, good))), "doc_id", "raw")
+      .collect().head
+    assert(out.getAs[Long]("n_words") == 60L)
+    assert(out.getAs[Double]("alpha_frac") == 1.0)
+    assert(out.getAs[Double]("symbol_frac") == 0.0)
+    assert(out.getAs[Long]("n_stop") == 2L)
+    assert(out.getAs[Boolean]("keep"))
+
+    // doc_id=0: every line bulleted (bullet_frac 1.0 >= 0.9) and ' ###'
+    // junk ('#' tokens kill alpha_frac, symbol_frac) -> rejected
+    val bad = WebCuration.gopherRules(withRaw(Seq((0L, good))), "doc_id", "raw")
+      .collect().head
+    assert(bad.getAs[Double]("bullet_frac") == 1.0)
+    assert(bad.getAs[Double]("symbol_frac") > 0.1)
+    assert(!bad.getAs[Boolean]("keep"))
+
+    // too short (10 words) -> word-count rule rejects even a clean doc
+    val short = WebCuration.gopherRules(
+      withRaw(Seq((2L, (Seq("the", "a") ++ (1 to 8).map(i => s"t$i")).mkString(" ")))),
+      "doc_id", "raw").collect().head
+    assert(!short.getAs[Boolean]("keep"))
+  }
+
+  test("c4Clean keeps terminal-punct lines with >=3 words and gates docs at 3 lines") {
+    // doc 1 (no bullets/junk): punct cycle (1+i)%5 = 1,2,3,4,0 ->
+    // '.', '.', '.', none, '...' — 35 words -> 5 lines, kept = 4 -> keep
+    val out = WebCuration.c4Clean(
+      withRaw(Seq((1L, (1 to 35).map(i => s"w$i").mkString(" ")))), "doc_id", "raw")
+      .collect().head
+    assert(out.getAs[Long]("n_lines") == 5L)
+    assert(out.getAs[Long]("n_kept") == 4L)
+    assert(out.getAs[Boolean]("keep"))
+    assert(out.getAs[Double]("kept_word_frac") == 28.0 / 35.0)
+    assert(out.getAs[String]("cleaned").split("\n").forall(_.endsWith(".")))
+
+    // doc 0: ' ###' suffix strips terminal punct from every line -> 0 kept
+    val junk = WebCuration.c4Clean(
+      withRaw(Seq((0L, (1 to 35).map(i => s"w$i").mkString(" ")))), "doc_id", "raw")
+      .collect().head
+    assert(junk.getAs[Long]("n_kept") == 0L && !junk.getAs[Boolean]("keep"))
+    assert(junk.getAs[String]("cleaned") == "")
+  }
+
+  test("canonicalizeUrls strips scheme/www/query/fragment/trailing slash and dedups") {
+    val urls = Seq(
+      (1L, "https://WWW.News.Example.COM/a/b?utm=x#frag"),
+      (2L, "http://news.example.com/a/b/"),
+      (3L, "https://news.example.com/a/b"),
+      (4L, "https://other.example.com/a/b")).toDF("doc_id", "url")
+    val out = WebCuration.canonicalizeUrls(urls, "doc_id", "url")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("canon_url")).take(3)
+      .forall(_ == "news.example.com/a/b"))
+    assert(out.map(_.getAs[String]("host")).toSeq ==
+      Seq("news.example.com", "news.example.com", "news.example.com",
+        "other.example.com"))
+    assert(out.map(_.getAs[Long]("url_dups")).toSeq == Seq(3L, 3L, 3L, 1L))
+    // first doc_id wins within the canonical group
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq == Seq(true, false, false, true))
+  }
+
+  test("gopher and c4 stages are shuffle-free projections") {
+    val docs = withRaw(Seq((1L, (1 to 35).map(i => s"w$i").mkString(" "))))
+    for (df <- Seq(WebCuration.gopherRules(docs, "doc_id", "raw"),
+        WebCuration.c4Clean(docs, "doc_id", "raw"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    }
+  }
+}
