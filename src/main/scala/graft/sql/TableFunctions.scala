@@ -99,6 +99,15 @@ import graft.store.TableStore
   *  - `TABLE(graft_collocations(t, 'text'[, top_k, min_count]))` →
   *    [[CorpusOps.collocationBits]]: top bigram collocations by
   *    integer-bits PMI
+  *  - `TABLE(graft_gopher_rules(t, 'id', 'text'[, min_words]))` →
+  *    [[graft.ops.WebCuration.gopherRules]]: the Gopher document-quality
+  *    metrics + keep flag at the published thresholds
+  *  - `TABLE(graft_c4_clean(t, 'id', 'text'[, min_line_words,
+  *    min_kept_lines]))` → [[graft.ops.WebCuration.c4Clean]]: C4
+  *    line-level cleaning with the cleaned text re-joined
+  *  - `TABLE(graft_url_dedup(t, 'id', 'url'))` →
+  *    [[graft.ops.WebCuration.canonicalizeUrls]]: canonical form, host,
+  *    group size and first-id-wins keep flag per row
   *  - `TABLE(graft_bpe_tokenize(t, 'text', num_merges[, batch_k]))` →
   *    [[CorpusOps.bpeSubwordHistogram]]: train BPE merges on the corpus,
   *    apply them back, return the (subword, n) histogram
@@ -508,6 +517,26 @@ object TableFunctions {
           topK = if (args.length > 2) int(args(2)) else 20,
           minCount = if (args.length > 3) int(args(3)) else 5)
 
+      case "graft_gopher_rules" =>
+        arity(args.length == 3 || args.length == 4,
+          "3 or 4 (t, 'id', 'text'[, min_words])")
+        graft.ops.WebCuration.gopherRules(rel(args(0)), str(args(1)),
+          str(args(2)),
+          minWords = if (args.length > 3) long(args(3)) else 50L)
+
+      case "graft_c4_clean" =>
+        arity(args.length >= 3 && args.length <= 5,
+          "3 to 5 (t, 'id', 'text'[, min_line_words, min_kept_lines])")
+        graft.ops.WebCuration.c4Clean(rel(args(0)), str(args(1)),
+          str(args(2)),
+          minLineWords = if (args.length > 3) long(args(3)) else 3L,
+          minKeptLines = if (args.length > 4) long(args(4)) else 3L)
+
+      case "graft_url_dedup" =>
+        arity(args.length == 3, "3 (t, 'id', 'url')")
+        graft.ops.WebCuration.canonicalizeUrls(rel(args(0)), str(args(1)),
+          str(args(2)))
+
       case "graft_winnow_fp" =>
         arity(args.length >= 3 && args.length <= 5,
           "3 to 5 (t, 'id', 'text'[, shingle_n, window])")
@@ -731,6 +760,7 @@ object TableFunctions {
         "graft_clustering_info, graft_join_prune_info, graft_scan_where, " +
         "graft_vocab_stats, " +
         "graft_collocations, " +
+        "graft_gopher_rules, graft_c4_clean, graft_url_dedup, " +
         "graft_dup_spans, graft_cut_spans, graft_bpe_tokenize, " +
         "graft_pagerank, graft_triangles, graft_funnel, graft_funnel_gaps, " +
         "graft_event_paths, graft_transitions, graft_cohorts, graft_dau_mau, " +

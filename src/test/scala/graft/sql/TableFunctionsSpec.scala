@@ -533,4 +533,33 @@ class TableFunctionsSpec extends AnyFunSuite {
       e4.getMessage.contains("chunk_us") &&
       e4.getMessage.contains("positive"), e4.getMessage)
   }
+
+  test("graft_gopher_rules / graft_c4_clean / graft_url_dedup equal the Scala API") {
+    val g = sess()
+    val raw = docs.withColumn("raw", graft.ops.WebCuration.webRawText(
+      col("doc_id"), graft.functions.TextAnalytics.tokens(col("text"))))
+    raw.createOrReplaceTempView("web_tf")
+    assert(rows(g.sql(
+      "SELECT * FROM TABLE(graft_gopher_rules(web_tf, 'doc_id', 'raw'))").get) ==
+      rows(graft.ops.WebCuration.gopherRules(raw, "doc_id", "raw")))
+    // threshold override flows through (min_words=10 keeps short docs)
+    val loose = g.sql("SELECT count(1) AS n FROM TABLE(graft_gopher_rules(" +
+      "web_tf, 'doc_id', 'raw', 10)) WHERE keep").get.collect()(0).getLong(0)
+    val strict = g.sql("SELECT count(1) AS n FROM TABLE(graft_gopher_rules(" +
+      "web_tf, 'doc_id', 'raw')) WHERE keep").get.collect()(0).getLong(0)
+    assert(loose > strict)
+    assert(rows(g.sql(
+      "SELECT * FROM TABLE(graft_c4_clean(web_tf, 'doc_id', 'raw'))").get) ==
+      rows(graft.ops.WebCuration.c4Clean(raw, "doc_id", "raw")))
+    val urls = docs.withColumn("url",
+      concat(lit("https://WWW.Example.COM/p/"), (col("doc_id") % 5).cast("string"),
+        lit("?q=1")))
+    urls.createOrReplaceTempView("urls_tf")
+    val viaSql = g.sql(
+      "SELECT * FROM TABLE(graft_url_dedup(urls_tf, 'doc_id', 'url'))").get
+    assert(rows(viaSql) ==
+      rows(graft.ops.WebCuration.canonicalizeUrls(urls, "doc_id", "url")))
+    // canonical groups collapse the case/www/query noise: 5 keepers
+    assert(viaSql.filter(col("keep")).count() == 5)
+  }
 }
