@@ -146,7 +146,7 @@ object WebCuration {
       regexp_replace(
         regexp_replace(
           lower(regexp_replace(regexp_replace(regexp_replace(
-            col(urlCol), "^https?://", ""), "#.*$", ""), "\\?.*$", "")),
+            col(urlCol), "(?i)^https?://", ""), "#.*$", ""), "\\?.*$", "")),
           "^www\\.", ""),
         "/$", "")
     val w = Window.partitionBy(col("canon_url"))

@@ -4859,7 +4859,7 @@ object PipelineQueries {
         |FROM documents),
         |c AS (SELECT doc_id, url,
         |  regexp_replace(regexp_replace(lower(regexp_replace(regexp_replace(regexp_replace(
-        |    url, '^https?://', ''), '#.*$', ''), '\?.*$', '')), '^www\.', ''), '/$', '')
+        |    url, '(?i)^https?://', ''), '#.*$', ''), '\?.*$', '')), '^www\.', ''), '/$', '')
         |    AS canon_url
         |  FROM u)
         |SELECT doc_id, url, canon_url,

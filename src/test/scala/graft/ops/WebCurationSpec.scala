@@ -95,6 +95,28 @@ class WebCurationSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Boolean]("keep")).toSeq == Seq(true, false, false, true))
   }
 
+  test("canonical URLs carry no scheme/query/fragment/case/trailing-slash noise") {
+    // adversarial variants of one logical URL, incl. an UPPERCASE scheme
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Site.Example.ORG/Path/X?a=1&b=2#sec"),
+      (2L, "http://site.example.org/Path/X/"),
+      (3L, "site.example.org/Path/X"), // scheme-less passthrough
+      (4L, "https://www.site.example.org/Path/X?z"))
+      .toDF("doc_id", "url")
+    val out = WebCuration.canonicalizeUrls(urls, "doc_id", "url")
+      .orderBy("doc_id").collect()
+    // every variant collapses to ONE canonical form
+    assert(out.map(_.getAs[String]("canon_url")).distinct.toSeq ==
+      Seq("site.example.org/path/x"))
+    assert(out.map(_.getAs[Long]("url_dups")).forall(_ == 4L))
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq ==
+      Seq(true, false, false, false))
+    // output invariants: lowercase, no scheme/query/fragment/trailing '/'
+    val c = out.head.getAs[String]("canon_url")
+    assert(c == c.toLowerCase && !c.contains("://") && !c.contains("?") &&
+      !c.contains("#") && !c.endsWith("/"))
+  }
+
   test("gopher and c4 stages are shuffle-free projections") {
     val docs = withRaw(Seq((1L, (1 to 35).map(i => s"w$i").mkString(" "))))
     for (df <- Seq(WebCuration.gopherRules(docs, "doc_id", "raw"),
