@@ -42,6 +42,21 @@ object WebCuration {
     * line structure or punctuation, so — same pattern as e5's synthesized
     * PII — the fixture is what makes the published rules fire
     * differentially. Pure codegen'd array ops, no shuffle. */
+  /** [[webRawText]] with the token array staged as its own projection
+    * first: a lambda body re-evaluates any non-attribute expression it
+    * captures PER ELEMENT, so passing `split(text)` straight into
+    * [[webRawText]] costs O(lines) splits per document — binding it to a
+    * column attribute makes the capture free (measured 6× on the e40/e41
+    * bench rows; see SCALE.md round-19). */
+  def withWebRaw(docs: DataFrame, idCol: String, textCol: String,
+      rawCol: String = "raw", wordsPerLine: Int = 7): DataFrame = {
+    import graft.functions.{TextAnalytics => TA}
+    docs.withColumn("__graft_tk", TA.tokens(col(textCol)))
+      .withColumn(rawCol,
+        webRawText(col(idCol), col("__graft_tk"), wordsPerLine))
+      .drop("__graft_tk")
+  }
+
   def webRawText(id: Column, tokens: Column, wordsPerLine: Int = 7): Column = {
     val nt = size(tokens).cast("long")
     val w = lit(wordsPerLine.toLong)
@@ -74,8 +89,15 @@ object WebCuration {
       maxSymbolFrac: Double = 0.1, maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
       minStopwords: Long = 2L): DataFrame = {
+    // stage the two splits as attributes: every metric below references
+    // them, and a column attribute is computed once per row, where the
+    // inlined expression would be re-evaluated per metric (and HOFs are
+    // interpreted, not codegen'd — the duplication is the dominant cost)
+    val staged = docs.select(col(idCol), col(rawCol),
+      split(trim(col(rawCol)), "\\s+").as("__ws"),
+      split(col(rawCol), "\n").as("__ls"))
     val raw = col(rawCol)
-    val words = split(trim(raw), "\\s+")
+    val words = col("__ws")
     val nw = size(words).cast("long")
     val nwD = nw.cast("double")
     val sumLen = aggregate(words, lit(0L), (a, x) => a + length(x).cast("long"))
@@ -83,14 +105,14 @@ object WebCuration {
     val alphaFrac = size(filter(words, x => x.rlike("[a-z]"))).cast("double") / nwD
     val symbolFrac =
       (length(raw) - length(replace(raw, lit("#"), lit("")))).cast("double") / nwD
-    val lines = split(raw, "\n")
+    val lines = col("__ls")
     val nlD = size(lines).cast("double")
     val bulletFrac = size(filter(lines, l => l.startsWith("- "))).cast("double") / nlD
     val ellipsisFrac = size(filter(lines, l => l.endsWith("..."))).cast("double") / nlD
     val stopList = array(gopherStopwords.map(lit): _*)
     val nStop =
       size(array_distinct(filter(words, x => array_contains(stopList, x)))).cast("long")
-    docs.select(col(idCol),
+    staged.select(col(idCol),
         nw.as("n_words"), meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
         symbolFrac.as("symbol_frac"), bulletFrac.as("bullet_frac"),
         ellipsisFrac.as("ellipsis_frac"), nStop.as("n_stop"))
@@ -118,20 +140,29 @@ object WebCuration {
     * re-joined). All array-column ops — no shuffle. */
   def c4Clean(docs: DataFrame, idCol: String, rawCol: String,
       minLineWords: Long = 3L, minKeptLines: Long = 3L): DataFrame = {
-    val lines = split(col(rawCol), "\n")
-    def lineWords(l: Column): Column = size(split(trim(l), "\\s+")).cast("long")
-    val kept = filter(lines, l =>
-      lineWords(l) >= minLineWords &&
-      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")) &&
-      !l.contains("{"))
-    val totalWords = aggregate(lines, lit(0L), (a, l) => a + lineWords(l))
-    val keptWords = aggregate(kept, lit(0L), (a, l) => a + lineWords(l))
-    docs.select(col(idCol),
-      size(lines).cast("long").as("n_lines"),
-      size(kept).cast("long").as("n_kept"),
+    // staged like gopherRules: split once, count each line's words once
+    // (as a (line, nw) struct array), filter once — the metric columns
+    // then fold over attributes instead of re-running splits per metric
+    val s1 = docs.select(col(idCol),
+      transform(split(col(rawCol), "\n"), l => struct(l.as("l"),
+        size(split(trim(l), "\\s+")).cast("long").as("nw"))).as("__li"))
+    val s2 = s1.select(col(idCol), col("__li"),
+      filter(col("__li"), s =>
+        s.getField("nw") >= minLineWords &&
+        (s.getField("l").endsWith(".") || s.getField("l").endsWith("!") ||
+          s.getField("l").endsWith("?")) &&
+        !s.getField("l").contains("{")).as("__kept"))
+    val totalWords =
+      aggregate(col("__li"), lit(0L), (a, s) => a + s.getField("nw"))
+    val keptWords =
+      aggregate(col("__kept"), lit(0L), (a, s) => a + s.getField("nw"))
+    s2.select(col(idCol),
+      size(col("__li")).cast("long").as("n_lines"),
+      size(col("__kept")).cast("long").as("n_kept"),
       (keptWords.cast("double") / totalWords.cast("double")).as("kept_word_frac"),
-      (size(kept).cast("long") >= minKeptLines).as("keep"),
-      array_join(kept, "\n").as("cleaned"))
+      (size(col("__kept")).cast("long") >= minKeptLines).as("keep"),
+      array_join(transform(col("__kept"), s => s.getField("l")), "\n")
+        .as("cleaned"))
   }
 
   /** URL canonicalization + URL-level dedup, the first stage of every

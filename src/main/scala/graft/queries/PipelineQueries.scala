@@ -2295,8 +2295,8 @@ object PipelineQueries {
     // has no line structure for the rules to fire on). Zero-shuffle
     // codegen'd projection; ORDER BY is oracle determinism only.
     "e40_gopher_rules" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents").withColumn("raw",
-        graft.ops.WebCuration.webRawText(col("doc_id"), TA.tokens(col("text"))))
+      val docs = graft.ops.WebCuration.withWebRaw(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
       graft.ops.WebCuration.gopherRules(docs, "doc_id", "raw").orderBy("doc_id")
     },
 
@@ -2304,8 +2304,8 @@ object PipelineQueries {
     // min-words line keep, ≥3 kept lines per doc, cleaned text re-joined.
     // Same fixture as e40; zero-shuffle array ops.
     "e41_c4_clean" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents").withColumn("raw",
-        graft.ops.WebCuration.webRawText(col("doc_id"), TA.tokens(col("text"))))
+      val docs = graft.ops.WebCuration.withWebRaw(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
       graft.ops.WebCuration.c4Clean(docs, "doc_id", "raw").orderBy("doc_id")
     },
 

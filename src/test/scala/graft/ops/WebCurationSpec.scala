@@ -11,8 +11,7 @@ class WebCurationSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def withRaw(rows: Seq[(Long, String)]) =
-    rows.toDF("doc_id", "text").withColumn("raw",
-      WebCuration.webRawText(col("doc_id"), TA.tokens(col("text"))))
+    WebCuration.withWebRaw(rows.toDF("doc_id", "text"), "doc_id", "text")
 
   test("webRawText folds tokens into 7-word lines with deterministic decoration") {
     // doc 0: %7=0 -> bullets, %11=0 -> ' ###'; punct cycle starts at '...'
