@@ -2326,6 +2326,30 @@ object PipelineQueries {
           .otherwise(lit("")),
         when(id % 6 === 0, lit("#frag")).otherwise(lit(""))))
       graft.ops.WebCuration.canonicalizeUrls(docs, "doc_id", "url").orderBy("doc_id")
+    },
+
+    // Web-curation cascade — the published pre-filter order of a
+    // CommonCrawl-derived pipeline composed in ONE plan: Gopher quality
+    // gate → C4 line cleaning → exact dedup of the CLEANED text (line
+    // surgery can make near-identical docs exactly equal, so the hash
+    // dedup runs after cleaning — the CCNet ordering). Plan shape: both
+    // rule stages are shuffle-free projections off one scan, the gopher
+    // gate comes back as a broadcast semi join of bare ids, and the
+    // dedup groupBy is the single data shuffle.
+    "c3_web_pipeline" -> { (s, dir) =>
+      val raw = graft.ops.WebCuration.withWebRaw(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val gopherKeep = graft.ops.WebCuration.gopherRules(raw, "doc_id", "raw")
+        .filter(col("keep")).select("doc_id")
+      val cleaned = graft.ops.WebCuration.c4Clean(raw, "doc_id", "raw")
+        .filter(col("keep"))
+        .join(gopherKeep, Seq("doc_id"), "left_semi")
+      cleaned
+        .select(col("doc_id"),
+          call_function("graft_phash", col("cleaned")).as("content_hash"))
+        .groupBy("content_hash")
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")
     }
   )
 
@@ -4866,6 +4890,47 @@ object PipelineQueries {
         |  regexp_extract(canon_url, '^[^/]+') AS host,
         |  CAST(count(1) OVER (PARTITION BY canon_url) AS BIGINT) AS url_dups,
         |  (row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1) AS keep
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // web-curation cascade: gopher gate ∩ c4 keep, then d1's hash
+    // grouping over the CLEANED text (same dPhash fold)
+    "c3_web_pipeline" ->
+      s"""WITH $dWebRaw,
+         |w AS (SELECT doc_id, raw,
+         |    regexp_split_to_array(trim(raw), '\\s+') AS ws,
+         |    string_split(raw, chr(10)) AS ls FROM raws),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(ws, wl -> CAST(length(wl) AS BIGINT))),
+         |      (wa, wb) -> wa + wb) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(list_filter(ws, wx -> regexp_matches(wx, '[a-z]'))) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE) AS alpha_frac,
+         |    CAST(length(raw) - length(replace(raw, '#', '')) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE) AS symbol_frac,
+         |    CAST(len(list_filter(ls, lb -> starts_with(lb, '- '))) AS DOUBLE)
+         |      / CAST(len(ls) AS DOUBLE) AS bullet_frac,
+         |    CAST(len(list_filter(ls, le -> ends_with(le, '...'))) AS DOUBLE)
+         |      / CAST(len(ls) AS DOUBLE) AS ellipsis_frac,
+         |    CAST(len(list_distinct(list_filter(ws, st ->
+         |      list_contains(['the', 'a', 'and', 'of', 'to', 'in'], st)))) AS BIGINT) AS n_stop
+         |  FROM w),
+         |gk AS (SELECT doc_id FROM m
+         |  WHERE n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         |    AND symbol_frac < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+         |    AND alpha_frac > 0.8 AND n_stop >= 2),
+         |m2 AS (SELECT doc_id,
+         |    list_filter(string_split(raw, chr(10)), lk ->
+         |      len(regexp_split_to_array(trim(lk), '\\s+')) >= 3
+         |      AND (ends_with(lk, '.') OR ends_with(lk, '!') OR ends_with(lk, '?'))
+         |      AND NOT contains(lk, '{')) AS kept
+         |  FROM raws),
+         |c4 AS (SELECT doc_id,
+         |    COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+         |  FROM m2 WHERE len(kept) >= 3),
+         |keptdocs AS (SELECT c4.doc_id AS doc_id, cleaned FROM c4 JOIN gk USING (doc_id)),
+         |h AS (SELECT doc_id, ${dPhash("cleaned", "c3")} AS content_hash FROM keptdocs)
+         |SELECT content_hash, min(doc_id) AS rep_id, count(1) AS n_copies
+         |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin
   )
 }

@@ -116,6 +116,28 @@ class WebCurationSpec extends AnyFunSuite {
       !c.contains("#") && !c.endsWith("/"))
   }
 
+  test("gopher and c4 rules run unchanged under Structured Streaming") {
+    // both stages are stateless projections, so continuous-ingest
+    // curation needs no rewrite: the streaming micro-batch output must
+    // equal the batch result row-for-row (append mode, no state store)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val rows = (0L to 12L).map(i => (i, (1 to (20 + i.toInt * 5)).map(j => s"w$j").mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val streamed = WebCuration.c4Clean(
+      WebCuration.withWebRaw(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text"), "doc_id", "raw")
+    val q = streamed.writeStream.format("memory").queryName("web_stream").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("web_stream").collect().map(_.toString).sorted.toSeq
+      val want = WebCuration.c4Clean(
+        withRaw(rows), "doc_id", "raw").collect().map(_.toString).sorted.toSeq
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("gopher and c4 stages are shuffle-free projections") {
     val docs = withRaw(Seq((1L, (1 to 35).map(i => s"w$i").mkString(" "))))
     for (df <- Seq(WebCuration.gopherRules(docs, "doc_id", "raw"),
