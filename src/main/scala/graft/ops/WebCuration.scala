@@ -165,6 +165,58 @@ object WebCuration {
         .as("cleaned"))
   }
 
+  /** Tokens folded into `wordsPerLine`-token line strings (no
+    * decoration) — the sentence-ish units corpus-level line dedup runs
+    * on when the source has no real line structure. Staged-attribute
+    * rule applies: pass a COLUMN, not a computed split. */
+  def tokenLines(tokens: Column, wordsPerLine: Int): Column = {
+    val w = lit(wordsPerLine.toLong)
+    val nLines = floor((size(tokens).cast("long") + w - lit(1L)).cast("double")
+      / w.cast("double")).cast("long")
+    transform(sequence(lit(0L), nLines - lit(1L)), i =>
+      array_join(slice(tokens, (i * w + lit(1L)).cast("int"), lit(wordsPerLine)), " "))
+  }
+
+  /** Corpus-level duplicated-line removal (RefinedWeb, Penedo et al.
+    * 2023 arXiv:2306.01116 §3.3 / CCNet): a line that appears in at
+    * least `minDocs` DISTINCT documents is boilerplate (headers,
+    * navigation, license blurbs) and is cut from every document; the
+    * survivors are re-joined in original order. Emits per-doc line
+    * counts, the duplicated fraction and the cleaned text.
+    *
+    * Scale: three shuffles, each the honest minimum for the semantics —
+    * (1) count distinct docs per line (partial-aggregated, hot
+    * boilerplate lines combine map-side), (2) the line→flag join back
+    * onto the exploded rows (hash on the line key, ~uniform), (3) the
+    * per-doc regroup (sort_array over the collected (pos, line) structs
+    * restores order without a global sort). At 100 TB the duplicated-
+    * line table is also the natural durable artifact — build it once
+    * per corpus version, join every batch against it. */
+  def lineDedup(docs: DataFrame, idCol: String, linesCol: String,
+      minDocs: Long = 2L): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), posexplode(col(linesCol)).as(Seq("pos", "line")))
+    val dupLines = exploded.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("line"), lit(true).as("__dup"))
+    exploded.join(dupLines, Seq("line"), "left")
+      .select(col(idCol), col("pos"), col("line"),
+        coalesce(col("__dup"), lit(false)).as("__dup"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__dup"), 1)).as("n_dup_lines"),
+        (count(when(col("__dup"), 1)).cast("double") /
+          count(lit(1)).cast("double")).as("dup_frac"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(!col("__dup"),
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          " ").as("cleaned"))
+  }
+
   /** URL canonicalization + URL-level dedup, the first stage of every
     * CommonCrawl-derived pipeline (CCNet, RefinedWeb): strip the scheme,
     * fragment and query string, lowercase, strip a leading `www.` and a

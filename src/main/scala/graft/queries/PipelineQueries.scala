@@ -2328,6 +2328,18 @@ object PipelineQueries {
       graft.ops.WebCuration.canonicalizeUrls(docs, "doc_id", "url").orderBy("doc_id")
     },
 
+    // Corpus-level duplicated-line removal (RefinedWeb §3.3 / CCNet):
+    // 3-token lines shared by ≥2 DISTINCT docs are boilerplate and cut
+    // from every doc, survivors re-joined in order. Three bounded
+    // shuffles (distinct-count per line, flag join, per-doc regroup).
+    "e43_line_dedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__tk", TA.tokens(col("text")))
+        .withColumn("lines", graft.ops.WebCuration.tokenLines(col("__tk"), 3))
+      graft.ops.WebCuration.lineDedup(docs, "doc_id", "lines", minDocs = 2L)
+        .orderBy("doc_id")
+    },
+
     // Web-curation cascade — the published pre-filter order of a
     // CommonCrawl-derived pipeline composed in ONE plan: Gopher quality
     // gate → C4 line cleaning → exact dedup of the CLEANED text (line
@@ -4891,6 +4903,27 @@ object PipelineQueries {
         |  CAST(count(1) OVER (PARTITION BY canon_url) AS BIGINT) AS url_dups,
         |  (row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1) AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // corpus-level line dedup: 3-token line groups, distinct-doc count,
+    // survivors re-joined in position order
+    "e43_line_dedup" ->
+      s"""WITH $dToks,
+         |u AS (SELECT doc_id, tk,
+         |    unnest(range(0, CAST(floor((len(tk) + 2) / 3.0) AS BIGINT))) AS li
+         |  FROM toks),
+         |lns AS (SELECT doc_id, li AS pos,
+         |    array_to_string(list_slice(tk, li*3+1, li*3+3), ' ') AS line FROM u),
+         |d AS (SELECT line FROM lns GROUP BY line
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT l.doc_id, l.pos, l.line, (d.line IS NOT NULL) AS dup
+         |  FROM lns l LEFT JOIN d ON l.line = d.line)
+         |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_lines,
+         |  CAST(count(1) FILTER (WHERE dup) AS BIGINT) AS n_dup_lines,
+         |  CAST(count(1) FILTER (WHERE dup) AS DOUBLE)
+         |    / CAST(count(1) AS DOUBLE) AS dup_frac,
+         |  COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT dup), '')
+         |    AS cleaned
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // web-curation cascade: gopher gate ∩ c4 keep, then d1's hash
     // grouping over the CLEANED text (same dPhash fold)

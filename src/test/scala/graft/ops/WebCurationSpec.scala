@@ -116,6 +116,24 @@ class WebCurationSpec extends AnyFunSuite {
       !c.contains("#") && !c.endsWith("/"))
   }
 
+  test("lineDedup cuts lines shared by minDocs distinct docs, keeps order") {
+    // "a b c" appears in docs 1,2 (cut); "x y z" twice WITHIN doc 3 only
+    // (distinct-doc count 1 -> kept); unique lines survive in position order
+    val docs = Seq(
+      (1L, "a b c d e f"),    // lines: "a b c", "d e f"
+      (2L, "a b c g h i"),    // lines: "a b c", "g h i"
+      (3L, "x y z x y z"))    // lines: "x y z", "x y z"
+      .toDF("doc_id", "text")
+      .withColumn("__tk", TA.tokens(col("text")))
+      .withColumn("lines", WebCuration.tokenLines(col("__tk"), 3))
+    val out = WebCuration.lineDedup(docs, "doc_id", "lines", minDocs = 2L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_dup_lines")).toSeq == Seq(1L, 1L, 0L))
+    assert(out.map(_.getAs[String]("cleaned")).toSeq ==
+      Seq("d e f", "g h i", "x y z x y z"))
+    assert(out.map(_.getAs[Double]("dup_frac")).toSeq == Seq(0.5, 0.5, 0.0))
+  }
+
   test("gopher and c4 rules run unchanged under Structured Streaming") {
     // both stages are stateless projections, so continuous-ingest
     // curation needs no rewrite: the streaming micro-batch output must
