@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object WebCuration {
 
+  /** Optimizer fence ([[graft.spark.Fence]]): keeps a staged expensive
+    * column a compute-once attribute — CollapseProject can't re-inline
+    * it per consumer and a downstream Filter can't substitute it into
+    * every predicate conjunct (the c3 bisect, SCALE.md round-19). */
+  private def fence(c: Column): Column = call_function("graft_fence", c)
+
   /** Deterministic web-structure fixture: folds a flat token stream into
     * `wordsPerLine`-token lines and decorates them with the artifacts the
     * web rules test for — bullet prefixes (`- ` on every line when
@@ -53,7 +59,7 @@ object WebCuration {
     import graft.functions.{TextAnalytics => TA}
     docs.withColumn("__graft_tk", TA.tokens(col(textCol)))
       .withColumn(rawCol,
-        webRawText(col(idCol), col("__graft_tk"), wordsPerLine))
+        fence(webRawText(col(idCol), col("__graft_tk"), wordsPerLine)))
       .drop("__graft_tk")
   }
 
@@ -88,14 +94,16 @@ object WebCuration {
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolFrac: Double = 0.1, maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
-      minStopwords: Long = 2L): DataFrame = {
+      minStopwords: Long = 2L,
+      passthrough: Seq[String] = Nil): DataFrame = {
     // stage the two splits as attributes: every metric below references
     // them, and a column attribute is computed once per row, where the
     // inlined expression would be re-evaluated per metric (and HOFs are
     // interpreted, not codegen'd — the duplication is the dominant cost)
-    val staged = docs.select(col(idCol), col(rawCol),
-      split(trim(col(rawCol)), "\\s+").as("__ws"),
-      split(col(rawCol), "\n").as("__ls"))
+    val staged = docs.select(
+      (Seq(col(idCol), col(rawCol)) ++ passthrough.filterNot(_ == rawCol).map(col) ++
+        Seq(fence(split(trim(col(rawCol)), "\\s+")).as("__ws"),
+          fence(split(col(rawCol), "\n")).as("__ls"))): _*)
     val raw = col(rawCol)
     val words = col("__ws")
     val nw = size(words).cast("long")
@@ -112,10 +120,11 @@ object WebCuration {
     val stopList = array(gopherStopwords.map(lit): _*)
     val nStop =
       size(array_distinct(filter(words, x => array_contains(stopList, x)))).cast("long")
-    staged.select(col(idCol),
-        nw.as("n_words"), meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
-        symbolFrac.as("symbol_frac"), bulletFrac.as("bullet_frac"),
-        ellipsisFrac.as("ellipsis_frac"), nStop.as("n_stop"))
+    staged.select(
+        (Seq(col(idCol)) ++ passthrough.map(col) ++ Seq(
+          nw.as("n_words"), meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+          symbolFrac.as("symbol_frac"), bulletFrac.as("bullet_frac"),
+          ellipsisFrac.as("ellipsis_frac"), nStop.as("n_stop"))): _*)
       .withColumn("keep",
         col("n_words").between(minWords, maxWords) &&
         col("mean_word_len").between(minMeanLen, maxMeanLen) &&
@@ -144,14 +153,14 @@ object WebCuration {
     // (as a (line, nw) struct array), filter once — the metric columns
     // then fold over attributes instead of re-running splits per metric
     val s1 = docs.select(col(idCol),
-      transform(split(col(rawCol), "\n"), l => struct(l.as("l"),
-        size(split(trim(l), "\\s+")).cast("long").as("nw"))).as("__li"))
+      fence(transform(split(col(rawCol), "\n"), l => struct(l.as("l"),
+        size(split(trim(l), "\\s+")).cast("long").as("nw")))).as("__li"))
     val s2 = s1.select(col(idCol), col("__li"),
-      filter(col("__li"), s =>
+      fence(filter(col("__li"), s =>
         s.getField("nw") >= minLineWords &&
         (s.getField("l").endsWith(".") || s.getField("l").endsWith("!") ||
           s.getField("l").endsWith("?")) &&
-        !s.getField("l").contains("{")).as("__kept"))
+        !s.getField("l").contains("{"))).as("__kept"))
     val totalWords =
       aggregate(col("__li"), lit(0L), (a, s) => a + s.getField("nw"))
     val keptWords =

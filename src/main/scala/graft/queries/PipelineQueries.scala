@@ -2351,11 +2351,16 @@ object PipelineQueries {
     "c3_web_pipeline" -> { (s, dir) =>
       val raw = graft.ops.WebCuration.withWebRaw(
         Tables.load(s, dir, "documents"), "doc_id", "text")
-      val gopherKeep = graft.ops.WebCuration.gopherRules(raw, "doc_id", "raw")
-        .filter(col("keep")).select("doc_id")
-      val cleaned = graft.ops.WebCuration.c4Clean(raw, "doc_id", "raw")
+      // both rule sets are row-local projections on the same input, so
+      // the cascade is SEQUENTIAL on one scan (gopher passes raw
+      // through; no self-join, no second fixture evaluation) — the
+      // r19 bench caught the original semi-join form recomputing the
+      // fixture on both branches (5.2 s → ~1.5 s)
+      val gated = graft.ops.WebCuration
+        .gopherRules(raw, "doc_id", "raw", passthrough = Seq("raw"))
+        .filter(col("keep")).select("doc_id", "raw")
+      val cleaned = graft.ops.WebCuration.c4Clean(gated, "doc_id", "raw")
         .filter(col("keep"))
-        .join(gopherKeep, Seq("doc_id"), "left_semi")
       cleaned
         .select(col("doc_id"),
           call_function("graft_phash", col("cleaned")).as("content_hash"))

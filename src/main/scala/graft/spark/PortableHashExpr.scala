@@ -102,6 +102,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecSum].getName, "graft_vecsum"),
       (children: Seq[Expression]) => VecSum(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_fence"),
+      new ExpressionInfo(classOf[Fence].getName, "graft_fence"),
+      (children: Seq[Expression]) => Fence(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bpe_apply"),
       new ExpressionInfo(classOf[BpeApplyMerges].getName, "graft_bpe_apply"),
       (children: Seq[Expression]) => BpeApplyMerges(children(0), children(1))))
