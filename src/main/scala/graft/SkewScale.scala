@@ -172,6 +172,42 @@ object SkewScale {
         .eventTransitionMatrix(ev, "user_id", "event_type", "ts").count()
     }
     time("st7 collect_list (old)") { transitionsCollect().count() }
+
+    // e42 A/B — URL dedup on a MEGA-DUPLICATED canonical key (botEvents
+    // copies of one parked-domain URL + `users` near-unique URLs): the
+    // window form sorts every copy of the hot key in ONE task (a window
+    // partition is indivisible — AQE skew splitting applies to joins,
+    // not windows); the agg form partial-aggregates the hot key away
+    // map-side and its join-back is the plan AQE skew-splits for real.
+    // Identical output required (checksum over all columns).
+    val urls = spark.range(users.toLong + botEvents.toLong)
+      .select(col("id").as("doc_id"),
+        when(col("id") >= users.toLong,
+            concat(lit("https://WWW.Parked.Example.NET/?sid="),
+              col("id").cast("string")))
+          .otherwise(concat(lit("http://host-"), (col("id") % 9973).cast("string"),
+            lit(".example.org/p/"), col("id").cast("string"))).as("url"))
+      .repartition(cpus.toInt).localCheckpoint(true)
+    def urlChecksum(df: DataFrame): (Long, Long) = {
+      // modular sum: 1.2 M rows × (hash mod 1e9+7) stays < 2^63 (a raw
+      // sum(xxhash64) overflows LongType under ANSI)
+      val r = df.select(
+        sum(pmod(xxhash64(col("doc_id"), col("canon_url"), col("url_dups"),
+          col("keep").cast("int")), lit(1000000007L))).as("cs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val csWin = urlChecksum(
+      graft.ops.WebCuration.canonicalizeUrls(urls, "doc_id", "url"))
+    val csAgg = urlChecksum(
+      graft.ops.WebCuration.canonicalizeUrlsAgg(urls, "doc_id", "url"))
+    require(csWin == csAgg, s"e42 A/B mismatch: window=$csWin agg=$csAgg")
+    time("e42 url-dedup window (ref)") {
+      graft.ops.WebCuration.canonicalizeUrls(urls, "doc_id", "url").count()
+    }
+    time("e42b url-dedup agg (shipped)") {
+      graft.ops.WebCuration.canonicalizeUrlsAgg(urls, "doc_id", "url").count()
+    }
     spark.stop()
   }
 }

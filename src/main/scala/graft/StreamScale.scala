@@ -377,6 +377,81 @@ object StreamScale {
       f""""exact_state_bytes":$uMem2,"capped_state_bytes":$cMem2,""" +
       f""""exact_state_rows":$uRows2,"capped_state_rows":$cRows2,""" +
       f""""exact_wall_s":$uWall2%.2f,"capped_wall_s":$cWall2%.2f}""")
+
+    // ---- URL-dedup arm: the stateful first stage of a continuous
+    // crawl (streamingUrlDedup), under the exact hazard the batch agg
+    // form (e42b) exists for — a MEGA-DUPLICATED canonical URL. Two
+    // AvailableNow drains against one checkpoint (the second drain is a
+    // kill/restart: tick-1 re-crawls are dropped only if tick-0's keys
+    // round-tripped the state store). In the stream the hot key is ONE
+    // state row — every duplicate is a lookup-and-drop, no per-key sort
+    // at all — so the skew story here is even simpler than batch.
+    val urlWatch = Files.createDirectories(root.resolve("url_watch"))
+    val urlN = 200000L
+    val uBase = java.sql.Timestamp.valueOf("2024-07-01 00:00:00").getTime
+    val parked = lit("https://WWW.Parked.Example.NET/landing?sid=")
+    def stageUrls(tag: String, df: DataFrame): Unit = {
+      val tmp = root.resolve(s"tmp_url_$tag")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      var n = 0
+      Files.list(tmp).forEach { f: Path =>
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          Files.move(f, urlWatch.resolve(s"u${tag}_$n.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+          n += 1
+        }
+      }
+    }
+    // tick 0: 100k copies of the parked canonical form + 100k distinct
+    // pages; tick 1: 100k MORE parked copies, 50k re-crawls of tick-0
+    // pages (cross-restart duplicates), 50k genuinely new pages
+    val tick0 = spark.range(urlN).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, concat(parked, col("id").cast("string")))
+        .otherwise(concat(lit("http://host.example.org/p/"),
+          col("id").cast("string"))).as("url"),
+      timestamp_millis(lit(uBase) + col("id") % 60000L).as("ts"))
+    val tick1 = spark.range(urlN, 2 * urlN).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, concat(parked, col("id").cast("string")))
+        .when(col("id") % 4 === 1, concat(lit("http://host.example.org/p/"),
+          (col("id") - urlN).cast("string")))
+        .otherwise(concat(lit("http://host.example.org/q/"),
+          col("id").cast("string"))).as("url"),
+      timestamp_millis(lit(uBase) + 120000L + col("id") % 60000L).as("ts"))
+    val urlSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def drainUrls(): (Double, Long, Long, Int) =
+      drainFrom("url_dedup", () => EventStreams.streamingUrlDedup(
+        spark.readStream.schema(urlSchema).parquet(urlWatch.toString)),
+        OutputMode.Append())
+    stageUrls("a", tick0)
+    val (w0, e0, s0, _) = drainUrls()
+    stageUrls("b", tick1)
+    val (w1, e1, s1, _) = drainUrls()
+    // tick 0 keeps: 1 parked + 100k distinct /p/ pages
+    require(e0 == urlN / 2 + 1,
+      s"tick-0 keep set must be ${urlN / 2 + 1}, got $e0")
+    // tick 1 keeps ONLY the 50k new /q/ pages — the parked flood and the
+    // /p/ re-crawls hit state written before the restart
+    require(e1 == urlN / 4,
+      s"post-restart keep set must be ${urlN / 4}, got $e1")
+    // stream total == the batch twin's keep count on the union
+    val batchKeep = EventStreams.streamingUrlDedup(
+      tick0.unionByName(tick1)).count()
+    require(e0 + e1 == batchKeep,
+      s"stream keep total ${e0 + e1} != batch $batchKeep")
+    // state is one row per distinct canonical form inside the horizon —
+    // the 200k-copy hot key contributes exactly ONE row
+    require(s1 <= urlN / 2 + 1 + urlN / 4 + 1,
+      s"state must be bounded by distinct canonical forms, got $s1 rows")
+    println(f"""{"metric":"stream_scale_url_dedup","rows":${4 * urlN / 2},""" +
+      f""""hot_key_copies":$urlN,"kept":${e0 + e1},"batch_kept":$batchKeep,""" +
+      f""""state_rows_t0":$s0,"state_rows_t1":$s1,""" +
+      f""""wall_t0_s":$w0%.2f,"wall_t1_s":$w1%.2f}""")
     spark.stop()
   }
 }

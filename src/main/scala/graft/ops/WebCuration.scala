@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
   * queries add one global ORDER BY for determinism; a production run
   * writes the keep flags straight back to the store). At 100 TB this is
   * the ideal operator shape: embarrassingly parallel over input splits,
-  * cost O(chars) per document. [[canonicalizeUrls]] adds exactly one
-  * hash shuffle (window over the canonical URL) — the same shuffle an
-  * exact-dedup groupBy would pay, on a key that is ~uniform by
-  * construction (hostnames scatter under hash partitioning; a skewed
-  * mega-host would be handled by AQE skew-join the same way d1's hash
-  * dedup is).
+  * cost O(chars) per document. URL dedup ships in two forms:
+  * [[canonicalizeUrls]] (window over the canonical URL — one shuffle,
+  * but a window partition is INDIVISIBLE, so a mega-duplicated canonical
+  * form — parked domains, empty pages, routine in CommonCrawl — lands
+  * every copy in one task's sort; AQE skew handling splits shuffled JOIN
+  * partitions, never window partitions) and [[canonicalizeUrlsAgg]], the
+  * production form at scale: groupBy(canon_url) partial-aggregates
+  * map-side — the hot key collapses to one row per input partition
+  * BEFORE the shuffle — and the join-back that fans the keep flag out to
+  * rows is a real shuffled join, which AQE's skew-join handling DOES
+  * split. Identical output (e42 vs e42b oracle-checked); SkewScale A/Bs
+  * the two on a mega-duplicated key.
   *
   * Oracle determinism: every fold is a left fold in index order, all
   * counts are exact integers, doubles are produced by a single division
@@ -67,16 +73,21 @@ object WebCuration {
     val nt = size(tokens).cast("long")
     val w = lit(wordsPerLine.toLong)
     val nLines = floor((nt + w - lit(1L)).cast("double") / w.cast("double")).cast("long")
-    val lines = transform(sequence(lit(0L), nLines - lit(1L)), i => {
-      val base =
-        array_join(slice(tokens, (i * w + lit(1L)).cast("int"), lit(wordsPerLine)), " ")
-      val bulleted = when(id % 7 === 0, concat(lit("- "), base)).otherwise(base)
-      val punct = when((id + i) % 5 === 0, lit("..."))
-        .when((id + i) % 5 === 4, lit(""))
-        .otherwise(lit("."))
-      val p = concat(bulleted, punct)
-      when(id % 11 === 0, concat(p, lit(" ###"))).otherwise(p)
-    })
+    // nLines == 0 guard: sequence(0, -1) defaults to step -1 and yields
+    // [0, -1] — two garbage lines — instead of an empty array. Unreachable
+    // via TA.tokens (split never returns empty) but reachable with a
+    // user-supplied array column through the public API.
+    val lines = when(nLines > 0,
+      transform(sequence(lit(0L), nLines - lit(1L)), i => {
+        val base =
+          array_join(slice(tokens, (i * w + lit(1L)).cast("int"), lit(wordsPerLine)), " ")
+        val bulleted = when(id % 7 === 0, concat(lit("- "), base)).otherwise(base)
+        val punct = when((id + i) % 5 === 0, lit("..."))
+          .when((id + i) % 5 === 4, lit(""))
+          .otherwise(lit("."))
+        val p = concat(bulleted, punct)
+        when(id % 11 === 0, concat(p, lit(" ###"))).otherwise(p)
+      })).otherwise(array().cast("array<string>"))
     array_join(lines, "\n")
   }
 
@@ -84,17 +95,25 @@ object WebCuration {
     * raw text column with line structure. Emits every metric plus the
     * conjunctive `keep` flag at the paper's published thresholds:
     * word count in [minWords, maxWords], mean word length in
-    * [minMeanLen, maxMeanLen], symbol-to-word ratio (`#` here; the
-    * corpus has no `…`) below maxSymbolFrac, bullet-line fraction below
-    * maxBulletFrac, ellipsis-line fraction below maxEllipsisFrac,
-    * fraction of words with an alphabetic character above minAlphaFrac,
-    * and at least minStopwords distinct stop words present. */
+    * [minMeanLen, maxMeanLen], symbol-to-word ratio below maxSymbolFrac
+    * (`symbols` defaults to the paper's hash + ellipsis class, `…` and
+    * `...` included), bullet-line fraction below maxBulletFrac,
+    * ellipsis-line fraction below maxEllipsisFrac, fraction of words
+    * with an alphabetic character (`[A-Za-z]`, per the paper's "at
+    * least one alphabetic character") above minAlphaFrac, and at least
+    * minStopwords distinct stop words present (`stopwords` defaults to
+    * the paper's Table A1 list, [[gopherStopwords]]). The registered
+    * oracle queries (e40/c3) pass [[syntheticStopwords]] and
+    * `symbols = Seq("#")` explicitly — the synthetic corpus's
+    * vocabulary — so the production defaults here stay the paper's. */
   def gopherRules(docs: DataFrame, idCol: String, rawCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolFrac: Double = 0.1, maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
       minStopwords: Long = 2L,
+      stopwords: Seq[String] = gopherStopwords,
+      symbols: Seq[String] = Seq("#", "…", "..."),
       passthrough: Seq[String] = Nil): DataFrame = {
     // stage the two splits as attributes: every metric below references
     // them, and a column attribute is computed once per row, where the
@@ -110,14 +129,19 @@ object WebCuration {
     val nwD = nw.cast("double")
     val sumLen = aggregate(words, lit(0L), (a, x) => a + length(x).cast("long"))
     val meanLen = sumLen.cast("double") / nwD
-    val alphaFrac = size(filter(words, x => x.rlike("[a-z]"))).cast("double") / nwD
-    val symbolFrac =
-      (length(raw) - length(replace(raw, lit("#"), lit("")))).cast("double") / nwD
+    val alphaFrac = size(filter(words, x => x.rlike("[A-Za-z]"))).cast("double") / nwD
+    // occurrences of each symbol token (length delta / symbol length,
+    // exact integer), summed across the class
+    val symbolCount = symbols.map { sym =>
+      ((length(raw) - length(replace(raw, lit(sym), lit(""))))
+        / lit(sym.length)).cast("long")
+    }.reduce(_ + _)
+    val symbolFrac = symbolCount.cast("double") / nwD
     val lines = col("__ls")
     val nlD = size(lines).cast("double")
     val bulletFrac = size(filter(lines, l => l.startsWith("- "))).cast("double") / nlD
     val ellipsisFrac = size(filter(lines, l => l.endsWith("..."))).cast("double") / nlD
-    val stopList = array(gopherStopwords.map(lit): _*)
+    val stopList = array(stopwords.map(lit): _*)
     val nStop =
       size(array_distinct(filter(words, x => array_contains(stopList, x)))).cast("long")
     staged.select(
@@ -135,11 +159,18 @@ object WebCuration {
         col("n_stop") >= minStopwords)
   }
 
-  /** The Gopher "stop word presence" list (arXiv:2112.11446 Table A1:
-    * the, be, to, of, and, that, have, with — restricted to the members
-    * the synthetic vocabulary can actually contain plus the paper's core
-    * function words). Deterministic, tiny, broadcast by value. */
-  val gopherStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+  /** The Gopher "stop word presence" list, verbatim from arXiv:2112.11446
+    * Table A1 — the production default. Deterministic, tiny, broadcast by
+    * value. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The stop-word list the registered oracle queries (e40/c3) pass
+    * explicitly: the function words the SYNTHETIC corpus's vocabulary
+    * actually contains, so the stop-word rule fires differentially on
+    * the fixture. Production callers get [[gopherStopwords]] by
+    * default. */
+  val syntheticStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
 
   /** C4 line-level cleaning (arXiv:1910.10683 §2.2): keep lines with at
     * least `minLineWords` words that end in terminal punctuation
@@ -182,8 +213,12 @@ object WebCuration {
     val w = lit(wordsPerLine.toLong)
     val nLines = floor((size(tokens).cast("long") + w - lit(1L)).cast("double")
       / w.cast("double")).cast("long")
-    transform(sequence(lit(0L), nLines - lit(1L)), i =>
-      array_join(slice(tokens, (i * w + lit(1L)).cast("int"), lit(wordsPerLine)), " "))
+    // same sequence(0,-1) guard as webRawText: an empty token array must
+    // yield zero lines, not the [0,-1] two-element default-step artifact
+    when(nLines > 0,
+      transform(sequence(lit(0L), nLines - lit(1L)), i =>
+        array_join(slice(tokens, (i * w + lit(1L)).cast("int"), lit(wordsPerLine)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Corpus-level duplicated-line removal (RefinedWeb, Penedo et al.
@@ -199,17 +234,43 @@ object WebCuration {
     * onto the exploded rows (hash on the line key, ~uniform), (3) the
     * per-doc regroup (sort_array over the collected (pos, line) structs
     * restores order without a global sort). At 100 TB the duplicated-
-    * line table is also the natural durable artifact — build it once
-    * per corpus version, join every batch against it. */
+    * line table is also the natural durable artifact — build
+    * [[dupLineTable]] once per corpus version (the e43b query persists
+    * it via [[graft.store.Artifacts.table]]), then serve every consumer
+    * — and every INCREMENTAL ingest batch, d13's pattern — through
+    * [[lineDedupAgainst]], which joins the committed table instead of
+    * re-counting the corpus. */
   def lineDedup(docs: DataFrame, idCol: String, linesCol: String,
-      minDocs: Long = 2L): DataFrame = {
+      minDocs: Long = 2L): DataFrame =
+    lineDedupAgainst(docs, idCol, linesCol,
+      dupLineTable(docs, idCol, linesCol, minDocs))
+
+  /** The corpus-level duplicated-line table: one row per line that
+    * appears in at least `minDocs` DISTINCT documents, with its
+    * distinct-doc count. THE durable artifact of the line-dedup stage —
+    * corpus-global (a line's count aggregates over every doc, so it
+    * re-keys per corpus version rather than appending deltas). One
+    * map-combined shuffle; the hot boilerplate line distributes because
+    * the pre-aggregation key is (line, doc). */
+  def dupLineTable(docs: DataFrame, idCol: String, linesCol: String,
+      minDocs: Long = 2L): DataFrame =
+    docs.select(col(idCol), explode(col(linesCol)).as("line"))
+      .groupBy("line")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** [[lineDedup]] against an EXISTING duplicated-line table (any frame
+    * with a `line` column — typically the committed [[dupLineTable]]
+    * artifact): cut every line present in the table, re-join survivors
+    * in original order. This is both the artifact-serving path (e43b)
+    * and the incremental form — a new ingest batch cleans against the
+    * corpus's known boilerplate without touching corpus data. */
+  def lineDedupAgainst(docs: DataFrame, idCol: String, linesCol: String,
+      dupLines: DataFrame): DataFrame = {
     val exploded = docs
       .select(col(idCol), posexplode(col(linesCol)).as(Seq("pos", "line")))
-    val dupLines = exploded.groupBy("line")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("line"), lit(true).as("__dup"))
-    exploded.join(dupLines, Seq("line"), "left")
+    exploded.join(
+        dupLines.select(col("line"), lit(true).as("__dup")), Seq("line"), "left")
       .select(col(idCol), col("pos"), col("line"),
         coalesce(col("__dup"), lit(false)).as("__dup"))
       .groupBy(idCol)
@@ -226,26 +287,57 @@ object WebCuration {
           " ").as("cleaned"))
   }
 
-  /** URL canonicalization + URL-level dedup, the first stage of every
-    * CommonCrawl-derived pipeline (CCNet, RefinedWeb): strip the scheme,
-    * fragment and query string, lowercase, strip a leading `www.` and a
-    * trailing `/`, then dedup on the canonical form (first doc id wins —
-    * `keep`) and report the canonical-group size (`url_dups`) and host.
-    * One hash shuffle on the canonical URL; ASCII-class regexes only so
-    * Java and RE2 agree byte-for-byte. */
-  def canonicalizeUrls(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val canon =
+  /** The canonical form of a URL column: strip the scheme, fragment and
+    * query string, lowercase, strip a leading `www.` and a trailing `/`.
+    * ASCII-class regexes only so Java and RE2 agree byte-for-byte.
+    * Shared by both dedup forms and the streaming twin
+    * ([[graft.streaming.EventStreams.streamingUrlDedup]]). */
+  def canonUrl(url: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          lower(regexp_replace(regexp_replace(regexp_replace(
-            col(urlCol), "(?i)^https?://", ""), "#.*$", ""), "\\?.*$", "")),
-          "^www\\.", ""),
-        "/$", "")
+        lower(regexp_replace(regexp_replace(regexp_replace(
+          url, "(?i)^https?://", ""), "#.*$", ""), "\\?.*$", "")),
+        "^www\\.", ""),
+      "/$", "")
+
+  /** URL canonicalization + URL-level dedup, the first stage of every
+    * CommonCrawl-derived pipeline (CCNet, RefinedWeb): [[canonUrl]],
+    * then dedup on the canonical form (first doc id wins — `keep`) and
+    * report the canonical-group size (`url_dups`) and host.
+    *
+    * WINDOW form — one shuffle, fine up to moderate skew, but a window
+    * partition is indivisible: a mega-duplicated canonical URL (parked
+    * domains, empty pages — routine in CommonCrawl) lands every copy in
+    * ONE task's sort, and neither AQE skew-join handling (joins only)
+    * nor partial aggregation (groupBy only) applies to a Window. At
+    * 100 TB use [[canonicalizeUrlsAgg]]; this form stays registered as
+    * the compact oracle reference (e42) and for skew-free inputs. */
+  def canonicalizeUrls(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val w = Window.partitionBy(col("canon_url"))
-    docs.select(col(idCol), col(urlCol), canon.as("canon_url"))
+    docs.select(col(idCol), col(urlCol), canonUrl(col(urlCol)).as("canon_url"))
       .select(col(idCol), col(urlCol), col("canon_url"),
         regexp_extract(col("canon_url"), "^[^/]+", 0).as("host"),
         count(lit(1)).over(w).as("url_dups"),
         (row_number().over(w.orderBy(col(idCol))) === 1).as("keep"))
+  }
+
+  /** [[canonicalizeUrls]] in its production, skew-safe form — identical
+    * output (e42b's oracle is e42's), different physics:
+    * `groupBy(canon_url).agg(min(id), count)` partial-aggregates
+    * map-side, so a mega-duplicated canonical URL collapses to ONE row
+    * per input partition BEFORE the shuffle, and the join-back that
+    * fans (keeper, url_dups) out to rows is a shuffled equi-join —
+    * the plan shape AQE's skew-join splitting actually handles. Two
+    * shuffles against the window form's one, but neither has a
+    * single-task choke point; SkewScale A/Bs both on a ≥1M-copy key. */
+  def canonicalizeUrlsAgg(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = docs.select(col(idCol), col(urlCol), canonUrl(col(urlCol)).as("canon_url"))
+    val groups = canon.groupBy("canon_url")
+      .agg(min(col(idCol)).as("__keeper"), count(lit(1)).as("url_dups"))
+    canon.join(groups, Seq("canon_url"))
+      .select(col(idCol), col(urlCol), col("canon_url"),
+        regexp_extract(col("canon_url"), "^[^/]+", 0).as("host"),
+        col("url_dups"),
+        (col(idCol) === col("__keeper")).as("keep"))
   }
 }

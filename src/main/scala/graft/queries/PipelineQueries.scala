@@ -124,7 +124,7 @@ object PipelineQueries {
     "d21_dedup_impact", "r1_bm25_topk", "r2_hybrid_rrf", "r3_bm25_prf",
     "r4_hard_negatives", "n5_ann_ivf_kmeans", "n7_ann_recall_kmeans",
     "n8_cluster_sample", "n10_ann_pq", "n12_knn_graph", "n13_knn_recall",
-    "n13b_knn_recall_ivf", "a15_source_overlap")
+    "n13b_knn_recall_ivf", "a15_source_overlap", "e43b_line_dedup_artifact")
 
   private def kmEmbLabels(s: SparkSession, dir: String,
       k: Int, iters: Int): DataFrame = {
@@ -2292,12 +2292,18 @@ object PipelineQueries {
     // paper's thresholds, over the deterministic web-structure fixture
     // (WebCuration.webRawText — lines / bullets / punctuation / symbol
     // junk derived from doc_id; the e5 synth pattern, since the corpus
-    // has no line structure for the rules to fire on). Zero-shuffle
-    // codegen'd projection; ORDER BY is oracle determinism only.
+    // has no line structure for the rules to fire on). The stop-word
+    // list and symbol class are the SYNTHETIC-vocabulary ones, passed
+    // explicitly — the operator's defaults are the paper's full list
+    // and #/…/... class. Zero-shuffle codegen'd projection; ORDER BY is
+    // oracle determinism only.
     "e40_gopher_rules" -> { (s, dir) =>
       val docs = graft.ops.WebCuration.withWebRaw(
         Tables.load(s, dir, "documents"), "doc_id", "text")
-      graft.ops.WebCuration.gopherRules(docs, "doc_id", "raw").orderBy("doc_id")
+      graft.ops.WebCuration.gopherRules(docs, "doc_id", "raw",
+          stopwords = graft.ops.WebCuration.syntheticStopwords,
+          symbols = Seq("#"))
+        .orderBy("doc_id")
     },
 
     // C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-punct +
@@ -2328,6 +2334,27 @@ object PipelineQueries {
       graft.ops.WebCuration.canonicalizeUrls(docs, "doc_id", "url").orderBy("doc_id")
     },
 
+    // The PRODUCTION twin of e42: same output (same oracle), agg-based
+    // plan — groupBy(canon_url) partial-aggregates map-side so a
+    // mega-duplicated URL collapses before the shuffle, and the
+    // join-back is a shuffled equi-join AQE's skew splitting actually
+    // handles (a window partition is indivisible; see WebCuration
+    // scaladoc + SkewScale's ≥1M-copy A/B).
+    "e42b_url_dedup_agg" -> { (s, dir) =>
+      val id = col("doc_id")
+      val docs = Tables.load(s, dir, "documents").withColumn("url", concat(
+        when(id % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit("-"), (id % 4).cast("string"), lit(".Example.COM"),
+        lit("/articles/"), (id % 7).cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit("?utm_source=feed&sid="), id.cast("string")))
+          .otherwise(lit("")),
+        when(id % 6 === 0, lit("#frag")).otherwise(lit(""))))
+      graft.ops.WebCuration.canonicalizeUrlsAgg(docs, "doc_id", "url")
+        .orderBy("doc_id")
+    },
+
     // Corpus-level duplicated-line removal (RefinedWeb §3.3 / CCNet):
     // 3-token lines shared by ≥2 DISTINCT docs are boilerplate and cut
     // from every doc, survivors re-joined in order. Three bounded
@@ -2340,14 +2367,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // e43 served from the DURABLE duplicated-line artifact: the
+    // dupLineTable is built once per (corpus fingerprint, wordsPerLine,
+    // minDocs) via Artifacts.table — corpus-global, so it re-keys per
+    // corpus version — and every consumer (and every incremental ingest
+    // batch, via lineDedupAgainst) joins the committed scan instead of
+    // re-counting the corpus. Output hash-equal to e43 (same oracle).
+    "e43b_line_dedup_artifact" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__tk", TA.tokens(col("text")))
+        .withColumn("lines", graft.ops.WebCuration.tokenLines(col("__tk"), 3))
+      val dup = Artifacts.table(s, "dup_lines",
+          s"$dir|${fp(s, dir, "documents")}|w=3|minDocs=2", keys = Seq("line")) {
+        graft.ops.WebCuration.dupLineTable(docs, "doc_id", "lines", minDocs = 2L)
+      }
+      graft.ops.WebCuration.lineDedupAgainst(docs, "doc_id", "lines", dup)
+        .orderBy("doc_id")
+    },
+
     // Web-curation cascade — the published pre-filter order of a
     // CommonCrawl-derived pipeline composed in ONE plan: Gopher quality
     // gate → C4 line cleaning → exact dedup of the CLEANED text (line
     // surgery can make near-identical docs exactly equal, so the hash
-    // dedup runs after cleaning — the CCNet ordering). Plan shape: both
-    // rule stages are shuffle-free projections off one scan, the gopher
-    // gate comes back as a broadcast semi join of bare ids, and the
-    // dedup groupBy is the single data shuffle.
+    // dedup runs after cleaning — the CCNet ordering). Plan shape:
+    // SEQUENTIAL projections off one scan — gopher passes raw through
+    // and the keep filter applies in place (no self-join, no second
+    // fixture evaluation) — and the dedup groupBy is the single data
+    // shuffle.
     "c3_web_pipeline" -> { (s, dir) =>
       val raw = graft.ops.WebCuration.withWebRaw(
         Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -2357,7 +2403,9 @@ object PipelineQueries {
       // r19 bench caught the original semi-join form recomputing the
       // fixture on both branches (5.2 s → ~1.5 s)
       val gated = graft.ops.WebCuration
-        .gopherRules(raw, "doc_id", "raw", passthrough = Seq("raw"))
+        .gopherRules(raw, "doc_id", "raw",
+          stopwords = graft.ops.WebCuration.syntheticStopwords,
+          symbols = Seq("#"), passthrough = Seq("raw"))
         .filter(col("keep")).select("doc_id", "raw")
       val cleaned = graft.ops.WebCuration.c4Clean(gated, "doc_id", "raw")
         .filter(col("keep"))
@@ -2372,7 +2420,7 @@ object PipelineQueries {
 
   // =========================================================================
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
 
     "d1_exact_dedup" ->
       s"""WITH h AS (SELECT doc_id, ${dPhash("text", "a")} AS content_hash FROM documents)
@@ -4971,4 +5019,12 @@ object PipelineQueries {
          |SELECT content_hash, min(doc_id) AS rep_id, count(1) AS n_copies
          |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin
   )
+
+  /** The production twins are REQUIRED to be hash-equal to their
+    * reference forms, so they share the oracle SQL verbatim: e42b (agg
+    * URL dedup) ≡ e42's window form; e43b (artifact-served line dedup)
+    * ≡ e43's inline form. */
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "e42b_url_dedup_agg" -> baseOracles("e42_url_dedup"),
+    "e43b_line_dedup_artifact" -> baseOracles("e43_line_dedup"))
 }

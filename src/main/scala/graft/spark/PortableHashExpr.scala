@@ -111,6 +111,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => BpeApplyMerges(children(0), children(1))))
     // NTZ clustering keys prune through their derived day column
     ext.injectOptimizerRule(_ => NtzDayPrune)
+    // passthrough-column predicates commute with a graft_fence Project
+    // (the fence's non-determinism is a marker, not rand()) — restores
+    // scan pruning that the fence would otherwise block suite-wide
+    ext.injectOptimizerRule(_ => PushFilterThroughFence)
     // filtered store scans prune to the _graft_stats file inventory
     // transparently — scanWhere's metadata tier as default behavior
     ext.injectOptimizerRule(_ => graft.store.SidecarPrune)

@@ -99,9 +99,12 @@ import graft.store.TableStore
   *  - `TABLE(graft_collocations(t, 'text'[, top_k, min_count]))` →
   *    [[CorpusOps.collocationBits]]: top bigram collocations by
   *    integer-bits PMI
-  *  - `TABLE(graft_gopher_rules(t, 'id', 'text'[, min_words]))` →
+  *  - `TABLE(graft_gopher_rules(t, 'id', 'text'[, min_words[,
+  *    'stop,words'[, 'sym,bols']]]))` →
   *    [[graft.ops.WebCuration.gopherRules]]: the Gopher document-quality
-  *    metrics + keep flag at the published thresholds
+  *    metrics + keep flag at the published thresholds (defaults: the
+  *    paper's Table A1 stopword list and the #/…/... symbol class;
+  *    both overridable as comma-separated lists)
   *  - `TABLE(graft_c4_clean(t, 'id', 'text'[, min_line_words,
   *    min_kept_lines]))` → [[graft.ops.WebCuration.c4Clean]]: C4
   *    line-level cleaning with the cleaned text re-joined
@@ -518,11 +521,19 @@ object TableFunctions {
           minCount = if (args.length > 3) int(args(3)) else 5)
 
       case "graft_gopher_rules" =>
-        arity(args.length == 3 || args.length == 4,
-          "3 or 4 (t, 'id', 'text'[, min_words])")
+        arity(args.length >= 3 && args.length <= 6,
+          "3 to 6 (t, 'id', 'text'[, min_words[, 'stop,words'[, 'sym,bols']]])")
+        // defaults mirror the Scala API: the paper's Table A1 stopword
+        // list and #/…/... symbol class; a corpus with a different
+        // vocabulary (e.g. the synthetic fixture) passes its own as
+        // comma-separated lists
         graft.ops.WebCuration.gopherRules(rel(args(0)), str(args(1)),
           str(args(2)),
-          minWords = if (args.length > 3) long(args(3)) else 50L)
+          minWords = if (args.length > 3) long(args(3)) else 50L,
+          stopwords = if (args.length > 4) str(args(4)).split(",").toSeq
+            else graft.ops.WebCuration.gopherStopwords,
+          symbols = if (args.length > 5) str(args(5)).split(",").toSeq
+            else Seq("#", "…", "..."))
 
       case "graft_c4_clean" =>
         arity(args.length >= 3 && args.length <= 5,

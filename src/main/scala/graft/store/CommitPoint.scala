@@ -18,21 +18,35 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *  - '''HDFS / local POSIX''': `FileSystem.create(overwrite=false)`
   *    is atomic (`O_EXCL` semantics) — the create alone decides, and
   *    the read-back is a cheap invariant check.
-  *  - '''Object stores (S3A and friends)''': plain `create(false)` is
-  *    check-then-create (a HEAD then a PUT), NOT atomic. The token
-  *    read-back closes most of the window — two interleaved creators
-  *    each verify against the LAST content written, so at most one
-  *    (possibly zero) sees its own bytes and wins; a zero-winner
-  *    version is an mtime-quiet corpse both protocols already break
-  *    ([[TableStore.awaitBaseAdvance]], [[Artifacts.publish]]'s
-  *    stale-claim break). The residual — reader A read-back-verifies
-  *    BEFORE writer B's overwriting PUT lands, then B's content
-  *    replaces the "committed" file — needs a store-side fence to
-  *    close fully: a conditional PUT (`If-None-Match: *`, native on
-  *    S3 since 2024 and on GCS/ABFS), or an external coordinator
-  *    (DynamoDB-style, as S3-era Delta used). Plug that in as a
-  *    [[CommitPoint.Creator]]; everything above this seam is
-  *    store-agnostic.
+  *  - '''Object stores (S3A and friends), default creator''': plain
+  *    `create(false)` is check-then-create (a HEAD then a PUT), NOT
+  *    atomic. The token read-back closes most of the window — two
+  *    interleaved creators each verify against the LAST content
+  *    written, so at most one (possibly zero) sees its own bytes and
+  *    wins; a zero-winner version is an mtime-quiet corpse both
+  *    protocols already break ([[TableStore.awaitBaseAdvance]],
+  *    [[Artifacts.publish]]'s stale-claim break). The residual —
+  *    reader A read-back-verifies BEFORE writer B's overwriting PUT
+  *    lands, then B's content replaces the "committed" file — needs a
+  *    store-side fence to close fully (CommitPointSpec's
+  *    overwrite-after-read-back arm demonstrates the residual is
+  *    real).
+  *  - '''Object stores, [[ConditionalCreate]]''': the store-side fence
+  *    — the create carries the filesystem's conditional-write option
+  *    (`fs.option.create.conditional.overwrite`, Hadoop 3.4.2+
+  *    `Options.CreateFileOptionKeys`; S3A maps it to an
+  *    `If-None-Match: *` PUT, native on S3 since 2024 and on
+  *    GCS/ABFS), so exclusivity is decided atomically AT PUT TIME by
+  *    the store, not by a stale HEAD. A late overwriting PUT is
+  *    rejected by the store itself; the read-back stays as a cheap
+  *    invariant check. Filesystems that don't understand the option
+  *    fall back to [[AtomicCreate]] (correct on HDFS/POSIX, where
+  *    `create(false)` is already `O_EXCL`). Select with
+  *    `spark.graft.store.conditionalCreate=true` (read at
+  *    [[TableStore]] construction) or install directly via
+  *    [[CommitPoint.install]]; an external coordinator
+  *    (DynamoDB-style, as S3-era Delta used) remains the alternative
+  *    for stores with no conditional write at all.
   *
   * The `creator` seam is also how the protocol is TESTED: specs inject
   * a deliberately non-atomic check-then-create ([[withCreator]]) and
@@ -63,7 +77,62 @@ object CommitPoint {
       } catch { case _: java.io.IOException => false }
   }
 
+  /** Conditional-write creator — the store-side fence. Asks the
+    * filesystem for create-with-`If-None-Match` semantics through the
+    * public builder option (Hadoop 3.4.2+
+    * `Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE`,
+    * requested with `must` so a store that recognizes option keys and
+    * can't honor it REJECTS at build time instead of silently
+    * degrading), layered on `overwrite(false)`: on S3A the PUT itself
+    * is conditional (exclusivity decided by the store at PUT time — the
+    * fence), on HDFS/POSIX the exclusive create is already atomic, and
+    * a filesystem that rejects the option falls back to
+    * [[AtomicCreate]]. An IOException from the conditional build/write/
+    * close path is a LOST RACE (the store refused the PUT because the
+    * object exists), exactly like a failed exclusive create. */
+  object ConditionalCreate extends Creator {
+    // Options.CreateFileOptionKeys lives in hadoop-common 3.4.2+; keep
+    // the literal in sync with the constant (binding to the interface
+    // field would be equivalent — the string IS the public contract)
+    private[store] val ConditionalOverwriteKey =
+      org.apache.hadoop.fs.Options.CreateFileOptionKeys
+        .FS_OPTION_CREATE_CONDITIONAL_OVERWRITE
+
+    override def createIfAbsent(fs: FileSystem, p: Path,
+        bytes: Array[Byte]): Boolean = {
+      val built =
+        try {
+          val b = fs.createFile(p).overwrite(false)
+          b.must(ConditionalOverwriteKey, true)
+          Some(b.build())
+        } catch {
+          case _: UnsupportedOperationException | _: IllegalArgumentException =>
+            None // FS rejected the option — not conditional-capable
+          case _: java.io.IOException => return false // path taken
+        }
+      built match {
+        case None => AtomicCreate.createIfAbsent(fs, p, bytes)
+        case Some(out) =>
+          try { out.write(bytes); out.close(); true }
+          catch { case _: java.io.IOException =>
+            // the conditional PUT (S3A: at close()) was rejected — lost
+            try out.close() catch { case _: java.io.IOException => }
+            false
+          }
+      }
+    }
+  }
+
   private val creator = new AtomicReference[Creator](AtomicCreate)
+
+  /** Install a creator process-wide — the production switch for
+    * object-store deployments (`install(ConditionalCreate)`;
+    * [[TableStore]] does this when
+    * `spark.graft.store.conditionalCreate=true`). Both protocols
+    * (manifest commit, claim lease) go through it. */
+  def install(c: Creator): Unit = creator.set(c)
+
+  private[graft] def installed: Creator = creator.get()
 
   /** Swap the creator for the duration of `body` — test-only seam for
     * injecting non-atomic creates. Global (both protocols see it),

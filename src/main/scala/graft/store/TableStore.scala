@@ -67,6 +67,13 @@ class TableStore(val spark: SparkSession, val root: String, val numBuckets: Int 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
 
+  // object-store deployments opt into the store-side commit fence
+  // (conditional PUT; falls back to the exclusive create elsewhere) —
+  // process-wide by design: the commit point is one seam, not per-table
+  if (spark.conf.get("spark.graft.store.conditionalCreate", "false").toBoolean) {
+    CommitPoint.install(CommitPoint.ConditionalCreate)
+  }
+
   private def tdir(t: String) = new Path(root, t)
   private def latestPtr(t: String) = new Path(tdir(t), "_latest")
   private def manifestPath(t: String, v: Long) = new Path(new Path(tdir(t), "_versions"), f"v$v%08d")

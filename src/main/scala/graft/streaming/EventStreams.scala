@@ -178,6 +178,47 @@ object EventStreams {
       .orderBy("day")
   }
 
+  /** Streaming URL-level dedup — the STATEFUL first stage of a
+    * continuous-ingest CCNet/RefinedWeb crawl pipeline (batch twin:
+    * [[graft.ops.WebCuration.canonicalizeUrlsAgg]]'s keep set):
+    * canonicalize each URL ([[graft.ops.WebCuration.canonUrl]]) and
+    * emit only the FIRST document per canonical form, dropping every
+    * later re-crawl. State = one row per distinct canonical URL inside
+    * the watermark horizon (`dropDuplicatesWithinWatermark` —
+    * watermark-evicted, the same bound [[streamingDau]]'s per-(user,
+    * day) dedup carries); run with outputMode("append") — a kept row
+    * emits exactly once, and a duplicate arriving in ANY later
+    * micro-batch (or after a kill/restart, via the state store) is
+    * dropped, not re-emitted.
+    *
+    * Disclosed semantics delta vs batch: the batch form keeps
+    * `min(id)` per group, the stream keeps the first ARRIVAL. On an
+    * ingest feed where ids are assigned in arrival order — the crawl
+    * case this stage exists for — the two keep sets coincide
+    * (EventStreamsSpec pins it); on out-of-order replays they can
+    * differ within a group, never in group membership. A batch frame
+    * takes the batch twin's min-id path, so one call site serves both
+    * and stream ≡ batch on finalized data.
+    *
+    * @return (idCol, urlCol, canon_url, tsCol) — kept rows only. */
+  def streamingUrlDedup(docs: DataFrame, idCol: String = "doc_id",
+      urlCol: String = "url", tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame = {
+    val keyed = docs.select(col(idCol), col(urlCol),
+      graft.ops.WebCuration.canonUrl(col(urlCol)).as("canon_url"), col(tsCol))
+    if (docs.isStreaming) {
+      keyed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(Seq("canon_url"))
+    } else {
+      // batch twin: min(id) wins — canonicalizeUrlsAgg's keep set with
+      // the same map-side-combine-then-join-back physics
+      val groups = keyed.groupBy("canon_url").agg(min(col(idCol)).as("__keeper"))
+      keyed.join(groups, Seq("canon_url"))
+        .filter(col(idCol) === col("__keeper"))
+        .select(col(idCol), col(urlCol), col("canon_url"), col(tsCol))
+    }
+  }
+
   /** Stream-stream interval join: each left event pairs with right events
     * of the same user within `[l.ts - lookback, l.ts]` — the standard
     * impression⋈click enrichment. Both sides are watermarked so the join

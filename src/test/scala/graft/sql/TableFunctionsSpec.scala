@@ -542,12 +542,26 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(rows(g.sql(
       "SELECT * FROM TABLE(graft_gopher_rules(web_tf, 'doc_id', 'raw'))").get) ==
       rows(graft.ops.WebCuration.gopherRules(raw, "doc_id", "raw")))
-    // threshold override flows through (min_words=10 keeps short docs)
+    // threshold + stopword/symbol overrides flow through (min_words=10
+    // keeps short docs; the synthetic vocabulary only contains 'the'/'a'
+    // of any function-word list, so the discrimination check passes the
+    // fixture's own lists — the same pattern the e40/c3 oracles use)
+    val synth = graft.ops.WebCuration.syntheticStopwords.mkString(",")
     val loose = g.sql("SELECT count(1) AS n FROM TABLE(graft_gopher_rules(" +
-      "web_tf, 'doc_id', 'raw', 10)) WHERE keep").get.collect()(0).getLong(0)
+      s"web_tf, 'doc_id', 'raw', 10, '$synth', '#')) WHERE keep")
+      .get.collect()(0).getLong(0)
     val strict = g.sql("SELECT count(1) AS n FROM TABLE(graft_gopher_rules(" +
-      "web_tf, 'doc_id', 'raw')) WHERE keep").get.collect()(0).getLong(0)
-    assert(loose > strict)
+      s"web_tf, 'doc_id', 'raw', 50, '$synth', '#')) WHERE keep")
+      .get.collect()(0).getLong(0)
+    assert(loose > strict && strict > 0,
+      s"synthetic-list overrides must discriminate: loose=$loose strict=$strict")
+    // and the explicit-list SQL call equals the Scala call with the same
+    // lists (full parity including overrides)
+    assert(rows(g.sql("SELECT * FROM TABLE(graft_gopher_rules(" +
+      s"web_tf, 'doc_id', 'raw', 50, '$synth', '#'))").get) ==
+      rows(graft.ops.WebCuration.gopherRules(raw, "doc_id", "raw",
+        stopwords = graft.ops.WebCuration.syntheticStopwords,
+        symbols = Seq("#"))))
     assert(rows(g.sql(
       "SELECT * FROM TABLE(graft_c4_clean(web_tf, 'doc_id', 'raw'))").get) ==
       rows(graft.ops.WebCuration.c4Clean(raw, "doc_id", "raw")))

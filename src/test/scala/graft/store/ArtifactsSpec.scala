@@ -157,6 +157,43 @@ class ArtifactsSpec extends AnyFunSuite {
     }.count() == 2)
   }
 
+  test("dup-line table (e43b) builds once; served lineDedupAgainst equals inline lineDedup") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_artifacts_spec").toString
+    val s = spark.newSession()
+    s.conf.set("spark.graft.artifactDir", root)
+    val sp = s; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c g h i"), (3L, "x y z q r s"),
+      (4L, "a b c x y z")).toDF("doc_id", "text")
+      .withColumn("__tk", graft.functions.TextAnalytics.tokens(col("text")))
+      .withColumn("lines", graft.ops.WebCuration.tokenLines(col("__tk"), 3))
+    val builds = new AtomicInteger(0)
+    def dup = Artifacts.table(s, "dup_lines", "specCorpus|w=3|minDocs=2",
+      keys = Seq("line")) {
+      builds.incrementAndGet()
+      graft.ops.WebCuration.dupLineTable(docs, "doc_id", "lines", minDocs = 2L)
+    }
+    val served = graft.ops.WebCuration
+      .lineDedupAgainst(docs, "doc_id", "lines", dup)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val inline = graft.ops.WebCuration.lineDedup(docs, "doc_id", "lines", 2L)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(served == inline)
+    // a second consumer (and a second query iteration) reads the
+    // committed scan — the corpus is never re-counted
+    graft.ops.WebCuration.lineDedupAgainst(docs, "doc_id", "lines", dup).count()
+    assert(builds.get() == 1)
+    // corpus-global by construction (a line's distinct-doc count
+    // aggregates over every doc): the default rowLocal=false marker must
+    // make appendDelta refuse, forcing a re-key per corpus version
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.appendDelta(s, "dup_lines", "specCorpus|w=3|minDocs=2",
+        Seq(("a b c", 9L)).toDF("line", "n_docs"))
+    }
+    assert(e.getMessage.contains("not row-local"), e.getMessage)
+  }
+
   test("multi-writer commit: racing independent builders yield ONE version") {
     // two builders with INDEPENDENT store handles race publish() directly
     // (the striped JVM lock is bypassed — this is the separate-JVMs

@@ -124,6 +124,112 @@ class CommitPointSpec extends AnyFunSuite {
       s"a batch was lost or duplicated under the non-atomic race: ${got.size} rows")
   }
 
+  test("object-store residual: a blind PUT landing AFTER read-back yields two winners; conditional-PUT semantics close it") {
+    val root = Files.createTempDirectory("graft_cp_resid").toString
+    val fs = fsOf(root)
+
+    // The exact residual the CommitPoint scaladoc scopes for
+    // check-then-create stores: writer B's HEAD happened before A's PUT
+    // landed (concurrent racers), but B's PUT reaches the store only
+    // AFTER A's read-back verified. Modeled sequentially — publish(A)
+    // completes (PUT + read-back), then B's blind PUT lands.
+    class StaleHeadBlindPut extends CommitPoint.Creator {
+      override def createIfAbsent(fs: FileSystem, p: Path,
+          bytes: Array[Byte]): Boolean = {
+        // HEAD (pre-race): absent. PUT: blind last-write-wins overwrite.
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+        true
+      }
+    }
+    val p = new Path(root, "v_blind")
+    val wa = CommitPoint.withCreator(new StaleHeadBlindPut) {
+      CommitPoint.publish(fs, p, "writer-A")
+    }
+    val wb = CommitPoint.withCreator(new StaleHeadBlindPut) {
+      CommitPoint.publish(fs, p, "writer-B")
+    }
+    // TWO winners — the read-back fence cannot see a future overwrite.
+    // (If this ever fails, the default creator grew a store-side fence
+    // and the scaladoc's residual paragraph is stale.)
+    assert(wa && wb,
+      s"the documented residual must reproduce under a blind-PUT store: A=$wa B=$wb")
+
+    // Conditional PUT (If-None-Match: *): the store itself rejects a PUT
+    // when ANY object exists at PUT time — B's stale HEAD no longer
+    // matters. Same interleaving, one winner, content intact.
+    class ConditionalPut extends CommitPoint.Creator {
+      override def createIfAbsent(fs: FileSystem, p: Path,
+          bytes: Array[Byte]): Boolean = {
+        if (fs.exists(p)) false // the store's at-PUT-time exclusivity
+        else {
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+          true
+        }
+      }
+    }
+    val p2 = new Path(root, "v_cond")
+    val ca = CommitPoint.withCreator(new ConditionalPut) {
+      CommitPoint.publish(fs, p2, "writer-A")
+    }
+    val cb = CommitPoint.withCreator(new ConditionalPut) {
+      CommitPoint.publish(fs, p2, "writer-B")
+    }
+    assert(ca && !cb, s"conditional PUT must close the residual: A=$ca B=$cb")
+    val served = {
+      val in = fs.open(p2)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(served == "writer-A", "the loser's late PUT must never land")
+  }
+
+  test("ConditionalCreate: probes the FS option, falls back to the exclusive create, one winner under a race") {
+    val root = Files.createTempDirectory("graft_cp_cond").toString
+    val fs = fsOf(root)
+    val p = new Path(root, "v_real")
+    CommitPoint.withCreator(CommitPoint.ConditionalCreate) {
+      // local FS: either the builder honors overwrite(false) (exclusive
+      // create) or rejects the conditional option (fallback to
+      // AtomicCreate) — both paths must yield exactly one winner
+      assert(CommitPoint.publish(fs, p, "first"))
+      assert(!CommitPoint.publish(fs, p, "second"),
+        "a second publish at a taken path must lose")
+      val served = {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      assert(served == "first")
+      // and under a genuine concurrent race: at most one winner, the
+      // path serves the winner's bytes
+      val p3 = new Path(root, "v_race")
+      val (ra, rb) = race(
+        CommitPoint.publish(fs, p3, "racer-A"),
+        CommitPoint.publish(fs, p3, "racer-B"))
+      assert(Seq(ra, rb).count(identity) <= 1, s"two winners: A=$ra B=$rb")
+    }
+  }
+
+  test("spark.graft.store.conditionalCreate=true installs the conditional creator at store construction") {
+    val prev = CommitPoint.installed
+    try {
+      spark.conf.set("spark.graft.store.conditionalCreate", "true")
+      val root = Files.createTempDirectory("graft_cp_conf").toString
+      val st = new TableStore(spark, root, numBuckets = 2)
+      assert(CommitPoint.installed eq CommitPoint.ConditionalCreate)
+      // the store still commits end-to-end through it
+      st.createTable("t", StructType(Seq(StructField("id", LongType))),
+        keys = Seq("id"))
+      st.append("t", Seq(1L, 2L, 3L).toDF("id"))
+      assert(st.read("t").count() == 3L)
+    } finally {
+      spark.conf.unset("spark.graft.store.conditionalCreate")
+      CommitPoint.install(prev)
+    }
+  }
+
   test("claim lease: two interleaved non-atomic claimers never both hold the lease") {
     val root = Files.createTempDirectory("graft_cp_claim").toString
     val fs = fsOf(root)

@@ -173,6 +173,56 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingUrlDedup keeps the first arrival per canonical URL across micro-batches ≡ batch keep set") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "url", "ts")
+    val q = EventStreams.streamingUrlDedup(stream, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: the parked domain under www/case/query noise (docs 1,2
+      // same canonical form — 2 dropped) plus a distinct page (doc 3)
+      mem.addData(
+        (1L, "https://WWW.Parked.Example.NET/?sid=1", ts(10)),
+        (2L, "http://parked.example.net?sid=2", ts(20)),
+        (3L, "https://site-a.example.org/p/1", ts(30)))
+      q.processAllAvailable()
+      // batch 2: re-crawls of BOTH canonical forms arrive in a later
+      // micro-batch — state store must still drop them — plus one new
+      mem.addData(
+        (4L, "https://parked.example.net/#frag", ts(40)),
+        (5L, "http://WWW.Site-A.Example.ORG/p/1/", ts(50)),
+        (6L, "https://site-b.example.org/p/2?utm=x", ts(60)))
+      q.processAllAvailable()
+      val kept = spark.table("url_dedup_stream").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(kept == Set(
+        (1L, "parked.example.net"),
+        (3L, "site-a.example.org/p/1"),
+        (6L, "site-b.example.org/p/2")), s"got $kept")
+
+      // ids were assigned in arrival order, so the stream's keep set ==
+      // the batch twin's min-id keep set — one call site, both modes
+      val all = Seq(
+        (1L, "https://WWW.Parked.Example.NET/?sid=1", ts(10)),
+        (2L, "http://parked.example.net?sid=2", ts(20)),
+        (3L, "https://site-a.example.org/p/1", ts(30)),
+        (4L, "https://parked.example.net/#frag", ts(40)),
+        (5L, "http://WWW.Site-A.Example.ORG/p/1/", ts(50)),
+        (6L, "https://site-b.example.org/p/2?utm=x", ts(60)))
+        .toDF("doc_id", "url", "ts")
+      val batch = EventStreams.streamingUrlDedup(all).collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(batch == kept, s"stream $kept != batch $batch")
+      // and the batch twin agrees with canonicalizeUrlsAgg's keep flags
+      val agg = graft.ops.WebCuration.canonicalizeUrlsAgg(all, "doc_id", "url")
+        .filter(org.apache.spark.sql.functions.col("keep")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("canon_url"))).toSet
+      assert(agg == kept)
+    } finally q.stop()
+  }
+
   test("streamingDauSketches + read-time union ≡ the batch st8b twin on finalized days") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
