@@ -178,8 +178,13 @@ object SkewScale {
     // window form sorts every copy of the hot key in ONE task (a window
     // partition is indivisible — AQE skew splitting applies to joins,
     // not windows); the agg form partial-aggregates the hot key away
-    // map-side and its join-back is the plan AQE skew-splits for real.
-    // Identical output required (checksum over all columns).
+    // map-side and SALTS the join-back over saltFactor tasks. (Why not
+    // AQE: this arm MEASURED that OptimizeSkewedJoin declines the
+    // join-back — its pattern needs Sort directly over a shuffle stage
+    // on both SMJ children, and the group table's final HashAggregate
+    // sits in-stage between them; a plain control join in the same
+    // session does get skew=true.) Identical output required (checksum
+    // over all columns).
     val urls = spark.range(users.toLong + botEvents.toLong)
       .select(col("id").as("doc_id"),
         when(col("id") >= users.toLong,
@@ -202,11 +207,77 @@ object SkewScale {
     val csAgg = urlChecksum(
       graft.ops.WebCuration.canonicalizeUrlsAgg(urls, "doc_id", "url"))
     require(csWin == csAgg, s"e42 A/B mismatch: window=$csWin agg=$csAgg")
-    time("e42 url-dedup window (ref)") {
-      graft.ops.WebCuration.canonicalizeUrls(urls, "doc_id", "url").count()
+    // The money metric is MAX SHUFFLE-READ RECORDS IN ONE TASK, not wall
+    // time (at 1.2 M rows a single-task sort of the hot key is cheap —
+    // at 100 TB it is the task that dies). Scale AQE's skew thresholds
+    // to the fixture (the defaults target 256 MB partitions) and track
+    // per-task reads: the agg form's join partitions split (or the
+    // collapsed group table broadcasts — either way no task sees the
+    // whole hot key), while a WINDOW partition is indivisible by
+    // definition and must read every copy in one task no matter how the
+    // thresholds are set.
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val readListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          var cur = maxRead.get
+          while (r > cur && !maxRead.compareAndSet(cur, r)) cur = maxRead.get
+        }
+      }
     }
-    time("e42b url-dedup agg (shipped)") {
-      graft.ops.WebCuration.canonicalizeUrlsAgg(urls, "doc_id", "url").count()
+    // noop-sink materialization: count() would let Catalyst PRUNE the
+    // window/projection work (a count over canonicalizeUrls drops the
+    // Window node entirely and reads 0 shuffles — measured), exactly the
+    // trap Bench.scala documents; the noop sink forces every column
+    val urlRows = users.toLong + botEvents.toLong
+    def noop(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); urlRows
+    }
+    def maxTaskRead(f: => Long): (Long, Long) = {
+      maxRead.set(0)
+      spark.sparkContext.addSparkListener(readListener)
+      val n = try f finally {
+        Thread.sleep(500) // listener bus drain
+        spark.sparkContext.removeSparkListener(readListener)
+      }
+      (n, maxRead.get)
+    }
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      val (_, winMax) = maxTaskRead(
+        noop(graft.ops.WebCuration.canonicalizeUrls(urls, "doc_id", "url")))
+      val (_, aggMax) = maxTaskRead(
+        noop(graft.ops.WebCuration.canonicalizeUrlsAgg(urls, "doc_id", "url")))
+      println(s"[skew] e42 max task shuffle-read: window=$winMax agg=$aggMax " +
+        s"(hot key $botEvents copies)")
+      require(winMax >= botEvents.toLong,
+        s"window form must funnel the hot key into one task: $winMax")
+      require(aggMax <= botEvents.toLong / 2,
+        s"agg form must never give one task the whole hot key: $aggMax")
+      // wall A/B timed INSIDE the scaled-threshold regime: at default
+      // 64 MB advisory this fixture's compressed shuffle (~8 MB total —
+      // repeated URLs compress ~10:1) coalesces to 1-2 partitions and
+      // the comparison degenerates to two single-task plans; the scaled
+      // thresholds reproduce the many-partitions-per-task regime the
+      // 100 TB argument is about (same confs both forms, GC-isolated
+      // after st7's collect_list debt)
+      System.gc()
+      time("e42 url-dedup window (ref)") {
+        noop(graft.ops.WebCuration.canonicalizeUrls(urls, "doc_id", "url"))
+      }
+      System.gc()
+      time("e42b url-dedup agg (shipped)") {
+        noop(graft.ops.WebCuration.canonicalizeUrlsAgg(urls, "doc_id", "url"))
+      }
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
     }
     spark.stop()
   }

@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   * production form at scale: groupBy(canon_url) partial-aggregates
   * map-side — the hot key collapses to one row per input partition
   * BEFORE the shuffle — and the join-back that fans the keep flag out to
-  * rows is a real shuffled join, which AQE's skew-join handling DOES
-  * split. Identical output (e42 vs e42b oracle-checked); SkewScale A/Bs
-  * the two on a mega-duplicated key.
+  * rows is SALTED so the hot key spreads over saltFactor tasks
+  * guaranteed (AQE's skew rule cannot split this particular join — see
+  * [[canonicalizeUrlsAgg]]'s scaladoc for the measured pattern finding).
+  * Identical output (e42 vs e42b oracle-checked); SkewScale A/Bs the
+  * two on a mega-duplicated key, wall time AND max task shuffle-read.
   *
   * Oracle determinism: every fold is a left fold in index order, all
   * counts are exact integers, doubles are produced by a single division
@@ -43,7 +45,7 @@ object WebCuration {
     * column a compute-once attribute — CollapseProject can't re-inline
     * it per consumer and a downstream Filter can't substitute it into
     * every predicate conjunct (the c3 bisect, SCALE.md round-19). */
-  private def fence(c: Column): Column = call_function("graft_fence", c)
+  private[graft] def fence(c: Column): Column = call_function("graft_fence", c)
 
   /** Deterministic web-structure fixture: folds a flat token stream into
     * `wordsPerLine`-token lines and decorates them with the artifacts the
@@ -326,15 +328,34 @@ object WebCuration {
     * `groupBy(canon_url).agg(min(id), count)` partial-aggregates
     * map-side, so a mega-duplicated canonical URL collapses to ONE row
     * per input partition BEFORE the shuffle, and the join-back that
-    * fans (keeper, url_dups) out to rows is a shuffled equi-join —
-    * the plan shape AQE's skew-join splitting actually handles. Two
-    * shuffles against the window form's one, but neither has a
-    * single-task choke point; SkewScale A/Bs both on a ≥1M-copy key. */
-  def canonicalizeUrlsAgg(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val canon = docs.select(col(idCol), col(urlCol), canonUrl(col(urlCol)).as("canon_url"))
+    * fans (keeper, url_dups) out to rows is SALTED
+    * ([[SkewJoin.salted]], `saltFactor` tasks per key) so no task ever
+    * sees the whole hot key. Measured finding (SkewScale, round 20):
+    * AQE's OptimizeSkewedJoin can NOT split this join-back on its own —
+    * its pattern requires both SMJ children to be a Sort directly over
+    * a shuffle stage, and the group table's final HashAggregate sits
+    * between the Sort and its exchange, so the rule declines (verified
+    * against a control join that does split in the same session).
+    * Salting is the guaranteed spread — and unlike AQE it also works
+    * inside streaming micro-batches. Two-plus shuffles against the
+    * window form's one, so at bench scale the window form is FASTER —
+    * the agg form's property is that max-rows-per-task stays bounded
+    * (hot key / saltFactor) when one canonical URL has more copies than
+    * a task can sort; SkewScale prints both wall time and max task
+    * shuffle-read on a 1M-copy key. */
+  def canonicalizeUrlsAgg(docs: DataFrame, idCol: String, urlCol: String,
+      saltFactor: Int = 8): DataFrame = {
+    // the canon alias is FENCED: the join infers isnotnull(canon_url) on
+    // both branches, and without the fence PushPredicateThroughNonJoin
+    // substitutes the full 5-regex chain into those Filters — each row
+    // paid the canonicalization twice per branch (SkewScale A/B'd ~2.4×
+    // on the full form). Fenced, the constraint filters evaluate on the
+    // attribute and the regexes run once per branch.
+    val canon = docs.select(col(idCol), col(urlCol),
+      fence(canonUrl(col(urlCol))).as("canon_url"))
     val groups = canon.groupBy("canon_url")
       .agg(min(col(idCol)).as("__keeper"), count(lit(1)).as("url_dups"))
-    canon.join(groups, Seq("canon_url"))
+    SkewJoin.salted(canon, groups, Seq("canon_url"), saltFactor)
       .select(col(idCol), col(urlCol), col("canon_url"),
         regexp_extract(col("canon_url"), "^[^/]+", 0).as("host"),
         col("url_dups"),

@@ -2337,9 +2337,10 @@ object PipelineQueries {
     // The PRODUCTION twin of e42: same output (same oracle), agg-based
     // plan — groupBy(canon_url) partial-aggregates map-side so a
     // mega-duplicated URL collapses before the shuffle, and the
-    // join-back is a shuffled equi-join AQE's skew splitting actually
-    // handles (a window partition is indivisible; see WebCuration
-    // scaladoc + SkewScale's ≥1M-copy A/B).
+    // join-back is SALTED so no task sees the whole hot key (a window
+    // partition is indivisible, and AQE's skew rule measurably declines
+    // this join's shape — see WebCuration scaladoc + SkewScale's
+    // ≥1M-copy A/B with max-task-read telemetry).
     "e42b_url_dedup_agg" -> { (s, dir) =>
       val id = col("doc_id")
       val docs = Tables.load(s, dir, "documents").withColumn("url", concat(

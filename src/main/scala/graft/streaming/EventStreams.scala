@@ -204,16 +204,23 @@ object EventStreams {
   def streamingUrlDedup(docs: DataFrame, idCol: String = "doc_id",
       urlCol: String = "url", tsCol: String = "ts",
       watermark: String = "1 hour"): DataFrame = {
-    val keyed = docs.select(col(idCol), col(urlCol),
-      graft.ops.WebCuration.canonUrl(col(urlCol)).as("canon_url"), col(tsCol))
     if (docs.isStreaming) {
-      keyed.withWatermark(tsCol, watermark)
+      docs.select(col(idCol), col(urlCol),
+          graft.ops.WebCuration.canonUrl(col(urlCol)).as("canon_url"), col(tsCol))
+        .withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(Seq("canon_url"))
     } else {
       // batch twin: min(id) wins — canonicalizeUrlsAgg's keep set with
-      // the same map-side-combine-then-join-back physics
+      // the same physics: map-side combine collapses the hot key, the
+      // fenced canon alias keeps the regex chain out of inferred
+      // isnotnull filters, and the join-back is salted (AQE's skew rule
+      // cannot split a join whose build side aggregates in-stage — see
+      // canonicalizeUrlsAgg)
+      val keyed = docs.select(col(idCol), col(urlCol),
+        graft.ops.WebCuration.fence(
+          graft.ops.WebCuration.canonUrl(col(urlCol))).as("canon_url"), col(tsCol))
       val groups = keyed.groupBy("canon_url").agg(min(col(idCol)).as("__keeper"))
-      keyed.join(groups, Seq("canon_url"))
+      graft.ops.SkewJoin.salted(keyed, groups, Seq("canon_url"), 8)
         .filter(col(idCol) === col("__keeper"))
         .select(col(idCol), col(urlCol), col("canon_url"), col(tsCol))
     }
