@@ -15,9 +15,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Layered guarantee, per store (the same split Delta Lake documents
   * for its `_delta_log` protocol):
   *
-  *  - '''HDFS / local POSIX''': `FileSystem.create(overwrite=false)`
-  *    is atomic (`O_EXCL` semantics) — the create alone decides, and
-  *    the read-back is a cheap invariant check.
+  *  - '''HDFS''': `FileSystem.create(overwrite=false)` is atomic (the
+  *    namenode serializes the namespace check and create) — the create
+  *    alone decides, and the read-back is a cheap invariant check.
+  *  - '''Local filesystem''': Hadoop's local create(false) is an
+  *    exists() probe followed by an open — a narrow check-then-create
+  *    window at the Hadoop layer (no `O_EXCL`), read-back-bounded the
+  *    same way object stores are. Single-host deployments that need a
+  *    hard fence coordinate through the JVM-level striped locks the
+  *    store already takes; the cross-JVM specs intentionally exercise
+  *    the unfenced window.
   *  - '''Object stores (S3A and friends), default creator''': plain
   *    `create(false)` is check-then-create (a HEAD then a PUT), NOT
   *    atomic. The token read-back closes most of the window — two

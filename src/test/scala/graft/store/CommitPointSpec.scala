@@ -202,13 +202,16 @@ class CommitPointSpec extends AnyFunSuite {
         finally in.close()
       }
       assert(served == "first")
-      // and under a genuine concurrent race: at most one winner, the
-      // path serves the winner's bytes
-      val p3 = new Path(root, "v_race")
-      val (ra, rb) = race(
-        CommitPoint.publish(fs, p3, "racer-A"),
-        CommitPoint.publish(fs, p3, "racer-B"))
-      assert(Seq(ra, rb).count(identity) <= 1, s"two winners: A=$ra B=$rb")
+      // Deliberately NO concurrent-race assertion here: the local
+      // filesystem's builder create is itself check-then-create (no
+      // O_EXCL at the Hadoop layer), so a tight race through
+      // ConditionalCreate's fallback can legitimately land in the
+      // overwrite-after-read-back residual — the exact behavior the
+      // residual arm above demonstrates on purpose. Store-side
+      // conditional-PUT atomicity is a property of stores that honor
+      // the option (S3/GCS/ABFS), which the injected ConditionalPut
+      // model pins; local FS can only prove the sequential contract
+      // and the fallback path.
     }
   }
 
