@@ -890,19 +890,29 @@ object Dedup {
     * at the caller's sink — an eager checkpoint here would pay the
     * pipeline in its own job and then re-read blocks for the sink
     * (measured 2.5× slower at sf0.1), for a lineage that is already
-    * constant-depth thanks to the checkpointed root. */
+    * constant-depth thanks to the checkpointed root.
+    *
+    * r20: node degree is STATIC across iterations, so it is attached to
+    * the edge list ONCE (one join, materialized with the pair list)
+    * instead of re-joined inside every iteration — DataFrame plans have
+    * no common-subtree reuse, so the old per-iteration `deg` reference
+    * re-ran the degree aggregation AND one extra sort-merge join per
+    * round inside the final nested plan (iters joins + iters agg
+    * recomputations removed; plan: 6 SMJ → 3 for iters = 3). Values are
+    * bit-identical — same (score, deg) pairs divide, same grouped
+    * fold. */
   def pagerankCentrality(pairs: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
     val p = pairs.select("id_a", "id_b").materialized
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    val edgesDeg = edges.join(deg, Seq("src")).materialized
     var scores = edges.select(col("src").as("id")).distinct()
       .withColumn("score", lit(1.0))
     for (_ <- 1 to iters) {
-      val contribs = edges
+      val contribs = edgesDeg
         .join(scores.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst"),
           struct(col("src"), (col("score") / col("deg")).as("c")).as("sc"))
       scores = contribs.groupBy(col("dst").as("id"))
@@ -1021,8 +1031,16 @@ object Dedup {
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, window: Int = 4, minShared: Int = 3,
       maxDocFreq: Int = 8, portable: Boolean = true): DataFrame = {
+    // r20: the distinct fingerprint table is referenced THREE times in
+    // this plan (the doc-frequency cut, and both sides of the pair
+    // self-join) and DataFrame plans have no common-subtree reuse — the
+    // full shingle-hash + winnow-window pass re-ran per reference.
+    // Materialize it once (the pagerank pair-list pattern; at corpus
+    // scale this table is the natural durable artifact of the MOSS
+    // stage, like d2's shingles). Measured: d15 1.50 → 0.92 s at sf0.1
+    // (local[32], min-of-5).
     val dh = winnowFingerprints(df, idCol, textCol, shingleN, window, portable)
-      .select(col(idCol).as("id"), col("fp_hash")).distinct()
+      .select(col(idCol).as("id"), col("fp_hash")).distinct().materialized
     val rare = dh.groupBy("fp_hash").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     val pr = dh.join(rare.select("fp_hash"), Seq("fp_hash"), "left_semi")
@@ -1068,8 +1086,19 @@ object Dedup {
     require(bands * rows == k, s"bands ($bands) must divide k ($k)")
     val all = corpus.select(col(idCol), col(textCol), lit(false).as("__new"))
       .unionByName(batch.select(col(idCol), col(textCol), lit(true).as("__new")))
+    // r20: ONE shingle-hash pass feeds both the signature aggregation
+    // and the verification join (the verify side previously re-ran
+    // shingleHashRows over the same union — a full duplicate
+    // tokenize+window-hash pass). Cached for the op's lifetime exactly
+    // like lshRecallReport's shared rows; __new is functionally
+    // dependent on id, so dropDuplicates(id, h) below yields the same
+    // (id, h) set the plain pass produced. Measured: d13 1.66 → 1.49 s
+    // at sf0.1 (min-of-5; the pass is cheap at test scale — the win is
+    // the removed second corpus tokenize+hash pass, which at 100 TB is
+    // a full map stage over the union).
     val hashed = shingleHashRows(all, idCol, textCol, shingleN,
-      extra = Seq(col("__new")), portable = portable)
+        extra = Seq(col("__new")), portable = portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minAggs = (0 until k).map { i =>
       val a = (1103515245L * i + 12345L) % TA.P
       val b = (1234567891L * i + 987654321L) % TA.P
@@ -1094,10 +1123,9 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(!col("new_a") || col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // true-Jaccard verification, pair-keyed (the lshVerifiedPairs plan)
-    val ex = shingleHashRows(all, idCol, textCol, shingleN, portable = portable)
-      .dropDuplicates("id", "h")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // true-Jaccard verification, pair-keyed (the lshVerifiedPairs plan),
+    // over the SAME cached shingle rows as the signature pass
+    val ex = hashed.dropDuplicates("id", "h")
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val dropped = candidates
       .join(ex.select(col("id").as("id_a"), col("h")), Seq("id_a"))
@@ -1109,7 +1137,7 @@ object Dedup {
         / (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= minJaccard)
       .select(col("id_b").as(idCol)).distinct()
       .materialized // bounded by the batch size; frees the shingle cache
-    ex.unpersist(blocking = false)
+    hashed.unpersist(blocking = false)
     batch.join(dropped, Seq(idCol), "left_anti")
   }
 

@@ -150,9 +150,15 @@ object Retrieval {
       qidCol: String, qTextCol: String,
       k: Int, fbDocs: Int = 5, fbTerms: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // r20: dl is referenced by BOTH scoring passes plus gl, dft by both
+    // passes plus the expansion weights — with no common-subtree reuse
+    // each reference re-aggregated the full postings scan (6 extra
+    // shuffles in the final plan). Both stats are bounded (one row per
+    // doc / per term) — materialize each once per op call.
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).materialized
     val gl = dl.agg(count(lit(1)).cast("double").as("n"), sum("dl").as("tot"))
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .materialized
     val q0 = queries.select(col(qidCol).as("qid"),
       explode(array_distinct(TA.tokens(col(qTextCol)))).as("term"))
 

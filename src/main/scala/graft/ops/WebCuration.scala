@@ -269,23 +269,44 @@ object WebCuration {
     * corpus's known boilerplate without touching corpus data. */
   def lineDedupAgainst(docs: DataFrame, idCol: String, linesCol: String,
       dupLines: DataFrame): DataFrame = {
+    // r20 rewrite (optimization guide §2.3 / §8 — shuffle keys and
+    // metadata instead of payloads): the previous form regrouped the
+    // exploded (pos, line) STRUCTS per doc, so every surviving line's
+    // TEXT crossed the doc-keyed regroup exchange and was collected +
+    // sorted in an ObjectHashAggregate. Only the duplicated POSITIONS
+    // are needed to rebuild the cleaned text from the doc's own array:
+    // semi-join the exploded rows against the dup-line table, regroup
+    // the flagged (doc, pos) INTS, and re-attach them to the source
+    // rows by doc id — the cleaned text is then a positional array
+    // filter over the original `linesCol`. Line text now crosses only
+    // the line-key lookup join (the semantic minimum); the regroup
+    // shuffles two ints per duplicated line instead of the corpus, and
+    // the doc-keyed dup-position table is bounded by boilerplate volume
+    // (broadcastable in practice — when it is not, the id join-back
+    // shuffles the docs once, which the old form paid anyway as the
+    // full-text regroup). Measured at sf0.1 (local[32], min-of-5):
+    // e43 5.74 → see OPTIMIZATION_r20.md. Output is row- and
+    // bit-identical (same counts, same " "-joined survivor order);
+    // docs with zero lines still emit nothing (posexplode emitted no
+    // rows before; the explicit size() guard keeps that contract).
     val exploded = docs
       .select(col(idCol), posexplode(col(linesCol)).as(Seq("pos", "line")))
-    exploded.join(
-        dupLines.select(col("line"), lit(true).as("__dup")), Seq("line"), "left")
-      .select(col(idCol), col("pos"), col("line"),
-        coalesce(col("__dup"), lit(false)).as("__dup"))
+    val dupPos = exploded
+      .join(dupLines.select("line"), Seq("line"), "left_semi")
       .groupBy(idCol)
-      .agg(
-        count(lit(1)).as("n_lines"),
-        count(when(col("__dup"), 1)).as("n_dup_lines"),
-        (count(when(col("__dup"), 1)).cast("double") /
-          count(lit(1)).cast("double")).as("dup_frac"),
+      .agg(collect_list(col("pos")).as("__dup_pos"))
+    val dp = coalesce(col("__dup_pos"), array().cast("array<int>"))
+    val nLines = size(col(linesCol)).cast("long")
+    val nDup = size(dp).cast("long")
+    docs
+      .where(size(col(linesCol)) > 0)
+      .join(dupPos, Seq(idCol), "left")
+      .select(col(idCol),
+        nLines.as("n_lines"),
+        nDup.as("n_dup_lines"),
+        (nDup.cast("double") / nLines.cast("double")).as("dup_frac"),
         array_join(
-          transform(
-            sort_array(collect_list(when(!col("__dup"),
-              struct(col("pos"), col("line"))))),
-            s => s.getField("line")),
+          filter(col(linesCol), (l, i) => !array_contains(dp, i)),
           " ").as("cleaned"))
   }
 

@@ -81,7 +81,10 @@ object PipelineQueries {
   private def exactKnnDirected(s: SparkSession, dir: String, k: Int): DataFrame =
     Artifacts.table(s, "knn_truth", s"$dir|${fp(s, dir, "embeddings")}|cos|k=$k",
         keys = Seq("id")) {
-      Similarity.knnDirected(Tables.load(s, dir, "embeddings"),
+      // loadSpread: the quadratic truth scoring probes the broadcast
+      // query side from the CORPUS scan — single-row-group input would
+      // run the whole O(n²·dim) stage on one task (n13 2.3× measured)
+      Similarity.knnDirected(Tables.loadSpread(s, dir, "embeddings"),
         "vec_id", "embedding", k)
     }
 
@@ -741,7 +744,7 @@ object PipelineQueries {
     // composition (a DP is ~10⁴× a signature compare; the screen cuts
     // the DP set 7× at sf0.1); cost is screened-candidates × prefixLen².
     "d19_edit_verify" -> { (s, dir) =>
-      Dedup.lshEditVerifiedPairs(Tables.load(s, dir, "documents"),
+      Dedup.lshEditVerifiedPairs(Tables.loadSpread(s, dir, "documents"),
           docShingles(s, dir), "doc_id", "text", minSim = 0.3,
           prefixLen = 256, k = 16, bands = 8, maxBucketSize = Some(8),
           minEst = 0.25)
@@ -1563,7 +1566,7 @@ object PipelineQueries {
     // the projection on plane p is non-negative — previously spec-only,
     // now hash-checked end to end (projection folds ascending-dim).
     "n11_srp_buckets" -> { (s, dir) =>
-      Similarity.srpBuckets(Tables.load(s, dir, "embeddings"),
+      Similarity.srpBuckets(Tables.loadSpread(s, dir, "embeddings"),
           "vec_id", "embedding", planes = 12)
         .orderBy("id")
     },
@@ -1580,7 +1583,7 @@ object PipelineQueries {
     // scoring only, 4 planes) against the exact directed top-5 — the
     // planes/probes tuning loop for the blocked kNN at 100 TB.
     "n13_knn_recall" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadSpread(s, dir, "embeddings")
       val exact = exactKnnDirected(s, dir, k = 5).select("id", "nbr")
       val blocked = Similarity
         .knnDirectedBlocked(e, "vec_id", "embedding", k = 5, planes = 4)
@@ -1606,7 +1609,7 @@ object PipelineQueries {
     // pairs. The oracle replays kmeans training, assignment, probe
     // selection, and the blocked top-5 bit-exactly.
     "n13b_knn_recall_ivf" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
+      val e = Tables.loadSpread(s, dir, "embeddings")
       val exact = exactKnnDirected(s, dir, k = 5).select("id", "nbr")
       val km = kmEmbLabels(s, dir, k = 32, iters = 5)
       val blocked = Similarity.ivfTopK(e.join(km, Seq("vec_id")), e,
@@ -1778,7 +1781,7 @@ object PipelineQueries {
     // nothing is corpus-global.
     "e14_repetition" -> { (s, dir) =>
       graft.ops.CorpusOps.repetitionStats(
-          Tables.load(s, dir, "documents"), "doc_id", "text",
+          Tables.loadSpread(s, dir, "documents"), "doc_id", "text",
           top2Threshold = 0.18, dup5Threshold = 0.3)
         .orderBy("doc_id")
     },
@@ -2298,8 +2301,11 @@ object PipelineQueries {
     // and #/…/... class. Zero-shuffle codegen'd projection; ORDER BY is
     // oracle determinism only.
     "e40_gopher_rules" -> { (s, dir) =>
+      // loadSpread: the whole rule set is per-row regex/array work on an
+      // otherwise zero-shuffle plan — single-row-group input runs it all
+      // on one task (2.5× measured; see Tables.loadSpread)
       val docs = graft.ops.WebCuration.withWebRaw(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
+        Tables.loadSpread(s, dir, "documents"), "doc_id", "text")
       graft.ops.WebCuration.gopherRules(docs, "doc_id", "raw",
           stopwords = graft.ops.WebCuration.syntheticStopwords,
           symbols = Seq("#"))
@@ -2311,7 +2317,7 @@ object PipelineQueries {
     // Same fixture as e40; zero-shuffle array ops.
     "e41_c4_clean" -> { (s, dir) =>
       val docs = graft.ops.WebCuration.withWebRaw(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
+        Tables.loadSpread(s, dir, "documents"), "doc_id", "text")
       graft.ops.WebCuration.c4Clean(docs, "doc_id", "raw").orderBy("doc_id")
     },
 
@@ -2361,7 +2367,7 @@ object PipelineQueries {
     // from every doc, survivors re-joined in order. Three bounded
     // shuffles (distinct-count per line, flag join, per-doc regroup).
     "e43_line_dedup" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
         .withColumn("__tk", TA.tokens(col("text")))
         .withColumn("lines", graft.ops.WebCuration.tokenLines(col("__tk"), 3))
       graft.ops.WebCuration.lineDedup(docs, "doc_id", "lines", minDocs = 2L)
@@ -2375,7 +2381,7 @@ object PipelineQueries {
     // batch, via lineDedupAgainst) joins the committed scan instead of
     // re-counting the corpus. Output hash-equal to e43 (same oracle).
     "e43b_line_dedup_artifact" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
         .withColumn("__tk", TA.tokens(col("text")))
         .withColumn("lines", graft.ops.WebCuration.tokenLines(col("__tk"), 3))
       val dup = Artifacts.table(s, "dup_lines",
@@ -2397,7 +2403,7 @@ object PipelineQueries {
     // shuffle.
     "c3_web_pipeline" -> { (s, dir) =>
       val raw = graft.ops.WebCuration.withWebRaw(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
+        Tables.loadSpread(s, dir, "documents"), "doc_id", "text")
       // both rule sets are row-local projections on the same input, so
       // the cascade is SEQUENTIAL on one scan (gopher passes raw
       // through; no self-join, no second fixture evaluation) — the

@@ -40,7 +40,10 @@ object ReferenceQueries {
     // A1/A2/A3 + P1 + O1: hash GROUP BY with count(1) + decimal sums,
     // ordered insert-select (order-end-to-end-pipeline-script.sql:191-212).
     "q1_agg" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
+      // loadSpread: the single-row-group fact file otherwise caps the
+      // scan+decimal-partial-agg map stage at one task (measured 1.23×,
+      // OPTIMIZATION_r20.md "scan parallelism floor")
+      val li = Tables.loadSpread(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("order_count"),
@@ -60,7 +63,10 @@ object ReferenceQueries {
     // (order-...sql:179-212) — fact side joined to broadcast dims, GROUP BY
     // 3 keys, count + money sums, ordered overwrite.
     "s6_fact_rebuild" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
+      // loadSpread on the FACT side only (dims broadcast): parallelizes
+      // the scan→3×broadcast-probe→decimal-partial-agg map stage
+      // (measured 1.44×); see Tables.loadSpread
+      val li = Tables.loadSpread(s, dir, "lineitem")
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
       val p = Tables.load(s, dir, "part")
@@ -173,7 +179,7 @@ object ReferenceQueries {
 
     // F3: varchar→typed implicit-coercion casts (customer-...sql:142-165).
     "f3_cast_coercion" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
+      Tables.loadSpread(s, dir, "lineitem") // per-row cast chain ≫ scan; see loadSpread
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("string").cast(DecimalType(12, 2)).cast("double")
