@@ -202,10 +202,24 @@ object Dedup {
     // materialize once (the minhashEstimationReport pattern), so the
     // signature chain can never re-compute per join arm regardless of
     // how the optimizer places the est screen
-    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
+    val candidates0 = minhashCandidates(ex, k, bands, maxBucketSize)
       .filter(col("est_jaccard") >= minEst)
       .select("id_a", "id_b")
       .materialized
+    // r20: the checkpointed candidate list is AQE-coalesced to ONE
+    // partition at bench scale, and both text attachments below are
+    // broadcast joins — narrow, so the O(prefixLen²) DP stage inherits
+    // that single partition (measured: one 2.6 s task doing every DP
+    // while 31 cores idled). Spread the bounded list to the session
+    // parallelism before the joins; keyless round-robin on an already-
+    // materialized bounded list, so assignment is deterministic and
+    // values unchanged. d19: 3.9 → 1.7 s at sf0.1 (local[32], min-of-5).
+    val candidates = {
+      val n = candidates0.sparkSession.sparkContext.defaultParallelism
+      if (n > 1 && candidates0.rdd.getNumPartitions < n)
+        candidates0.repartition(n)
+      else candidates0
+    }
     val t = docs.select(col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("t"))
     candidates

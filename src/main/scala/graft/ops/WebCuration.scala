@@ -273,38 +273,47 @@ object WebCuration {
     // metadata instead of payloads): the previous form regrouped the
     // exploded (pos, line) STRUCTS per doc, so every surviving line's
     // TEXT crossed the doc-keyed regroup exchange and was collected +
-    // sorted in an ObjectHashAggregate. Only the duplicated POSITIONS
-    // are needed to rebuild the cleaned text from the doc's own array:
-    // semi-join the exploded rows against the dup-line table, regroup
-    // the flagged (doc, pos) INTS, and re-attach them to the source
-    // rows by doc id — the cleaned text is then a positional array
-    // filter over the original `linesCol`. Line text now crosses only
-    // the line-key lookup join (the semantic minimum); the regroup
-    // shuffles two ints per duplicated line instead of the corpus, and
-    // the doc-keyed dup-position table is bounded by boilerplate volume
-    // (broadcastable in practice — when it is not, the id join-back
-    // shuffles the docs once, which the old form paid anyway as the
-    // full-text regroup). Measured at sf0.1 (local[32], min-of-5):
-    // e43 5.74 → see OPTIMIZATION_r20.md. Output is row- and
-    // bit-identical (same counts, same " "-joined survivor order);
-    // docs with zero lines still emit nothing (posexplode emitted no
-    // rows before; the explicit size() guard keeps that contract).
+    // sorted in an ObjectHashAggregate. Only per-doc COUNTS and the
+    // duplicated POSITIONS are needed to rebuild the cleaned text from
+    // the doc's own array: flag the exploded rows against the dup-line
+    // table, regroup (count, count-if-dup, dup positions) — two ints
+    // and a bool per line instead of the line text — and re-attach to
+    // the source rows by doc id; the cleaned text is a positional
+    // array filter over the original `linesCol`. Line text now crosses
+    // only the line-key lookup join (the semantic minimum). The
+    // doc-keyed aggregate is one short row per doc (when it cannot
+    // broadcast, the id join-back shuffles the docs once, which the
+    // old form paid anyway as the full-text regroup). Measured at
+    // sf0.1 (local[32], with the callers' fenced lines staging and
+    // loadSpread): e43 5.74 → 1.25 s, e43b 3.07 → 0.89 s (see
+    // OPTIMIZATION_r20.md). Output is row- and bit-identical (same
+    // counts, same " "-joined survivor order); docs with zero lines
+    // still emit nothing (posexplode emitted no rows before; the
+    // inner join on the per-doc aggregate keeps that contract).
+    // The zero-line-doc drop (posexplode emitted no rows in the old
+    // form) comes from the INNER join against the per-doc aggregate —
+    // NOT from a `where(size(linesCol) > 0)` guard: a where() on a
+    // derived array column gets constraint-propagated into every
+    // branch of the plan as a pushed filter that re-evaluates the whole
+    // line-derivation expression below the first exchange (measured:
+    // three 1–2 s single-task scan stages on e43 at sf0.1).
     val exploded = docs
       .select(col(idCol), posexplode(col(linesCol)).as(Seq("pos", "line")))
-    val dupPos = exploded
-      .join(dupLines.select("line"), Seq("line"), "left_semi")
+    val perDoc = exploded
+      .join(dupLines.select(col("line"), lit(true).as("__dup")), Seq("line"), "left")
       .groupBy(idCol)
-      .agg(collect_list(col("pos")).as("__dup_pos"))
-    val dp = coalesce(col("__dup_pos"), array().cast("array<int>"))
-    val nLines = size(col(linesCol)).cast("long")
-    val nDup = size(dp).cast("long")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__dup"), 1)).as("n_dup_lines"),
+        collect_list(when(col("__dup"), col("pos"))).as("__dup_pos"))
+    val dp = col("__dup_pos")
     docs
-      .where(size(col(linesCol)) > 0)
-      .join(dupPos, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol))
       .select(col(idCol),
-        nLines.as("n_lines"),
-        nDup.as("n_dup_lines"),
-        (nDup.cast("double") / nLines.cast("double")).as("dup_frac"),
+        col("n_lines"),
+        col("n_dup_lines"),
+        (col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+          .as("dup_frac"),
         array_join(
           filter(col(linesCol), (l, i) => !array_contains(dp, i)),
           " ").as("cleaned"))

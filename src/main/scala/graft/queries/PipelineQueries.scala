@@ -2367,9 +2367,16 @@ object PipelineQueries {
     // from every doc, survivors re-joined in order. Three bounded
     // shuffles (distinct-count per line, flag join, per-doc regroup).
     "e43_line_dedup" -> { (s, dir) =>
+      // lines is FENCED (the staged-attribute rule): without it the
+      // Generate's inferred isnotnull constraint alias-substitutes the
+      // whole tokenLines expression and pushes it below the loadSpread
+      // repartition — the 32-way explode branches then each re-derive
+      // the lines in the SINGLE-TASK scan stage (measured: two 2.3 s
+      // one-task stages at sf0.1)
       val docs = Tables.loadSpread(s, dir, "documents")
         .withColumn("__tk", TA.tokens(col("text")))
-        .withColumn("lines", graft.ops.WebCuration.tokenLines(col("__tk"), 3))
+        .withColumn("lines", graft.ops.WebCuration.fence(
+          graft.ops.WebCuration.tokenLines(col("__tk"), 3)))
       graft.ops.WebCuration.lineDedup(docs, "doc_id", "lines", minDocs = 2L)
         .orderBy("doc_id")
     },
@@ -2381,9 +2388,11 @@ object PipelineQueries {
     // batch, via lineDedupAgainst) joins the committed scan instead of
     // re-counting the corpus. Output hash-equal to e43 (same oracle).
     "e43b_line_dedup_artifact" -> { (s, dir) =>
+      // same fenced staging as e43 (see there)
       val docs = Tables.loadSpread(s, dir, "documents")
         .withColumn("__tk", TA.tokens(col("text")))
-        .withColumn("lines", graft.ops.WebCuration.tokenLines(col("__tk"), 3))
+        .withColumn("lines", graft.ops.WebCuration.fence(
+          graft.ops.WebCuration.tokenLines(col("__tk"), 3)))
       val dup = Artifacts.table(s, "dup_lines",
           s"$dir|${fp(s, dir, "documents")}|w=3|minDocs=2", keys = Seq("line")) {
         graft.ops.WebCuration.dupLineTable(docs, "doc_id", "lines", minDocs = 2L)
