@@ -137,6 +137,12 @@ object Bench {
     val spreadJson = spread.map { case (k, (mn, mx)) =>
       jstr(k) + s""":{"min":$mn,"max":$mx}""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errCount":${errors.size},"errors":$errs,"iters":$iterations,"sf":"$sfDir","env":$env,"artifactWarm":$warm,"spreadOutlierCount":${spread.size},"spreadOutliers":$spreadJson,"iterTimes":$iterTimes,"soak":$soakJson}"""
+    // self-check BEFORE printing (r21): round 19's capture was lost to a
+    // driver-side parse failure ("parsed": null) — prove the emitted line
+    // round-trips through a real JSON parser (Jackson, on Spark's
+    // classpath) so a malformed line fails THIS run loudly instead of
+    // silently voiding the round's perf evidence
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     println(line)
     // the driver captures only a bounded stdout TAIL of this one giant
     // JSON line (BENCH_r11 lost 73/106 timings to truncation) — persist

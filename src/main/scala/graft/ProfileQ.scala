@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart, SparkListenerJobEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart, SparkListenerJobEnd, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Round-20 measurement harness (optimization guide §1): run named
@@ -35,26 +35,40 @@ object ProfileQ {
 
     case class StageRow(id: Int, name: String, wallMs: Long, taskMs: Long,
         tasks: Int, maxTaskMs: Long, inputMB: Double, srMB: Double, swMB: Double)
+    // r21 (ADVICE): listener state is mutated on the listener-bus thread
+    // and read on the main thread — guard every access with one lock and
+    // mark the collection flag volatile; max task time is accumulated from
+    // onTaskEnd (it was previously hardcoded 0 while the doc promised it).
+    val lock = new Object
     val stages = scala.collection.mutable.ArrayBuffer[StageRow]()
     val jobs = scala.collection.mutable.ArrayBuffer[(Int, Long)]() // id, wallMs
     val jobStart = scala.collection.mutable.HashMap[Int, Long]()
-    var collecting = false
+    val maxTask = scala.collection.mutable.HashMap[Int, Long]() // stageId → ms
+    @volatile var collecting = false
     val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (collecting && te.taskInfo != null) lock.synchronized {
+          val d = te.taskInfo.duration
+          if (d > maxTask.getOrElse(te.stageId, 0L)) maxTask(te.stageId) = d
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        if (collecting) {
+        if (collecting) lock.synchronized {
           val si = sc.stageInfo
           val tm = si.taskMetrics
           val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
           stages += StageRow(si.stageId, si.name.takeWhile(_ != '\n').take(90),
-            wall, tm.executorRunTime, si.numTasks, 0L,
+            wall, tm.executorRunTime, si.numTasks,
+            maxTask.getOrElse(si.stageId, 0L),
             tm.inputMetrics.bytesRead / 1e6,
             tm.shuffleReadMetrics.remoteBytesRead / 1e6 + tm.shuffleReadMetrics.localBytesRead / 1e6,
             tm.shuffleWriteMetrics.bytesWritten / 1e6)
         }
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        if (collecting) jobStart(js.jobId) = js.time
+        if (collecting) lock.synchronized { jobStart(js.jobId) = js.time }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
-        if (collecting) jobStart.remove(je.jobId).foreach(t0 => jobs += ((je.jobId, je.time - t0)))
+        if (collecting) lock.synchronized {
+          jobStart.remove(je.jobId).foreach(t0 => jobs += ((je.jobId, je.time - t0)))
+        }
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -69,23 +83,31 @@ object ProfileQ {
       // warm iterations: artifact builds + codegen happen here
       var lastWall = 0.0
       (1 until iters).foreach { _ => noop(fn(spark, sfDir)) }
-      stages.clear(); jobs.clear()
+      lock.synchronized { stages.clear(); jobs.clear(); maxTask.clear() }
       collecting = true
       val t0 = System.nanoTime()
       noop(fn(spark, sfDir))
       lastWall = (System.nanoTime() - t0) / 1e9
-      // stage-completed events are posted asynchronously; give the bus a
-      // moment to drain (listenerBus is private[spark])
-      Thread.sleep(300)
-      collecting = false
-      println(f"\n===== $q  wall=${lastWall}%.2fs  jobs=${jobs.size}  stages=${stages.size} =====")
-      println(f"${"stage"}%6s ${"wall_ms"}%8s ${"task_ms"}%8s ${"tasks"}%6s ${"in_MB"}%8s ${"sr_MB"}%8s ${"sw_MB"}%8s  name")
-      stages.sortBy(-_.wallMs).take(18).foreach { s =>
-        println(f"${s.id}%6d ${s.wallMs}%8d ${s.taskMs}%8d ${s.tasks}%6d ${s.inputMB}%8.1f ${s.srMB}%8.1f ${s.swMB}%8.1f  ${s.name}")
+      // stage-completed events are posted asynchronously; poll until the
+      // buffers go quiet (bounded) instead of one fixed sleep — a busy bus
+      // could otherwise drop late events from the report
+      var (seen, quiet, waited) = (-1, 0, 0)
+      while (quiet < 2 && waited < 3000) {
+        Thread.sleep(100); waited += 100
+        val n = lock.synchronized(stages.size + jobs.size)
+        if (n == seen) quiet += 1 else { seen = n; quiet = 0 }
       }
-      val totWall = stages.map(_.wallMs).sum
-      val totTask = stages.map(_.taskMs).sum
-      println(f"TOTAL stage-wall=${totWall}ms  task-time=${totTask}ms  wall=${lastWall * 1000}%.0fms  jobWall=${jobs.map(_._2).sum}ms")
+      collecting = false
+      lock.synchronized {
+        println(f"\n===== $q  wall=${lastWall}%.2fs  jobs=${jobs.size}  stages=${stages.size} =====")
+        println(f"${"stage"}%6s ${"wall_ms"}%8s ${"task_ms"}%8s ${"tasks"}%6s ${"maxt_ms"}%8s ${"in_MB"}%8s ${"sr_MB"}%8s ${"sw_MB"}%8s  name")
+        stages.sortBy(-_.wallMs).take(18).foreach { s =>
+          println(f"${s.id}%6d ${s.wallMs}%8d ${s.taskMs}%8d ${s.tasks}%6d ${s.maxTaskMs}%8d ${s.inputMB}%8.1f ${s.srMB}%8.1f ${s.swMB}%8.1f  ${s.name}")
+        }
+        val totWall = stages.map(_.wallMs).sum
+        val totTask = stages.map(_.taskMs).sum
+        println(f"TOTAL stage-wall=${totWall}ms  task-time=${totTask}ms  wall=${lastWall * 1000}%.0fms  jobWall=${jobs.map(_._2).sum}ms")
+      }
     }
     spark.stop()
   }

@@ -56,9 +56,20 @@ object Tables {
     * A/B knob — flips every opted-in site at once). */
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
+    // defensive parse (r21, ADVICE): a malformed override must fail with
+    // a message naming the knob, not a bare NumberFormatException deep
+    // inside whichever query happened to read a table first
+    def parseFloor(src: String, v: String): Int =
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException => sys.error(
+          s"$src: expected an integer scan-parallelism floor, got '$v'")
+      }
     val floor = sys.env.get("SPARK_GRAFT_SCAN_FLOOR")
-      .orElse(spark.conf.getOption("spark.graft.scanParallelismFloor"))
-      .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+      .map(parseFloor("SPARK_GRAFT_SCAN_FLOOR", _))
+      .orElse(spark.conf.getOption("spark.graft.scanParallelismFloor")
+        .map(parseFloor("spark.graft.scanParallelismFloor", _)))
+      .getOrElse(spark.sparkContext.defaultParallelism)
     if (floor <= 1) df
     else if (df.rdd.getNumPartitions < floor) df.repartition(floor)
     else df

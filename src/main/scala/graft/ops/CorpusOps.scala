@@ -649,12 +649,21 @@ object CorpusOps {
       batchK: Int = 1): DataFrame = {
     require(batchK >= 1, "batchK must be >= 1")
     val spark = df.sparkSession
+    // r21 (guide §1.2/§7.3 — the bottleneck is DRIVER latency, not task
+    // work): ProfileQ measured e23 at 160 jobs / 7.1 s wall with only
+    // 2.5 s of stage time — ~4.5 s was inter-job driver overhead. The
+    // rounds are semantic (batched BPE), but the per-round CHECKPOINT
+    // job is not: a LAZY localCheckpoint cuts lineage identically while
+    // folding block materialization into the next round's pair-count
+    // action, removing one driver-synced job per round (plus this
+    // initial one). Values are unchanged — the same plan materializes,
+    // just inside the consumer's job.
     var current = df
       .select(explode(TA.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), split(col("word"), "").as("syms"))
-      .materialized // constant-size plan root for every round
+      .materializedLazy // constant-size plan root for every round
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
@@ -683,13 +692,15 @@ object CorpusOps {
         val roundMerges = array(picked.flatMap {
           case (a, b, _) => Seq(lit(a), lit(b))
         }.toIndexedSeq: _*)
-        // eager localCheckpoint: materializes the round AND truncates the
-        // plan to an ExistingRDD scan — persist would nest the previous
-        // round's plan inside an InMemoryRelation, doubling per-job plan
-        // stringification cost every round (driver OOM by ~13 rounds)
+        // LAZY localCheckpoint (r21): truncates the plan to an
+        // ExistingRDD scan exactly like the eager form (persist would
+        // nest the previous round's plan inside an InMemoryRelation,
+        // doubling per-job plan stringification cost every round —
+        // driver OOM by ~13 rounds), but materializes inside the next
+        // round's count job instead of a dedicated job per round
         current = current
           .withColumn("syms", call_function("graft_bpe_apply", col("syms"), roundMerges))
-          .materialized
+          .materializedLazy
       }
     }
     spark.createDataFrame(merges.toSeq).toDF("step", "lsym", "rsym", "cnt")

@@ -359,6 +359,35 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** [[ngramJaccardPairs]] over PRE-COMPUTED deduplicated [[shingleRows]]
+    * (id, h) plus a per-doc block-key table (id, blk) — the form a
+    * pipeline uses when the corpus signature table is a durable artifact
+    * (d2's shingles): the tokenize+window-hash+distinct pass — the op's
+    * dominant cost, a full corpus map stage at 100 TB — is not re-run
+    * per consumer; attaching the doc-local block key is one id-keyed
+    * join of two narrow columns. Values are identical to the inline
+    * form: same distinct (id, h) set, same block hash, same
+    * set-similarity join (r21, guide §2.4 — one pass feeds all).
+    * PRECONDITION: `blocks` has exactly one row per id. */
+  def ngramJaccardPairsWithShingles(
+      ex0: DataFrame, blocks: DataFrame, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0, "minJaccard must be > 0 (zero-overlap pairs are never emitted)")
+    val ex = ex0.select(col("id"), col("h")).join(blocks, Seq("id"))
+    val sizes = ex0.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = ex.select(col("blk"), col("h"), col("id").as("id_a"))
+    val b = ex.select(col("blk"), col("h"), col("id").as("id_b"))
+    val inter = a.join(b, Seq("blk", "h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within blocks —
     * the precise verify stage downstream of LSH candidates. */
   def ngramJaccardPairs(
@@ -751,12 +780,15 @@ object Dedup {
     *
     * Plan: the deduplicated shingle rows are computed ONCE (with the
     * block key attached) and persisted; the truth side's set-similarity
-    * self-join, the signature minima, and the verify join all re-scan the
-    * same cached blocks — previously three independent tokenize+hash
-    * passes. The truth side is deliberately pair-quadratic within blocks
-    * (it IS the ground truth), so this is a tuning-sample-scale op, never
-    * a corpus pass. The bounded report is materialized eagerly and the
-    * corpus-sized cache released before returning.
+    * self-join and the signature minima re-scan the same cached blocks
+    * — previously three independent tokenize+hash passes. The "found"
+    * side joins the CANDIDATE list directly (no per-candidate verify
+    * pass — see the inline note: against truth rows the verify filter
+    * is provably a no-op). The truth side is deliberately
+    * pair-quadratic within blocks (it IS the ground truth), so this is
+    * a tuning-sample-scale op, never a corpus pass. The bounded report
+    * is materialized eagerly and the corpus-sized cache released before
+    * returning.
     *
     * @return (bucket, n_truth, n_found, recall), one row per non-empty
     *   decile bucket of true Jaccard ≥ minJaccard. */
@@ -772,6 +804,23 @@ object Dedup {
         portable = portable)
       .dropDuplicates("id", "h") // blk is functionally dependent on id
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val report = lshRecallReportWithShingles(ex, minJaccard, k, bands,
+      maxBucketSize)
+    ex.unpersist(blocking = false)
+    report
+  }
+
+  /** [[lshRecallReport]] over PRE-COMPUTED deduplicated shingle rows
+    * carrying the block key — (id, blk, h), e.g. the durable signature
+    * artifact joined with a per-doc block table (r21, guide §2.4: the
+    * tokenize+hash+distinct pass is the report's dominant map cost and
+    * a pipeline computes it once per corpus version). Callers own the
+    * frame's lifecycle (persist or store-backed); the bounded report is
+    * still materialized eagerly before returning. */
+  def lshRecallReportWithShingles(ex: DataFrame, minJaccard: Double,
+      k: Int = 16, bands: Int = 8,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    require(minJaccard > 0, "minJaccard must be > 0 (zero-overlap pairs are never emitted)")
     // truth: the [[ngramJaccardPairs]] set-similarity plan over the block key
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val ta = ex.select(col("blk"), col("h"), col("id").as("id_a"))
@@ -784,10 +833,21 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-    // found: candidates from the SAME cached rows, verified the same way
-    val candidates = minhashCandidates(ex, k, bands, maxBucketSize)
-      .select("id_a", "id_b")
-    val found = verifiedJaccard(candidates, ex, minJaccard)
+    // found: the LSH candidate list itself (r21, guide §1.2 — don't
+    // compute what you throw away). The old form re-verified every
+    // candidate's true Jaccard (a full second intersection-count
+    // aggregation + two size joins — ProfileQ: ~2 of d12's 39 s of task
+    // time, plus 4 exchanges) only for the report to LEFT-JOIN it
+    // against `truth` and count matches. But a truth row for a pair
+    // already certifies jaccard ≥ minJaccard (jaccard is intrinsic to
+    // the pair — the same value the verify pass recomputes), so
+    //   truth ⋉ verified(candidates)  ≡  truth ⋉ candidates:
+    // candidates failing the verify threshold can never match a truth
+    // row, and candidates crossing blocks never appear in truth. The
+    // recall a production run measures is unchanged; the whole verify
+    // re-aggregation drops out of the plan (oracle replay green at
+    // sf0.01 + sf0.001).
+    val found = minhashCandidates(ex, k, bands, maxBucketSize)
       .select(col("id_a").as("fa"), col("id_b").as("fb"))
     val report = truth
       .join(found, col("id_a") === col("fa") && col("id_b") === col("fb"),
@@ -797,8 +857,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_truth"), count(col("fa")).as("n_found"))
       .withColumn("recall",
         col("n_found").cast("double") / col("n_truth").cast("double"))
-      .materialized // report-sized; frees the cache for release
-    ex.unpersist(blocking = false)
+      .materialized // report-sized; frees the caller's cache for release
     report
   }
 

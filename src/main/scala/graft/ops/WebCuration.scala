@@ -266,7 +266,15 @@ object WebCuration {
     * artifact): cut every line present in the table, re-join survivors
     * in original order. This is both the artifact-serving path (e43b)
     * and the incremental form — a new ingest batch cleans against the
-    * corpus's known boilerplate without touching corpus data. */
+    * corpus's known boilerplate without touching corpus data.
+    *
+    * PRECONDITION: `idCol` must be UNIQUE in `docs` (r21, ADVICE note).
+    * The r20 rewrite re-attaches the per-doc aggregate to the source
+    * rows by id; with duplicate ids it would emit one row per input row
+    * with counts/positions merged ACROSS all rows of that id, where the
+    * grouped form emitted one row per id. Every registered caller keys
+    * by a primary-key doc id; callers on arbitrary frames must
+    * deduplicate ids first. */
   def lineDedupAgainst(docs: DataFrame, idCol: String, linesCol: String,
       dupLines: DataFrame): DataFrame = {
     // r20 rewrite (optimization guide §2.3 / §8 — shuffle keys and

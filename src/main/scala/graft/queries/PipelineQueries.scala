@@ -122,7 +122,8 @@ object PipelineQueries {
   val artifactConsumers: Set[String] = Set(
     "g1_pagerank", "g2_connected_components", "g3_cluster_reps",
     "g4_semantic_clusters", "g5_cluster_keywords", "g6_knn_triangles",
-    "d2_minhash_lsh", "d4b_lsh_verified", "d13_incremental_dedup",
+    "d2_minhash_lsh", "d4_ngram_jaccard", "d4b_lsh_verified",
+    "d12_lsh_recall", "d13_incremental_dedup",
     "d16_semdedup", "d17_containment", "d19_edit_verify", "d20_minhash_est",
     "d21_dedup_impact", "r1_bm25_topk", "r2_hybrid_rrf", "r3_bm25_prf",
     "r4_hard_negatives", "n5_ann_ivf_kmeans", "n7_ann_recall_kmeans",
@@ -588,10 +589,19 @@ object PipelineQueries {
     },
 
     // Exact 2-gram Jaccard over (lang, source)-blocked pairs — the verify
-    // stage downstream of LSH candidates.
+    // stage downstream of LSH candidates. r21: reads the shared 2-gram
+    // signature ARTIFACT (the same rows the inline pass derived —
+    // guide §2.4: at 100 TB the signature table is computed once per
+    // corpus version, and the tokenize+hash+distinct pass was this
+    // query's dominant map cost, ProfileQ: 2 single-task ~200 ms stages
+    // re-deriving it); the (lang, source) block key attaches as one
+    // id-keyed join of two narrow columns.
     "d4_ngram_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-          Seq("lang", "source"), n = 2, minJaccard = 0.02)
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.ngramJaccardPairsWithShingles(docShingles(s, dir),
+          docs.select(col("doc_id").as("id"),
+            xxhash64(col("lang"), col("source")).as("blk")),
+          minJaccard = 0.02)
         .orderBy("id_a", "id_b")
     },
 
@@ -616,10 +626,17 @@ object PipelineQueries {
     // is d4's deliberately-quadratic shape, so like d4 this query is
     // tuning-sample scale only (sf0.01: recall 0.015 at j∈[0.05,0.1),
     // 1.0 at j≥0.9 — the textbook banding S-curve), never a corpus pass.
+    // r21: reads the shared 2-gram signature artifact (guide §2.4, the
+    // d4 rewiring note) instead of re-running the tokenize+hash+distinct
+    // pass inline; block keys attach as one id-keyed narrow join.
     "d12_lsh_recall" -> { (s, dir) =>
-      Dedup.lshRecallReport(Tables.load(s, dir, "documents"), "doc_id", "text",
-          Seq("lang", "source"), minJaccard = 0.05,
-          k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.lshRecallReportWithShingles(
+          docShingles(s, dir).join(
+            docs.select(col("doc_id").as("id"),
+              xxhash64(col("lang"), col("source")).as("blk")),
+            Seq("id")),
+          minJaccard = 0.05, k = 16, bands = 8, maxBucketSize = Some(8))
         .orderBy("bucket")
     },
 

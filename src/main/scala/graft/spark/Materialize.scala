@@ -38,5 +38,25 @@ object Materialize {
         df.checkpoint(eager = true)
       } else df.localCheckpoint(eager = true)
     }
+
+    /** LAZY variant (r21, guide §1.2 — fewer driver round-trips): same
+      * lineage cut, but materialization happens inside the NEXT action
+      * that consumes the frame instead of paying a dedicated job here.
+      * For a driver-synced loop (the BPE rounds: ~13 rounds × [count
+      * job + checkpoint job]) this halves the per-round job count —
+      * the next round's pair-count action computes AND persists the
+      * checkpoint blocks in one submission. Use only where the frame
+      * is guaranteed to be consumed exactly once before the next cut
+      * (otherwise the first consumer pays the materialization and the
+      * guarantee of "computed once" still holds — blocks are reused —
+      * but the latency lands unpredictably). */
+    def materializedLazy: DataFrame = {
+      val s = df.sparkSession
+      if (s.conf.get(CONF, "false").toBoolean) {
+        require(s.sparkContext.getCheckpointDir.isDefined,
+          s"$CONF=true requires sparkContext.setCheckpointDir(...)")
+        df.checkpoint(eager = false)
+      } else df.localCheckpoint(eager = false)
+    }
   }
 }
