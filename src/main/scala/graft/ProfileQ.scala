@@ -41,8 +41,8 @@ object ProfileQ {
     // onTaskEnd (it was previously hardcoded 0 while the doc promised it).
     val lock = new Object
     val stages = scala.collection.mutable.ArrayBuffer[StageRow]()
-    val jobs = scala.collection.mutable.ArrayBuffer[(Int, Long)]() // id, wallMs
-    val jobStart = scala.collection.mutable.HashMap[Int, Long]()
+    val jobs = scala.collection.mutable.ArrayBuffer[(Int, Long, String)]() // id, wallMs, site
+    val jobStart = scala.collection.mutable.HashMap[Int, (Long, String)]()
     val maxTask = scala.collection.mutable.HashMap[Int, Long]() // stageId → ms
     @volatile var collecting = false
     val listener = new SparkListener {
@@ -64,10 +64,16 @@ object ProfileQ {
             tm.shuffleWriteMetrics.bytesWritten / 1e6)
         }
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        if (collecting) lock.synchronized { jobStart(js.jobId) = js.time }
+        if (collecting) lock.synchronized {
+          val site = js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n').take(60))
+            .orElse(Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))).getOrElse("?")
+          jobStart(js.jobId) = (js.time, site)
+        }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         if (collecting) lock.synchronized {
-          jobStart.remove(je.jobId).foreach(t0 => jobs += ((je.jobId, je.time - t0)))
+          jobStart.remove(je.jobId).foreach { case (t0, site) =>
+            jobs += ((je.jobId, je.time - t0, site)) }
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -104,6 +110,14 @@ object ProfileQ {
         stages.sortBy(-_.wallMs).take(18).foreach { s =>
           println(f"${s.id}%6d ${s.wallMs}%8d ${s.taskMs}%8d ${s.tasks}%6d ${s.maxTaskMs}%8d ${s.inputMB}%8.1f ${s.srMB}%8.1f ${s.swMB}%8.1f  ${s.name}")
         }
+        // per-callsite job rollup: where the DRIVER round-trips go —
+        // count × mean wall per submission site (diagnoses job-count
+        // pathologies the stage table can't show)
+        jobs.groupBy(_._3).toSeq
+          .map { case (site, js) => (site, js.size, js.map(_._2).sum) }
+          .sortBy(-_._3).take(12).foreach { case (site, n, w) =>
+            println(f"  jobs $n%4d  wall ${w}%6dms  $site")
+          }
         val totWall = stages.map(_.wallMs).sum
         val totTask = stages.map(_.taskMs).sum
         println(f"TOTAL stage-wall=${totWall}ms  task-time=${totTask}ms  wall=${lastWall * 1000}%.0fms  jobWall=${jobs.map(_._2).sum}ms")

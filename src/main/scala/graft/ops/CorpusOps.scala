@@ -14,6 +14,31 @@ import graft.spark.Materialize.MaterializeOps
   */
 object CorpusOps {
 
+  /** Child session for the BPE loop's tiny-data mode (AQE off — the
+    * round queries are exchange-free single-partition plans with
+    * nothing to adapt, and per-action AQE machinery was the measured
+    * residual driver cost). Conf isolation is per-session, so callers
+    * sharing the parent session never observe the flip. MEMOIZED per
+    * parent session (weak keys — a stopped test session must not be
+    * pinned): session-state construction costs ~0.4 s, which would
+    * otherwise tax every short training run (e22/e26/e36 regressed
+    * 0.7× with a fresh child session per call). Holds no data, no
+    * results — configuration only. */
+  private val bpeLoopSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]()
+  private[ops] def bpeLoopSession(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    bpeLoopSessions.synchronized {
+      var s = bpeLoopSessions.get(spark)
+      if (s == null) {
+        s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        bpeLoopSessions.put(spark, s)
+      }
+      s
+    }
+
   /** Split each document into overlapping token-window chunks:
     * chunk i covers tokens [i·(size−overlap), i·(size−overlap)+size).
     * Returns (idCol, chunk_id, chunk_text, n_tokens).
@@ -658,12 +683,44 @@ object CorpusOps {
     // action, removing one driver-synced job per round (plus this
     // initial one). Values are unchanged — the same plan materializes,
     // just inside the consumer's job.
-    var current = df
+    // Round-latency guard (measured after the lazy-checkpoint change:
+    // still ~4 driver jobs per round, all AQE query-stage submissions
+    // for the pair-count exchange): when the working table is already
+    // tiny — AQE coalesced it to a handful of partitions — fold it to
+    // ONE partition. CoalesceExec(1) reports SinglePartition, which
+    // satisfies the pair-count aggregate's clustered distribution, so
+    // each round's count query plans WITHOUT an exchange and runs as
+    // exactly one driver job. (A checkpointed RDD reports Unknown
+    // partitioning even at 1 partition, so the coalesce is needed even
+    // then — it is what carries the SinglePartition guarantee.) Guarded
+    // on the observed partition count (an RDD-metadata read, no job):
+    // a production-scale vocabulary arrives in many partitions, the
+    // guard never fires, and the shuffle stays — this only removes
+    // per-job driver latency where the data is too small for the
+    // exchange to matter.
+    def compactIfTiny(d: DataFrame): DataFrame =
+      if (d.rdd.getNumPartitions <= 4) d.coalesce(1) else d
+    var current = compactIfTiny(df
       .select(explode(TA.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), split(col("word"), "").as("syms"))
-      .materializedLazy // constant-size plan root for every round
+      .materializedLazy) // constant-size plan root for every round
+    // AQE machinery is the residual per-round driver cost once the
+    // working set is one partition (thread-dump-measured: final-plan
+    // re-optimization per action on plans with NOTHING to adapt — the
+    // round queries are exchange-free). Rebind the loop to a CHILD
+    // session with AQE off: conf isolation is per-session, so no shared
+    // -session caller (parallel test suites, the bench) ever observes
+    // the flip. Fires only alongside the tiny-guard (1 partition); at
+    // scale the exchange is real and AQE stays on. The one-time
+    // rebind converts the tiny table through the Row API — bounded by
+    // the same guard that proved it tiny.
+    if (current.rdd.getNumPartitions == 1) {
+      current = compactIfTiny(
+        CorpusOps.bpeLoopSession(spark)
+          .createDataFrame(current.rdd, current.schema).materializedLazy)
+    }
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
@@ -688,19 +745,25 @@ object CorpusOps {
         }
         // the whole round applies in ONE native call (k linear greedy
         // scans per row — see graft.spark.BpeApplyMerges for why k
-        // composed column transforms are not an option: ~7^k tree nodes)
-        val roundMerges = array(picked.flatMap {
-          case (a, b, _) => Seq(lit(a), lit(b))
-        }.toIndexedSeq: _*)
+        // composed column transforms are not an option: ~7^k tree nodes).
+        // ONE ArrayType literal, not array(lit, lit, …): CreateArray's
+        // generated source varies with arity, so rounds picking 3 vs 8
+        // merges each paid a fresh Janino compile; a single array
+        // literal is a constant reference in the generated code — the
+        // per-round apply plan compiles once and hits the codegen cache
+        // thereafter (r21, thread-dump-measured driver cost).
+        val roundMerges = lit(picked.flatMap {
+          case (a, b, _) => Seq(a, b)
+        }.toArray)
         // LAZY localCheckpoint (r21): truncates the plan to an
         // ExistingRDD scan exactly like the eager form (persist would
         // nest the previous round's plan inside an InMemoryRelation,
         // doubling per-job plan stringification cost every round —
         // driver OOM by ~13 rounds), but materializes inside the next
         // round's count job instead of a dedicated job per round
-        current = current
+        current = compactIfTiny(current
           .withColumn("syms", call_function("graft_bpe_apply", col("syms"), roundMerges))
-          .materializedLazy
+          .materializedLazy)
       }
     }
     spark.createDataFrame(merges.toSeq).toDF("step", "lsym", "rsym", "cnt")
@@ -754,10 +817,8 @@ object CorpusOps {
     // zero learned merges (single-char-word corpus, or an exhausted
     // vocabulary) must yield a typed empty array<string> — a bare
     // array() is array<null> and graft_bpe_apply rejects it
-    val mergeArr =
-      if (mergeRows.isEmpty) lit(Array.empty[String])
-      else array(mergeRows.flatMap(r =>
-        Seq(lit(r.getString(1)), lit(r.getString(2)))).toIndexedSeq: _*)
+    val mergeArr = lit(mergeRows.flatMap(r =>
+      Seq(r.getString(1), r.getString(2))))
     df.select(explode(TA.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .select(explode(call_function("graft_bpe_apply",
@@ -792,10 +853,8 @@ object CorpusOps {
     // zero learned merges (single-char-word corpus, or an exhausted
     // vocabulary) must yield a typed empty array<string> — a bare
     // array() is array<null> and graft_bpe_apply rejects it
-    val mergeArr =
-      if (mergeRows.isEmpty) lit(Array.empty[String])
-      else array(mergeRows.flatMap(r =>
-        Seq(lit(r.getString(1)), lit(r.getString(2)))).toIndexedSeq: _*)
+    val mergeArr = lit(mergeRows.flatMap(r =>
+      Seq(r.getString(1), r.getString(2))))
     val lw = df.select(col(langCol).as("lang"),
         explode(TA.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
