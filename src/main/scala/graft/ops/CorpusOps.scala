@@ -14,30 +14,6 @@ import graft.spark.Materialize.MaterializeOps
   */
 object CorpusOps {
 
-  /** Child session for the BPE loop's tiny-data mode (AQE off — the
-    * round queries are exchange-free single-partition plans with
-    * nothing to adapt, and per-action AQE machinery was the measured
-    * residual driver cost). Conf isolation is per-session, so callers
-    * sharing the parent session never observe the flip. MEMOIZED per
-    * parent session (weak keys — a stopped test session must not be
-    * pinned): session-state construction costs ~0.4 s, which would
-    * otherwise tax every short training run (e22/e26/e36 regressed
-    * 0.7× with a fresh child session per call). Holds no data, no
-    * results — configuration only. */
-  private val bpeLoopSessions =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.SparkSession]()
-  private[ops] def bpeLoopSession(
-      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
-    bpeLoopSessions.synchronized {
-      var s = bpeLoopSessions.get(spark)
-      if (s == null) {
-        s = spark.newSession()
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        bpeLoopSessions.put(spark, s)
-      }
-      s
-    }
 
   /** Split each document into overlapping token-window chunks:
     * chunk i covers tokens [i·(size−overlap), i·(size−overlap)+size).
@@ -709,18 +685,11 @@ object CorpusOps {
     // AQE machinery is the residual per-round driver cost once the
     // working set is one partition (thread-dump-measured: final-plan
     // re-optimization per action on plans with NOTHING to adapt — the
-    // round queries are exchange-free). Rebind the loop to a CHILD
-    // session with AQE off: conf isolation is per-session, so no shared
-    // -session caller (parallel test suites, the bench) ever observes
-    // the flip. Fires only alongside the tiny-guard (1 partition); at
-    // scale the exchange is real and AQE stays on. The one-time
-    // rebind converts the tiny table through the Row API — bounded by
-    // the same guard that proved it tiny.
-    if (current.rdd.getNumPartitions == 1) {
-      current = compactIfTiny(
-        CorpusOps.bpeLoopSession(spark)
-          .createDataFrame(current.rdd, current.schema).materializedLazy)
-    }
+    // round queries are exchange-free). Rebind the loop to the shared
+    // tiny-loop child session ([[graft.spark.TinyLoop]]); fires only
+    // alongside the tiny-guard — at scale the exchange is real and AQE
+    // stays on.
+    current = compactIfTiny(graft.spark.TinyLoop.rebindIfTiny(current))
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {

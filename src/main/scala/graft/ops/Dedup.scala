@@ -569,9 +569,23 @@ object Dedup {
     *   not the expected count: 20 covers components up to ~2^20 nodes). */
   def clusterPairs(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
-    val nodes = pairs.select(col(idACol).as("id"))
-      .union(pairs.select(col(idBCol).as("id"))).distinct()
-    var edges = pairs
+    // r21 (guide §2.4 + §1.2/§7.3): ONE materialized pair root feeds
+    // both the node set and the edge normalization (the pair derivation
+    // — an LSH candidate chain or a mutual-kNN join — previously re-ran
+    // for each). When that root is observed tiny, the whole contraction
+    // rebinds to the shared tiny-loop session (AQE off, one shuffle
+    // partition): at bench scale the loop is DRIVER-latency-bound —
+    // ProfileQ measured g4 at 48 jobs with more wall in inter-job gaps
+    // than in stages, every round-pair paying AQE stage-materialization
+    // jobs and 32-partition shuffles of a few thousand edges; a star
+    // round on the tiny-loop session costs one single-task job. Values
+    // unchanged (min/distinct are partitioning-insensitive); no-op at
+    // scale — see [[graft.spark.TinyLoop]].
+    val p0 = graft.spark.TinyLoop.rebindIfTiny(
+      pairs.select(col(idACol), col(idBCol)).materialized)
+    val nodes = p0.select(col(idACol).as("id"))
+      .union(p0.select(col(idBCol).as("id"))).distinct()
+    var edges = p0
       .select(greatest(col(idACol), col(idBCol)).as("a"),
         least(col(idACol), col(idBCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct().materialized
@@ -976,7 +990,12 @@ object Dedup {
     * fold. */
   def pagerankCentrality(pairs: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
-    val p = pairs.select("id_a", "id_b").materialized
+    // r21: tiny-loop rebind (same rationale and guard as [[clusterPairs]]
+    // — the iteration chain's exchanges are driver-latency-bound at
+    // bench scale; values are partitioning-insensitive by the sorted-
+    // struct fold contract; no-op at scale).
+    val p = graft.spark.TinyLoop.rebindIfTiny(
+      pairs.select("id_a", "id_b").materialized)
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))

@@ -1885,6 +1885,10 @@ object PipelineQueries {
     // the whole chain together (broadcast semi-joins, one bounded mix
     // window at the end). The oracle replays every stage.
     "c1_prep_pipeline" -> { (s, dir) =>
+      // loadSpread trialled AND REJECTED here twice (r20 §8, r21: 2.00
+      // -> 2.37 s min-of-5) — the pipeline's many doc_id-keyed semi-join
+      // branches each re-pay the raw-text exchange, which outweighs
+      // parallelizing the single-task map stages.
       val docs = Tables.load(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 20 === 0)
       val pool = docs.filter(col("doc_id") % 20 =!= 0)
