@@ -180,14 +180,24 @@ object JoinKeyPrune extends Rule[LogicalPlan] with PredicateHelper {
   /** The probe job failed or the type is range-unsafe — proves nothing. */
   private case object Unknown extends Probe
 
-  // build-side key probe memo: canonicalized (plan, key) → the probe
-  // (Unknown = failed, don't retry this plan)
+  // build-side key probe memo: (canonicalized plan, key POSITION in the
+  // build output) → the probe (Unknown = failed, don't retry this plan).
+  // r21: the key was previously (plan.canonicalized, attr.canonicalized)
+  // — but a STANDALONE attribute's canonicalization does not normalize
+  // its exprId (only whole-plan canonicalization does, by position), so
+  // every fresh analysis of the same query produced a new exprId and
+  // the memo NEVER hit across executions: each run re-paid the
+  // distinct-limit probe job (+ the span agg on wide dims). Keying on
+  // the attribute's output ordinal is invocation-stable and exactly as
+  // precise — "repeated queries of the same dim pay once per session",
+  // as this rule's scaladoc always promised (measured: j13's two probe
+  // jobs ran on every one of its bench iterations).
   private val MemoCap = 256
   private val memo = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(LogicalPlan, Expression), Probe](
+    new java.util.LinkedHashMap[(LogicalPlan, Int), Probe](
         16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(LogicalPlan, Expression), Probe])
+          e: java.util.Map.Entry[(LogicalPlan, Int), Probe])
           : Boolean = size() > MemoCap
     })
 
@@ -210,7 +220,7 @@ object JoinKeyPrune extends Rule[LogicalPlan] with PredicateHelper {
       build: LogicalPlan, attr: AttributeReference): Probe = {
     val maxKeys = conf.getConfString(MaxKeysConf, "10000").toInt
     val key = (build.canonicalized,
-      attr.canonicalized.asInstanceOf[Expression])
+      build.output.indexWhere(_.exprId == attr.exprId))
     val hit = memo.get(key)
     if (hit != null) return hit
     val computed: Probe =
