@@ -569,20 +569,17 @@ object Dedup {
     *   not the expected count: 20 covers components up to ~2^20 nodes). */
   def clusterPairs(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
-    // r21 (guide §2.4 + §1.2/§7.3): ONE materialized pair root feeds
-    // both the node set and the edge normalization (the pair derivation
-    // — an LSH candidate chain or a mutual-kNN join — previously re-ran
-    // for each). When that root is observed tiny, the whole contraction
-    // rebinds to the shared tiny-loop session (AQE off, one shuffle
-    // partition): at bench scale the loop is DRIVER-latency-bound —
-    // ProfileQ measured g4 at 48 jobs with more wall in inter-job gaps
-    // than in stages, every round-pair paying AQE stage-materialization
-    // jobs and 32-partition shuffles of a few thousand edges; a star
-    // round on the tiny-loop session costs one single-task job. Values
-    // unchanged (min/distinct are partitioning-insensitive); no-op at
-    // scale — see [[graft.spark.TinyLoop]].
-    val p0 = graft.spark.TinyLoop.rebindIfTiny(
-      pairs.select(col(idACol), col(idBCol)).materialized)
+    // r21 (guide §2.4): ONE materialized pair root feeds both the node
+    // set and the edge normalization — the pair derivation (an LSH
+    // candidate chain or a mutual-kNN join) previously re-ran for each.
+    // A TinyLoop rebind of the contraction (AQE off, 1 shuffle
+    // partition — the pagerank/BPE fix) was MEASURED AND REJECTED here:
+    // the star rounds carry real per-round compute (g4's mutual-kNN
+    // graph: ~8 shuffle stages × 100-220 ms per round single-task), and
+    // serializing them regressed g4 2.65 → 4.2 s even as the job count
+    // fell 48 → 12; the AQE-parallel rounds win despite their
+    // scheduling overhead.
+    val p0 = pairs.select(col(idACol), col(idBCol)).materialized
     val nodes = p0.select(col(idACol).as("id"))
       .union(p0.select(col(idBCol).as("id"))).distinct()
     var edges = p0

@@ -26,7 +26,15 @@ object Similarity {
 
   /** Exact cosine top-k: for each query row, the k nearest corpus rows
     * (excluding self-matches by id). Query side is broadcast — it is the
-    * small side by construction. Ties broken by corpus id ascending. */
+    * small side by construction. Ties broken by corpus id ascending.
+    *
+    * Plan-shape note (r21, the n7 audit): the non-equi pair join plans
+    * as a BroadcastNestedLoopJoin whose BUILD side is the broadcast
+    * QUERY set — bounded by the caller's contract (this op is the
+    * exact/evaluation tier; every registered caller passes ≤ tens of
+    * query rows). The streamed corpus side is never shuffled, so the
+    * shape is scale-safe exactly as long as the query batch is
+    * driver-broadcastable, which is the op's stated precondition. */
   /** (id, v: array<double>, nrm) projection — norms computed once per
     * vector, before any pair join (bit-exact: cast-then-fold, same as
     * computing them per pair). */
@@ -94,7 +102,15 @@ object Similarity {
   /** IVF-style ANN: probe the `nprobe` groups whose centroids are nearest
     * each query (by cosine), then exact top-k within the probed groups.
     * `groupCol` is the coarse quantization — a cluster id, label, or any
-    * partition key the corpus is laid out by. */
+    * partition key the corpus is laid out by.
+    *
+    * Plan-shape note (r21, the n7 audit): the probe-selection cross
+    * join (`queries × centroids`) plans as a BroadcastNestedLoopJoin
+    * whose BUILD side is the CENTROID table — exactly K rows (the
+    * number of coarse cells, 20-32 here; thousands at most in any IVF
+    * deployment), so the nested-loop side is bounded by construction
+    * and the streamed query side never shuffles for it. The scoring
+    * join's strategy is left to AQE — see the inline note. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, groupCol: String,
@@ -112,7 +128,17 @@ object Similarity {
     val c = corpus.select(col(groupCol), col(idCol).as("neighbor_id"),
         transform(col(vecCol), x => x.cast("double")).as("cv"))
       .withColumn("cn", VA.norm(col("cv")))
-    val scored = broadcast(probes)
+    // No broadcast hint on the probe side (r21): with a BOUNDED query
+    // batch AQE broadcasts it at runtime anyway (its actual size is
+    // known at the shuffle boundary), but when the caller evaluates the
+    // WHOLE corpus as queries (the n13b recall sweep) the probe table is
+    // queries × nprobe full vectors — a forced broadcast built a ~75 MB
+    // driver-side hash relation per run (and at 100 TB would exceed the
+    // 8 GB broadcast cap outright). AQE's size-based choice keeps the
+    // bounded case a broadcast join and gives the corpus-sized case a
+    // parallel shuffled join with skew splitting on the low-cardinality
+    // cluster key.
+    val scored = probes
       .join(c, Seq(groupCol))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VA.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

@@ -232,7 +232,15 @@ object TableFunctions {
         val fn = m.group(1).toLowerCase
         val args = MergeSql.splitTopLevel(sql.substring(argsStart, argsEnd), ',')
           .map(_.trim).filter(_.nonEmpty)
-        val df = eval(spark, store, session, fn, args)
+        val df0 = eval(spark, store, session, fn, args)
+        // temp views are SESSION-scoped: an op may hand back a frame
+        // bound to a child session (the TinyLoop iteration sessions —
+        // pagerank, CC), and registering the view there would make the
+        // statement's own session unable to resolve it. Rebind such a
+        // frame onto the statement's session through the Row API (the
+        // results here are bounded op outputs).
+        val df = if (df0.sparkSession eq spark) df0
+          else spark.createDataFrame(df0.rdd, df0.schema)
         val view = s"__tf_${fn}_${viewCounter.incrementAndGet()}"
         df.createOrReplaceTempView(view)
         rewrite(spark, store, session,
