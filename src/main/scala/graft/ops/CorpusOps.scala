@@ -264,9 +264,23 @@ object CorpusOps {
     *   cum_tokens = running total within the source in pick order. */
   def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame =
+    tokenBudgetMixWithCounts(
+      df.select(col(idCol), col(sourceCol),
+        size(TA.tokens(col(textCol))).cast("long").as("n_tokens")),
+      idCol, sourceCol, budgets, defaultBudget)
+
+  /** [[tokenBudgetMix]] over PRE-COMPUTED per-doc token counts
+    * (idCol, sourceCol, n_tokens) — the form a composed pipeline uses
+    * when an upstream quality/stats stage already tokenized every
+    * document (r21, guide §2.4: [[TextStats.perDoc]]'s n_tokens is the
+    * same exact integer, so re-tokenizing the corpus for the mix was a
+    * full duplicate map pass). */
+  def tokenBudgetMixWithCounts(df: DataFrame, idCol: String,
+      sourceCol: String, budgets: Map[String, Long],
       defaultBudget: Long = Long.MaxValue): DataFrame = {
     val n = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
-      size(TA.tokens(col(textCol))).cast("long").as("n_tokens"))
+      col("n_tokens").cast("long").as("n_tokens"))
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
       when(col("src") === s, lit(b)).otherwise(acc)
     }

@@ -1188,6 +1188,37 @@ object Dedup {
     val hashed = shingleHashRows(all, idCol, textCol, shingleN,
         extra = Seq(col("__new")), portable = portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = incrementalNearDupFilterCore(hashed, batch, idCol, minJaccard,
+      k, bands, maxBucketSize)
+    hashed.unpersist(blocking = false)
+    out
+  }
+
+  /** [[incrementalNearDupFilter]] over PRE-COMPUTED shingle-hash rows
+    * (id, h, __new) — the form the scaladoc above has always promised
+    * at production scale: the corpus's distinct shingle rows are a
+    * durable store artifact (d2's signature table), so a per-batch run
+    * tokenizes NOTHING that is already ingested (r21 — this also
+    * retires the corpus-scale MEMORY_AND_DISK cache the inline form
+    * carries, the round-20 verdict's known trade: the artifact scan
+    * replaces it). Rows may be deduplicated or raw — the signature
+    * minima are duplicate-insensitive and the verify side deduplicates
+    * itself. `batch` supplies the surviving rows' columns and must
+    * cover exactly the ids flagged `__new`. */
+  def incrementalNearDupFilterWithShingles(shingles: DataFrame,
+      batch: DataFrame, idCol: String, minJaccard: Double = 0.8,
+      k: Int = 16, bands: Int = 8,
+      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
+    require(minJaccard > 0, "minJaccard must be > 0")
+    require(bands * (k / bands) == k, s"bands ($bands) must divide k ($k)")
+    incrementalNearDupFilterCore(shingles, batch, idCol, minJaccard,
+      k, bands, maxBucketSize)
+  }
+
+  private def incrementalNearDupFilterCore(hashed: DataFrame,
+      batch: DataFrame, idCol: String, minJaccard: Double,
+      k: Int, bands: Int, maxBucketSize: Option[Int]): DataFrame = {
+    val rows = k / bands
     val minAggs = (0 until k).map { i =>
       val a = (1103515245L * i + 12345L) % TA.P
       val b = (1234567891L * i + 987654321L) % TA.P
@@ -1225,8 +1256,7 @@ object Dedup {
       .filter(col("n_inter").cast("double")
         / (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= minJaccard)
       .select(col("id_b").as(idCol)).distinct()
-      .materialized // bounded by the batch size; frees the shingle cache
-    hashed.unpersist(blocking = false)
+      .materialized // bounded by the batch size; frees any caller cache
     batch.join(dropped, Seq(idCol), "left_anti")
   }
 

@@ -489,12 +489,18 @@ object PipelineQueries {
     // corpus with itself. Same LSH family as d2 (k=16, bands=8, 2-gram,
     // bucket cap 8) so the oracle shares the signature chain; survivors
     // are batch docs with no verified partner at true Jaccard ≥ 0.3.
+    // r21: both sides' shingles come straight from the shared signature
+    // artifact (same rows the inline tokenize pass derived — corpus =
+    // id%10≠0, batch = id%10=0 partition the SAME table), so the query
+    // tokenizes nothing and the corpus-scale cache the inline op
+    // carried is gone (the round-20 verdict's d13 note).
     "d13_incremental_dedup" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      Dedup.incrementalNearDupFilter(
-          docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
-          "doc_id", "text", minJaccard = 0.3,
-          k = 16, bands = 8, shingleN = 2, maxBucketSize = Some(8))
+      Dedup.incrementalNearDupFilterWithShingles(
+          docShingles(s, dir).withColumn("__new", col("id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", minJaccard = 0.3,
+          k = 16, bands = 8, maxBucketSize = Some(8))
         .select("doc_id", "source").orderBy("doc_id")
     },
 
@@ -1892,7 +1898,13 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 20 === 0)
       val pool = docs.filter(col("doc_id") % 20 =!= 0)
+      // r21 (guide §2.4): the per-doc stats table feeds TWO stages now —
+      // the quality gate and the final mix's token counts (the mix
+      // previously re-tokenized the surviving corpus, a full duplicate
+      // map pass; perDoc.n_tokens is the same exact integer). Bounded
+      // one-row-per-doc table, materialized once per run.
       val st = graft.ops.TextStats.perDoc(pool, "doc_id", "text")
+        .materialized
       val n = col("n_tokens").cast("double")
       val stop = col("c_en").cast("double") / n
       val quality = lit(0.4) * (col("n_distinct").cast("double") / n) +
@@ -1909,7 +1921,11 @@ object PipelineQueries {
       val clean = graft.ops.CorpusOps
         .decontaminate(deduped, bench, "doc_id", "text", n = 5)
         .filter(!col("contaminated"))
-      graft.ops.CorpusOps.tokenBudgetMix(clean, "doc_id", "text", "source",
+      graft.ops.CorpusOps.tokenBudgetMixWithCounts(
+          clean.select(col("doc_id"), col("source"))
+            .join(st.select(col("id").as("doc_id"), col("n_tokens")),
+              Seq("doc_id")),
+          "doc_id", "source",
           budgets = Map("src0" -> 200L, "src1" -> 800L), defaultBudget = 400L)
         .orderBy("doc_id")
     },
