@@ -1891,11 +1891,14 @@ object PipelineQueries {
     // the whole chain together (broadcast semi-joins, one bounded mix
     // window at the end). The oracle replays every stage.
     "c1_prep_pipeline" -> { (s, dir) =>
-      // loadSpread trialled AND REJECTED here twice (r20 §8, r21: 2.00
-      // -> 2.37 s min-of-5) — the pipeline's many doc_id-keyed semi-join
-      // branches each re-pay the raw-text exchange, which outweighs
-      // parallelizing the single-task map stages.
-      val docs = Tables.load(s, dir, "documents")
+      // loadSpread (r21): rejected twice while every pipeline branch
+      // re-paid the raw-text exchange (r20 §8; r21 pre-materialization:
+      // 2.34 -> 2.37), but WITH the stats table materialized below, the
+      // heaviest branch reads checkpoint blocks instead and the floor
+      // wins: 2.34 -> 2.17 s at sf0.1, 9.5 -> 8.1 s at sf1 (min-of-5 /
+      // min-of-3 isolated A/Bs) — the single-task tokenize stages were
+      // this pipeline's scaling ceiling (sf1 c8-vs-c32 ratio 1.03).
+      val docs = Tables.loadSpread(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 20 === 0)
       val pool = docs.filter(col("doc_id") % 20 =!= 0)
       // r21 (guide §2.4): the per-doc stats table feeds TWO stages now —
