@@ -128,7 +128,11 @@ object PipelineQueries {
     "d21_dedup_impact", "r1_bm25_topk", "r2_hybrid_rrf", "r3_bm25_prf",
     "r4_hard_negatives", "n5_ann_ivf_kmeans", "n7_ann_recall_kmeans",
     "n8_cluster_sample", "n10_ann_pq", "n12_knn_graph", "n13_knn_recall",
-    "n13b_knn_recall_ivf", "a15_source_overlap", "e43b_line_dedup_artifact")
+    "n13b_knn_recall_ivf", "a15_source_overlap", "e43b_line_dedup_artifact",
+    // r21: these two build their own store tables (orders_js / docs_so)
+    // and, for j13, the JoinKeyPrune probe memo — first iteration pays
+    // the build+probe, later iterations are warm (visible in iterTimes)
+    "j13_join_span", "s11_point_lookup")
 
   private def kmEmbLabels(s: SparkSession, dir: String,
       k: Int, iters: Int): DataFrame = {
